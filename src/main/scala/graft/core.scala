@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** A named query over the fixture tables, with an optional DuckDB-dialect
+  * oracle SQL string the driver replays for the correctness gate.
+  *
+  * Contract (see SparkEntry): `run(spark, sfDir)` must return a DataFrame
+  * whose column names AND row order match the oracle exactly — every query
+  * ends in a total ORDER BY so the hash compare is deterministic.
+  */
+final case class Q(
+    name: String,
+    oracle: Option[String],
+    run: (SparkSession, String) => DataFrame)
+
+object Q {
+  /** Query with a DuckDB oracle. */
+  def apply(name: String, oracle: String)(
+      run: (SparkSession, String) => DataFrame): Q =
+    Q(name, Some(oracle), run)
+
+  /** Query with no SQL-expressible oracle (driver records rows-only check). */
+  def noOracle(name: String)(run: (SparkSession, String) => DataFrame): Q =
+    Q(name, None, run)
+}
+
+trait QueryPack { def qs: Seq[Q] }
+
+/** Fixture-table access. Tables are immutable driver-generated parquet —
+  * the Spark analogue of the reference's KV table scan
+  * (reference kv/KvQueryExecutor.java:1004-1136), with Catalyst handling
+  * predicate pushdown / column pruning the reference lacked.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark has no type for —
+    * it is read as a nanos-since-epoch long (legacy.parquet.nanosAsLong,
+    * set in [[Engine]]) and converted here. The fixture's values are whole
+    * microseconds, so `div 1000` is lossless and matches DuckDB's
+    * CAST(ts AS TIMESTAMP). */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Register every fixture table as a temp view so spark.sql queries can
+    * reference them by bare name (matching the oracle SQL's table names). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** Session factory: every entry point (Verify, Bench, tests) builds its
+  * SparkSession here so conf is uniform. local[N] stands in for a real
+  * cluster; shuffle.partitions is sized to the local core count (the 100 TB
+  * deployment would raise it, or let AQE coalesce from a high initial
+  * value, which `adaptive.enabled` already turns on).
+  */
+object Engine {
+  def session(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Deterministic float math shared by Spark queries and their DuckDB
+  * oracles.
+  *
+  * SUM/AVG over doubles is order-dependent in the last ulps, and Spark and
+  * DuckDB will not accumulate partitions in the same order — so any double
+  * aggregate would hash-mismatch nondeterministically. Casting each addend
+  * to DECIMAL first makes the aggregation exact and order-independent; the
+  * final cast back to DOUBLE is then the same well-defined rounding on both
+  * engines. Per-row double arithmetic (a*b, 1-x) is IEEE-deterministic and
+  * needs no such treatment.
+  */
+object Exact {
+  val dec: DecimalType = DecimalType(28, 6)
+
+  /** Exact, order-independent sum of a double column. */
+  def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+
+  /** avg as exact-sum / count so both engines divide identical doubles. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** DuckDB-side spelling of dsum. */
+  def oSum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(28,6))) AS DOUBLE)"
+
+  /** DuckDB-side spelling of davg. */
+  def oAvg(e: String): String = s"(${oSum(e)} / COUNT($e))"
+}

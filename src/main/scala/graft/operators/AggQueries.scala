@@ -1,0 +1,214 @@
+package graft.operators
+
+import graft.{Exact, Q, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Aggregation surface (SURVEY.md §2.4): GROUP BY, global aggregates,
+  * HAVING, DISTINCT, COUNT(DISTINCT), ROLLUP/CUBE, FILTER clause, grouped
+  * expressions. Reference behavior: hand-rolled hash grouping over
+  * in-memory rows (reference kv/KvQueryExecutor.java:3269-3624); here it is
+  * `groupBy().agg()` so Catalyst does partial (map-side) aggregation before
+  * the shuffle — the property that makes these queries scale to 100 TB.
+  */
+object AggQueries extends QueryPack {
+  import Exact._
+
+  val qs: Seq[Q] = Seq(
+    // TPC-H Q1 shape: the reference demo's flagship agg (demo-ecommerce.sh).
+    Q(
+      "q1_pricing_summary",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${oSum("l_quantity")} AS sum_qty,
+         |  ${oSum("l_extendedprice")} AS sum_base_price,
+         |  ${oSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${oSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |  ${oAvg("l_quantity")} AS avg_qty,
+         |  ${oAvg("l_extendedprice")} AS avg_price,
+         |  ${oAvg("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // Global aggregate, no GROUP BY (reference: AGGREGATION type without keys).
+    Q(
+      "agg_global",
+      s"""SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_custkey) AS n_cust,
+         |  ${oSum("o_totalprice")} AS total, MIN(o_orderdate) AS first_order,
+         |  MAX(o_orderdate) AS last_order
+         |FROM orders""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        dsum(col("o_totalprice")).as("total"),
+        min(col("o_orderdate")).as("first_order"),
+        max(col("o_orderdate")).as("last_order"))
+    },
+
+    // HAVING over an aggregate (reference supports only one bare comparison,
+    // kv/KvQueryExecutor.java:3832-3984; full expressions here).
+    Q(
+      "agg_having",
+      s"""SELECT o_custkey, COUNT(*) AS n_orders, ${oSum("o_totalprice")} AS spend
+         |FROM orders
+         |GROUP BY o_custkey
+         |HAVING COUNT(*) >= 15 AND ${oSum("o_totalprice")} > 1000000
+         |ORDER BY o_custkey""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+        .filter(col("n_orders") >= 15 && col("spend") > 1000000)
+        .orderBy(col("o_custkey"))
+    },
+
+    // SELECT DISTINCT — parsed-but-ignored in the reference (§7.5 defect 3);
+    // real here.
+    Q(
+      "agg_distinct",
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // COUNT(DISTINCT …) + multiple distinct aggregates (absent in reference).
+    Q(
+      "agg_count_distinct",
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // GROUP BY an expression (year of date) — reference §2.4 "expressions in
+    // select list".
+    Q(
+      "agg_group_by_expr",
+      s"""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+         |  o_orderstatus, COUNT(*) AS n, ${oSum("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY order_year, o_orderstatus
+         |ORDER BY order_year, o_orderstatus""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("order_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("order_year"), col("o_orderstatus"))
+    },
+
+    // ROLLUP — beyond-reference (absent there, free in Spark).
+    Q(
+      "agg_rollup",
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${oSum("l_quantity")} AS qty
+         |FROM lineitem
+         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // CUBE — beyond-reference.
+    Q(
+      "agg_cube",
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+         |FROM orders
+         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+
+    // Aggregate FILTER (WHERE …) clause — beyond-reference.
+    Q(
+      "agg_filter_clause",
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 250000) AS n_big,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(when(col("o_totalprice") > 250000, 1)).as("n_big"),
+          count(when(col("o_orderpriority") === "1-URGENT", 1)).as("n_urgent"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // Moment statistics via exact sums so both engines evaluate the same
+    // closed-form double expression (see Exact scaladoc).
+    Q(
+      "agg_stats_moments",
+      s"""SELECT l_returnflag,
+         |  ${oSum("l_quantity")} AS s1,
+         |  ${oSum("l_quantity * l_quantity")} AS s2,
+         |  COUNT(l_quantity) AS n,
+         |  (${oSum("l_quantity * l_quantity")} - ${oSum("l_quantity")} * ${oSum("l_quantity")} / COUNT(l_quantity)) / (COUNT(l_quantity) - 1) AS var_samp_exact
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      val s1 = dsum(col("l_quantity"))
+      val s2 = dsum(col("l_quantity") * col("l_quantity"))
+      val n  = count(col("l_quantity"))
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          s1.as("s1"), s2.as("s2"), n.as("n"),
+          ((s2 - s1 * s1 / n) / (n - lit(1))).as("var_samp_exact"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // MIN/MAX over strings + empty-group semantics: standard NULL (the
+    // reference returns 0.0 on empty — §7.5 defect 4; we keep ANSI).
+    Q(
+      "agg_minmax_string",
+      """SELECT c_mktsegment, MIN(c_name) AS first_name, MAX(c_name) AS last_name,
+        |  MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          min(col("c_name")).as("first_name"),
+          max(col("c_name")).as("last_name"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"))
+        .orderBy(col("c_mktsegment"))
+    }
+  )
+}

@@ -1,0 +1,232 @@
+package graft.operators
+
+import graft.{Exact, Q, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Join surface (SURVEY.md §2.3). The reference implements single-column
+  * equi-joins as a single-threaded build/probe over fully-materialized row
+  * lists (reference kv/KvJoinExecutor.java:113-425) with a 100k-row scan cap;
+  * here each join is a declarative `Dataset.join` so Catalyst chooses
+  * broadcast-hash vs sort-merge (the reference's "build from smaller side"
+  * heuristic, optimizer/QueryOptimizer.java:75-100, generalized) and AQE
+  * re-plans skew at runtime. Dimension tables are explicitly `broadcast()`
+  * where we know they are small at any scale factor (region/nation: fixed
+  * cardinality ≤ 25 rows even at 100 TB).
+  */
+object JoinQueries extends QueryPack {
+  import Exact._
+
+  val qs: Seq[Q] = Seq(
+    // INNER equi-join (reference kv/KvJoinExecutor.java:113-132).
+    Q(
+      "join_inner",
+      """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 450000
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 450000)
+      val c = Tables.load(s, dir, "customer")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // LEFT OUTER — unmatched-left rows kept per ROW, not per key (the
+    // reference tracks unmatched by join key, §7.5 defect 1; Spark is correct).
+    Q(
+      "join_left_outer",
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN orders
+        |  ON c_custkey = o_custkey AND o_totalprice > 490000
+        |WHERE c_custkey < 200
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin
+    ) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer").filter(col("c_custkey") < 200)
+      val o = Tables.load(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey") && col("o_totalprice") > 490000, "left")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    },
+
+    // RIGHT OUTER (reference swaps sides, kv/KvJoinExecutor.java:168-181).
+    Q(
+      "join_right_outer",
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM orders RIGHT JOIN customer
+        |  ON c_custkey = o_custkey AND o_totalprice > 490000
+        |WHERE c_custkey < 200
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin
+    ) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer").filter(col("c_custkey") < 200)
+      val o = Tables.load(s, dir, "orders")
+      o.join(c, col("c_custkey") === col("o_custkey") && col("o_totalprice") > 490000, "right")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    },
+
+    // FULL OUTER with unmatched rows on both sides
+    // (reference kv/KvJoinExecutor.java:186-206).
+    Q(
+      "join_full_outer",
+      """SELECT a.c_custkey AS left_key, b.o_custkey AS right_key,
+        |  a.c_name, b.n_orders
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 60) a
+        |FULL JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        |           WHERE o_custkey BETWEEN 30 AND 90 GROUP BY o_custkey) b
+        |  ON a.c_custkey = b.o_custkey
+        |ORDER BY left_key NULLS FIRST, right_key NULLS FIRST""".stripMargin
+    ) { (s, dir) =>
+      val a = Tables.load(s, dir, "customer").filter(col("c_custkey") < 60)
+        .select(col("c_custkey"), col("c_name"))
+      val b = Tables.load(s, dir, "orders")
+        .filter(col("o_custkey").between(30, 90))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      a.join(b, col("c_custkey") === col("o_custkey"), "full")
+        .select(
+          col("c_custkey").as("left_key"), col("o_custkey").as("right_key"),
+          col("c_name"), col("n_orders"))
+        .orderBy(col("left_key").asc_nulls_first, col("right_key").asc_nulls_first)
+    },
+
+    // CROSS JOIN (reference nested-loop cartesian, kv/KvJoinExecutor.java:211-262).
+    Q(
+      "join_cross",
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "region")
+        .crossJoin(Tables.load(s, dir, "nation"))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // Multi-way (5-table) join + aggregation — TPC-H Q5 shape; the
+    // reference's left-deep chain (kv/KvJoinExecutor.java:267-316) becomes a
+    // Catalyst-reorderable join tree with broadcast dims.
+    Q(
+      "q5_local_supplier_volume",
+      s"""SELECT n_name, ${oSum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders   ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation   ON s_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |WHERE r_name = 'R0' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+    ) { (s, dir) =>
+      val c  = Tables.load(s, dir, "customer")
+      val o  = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+                col("o_orderdate") <  lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      val l  = Tables.load(s, dir, "lineitem")
+      val su = Tables.load(s, dir, "supplier")
+      val n  = Tables.load(s, dir, "nation")
+      val r  = Tables.load(s, dir, "region").filter(col("r_name") === "R0")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // TPC-H Q3 shape: join + agg + ORDER BY/LIMIT wrapper
+    // (reference kv/KvQueryExecutor.java:1459-1531).
+    Q(
+      "q3_shipping_priority",
+      s"""SELECT l_orderkey, ${oSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  o_orderdate
+         |FROM customer
+         |JOIN orders   ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+         |  AND l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-03-15 00:00:00")))
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1997-03-15 00:00:00")))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // LEFT SEMI join — the reference rewrites IN/EXISTS subqueries textually
+    // (SubqueryExecutor.java:185-260); Spark plans a proper semi join.
+    Q(
+      "join_semi",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 480000)
+        |ORDER BY c_custkey""".stripMargin
+    ) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 480000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // LEFT ANTI join (NOT EXISTS).
+    Q(
+      "join_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin
+    ) { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Explicit broadcast of a bounded dim (nation is ≤ 25 rows at ANY scale
+    // factor — always broadcast-able, never a shuffle).
+    Q(
+      "join_broadcast_dim",
+      s"""SELECT n_name, COUNT(*) AS n_suppliers, ${oSum("s_acctbal")} AS total_bal
+         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin
+    ) { (s, dir) =>
+      val su = Tables.load(s, dir, "supplier")
+      val n  = Tables.load(s, dir, "nation")
+      su.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"), dsum(col("s_acctbal")).as("total_bal"))
+        .orderBy(col("n_name"))
+    },
+
+    // Join then outer ORDER BY + LIMIT/OFFSET (reference join wrapper,
+    // kv/KvQueryExecutor.java:1459-1531).
+    Q(
+      "join_orderby_limit",
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 25 OFFSET 5""".stripMargin
+    ) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(5)
+        .limit(25)
+    }
+  )
+}

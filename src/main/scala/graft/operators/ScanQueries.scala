@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scan / filter / sort / limit surface (SURVEY.md §2.1, §2.2, §2.6).
+  *
+  * The reference executes these as a capped MVCC range scan with post-hoc
+  * row-at-a-time filtering (reference kv/KvQueryExecutor.java:1004-1136 —
+  * WHERE is applied AFTER fetching every column of up to 100k rows). Here
+  * each query is a declarative plan: Catalyst pushes predicates and column
+  * pruning into the parquet scan (visible as PushedFilters/ReadSchema in
+  * `explain`), so the 100 TB version reads only the row groups and columns
+  * it needs — there is deliberately no scan cap (§7.5 defect 2).
+  */
+object ScanQueries extends QueryPack {
+
+  val qs: Seq[Q] = Seq(
+    // Projection pushdown: scan reads exactly 3 of 11 lineitem columns.
+    Q(
+      "scan_project",
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 500)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // Point lookup by key — the reference's (dead) point-get path
+    // (kv/KvQueryExecutor.java:959-999); in Spark a pushed-down equality.
+    Q(
+      "scan_point_lookup",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey = 4242""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") === 4242)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    },
+
+    // All six comparison operators (reference kv/CalciteSqlParser.java:1006-1018).
+    Q(
+      "filter_comparisons",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem
+        |WHERE l_quantity >= 49 AND l_discount < 0.02 AND l_linenumber <> 1
+        |  AND l_orderkey > 100 AND l_orderkey <= 14000 AND l_tax = 0.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(
+          col("l_quantity") >= 49 && col("l_discount") < 0.02 &&
+          col("l_linenumber") =!= 1 && col("l_orderkey") > 100 &&
+          col("l_orderkey") <= 14000 && col("l_tax") === 0.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // LIKE / NOT LIKE (reference regex translation kv/CalciteSqlParser.java:1092-1118).
+    Q(
+      "filter_like",
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE p_name LIKE '%gear%' AND p_brand NOT LIKE 'Brand#1%'
+        |  AND p_name LIKE 'h_t%'
+        |ORDER BY p_partkey""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "part")
+        .filter(
+          col("p_name").like("%gear%") && !col("p_brand").like("Brand#1%") &&
+          col("p_name").like("h_t%"))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // IN / NOT IN value lists (reference kv/CalciteSqlParser.java:310-341).
+    Q(
+      "filter_in",
+      """SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  AND o_orderstatus NOT IN ('P')
+        |  AND o_orderkey < 1000
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .filter(
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+          !col("o_orderstatus").isin("P") && col("o_orderkey") < 1000)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // BETWEEN / NOT BETWEEN (reference kv/CalciteSqlParser.java:342-357).
+    Q(
+      "filter_between",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice BETWEEN 499000 AND 499978.59
+        |  AND o_orderkey NOT BETWEEN 5000 AND 10000
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .filter(
+          col("o_totalprice").between(499000, 499978.59) &&
+          !col("o_orderkey").between(5000, 10000))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // IS NULL / IS NOT NULL (reference kv/CalciteSqlParser.java:358-365);
+    // NULLIF synthesizes NULLs since fixture columns are non-null.
+    Q(
+      "filter_null_tests",
+      """SELECT l_orderkey, l_linenumber, NULLIF(l_discount, 0.0) AS disc_or_null
+        |FROM lineitem
+        |WHERE l_orderkey < 300 AND NULLIF(l_discount, 0.0) IS NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 300 && nullif(col("l_discount"), lit(0.0)).isNull)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_discount"), lit(0.0)).as("disc_or_null"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // OR branches + NOT (reference predicate model: AND list with nested OR
+    // branch lists, kv/CalciteSqlParser.java:240-368).
+    Q(
+      "filter_or_not",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE (o_orderstatus = 'P' OR o_totalprice > 495000)
+        |  AND NOT (o_orderpriority = '5-LOW' AND o_orderstatus = 'O')
+        |  AND o_orderkey < 3000
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .filter(
+          (col("o_orderstatus") === "P" || col("o_totalprice") > 495000) &&
+          !(col("o_orderpriority") === "5-LOW" && col("o_orderstatus") === "O") &&
+          col("o_orderkey") < 3000)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // Multi-column ORDER BY with mixed direction + explicit null order
+    // (reference kv/KvQueryExecutor.java:2771-2810: null-first-on-asc).
+    Q(
+      "sort_multi_col",
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |WHERE c_custkey < 400
+        |ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") < 400)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .orderBy(col("c_mktsegment").asc, col("c_acctbal").desc, col("c_custkey").asc)
+    },
+
+    // LIMIT/OFFSET after total sort (reference kv/KvQueryExecutor.java:1101-1119;
+    // Spark plans TakeOrderedAndProject instead of full sort + cut).
+    Q(
+      "sort_limit_offset",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20 OFFSET 10""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(10)
+        .limit(20)
+    }
+  )
+}

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (dev tooling only — the
+shipped Scala library has no Python dependency).
+
+Usage: after `sbt "runMain graft.Verify <sfDir> <outDir>"`, run
+    python3 tools/check_oracle.py <sfDir> <outDir>
+
+For each query in <outDir>/oracle_sql.json: run the oracle SQL in DuckDB
+over the fixture parquet, read the Spark result parquet, sort columns by
+name, and compare values exactly (row order must match — every query is
+expected to end in a total ORDER BY).
+"""
+import sys, json, glob, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    failures = []
+    for name in sorted(oracle):
+        sql = oracle[name]
+        files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
+        if not files:
+            failures.append((name, "no spark output"))
+            n_fail += 1
+            continue
+        try:
+            got_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+            got_cols = list(got_rel.columns)
+            got = got_rel.fetchall()
+            exp_rel = con.sql(sql)
+            exp_cols = list(exp_rel.columns)
+            exp = exp_rel.fetchall()
+        except Exception as e:
+            failures.append((name, f"exec error: {e}"))
+            n_fail += 1
+            continue
+        if sorted(got_cols) != sorted(exp_cols):
+            failures.append((name, f"schema: spark={sorted(got_cols)} oracle={sorted(exp_cols)}"))
+            n_fail += 1
+            continue
+        gperm = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
+        eperm = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
+        grows = [tuple(norm(r[i]) for i in gperm) for r in got]
+        erows = [tuple(norm(r[i]) for i in eperm) for r in exp]
+        if len(grows) != len(erows):
+            failures.append((name, f"rowcount: spark={len(grows)} oracle={len(erows)}"))
+            n_fail += 1
+            continue
+        bad = next((i for i, (g, e) in enumerate(zip(grows, erows)) if g != e), None)
+        if bad is not None:
+            failures.append((name, f"row {bad}: spark={grows[bad]} oracle={erows[bad]}"))
+            n_fail += 1
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({len(grows)} rows)")
+    for name, why in failures:
+        print(f"FAIL {name}: {why}")
+    print(f"\n{n_pass} passed, {n_fail} failed, "
+          f"{len(oracle)} with oracle")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
