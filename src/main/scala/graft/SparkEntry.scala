@@ -16,7 +16,10 @@ object SparkEntry {
     ScanQueries,
     ExprQueries,
     JoinQueries,
-    AggQueries)
+    AggQueries,
+    WindowQueries,
+    SetOpQueries,
+    SubqueryQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.qs)
