@@ -19,7 +19,10 @@ object SparkEntry {
     AggQueries,
     WindowQueries,
     SetOpQueries,
-    SubqueryQueries)
+    SubqueryQueries,
+    TextQueries,
+    DedupQueries,
+    SimilarityQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.qs)

@@ -1,0 +1,218 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline over `documents`
+  * (north-star extension; no counterpart in the reference).
+  *
+  * Four families: exact (content-hash groupBy), n-gram Jaccard (shingle
+  * inverted index), MinHash+LSH (signature → band buckets → verified
+  * candidates), and SimHash (weighted bit-vote signatures, banded
+  * blocking). All hashes derive from md5 so the DuckDB oracle runs the
+  * *same* algorithm bit-for-bit — the gate checks the distributed
+  * pipeline, not a lookalike.
+  *
+  * Scale design (100 TB): everything is explode → hash-partition groupBy
+  * → equi-join; no driver materialization, no cartesian products. The
+  * candidate generators (LSH bands / SimHash bands) exist precisely so
+  * the pair space is bucket-local rather than all-pairs — the brute-force
+  * Jaccard query is the small-scale ground truth, the LSH ones are the
+  * scale path.
+  */
+object DedupQueries extends QueryPack {
+
+  /** Distinct word-trigram shingles per document, computed arrays-first
+    * (transform over sequence — no self-joins; one row per doc until the
+    * final explode). */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(
+          transform(sequence(lit(0), size(toks) - 3),
+            i => array_join(slice(toks, i + 1, lit(3)), " "))).as("shingles"))
+  }
+
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    shingleSets(s, dir).select(col("doc_id"), explode(col("shingles")).as("sh"))
+
+  /** DuckDB spelling of the same distinct-shingle set. */
+  private val oShingles =
+    """SELECT doc_id, unnest(list_distinct(
+      |    list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+      |                   i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS sh
+      |  FROM documents""".stripMargin
+
+  /** Exact Jaccard >= thr pairs via shingle inverted index (Spark side). */
+  private def jaccardPairs(s: SparkSession, dir: String, thr: Double): DataFrame = {
+    val sh = shingleRows(s, dir)
+    val sizes = shingleSets(s, dir).select(col("doc_id"), size(col("shingles")).as("n"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a"), col("b"),
+        (col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= thr)
+  }
+
+  private def oJaccardPairs(thr: String): String =
+    s"""WITH sh AS ($oShingles),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+       |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  GROUP BY x.doc_id, y.doc_id)
+       |SELECT a, b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON a = sa.doc_id
+       |JOIN sizes sb ON b = sb.doc_id
+       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $thr""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    // Exact dedup: hash-groupBy on content digest, keep the smallest id
+    // as the canonical representative. One shuffle at |corpus| rows of
+    // (digest, id) — the 100 TB-safe exact-dup pass.
+    Q(
+      "dedup_exact",
+      """SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS copies
+        |FROM documents
+        |GROUP BY md5(text)
+        |HAVING COUNT(*) >= 1
+        |ORDER BY digest""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy(md5(col("text")).as("digest"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+        .filter(col("copies") >= 1)
+        .orderBy(col("digest"))
+    },
+
+    // n-gram Jaccard near-dup pairs: shingle inverted index → pair
+    // intersection counts → Jaccard filter. Ground truth for the LSH
+    // variants below.
+    Q(
+      "dedup_jaccard_pairs",
+      s"""${oJaccardPairs("0.8")}
+         |ORDER BY a, b""".stripMargin
+    ) { (s, dir) =>
+      jaccardPairs(s, dir, 0.8).orderBy(col("a"), col("b"))
+    },
+
+    // MinHash + LSH: 12 md5-derived hash functions → per-doc signature →
+    // 4 bands of 3 → bucket-join candidates → verify true Jaccard.
+    // At scale only the band buckets shuffle (corpus-linear), and the
+    // expensive verification runs on the candidate set, not all pairs.
+    Q(
+      "dedup_minhash_lsh",
+      s"""WITH sh AS ($oShingles),
+         |mh AS (
+         |  SELECT doc_id, i,
+         |         MIN(CAST(('0x' || substr(md5(sh || '#' || i), 1, 15)) AS BIGINT)) AS v
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS i)
+         |  GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 3 AS band,
+         |         string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS sig
+         |  FROM mh GROUP BY doc_id, i // 3),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |truth AS (${oJaccardPairs("0.8")})
+         |SELECT t.a, t.b, t.jaccard
+         |FROM cand c JOIN truth t ON c.a = t.a AND c.b = t.b
+         |ORDER BY t.a, t.b""".stripMargin
+    ) { (s, dir) =>
+      val sh = shingleRows(s, dir)
+      val mh = sh
+        .select(col("doc_id"), explode(sequence(lit(0), lit(11))).as("i"), col("sh"))
+        .select(col("doc_id"), col("i"),
+          conv(substring(md5(concat(col("sh"), lit("#"), col("i"))), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("v"))
+      val bands = mh
+        .groupBy(col("doc_id"), (col("i") / 3).cast("int").as("band"))
+        .agg(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("i"), col("v")))),
+            x => x.getField("v").cast("string"))).as("sig"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      val truth = jaccardPairs(s, dir, 0.8)
+      cand.join(truth, Seq("a", "b"))
+        .select(col("a"), col("b"), col("jaccard"))
+        .orderBy(col("a"), col("b"))
+    },
+
+    // SimHash: 32-bit weighted bit-vote signature per doc; near-dup
+    // candidates must share one of 4 exact 8-bit bands (hamming<=3 ⇒ some
+    // band is untouched), then verified by hamming distance. Banding makes
+    // the join bucket-local instead of all-pairs — the scale path.
+    Q(
+      "dedup_simhash",
+      """WITH tf AS (
+        |  SELECT doc_id, w, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) t
+        |  GROUP BY doc_id, w),
+        |th AS (
+        |  SELECT doc_id, cnt, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+        |  FROM tf),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |         SUM(CASE WHEN ((h >> b) & 1) = 1 THEN cnt ELSE -cnt END) AS s
+        |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+        |  GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |         SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sh32
+        |  FROM votes GROUP BY doc_id),
+        |bandrows AS (
+        |  SELECT doc_id, sh32, band, (sh32 >> (band * 8)) & 255 AS bkey
+        |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sh32 AS sa, y.sh32 AS sb
+        |  FROM bandrows x JOIN bandrows y
+        |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+        |SELECT a, b, bit_count(xor(sa, sb)) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(sa, sb)) <= 3
+        |ORDER BY a, b""".stripMargin
+    ) { (s, dir) =>
+      val tf = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      val th = tf.select(col("doc_id"), col("cnt"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+      val votes = th
+        .select(col("doc_id"), col("cnt"), col("h"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(sum(when(expr("((h >> b) & 1) = 1"), col("cnt")).otherwise(-col("cnt"))).as("s"))
+      val sig = votes
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L))
+          .as("sh32"))
+      val bandrows = sig
+        .select(col("doc_id"), col("sh32"), explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bkey", expr("(sh32 >> (band * 8)) & 255"))
+      val cand = bandrows.as("x").join(bandrows.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.sh32").as("sa"), col("y.sh32").as("sb"))
+        .distinct()
+      cand
+        .select(col("a"), col("b"), expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy(col("a"), col("b"))
+    }
+  )
+}

@@ -1,0 +1,185 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity search over the `embeddings` table (north-star extension).
+  *
+  * Dot products are computed arrays-first with `zip_with` + `aggregate`
+  * (higher-order functions — one row per vector pair, no positional
+  * explode, no extra shuffle), accumulating each float product through
+  * DECIMAL(38,12) so the sum is exact and order-independent: the DuckDB
+  * oracle computes the identical quantity by unnest+join and must match
+  * bit-for-bit after the final cast to double.
+  *
+  * Brute-force top-k is the correctness baseline (queries × corpus, fine
+  * when |queries| is small); the LSH variant buckets vectors by
+  * sign-random-projection so the candidate join is bucket-local — the
+  * shape that survives a 100 TB corpus where all-pairs is impossible.
+  */
+object SimilarityQueries extends QueryPack {
+
+  // (20,12) so decimal addition widens to (21,12) with NO scale loss; the
+  // post-add cast back to (20,12) is exact because |dot| stays < 10^8.
+  // Quantization at scale 12 is identical to the oracle's DECIMAL(38,12).
+  private val dec = DecimalType(20, 12)
+
+  /** Exact decimal-accumulated dot product of two float-array columns. */
+  private def dotExact(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0).cast(dec),
+      // re-cast each step: decimal + widens to (38,11), which would break
+      // the fold's type contract; values are ≪ 10^26 so the cast is exact
+      (acc, x) => (acc + x.cast(dec)).cast(dec)).cast("double")
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("norm", sqrt(dotExact(col("embedding"), col("embedding"))))
+
+  /** DuckDB spelling: per-vector squared norm and pairwise dot via
+    * position join, decimal-accumulated. */
+  private val oVecs =
+    """SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS p
+      |  FROM embeddings""".stripMargin
+
+  private val oNorms =
+    s"""SELECT vec_id,
+       |       sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS norm
+       |FROM ($oVecs) GROUP BY vec_id""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    // Brute-force cosine top-k for a small query set: broadcast the
+    // queries, scan the corpus once, per-query row_number window.
+    Q(
+      "sim_topk_bruteforce",
+      s"""WITH u AS ($oVecs),
+         |n AS ($oNorms),
+         |q AS (SELECT * FROM u WHERE vec_id IN (0, 1, 2, 3, 4)),
+         |dots AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         CAST(SUM(CAST(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         |  FROM q JOIN u c ON q.p = c.p AND q.vec_id <> c.vec_id
+         |  GROUP BY q.vec_id, c.vec_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, dot / (nq.norm * nc.norm) AS cosine
+         |  FROM dots JOIN n nq ON query_id = nq.vec_id JOIN n nc ON neighbor_id = nc.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin
+    ) { (s, dir) =>
+      val vecs = withNorm(Tables.load(s, dir, "embeddings"))
+      val queries = vecs.filter(col("vec_id").isin(0, 1, 2, 3, 4))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("norm").as("qnorm"))
+      val scored = vecs.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (dotExact(col("qe"), col("embedding")) / (col("qnorm") * col("norm")))
+            .as("cosine"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // Embedding near-dup pairs: all-pairs exact cosine over a threshold.
+    // (The fixture plants no >0.8 dups; 0.4 exercises the operator.)
+    // Kept as the small-scale ground truth for the LSH variant.
+    Q(
+      "sim_cosine_pairs",
+      s"""WITH u AS ($oVecs),
+         |n AS ($oNorms),
+         |dots AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b,
+         |         CAST(SUM(CAST(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         |  FROM u a JOIN u b ON a.p = b.p AND a.vec_id < b.vec_id
+         |  GROUP BY a.vec_id, b.vec_id)
+         |SELECT a, b, dot / (na.norm * nb.norm) AS cosine
+         |FROM dots JOIN n na ON a = na.vec_id JOIN n nb ON b = nb.vec_id
+         |WHERE dot / (na.norm * nb.norm) >= 0.4
+         |ORDER BY a, b""".stripMargin
+    ) { (s, dir) =>
+      val vecs = withNorm(Tables.load(s, dir, "embeddings"))
+      val right = vecs.select(col("vec_id").as("b"), col("embedding").as("eb"),
+        col("norm").as("nb"))
+      vecs.select(col("vec_id").as("a"), col("embedding").as("ea"), col("norm").as("na"))
+        .join(right, col("a") < col("b"))
+        .select(col("a"), col("b"),
+          (dotExact(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .orderBy(col("a"), col("b"))
+    },
+
+    // LSH-bucketed ANN: 8-bit sign-random-projection sketch (hyperplane
+    // components derived from md5, so both engines build identical
+    // planes), bucket-join, exact re-rank within buckets. The candidate
+    // join touches only same-sketch pairs — corpus-linear when buckets
+    // are balanced, vs the quadratic brute force above.
+    Q(
+      "sim_ann_lsh",
+      s"""WITH u AS ($oVecs),
+         |n AS ($oNorms),
+         |planes AS (
+         |  SELECT b, p,
+         |         (CAST(('0x' || substr(md5(b || '_' || p), 1, 15)) AS BIGINT) % 2001 - 1000)
+         |           / 1000.0 AS r
+         |  FROM (SELECT unnest(generate_series(0, 7)) AS b)
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS p)),
+         |proj AS (
+         |  SELECT u.vec_id, pl.b,
+         |         CAST(SUM(CAST(CAST(u.x AS DOUBLE) * pl.r AS DECIMAL(38,12))) AS DOUBLE) AS s
+         |  FROM u JOIN planes pl ON u.p = pl.p
+         |  GROUP BY u.vec_id, pl.b),
+         |sketch AS (
+         |  SELECT vec_id,
+         |         SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sk
+         |  FROM proj GROUP BY vec_id),
+         |cand AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b
+         |  FROM sketch x JOIN sketch y ON x.sk = y.sk AND x.vec_id < y.vec_id),
+         |dots AS (
+         |  SELECT c.a, c.b,
+         |         CAST(SUM(CAST(CAST(ua.x AS DOUBLE) * CAST(ub.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         |  FROM cand c JOIN u ua ON ua.vec_id = c.a JOIN u ub ON ub.vec_id = c.b AND ua.p = ub.p
+         |  GROUP BY c.a, c.b)
+         |SELECT a, b, dot / (na.norm * nb.norm) AS cosine
+         |FROM dots JOIN n na ON a = na.vec_id JOIN n nb ON b = nb.vec_id
+         |WHERE dot / (na.norm * nb.norm) >= 0.2
+         |ORDER BY a, b""".stripMargin
+    ) { (s, dir) =>
+      // Hyperplanes as a broadcast-sized literal-free table: 8 planes × 64
+      // dims, components in [-1, 1] from md5 — engine-identical.
+      val planes = s.range(0, 8).select(col("id").cast("int").as("b"))
+        .crossJoin(s.range(1, 65).select(col("id").cast("int").as("p")))
+        .select(col("b"), col("p"),
+          ((conv(substring(md5(concat(col("b"), lit("_"), col("p"))), 1, 15), 16, 10)
+            .cast("long") % 2001 - 1000) / 1000.0).as("r"))
+      val plArr = planes.groupBy(col("b"))
+        .agg(transform(array_sort(collect_list(struct(col("p"), col("r")))),
+          x => x.getField("r")).as("plane"))
+      val vecs = withNorm(Tables.load(s, dir, "embeddings"))
+      // Sketch: sign bit per plane, assembled into one long.
+      val proj = vecs.crossJoin(broadcast(plArr))
+        .select(col("vec_id"), col("embedding"), col("norm"), col("b"),
+          dotExact(col("embedding"), col("plane")).as("s"))
+      val sketch = proj.groupBy(col("vec_id"))
+        .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L))
+          .as("sk"))
+      val withSk = vecs.join(sketch, "vec_id")
+      val right = withSk.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+        col("norm").as("nb"), col("sk").as("skb"))
+      withSk.join(right, col("sk") === col("skb") && col("vec_id") < col("b_id"))
+        .select(col("vec_id").as("a"), col("b_id").as("b"),
+          (dotExact(col("embedding"), col("eb")) / (col("norm") * col("nb"))).as("cosine"))
+        .filter(col("cosine") >= 0.2)
+        .orderBy(col("a"), col("b"))
+    }
+  )
+}

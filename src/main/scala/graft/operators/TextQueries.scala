@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`
+  * (north-star extension — the reference has no text surface; SURVEY.md
+  * §2.12 maps these to Scala UDF/Aggregator territory, but every one of
+  * them is expressible with codegen'd built-ins, which is what we do:
+  * no UDFs anywhere, so the whole pipeline stays inside whole-stage
+  * codegen and scales linearly with partitions).
+  *
+  * Determinism contract: tokenization is an explicit `split(text, ' ')`
+  * (fixture text is single-space separated), and every hash is md5-based
+  * because md5 is bit-identical across Spark and DuckDB — the oracle runs
+  * the same algorithm, not a reimplementation.
+  */
+object TextQueries extends QueryPack {
+
+  val qs: Seq[Q] = Seq(
+    // Token counting: whitespace tokens, distinct tokens, char stats.
+    Q(
+      "text_token_stats",
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_uniq,
+        |  n_chars,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_tok_len
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_uniq"),
+          col("n_chars"),
+          (length(regexp_replace(col("text"), " ", "")).cast("double") / size(toks))
+            .as("avg_tok_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality scoring: stopword ratio, vocabulary diversity, length band —
+    // the length/punct/stopword-ratio heuristics of a pretraining filter.
+    Q(
+      "text_quality_score",
+      """SELECT doc_id, n_tokens, stop_ratio, uniq_ratio,
+        |  0.4 * uniq_ratio + 0.4 * (1.0 - stop_ratio)
+        |    + CASE WHEN n_tokens BETWEEN 20 AND 90 THEN 0.2 ELSE 0.0 END AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('a','the'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS stop_ratio,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS uniq_ratio
+        |  FROM documents) t
+        |WHERE quality >= 0.7
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          (size(filter(toks, t => t.isin("a", "the"))).cast("double") / size(toks))
+            .as("stop_ratio"),
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("uniq_ratio"))
+      base
+        .withColumn("quality",
+          lit(0.4) * col("uniq_ratio") + lit(0.4) * (lit(1.0) - col("stop_ratio")) +
+            when(col("n_tokens").between(20, 90), 0.2).otherwise(0.0))
+        .filter(col("quality") >= 0.7)
+        .orderBy(col("doc_id"))
+    },
+
+    // Language-ID by marker-token voting (n-gram-heuristic shape): score
+    // each candidate language by its marker hits, argmax with a fixed
+    // tie order. The fixture's text is synthetic so the guess is usually
+    // 'en'; what the gate checks is that the distributed heuristic is
+    // deterministic and engine-identical.
+    Q(
+      "text_lang_id",
+      """SELECT doc_id, lang AS labeled,
+        |  CASE WHEN de >= es AND de >= fr THEN 'de'
+        |       WHEN es >= fr THEN 'es'
+        |       ELSE 'fr' END AS guess
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('der','und','ist'))) AS de,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('el','los','es'))) AS es,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('le','les','est'))) AS fr
+        |  FROM documents) t
+        |WHERE doc_id < 300
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      def hits(ws: String*) = size(filter(toks, t => t.isin(ws: _*)))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("labeled"),
+          hits("der", "und", "ist").as("de"),
+          hits("el", "los", "es").as("es"),
+          hits("le", "les", "est").as("fr"))
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("labeled"),
+          when(col("de") >= col("es") && col("de") >= col("fr"), "de")
+            .when(col("es") >= col("fr"), "es")
+            .otherwise("fr").as("guess"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Document fingerprinting: full-content md5 plus a 60-bit integer
+    // fingerprint (the rolling-hash role), both engine-identical.
+    Q(
+      "text_fingerprint",
+      """SELECT doc_id,
+        |  md5(lower(trim(text))) AS fp,
+        |  CAST(('0x' || substr(md5(lower(trim(text))), 1, 15)) AS BIGINT) AS fp60
+        |FROM documents WHERE doc_id < 250
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val norm = lower(trim(col("text")))
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 250)
+        .select(col("doc_id"),
+          md5(norm).as("fp"),
+          conv(substring(md5(norm), 1, 15), 16, 10).cast("long").as("fp60"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Corpus-level term frequency: explode tokens → count — the shape of
+    // a vocabulary build. Partial aggregation keeps the shuffle at
+    // |vocab| rows regardless of corpus size.
+    Q(
+      "text_word_freq",
+      """SELECT w, COUNT(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |GROUP BY w
+        |ORDER BY cnt DESC, w
+        |LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w"))
+        .limit(20)
+    }
+  )
+}
