@@ -22,7 +22,8 @@ object SparkEntry {
     SubqueryQueries,
     TextQueries,
     DedupQueries,
-    SimilarityQueries)
+    SimilarityQueries,
+    DdlQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.qs)

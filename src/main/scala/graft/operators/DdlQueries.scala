@@ -1,0 +1,60 @@
+package graft.operators
+
+import java.nio.file.Files
+import graft.{Q, QueryPack}
+import graft.sqlfront.GraftSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end DDL/DML exercise surfaced through the driver's correctness
+  * gate (SURVEY §2.10). The script's final state is fully determined, so
+  * the oracle is a literal VALUES relation — DuckDB verifies the engine's
+  * create/insert/update/delete/matview pipeline produced exactly the
+  * expected rows.
+  */
+object DdlQueries extends QueryPack {
+
+  val qs: Seq[Q] = Seq(
+    Q(
+      "ddl_dml_roundtrip",
+      """SELECT * FROM (VALUES
+        |  (1, 'ann', CAST(150.0 AS DOUBLE), 2),
+        |  (3, 'cat', CAST(110.0 AS DOUBLE), 1)
+        |) t(id, name, balance, orders)
+        |ORDER BY id""".stripMargin
+    ) { (s, _) =>
+      val gs = new GraftSession(s, Files.createTempDirectory("graft_gate"))
+      gs.sql("""
+        CREATE TABLE accounts (id INT PRIMARY KEY, name TEXT NOT NULL, balance DOUBLE);
+        CREATE TABLE ord (oid SERIAL, account_id INT REFERENCES accounts(id));
+        INSERT INTO accounts VALUES (1, 'ann', 100.0), (2, 'bob', 50.0), (3, 'cat', 60.0);
+        INSERT INTO ord (account_id) VALUES (1), (1), (3);
+        UPDATE accounts SET balance = balance + 50 WHERE balance >= 60;
+        DELETE FROM accounts WHERE name = 'bob';
+      """)
+      gs.sql("""SELECT a.id, a.name, a.balance, count(o.oid) AS orders
+               |FROM accounts a JOIN ord o ON a.id = o.account_id
+               |GROUP BY a.id, a.name, a.balance
+               |ORDER BY a.id""".stripMargin)
+        .select(col("id"), col("name"), col("balance"), col("orders").cast("int").as("orders"))
+    },
+
+    // PG-dialect JSON operators through the session's pre-rewrite
+    // (SURVEY §4.3.1; reference kv/KvQueryExecutor.java:3159-3211) — the
+    // oracle uses DuckDB's native json functions on the same literals.
+    Q(
+      "ddl_pg_json_ops",
+      """SELECT * FROM (VALUES
+        |  (1, 'v1', '7'),
+        |  (2, 'v2', '9')
+        |) t(id, k, nx)
+        |ORDER BY id""".stripMargin
+    ) { (s, _) =>
+      val gs = new GraftSession(s, Files.createTempDirectory("graft_gate"))
+      gs.sql("""
+        CREATE TABLE ej (id INT PRIMARY KEY, props JSON);
+        INSERT INTO ej VALUES (1, '{"k": "v1", "n": {"x": 7}}'), (2, '{"k": "v2", "n": {"x": 9}}');
+      """)
+      gs.sql("SELECT id, props->>'k' AS k, props#>>'{n,x}' AS nx FROM ej ORDER BY id")
+    }
+  )
+}

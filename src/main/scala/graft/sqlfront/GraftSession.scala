@@ -1,0 +1,552 @@
+package graft.sqlfront
+
+import java.nio.file.{Files, Path}
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog._
+
+/** The engine's SQL entry point: statement routing + DDL/DML interpreters
+  * over a [[Catalog]]-managed parquet warehouse, with the entire SELECT
+  * surface delegated to Catalyst (SURVEY §7.1 principle: hand-write only
+  * catalog + DDL/DML + compatibility shims; let Spark parse, optimize and
+  * execute queries — the inverse of the reference, which hand-wrote
+  * execution per statement type in kv/KvQueryExecutor.java:90-175's
+  * dispatch switch).
+  *
+  * Storage: copy-on-write snapshots. INSERT appends part-files to the
+  * current snapshot dir; UPDATE/DELETE write a new `v<N+1>` dir and bump
+  * the catalog pointer (the file-level analogue of the reference's MVCC
+  * versioning; SURVEY §7.4 DML-on-Spark). Constraint checks (NOT NULL /
+  * UNIQUE / FK / enum / JSON validity, reference
+  * kv/KvQueryExecutor.java:4276-4583) run as distributed anti-joins and
+  * aggregates — never driver loops — before any write is published.
+  */
+final class GraftSession(val spark: SparkSession, warehouse: Path) {
+
+  val catalog = new Catalog(warehouse)
+
+  // ---------------------------------------------------------------- read
+
+  /** Current snapshot of a table, reconciled to catalog schema: columns
+    * added by ALTER after the snapshot was written are null-filled;
+    * dropped columns are projected away (metadata-only ALTER, reference
+    * kv/KvQueryExecutor.java:2981-3098). Includes the hidden rowid. */
+  def tableDf(t: TableDef): DataFrame = {
+    val dir = catalog.tableDir(t)
+    val schema = StructType(t.columns.map(c =>
+      StructField(c.name, TypeMap.toSpark(c.sqlType), nullable = true)))
+    // explicit catalog schema (not footer inference): columns ALTERed in
+    // after a file was written are null-filled by the parquet reader,
+    // dropped columns are ignored, and mixed-schema snapshot dirs read
+    // deterministically without a mergeSchema footer sweep.
+    if (!Files.exists(dir) || !Files.list(dir).iterator().hasNext)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.schema(schema).parquet(dir.toString)
+  }
+
+  /** Visible (rowid-free) projection, as SELECT * must show it
+    * (reference kv/KvQueryExecutor.java:2727-2744). */
+  def visibleDf(t: TableDef): DataFrame =
+    tableDf(t).select(t.visibleColumns.map(c => col(c.name)): _*)
+
+  /** Register every table, view and matview as temp views so spark.sql
+    * can resolve them (views in creation order → views-on-views work). */
+  def registerAll(): Unit = {
+    catalog.tables.values.foreach(t => visibleDf(t).createOrReplaceTempView(t.name))
+    catalog.views.values.foreach { v =>
+      if (v.materialized) {
+        val dir = catalog.matviewDir(v)
+        if (Files.exists(dir)) spark.read.parquet(dir.toString).createOrReplaceTempView(v.name)
+      } else spark.sql(PgRewrite.rewrite(v.sql)).createOrReplaceTempView(v.name)
+    }
+  }
+
+  // --------------------------------------------------------------- route
+
+  private def kw(sql: String): String =
+    sql.trim.split("\\s+", 2)(0).toUpperCase
+
+  /** Execute one statement or a multi-statement script; returns the last
+    * statement's result (empty DF for DDL/no-ops, count DF for DML). */
+  def sql(script: String): DataFrame = {
+    val stmts = StatementSplitter.split(script)
+    require(stmts.nonEmpty, "empty SQL")
+    stmts.map(execOne).last
+  }
+
+  private def ok(kind: String, n: Long = 0L): DataFrame = {
+    import spark.implicits._
+    Seq((kind, n)).toDF("status", "count")
+  }
+
+  private def execOne(stmt: String): DataFrame = kw(stmt) match {
+    case "CREATE" =>
+      val up = stmt.trim.toUpperCase
+      if (up.startsWith("CREATE TABLE")) createTable(stmt)
+      else if (up.matches("(?s)CREATE\\s+(OR\\s+REPLACE\\s+)?(MATERIALIZED\\s+)?VIEW.*")) createView(stmt)
+      else if (up.startsWith("CREATE SEQUENCE")) createSequence(stmt)
+      else if (up.startsWith("CREATE TYPE")) createType(stmt)
+      else if (up.contains("INDEX")) ok("CREATE INDEX") // metadata no-op (SURVEY §2.1: Catalyst pruning replaces index scans)
+      else throw new IllegalArgumentException(s"unsupported CREATE: $stmt")
+    case "DROP" =>
+      val up = stmt.trim.toUpperCase
+      if (up.startsWith("DROP TABLE")) dropTables(stmt)
+      else if (up.startsWith("DROP VIEW") || up.startsWith("DROP MATERIALIZED")) dropView(stmt)
+      else if (up.startsWith("DROP SEQUENCE")) { catalog.dropSequence(lastWord(stmt)); ok("DROP SEQUENCE") }
+      else if (up.startsWith("DROP TYPE")) { catalog.dropEnum(lastWord(stmt)); ok("DROP TYPE") }
+      else if (up.startsWith("DROP INDEX")) ok("DROP INDEX")
+      else throw new IllegalArgumentException(s"unsupported DROP: $stmt")
+    case "TRUNCATE" => truncate(stmt)
+    case "ALTER" => alterTable(stmt)
+    case "INSERT" => insert(stmt)
+    case "UPDATE" => update(stmt)
+    case "DELETE" => delete(stmt)
+    case "REFRESH" => refreshMatview(stmt)
+    case "EXPLAIN" => explain(stmt)
+    case "BEGIN" | "COMMIT" | "ROLLBACK" | "VACUUM" | "ANALYZE" | "SET" | "DO" =>
+      ok(kw(stmt)) // no-ops (reference kv/KvQueryExecutor.java:2837-2864)
+    case "SELECT" | "WITH" | "VALUES" | "TABLE" =>
+      registerAll()
+      spark.sql(PgRewrite.rewrite(stmt))
+    case other => throw new IllegalArgumentException(s"unsupported statement: $other")
+  }
+
+  private def lastWord(s: String): String = {
+    val w = s.trim.stripSuffix(";").split("\\s+").last
+    w.replaceAll("\"", "")
+  }
+
+  // ----------------------------------------------------------------- DDL
+
+  /** Split at top-level commas (outside parens/quotes). */
+  private def topSplit(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]; val cur = new StringBuilder
+    var depth = 0; var inS = false
+    s.foreach {
+      case '\'' => inS = !inS; cur += '\''
+      case '(' if !inS => depth += 1; cur += '('
+      case ')' if !inS => depth -= 1; cur += ')'
+      case ',' if !inS && depth == 0 => out += cur.toString.trim; cur.clear()
+      case c => cur += c
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.result()
+  }
+
+  private val createTableRe: Regex =
+    """(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w"]+)\s*\((.*)\)\s*""".r
+
+  private def createTable(stmt: String): DataFrame = stmt.trim match {
+    case createTableRe(ifNot, rawName, body) =>
+      val name = rawName.replaceAll("\"", "").toLowerCase
+      if (catalog.getTable(name).isDefined) {
+        if (ifNot != null) return ok("CREATE TABLE (exists)")
+        throw new IllegalArgumentException(s"table exists: $name")
+      }
+      var pk = Seq.empty[String]
+      var cols = Seq.empty[ColumnDef]
+      var fks = Map.empty[String, (String, String)]
+      var uniques = Set.empty[String]
+      topSplit(body).foreach { item =>
+        val up = item.toUpperCase
+        if (up.startsWith("PRIMARY KEY")) {
+          pk = item.substring(item.indexOf('(') + 1, item.lastIndexOf(')'))
+            .split(",").map(_.trim.replaceAll("\"", "").toLowerCase).toSeq
+        } else if (up.startsWith("UNIQUE")) {
+          uniques ++= item.substring(item.indexOf('(') + 1, item.lastIndexOf(')'))
+            .split(",").map(_.trim.replaceAll("\"", "").toLowerCase)
+        } else if (up.startsWith("FOREIGN KEY") || up.startsWith("CONSTRAINT")) {
+          val fkRe = """(?is).*FOREIGN\s+KEY\s*\(([\w"]+)\)\s*REFERENCES\s+([\w"]+)\s*\(([\w"]+)\).*""".r
+          item match {
+            case fkRe(c, rt, rc) =>
+              fks += c.replaceAll("\"", "").toLowerCase ->
+                (rt.replaceAll("\"", "").toLowerCase, rc.replaceAll("\"", "").toLowerCase)
+            case _ => // CHECK etc: accept+ignore
+          }
+        } else cols :+= parseColumnDef(item, name)
+      }
+      cols = cols.map { c =>
+        var cc = c
+        if (pk.contains(c.name)) cc = cc.copy(notNull = true)
+        if (uniques(c.name)) cc = cc.copy(unique = true)
+        fks.get(c.name).foreach(r => cc = cc.copy(references = Some(r)))
+        cc
+      }
+      // inline PRIMARY KEY flags collected by parseColumnDef (marked unique+notNull with pk tag)
+      val inlinePk = cols.filter(c => inlinePkCols.contains((name, c.name))).map(_.name)
+      if (pk.isEmpty && inlinePk.nonEmpty) pk = inlinePk
+      val hasRowId = pk.isEmpty
+      if (hasRowId) {
+        cols = ColumnDef(TableDef.RowId, "BIGINT", notNull = true, serial = true) +: cols
+        catalog.putSequence(SequenceDef(s"${name}_${TableDef.RowId}_seq"))
+      }
+      cols.filter(_.serial).foreach { c =>
+        val sq = s"${name}_${c.name}_seq"
+        if (!catalog.sequences.contains(sq)) catalog.putSequence(SequenceDef(sq))
+      }
+      catalog.putTable(TableDef(name, cols, pk, version = 0L, hasRowId = hasRowId))
+      ok("CREATE TABLE")
+    case _ => throw new IllegalArgumentException(s"cannot parse CREATE TABLE: $stmt")
+  }
+
+  // inline-PK bookkeeping between parseColumnDef and createTable
+  private var inlinePkCols = Set.empty[(String, String)]
+
+  private def parseColumnDef(item: String, table: String): ColumnDef = {
+    val parts = item.trim.split("\\s+", 2)
+    val name = parts(0).replaceAll("\"", "").toLowerCase
+    var rest = if (parts.length > 1) parts(1) else "TEXT"
+    // pull known trailing constraint tokens off the type
+    var notNull = false; var unique = false; var serial = false
+    var default: Option[String] = None
+    var references: Option[(String, String)] = None
+    val up = () => rest.toUpperCase
+    var changed = true
+    while (changed) {
+      changed = false
+      val u = up()
+      def chop(n: Int): Unit = { rest = rest.substring(0, rest.length - n).trim; changed = true }
+      if (u.endsWith("PRIMARY KEY")) { inlinePkCols += ((table, name)); notNull = true; chop(11) }
+      else if (u.endsWith("NOT NULL")) { notNull = true; chop(8) }
+      else if (u.endsWith("NULL")) chop(4)
+      else if (u.endsWith("UNIQUE")) { unique = true; chop(6) }
+      else {
+        val refRe = """(?is)(.*)\bREFERENCES\s+([\w"]+)\s*\(([\w"]+)\)\s*$""".r
+        val defRe = """(?is)(.*)\bDEFAULT\s+(\S+(?:\s*\([^)]*\))?)\s*$""".r
+        val idRe = """(?is)(.*)\bGENERATED\s+(?:ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY\s*$""".r
+        rest match {
+          case refRe(pre, rt, rc) =>
+            references = Some((rt.replaceAll("\"", "").toLowerCase, rc.replaceAll("\"", "").toLowerCase))
+            rest = pre.trim; changed = true
+          case defRe(pre, d) => default = Some(d); rest = pre.trim; changed = true
+          case idRe(pre) => serial = true; rest = pre.trim; changed = true
+          case _ =>
+        }
+      }
+    }
+    var sqlType = rest.trim
+    if (TypeMap.isSerial(sqlType)) {
+      serial = true
+      sqlType = if (sqlType.equalsIgnoreCase("BIGSERIAL")) "BIGINT" else "INT"
+    }
+    val enumType = catalog.enums.get(sqlType.toLowerCase.stripSuffix("[]")).map(_.name)
+    ColumnDef(name, if (enumType.isDefined) "TEXT" else sqlType,
+      notNull = notNull, unique = unique, serial = serial,
+      enumType = enumType, references = references, default = default)
+  }
+
+  private def dropTables(stmt: String): DataFrame = {
+    val re = """(?is)DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(.*)""".r
+    stmt.trim.stripSuffix(";") match {
+      case re(ifEx, names) =>
+        names.split(",").map(_.trim.replaceAll("\"", "").toLowerCase).foreach { n =>
+          if (catalog.getTable(n).isEmpty && ifEx == null)
+            throw new IllegalArgumentException(s"no such table: $n")
+          catalog.dropTable(n)
+          spark.catalog.dropTempView(n)
+        }
+        ok("DROP TABLE")
+    }
+  }
+
+  private def truncate(stmt: String): DataFrame = {
+    val names = stmt.trim.stripSuffix(";")
+      .replaceAll("(?i)TRUNCATE(\\s+TABLE)?", "").split(",")
+      .map(_.trim.replaceAll("\"", "").toLowerCase).filter(_.nonEmpty)
+    names.foreach { n =>
+      val t = catalog.getTable(n).getOrElse(throw new IllegalArgumentException(s"no such table: $n"))
+      // lazy truncate (reference: truncate-ts bump): new empty version dir
+      val nt = t.copy(version = t.version + 1)
+      Files.createDirectories(catalog.tableDir(nt))
+      catalog.putTable(nt)
+    }
+    ok("TRUNCATE")
+  }
+
+  private def alterTable(stmt: String): DataFrame = {
+    val addRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+ADD\s+(?:COLUMN\s+)?(.*)""".r
+    val dropRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+DROP\s+(?:COLUMN\s+)?([\w"]+)\s*""".r
+    val pkRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+ADD\s+PRIMARY\s+KEY\s*\(([^)]*)\)\s*""".r
+    stmt.trim.stripSuffix(";") match {
+      case pkRe(rawT, colsS) =>
+        val t = requireTable(rawT)
+        val pk = colsS.split(",").map(_.trim.replaceAll("\"", "").toLowerCase).toSeq
+        catalog.putTable(t.copy(primaryKey = pk))
+        ok("ALTER TABLE")
+      case dropRe(rawT, rawC) =>
+        val t = requireTable(rawT)
+        val c = rawC.replaceAll("\"", "").toLowerCase
+        catalog.putTable(t.copy(columns = t.columns.filterNot(_.name == c)))
+        ok("ALTER TABLE")
+      case addRe(rawT, colDef) =>
+        val t = requireTable(rawT)
+        val c = parseColumnDef(colDef, t.name)
+        require(t.column(c.name).isEmpty, s"column exists: ${c.name}")
+        catalog.putTable(t.copy(columns = t.columns :+ c))
+        ok("ALTER TABLE")
+      case _ => throw new IllegalArgumentException(s"unsupported ALTER: $stmt")
+    }
+  }
+
+  private def requireTable(raw: String): TableDef = {
+    val n = raw.replaceAll("\"", "").toLowerCase
+    catalog.getTable(n).getOrElse(throw new IllegalArgumentException(s"no such table: $n"))
+  }
+
+  private def createSequence(stmt: String): DataFrame = {
+    val re = """(?is)CREATE\s+SEQUENCE\s+(IF\s+NOT\s+EXISTS\s+)?([\w"]+)(.*)""".r
+    stmt.trim.stripSuffix(";") match {
+      case re(_, rawName, opts) =>
+        val name = rawName.replaceAll("\"", "").toLowerCase
+        var sq = SequenceDef(name)
+        val o = opts.toUpperCase
+        def num(p: String): Option[Long] =
+          (p + """\s+(-?\d+)""").r.findFirstMatchIn(o).map(_.group(1).toLong)
+        num("INCREMENT(?:\\s+BY)?").foreach(v => sq = sq.copy(increment = v))
+        num("START(?:\\s+WITH)?").foreach(v => sq = sq.copy(start = v))
+        num("MINVALUE").foreach(v => sq = sq.copy(minValue = v))
+        num("MAXVALUE").foreach(v => sq = sq.copy(maxValue = v))
+        if (o.contains("CYCLE") && !o.contains("NO CYCLE")) sq = sq.copy(cycle = true)
+        if (sq.increment < 0 && !o.contains("MINVALUE")) sq = sq.copy(minValue = Long.MinValue)
+        if (sq.increment < 0 && !o.contains("START")) sq = sq.copy(start = sq.maxValue)
+        catalog.putSequence(sq)
+        ok("CREATE SEQUENCE")
+    }
+  }
+
+  private def createType(stmt: String): DataFrame = {
+    val re = """(?is)CREATE\s+TYPE\s+([\w"]+)\s+AS\s+ENUM\s*\((.*)\)\s*""".r
+    stmt.trim.stripSuffix(";") match {
+      case re(rawName, vals) =>
+        val name = rawName.replaceAll("\"", "").toLowerCase
+        val values = topSplit(vals).map(_.trim.stripPrefix("'").stripSuffix("'"))
+        catalog.putEnum(EnumDef(name, values))
+        ok("CREATE TYPE")
+      case _ => throw new IllegalArgumentException(s"unsupported CREATE TYPE: $stmt")
+    }
+  }
+
+  private def createView(stmt: String): DataFrame = {
+    val re = """(?is)CREATE\s+(OR\s+REPLACE\s+)?(MATERIALIZED\s+)?VIEW\s+([\w"]+)\s+AS\s+(.*)""".r
+    stmt.trim.stripSuffix(";") match {
+      case re(orRepl, mat, rawName, body) =>
+        val name = rawName.replaceAll("\"", "").toLowerCase
+        if (catalog.views.contains(name) && orRepl == null)
+          throw new IllegalArgumentException(s"view exists: $name")
+        val v = ViewDef(name, body.trim, materialized = mat != null)
+        catalog.putView(v)
+        if (v.materialized) materialize(v)
+        ok("CREATE VIEW")
+    }
+  }
+
+  /** Recompute a matview snapshot (reference kv/KvQueryExecutor.java:5088-5256
+    * row-copies through the driver; here the SELECT writes parquet directly
+    * — fully distributed, any size). */
+  private def materialize(v: ViewDef): Unit = {
+    registerAll()
+    val nv = v.copy(version = v.version + 1)
+    spark.sql(PgRewrite.rewrite(v.sql)).write.mode("overwrite")
+      .parquet(catalog.matviewDir(nv).toString)
+    catalog.putView(nv)
+  }
+
+  private def refreshMatview(stmt: String): DataFrame = {
+    val name = lastWord(stmt).toLowerCase
+    val v = catalog.views.getOrElse(name,
+      throw new IllegalArgumentException(s"no such matview: $name"))
+    require(v.materialized, s"$name is not materialized")
+    materialize(v)
+    ok("REFRESH")
+  }
+
+  private def dropView(stmt: String): DataFrame = {
+    val name = lastWord(stmt).toLowerCase
+    catalog.dropView(name)
+    spark.catalog.dropTempView(name)
+    ok("DROP VIEW")
+  }
+
+  private def explain(stmt: String): DataFrame = {
+    import spark.implicits._
+    val inner = stmt.trim.replaceFirst("(?is)^EXPLAIN\\s+(ANALYZE\\s+)?", "")
+    registerAll()
+    val df = spark.sql(PgRewrite.rewrite(inner))
+    val analyze = stmt.trim.toUpperCase.startsWith("EXPLAIN ANALYZE")
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val text =
+      if (!analyze) plan
+      else {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        f"$plan%nExecution: rows=$n time=${(System.nanoTime() - t0) / 1e6}%.1f ms"
+      }
+    text.linesIterator.toSeq.toDF("plan")
+  }
+
+  // ----------------------------------------------------------------- DML
+
+  /** Constraint validation for a batch of prospective rows (visible
+    * columns, already cast). Distributed checks only. */
+  private def validate(t: TableDef, rows: DataFrame): Unit = {
+    t.columns.filter(c => c.notNull && !c.serial).foreach { c =>
+      if (rows.filter(col(c.name).isNull).limit(1).count() > 0)
+        throw new IllegalArgumentException(s"NOT NULL violation: ${t.name}.${c.name}")
+    }
+    t.columns.filter(_.enumType.isDefined).foreach { c =>
+      val allowed = catalog.enums(c.enumType.get.toLowerCase).values
+      if (rows.filter(col(c.name).isNotNull && !col(c.name).isin(allowed: _*)).limit(1).count() > 0)
+        throw new IllegalArgumentException(
+          s"invalid value for enum ${c.enumType.get} in ${t.name}.${c.name}")
+    }
+    t.columns.filter(c => c.sqlType.toUpperCase.startsWith("JSON")).foreach { c =>
+      if (rows.filter(col(c.name).isNotNull && expr(s"try_parse_json(${c.name})").isNull)
+            .limit(1).count() > 0)
+        throw new IllegalArgumentException(s"invalid JSON in ${t.name}.${c.name}")
+    }
+    t.columns.filter(_.references.isDefined).foreach { c =>
+      val (rt, rc) = c.references.get
+      val parent = catalog.getTable(rt).getOrElse(
+        throw new IllegalArgumentException(s"FK parent missing: $rt"))
+      val orphans = rows.filter(col(c.name).isNotNull)
+        .join(tableDf(parent).select(col(rc).as("__p")), col(c.name) === col("__p"), "left_anti")
+      if (orphans.limit(1).count() > 0)
+        throw new IllegalArgumentException(s"FK violation: ${t.name}.${c.name} → $rt.$rc")
+    }
+  }
+
+  /** UNIQUE/PK checks: batch-internal duplicates + conflicts vs existing
+    * rows, both as distributed aggregates/joins (reference
+    * kv/KvQueryExecutor.java:4301-4386 scans per row; ours is one
+    * anti-join regardless of batch size). */
+  private def checkUnique(t: TableDef, newRows: DataFrame, existing: DataFrame): Unit = {
+    val keys: Seq[Seq[String]] =
+      t.columns.filter(_.unique).map(c => Seq(c.name)) ++
+        (if (t.primaryKey.nonEmpty && !t.hasRowId) Seq(t.primaryKey) else Nil)
+    keys.distinct.foreach { k =>
+      val kc = k.map(col)
+      if (newRows.groupBy(kc: _*).count().filter(col("count") > 1).limit(1).count() > 0)
+        throw new IllegalArgumentException(s"UNIQUE violation within batch: ${k.mkString(",")}")
+      if (newRows.join(existing.select(k.map(col): _*), k, "left_semi").limit(1).count() > 0)
+        throw new IllegalArgumentException(s"UNIQUE violation: ${t.name}(${k.mkString(",")})")
+    }
+  }
+
+  private def insert(stmt: String): DataFrame = {
+    val valRe = """(?is)INSERT\s+INTO\s+([\w"]+)\s*(\(([^)]*)\))?\s*VALUES\s*(.*)""".r
+    val selRe = """(?is)INSERT\s+INTO\s+([\w"]+)\s*(\(([^)]*)\))?\s*(SELECT.*|WITH.*)""".r
+    stmt.trim.stripSuffix(";") match {
+      case valRe(rawT, _, colsS, valuesS) =>
+        val t = requireTable(rawT)
+        val src = spark.sql(s"SELECT * FROM VALUES $valuesS")
+        insertRows(t, Option(colsS), src)
+      case selRe(rawT, _, colsS, sel) =>
+        val t = requireTable(rawT)
+        registerAll()
+        insertRows(t, Option(colsS), spark.sql(PgRewrite.rewrite(sel)))
+      case _ => throw new IllegalArgumentException(s"cannot parse INSERT: $stmt")
+    }
+  }
+
+  private def insertRows(t: TableDef, colsS: Option[String], src: DataFrame): DataFrame = {
+    val targetNames: Seq[String] = colsS match {
+      case Some(s) => s.split(",").map(_.trim.replaceAll("\"", "").toLowerCase).toSeq
+      case None =>
+        val vis = t.visibleColumns
+        // no column list: positional against visible columns; if arity is
+        // short by exactly the serial columns, they auto-generate
+        // (reference kv/KvQueryExecutor.java:1610-1673)
+        if (src.columns.length == vis.length) vis.map(_.name)
+        else vis.filterNot(_.serial).map(_.name).take(src.columns.length)
+    }
+    require(targetNames.length == src.columns.length,
+      s"INSERT arity mismatch: ${targetNames.length} target cols vs ${src.columns.length} values")
+    val renamed = src.toDF(targetNames: _*)
+    // fill serial / default / missing columns
+    val batchTag = monotonically_increasing_id()
+    var dfv = renamed.withColumn("__ord", batchTag)
+    val missing = t.columns.filterNot(c => targetNames.contains(c.name))
+    val serialCols = missing.filter(_.serial)
+    // allocate contiguous id blocks driver-side (single-writer sequences),
+    // assign by row_number — batch stays distributed
+    val n = dfv.count()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__ord"))
+    if (serialCols.nonEmpty) dfv = dfv.withColumn("__rn", row_number().over(w))
+    serialCols.foreach { c =>
+      val sq = s"${t.name}_${c.name}_seq"
+      val base = (1L to n).map(_ => catalog.nextVal(sq)) // contiguous block
+      val start = base.headOption.getOrElse(0L)
+      dfv = dfv.withColumn(c.name, (lit(start) + col("__rn") - 1).cast(TypeMap.toSpark(c.sqlType)))
+    }
+    missing.filterNot(_.serial).foreach { c =>
+      val v = c.default.map(d => expr(PgRewrite.rewrite(d))).getOrElse(lit(null))
+      dfv = dfv.withColumn(c.name, v.cast(TypeMap.toSpark(c.sqlType)))
+    }
+    val aligned = dfv.select(t.columns.map(c =>
+      col(c.name).cast(TypeMap.toSpark(c.sqlType)).as(c.name)): _*)
+    validate(t, aligned)
+    checkUnique(t, aligned, tableDf(t))
+    val dir = catalog.tableDir(t)
+    Files.createDirectories(dir)
+    aligned.write.mode("append").parquet(dir.toString)
+    ok("INSERT", n)
+  }
+
+  private def update(stmt: String): DataFrame = {
+    val re = """(?is)UPDATE\s+([\w"]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?""".r
+    stmt.trim.stripSuffix(";") match {
+      case re(rawT, setS, whereS) =>
+        val t = requireTable(rawT)
+        val pred = Option(whereS).map(w => expr(PgRewrite.rewrite(w))).getOrElse(lit(true))
+        val cur = tableDf(t)
+        val nChanged = cur.filter(pred).count()
+        var next = cur
+        topSplit(setS).foreach { as =>
+          val Array(c, e) = as.split("=", 2).map(_.trim)
+          val cn = c.replaceAll("\"", "").toLowerCase
+          val cd = t.column(cn).getOrElse(throw new IllegalArgumentException(s"no column $cn"))
+          next = next.withColumn(cn,
+            when(pred, expr(PgRewrite.rewrite(e)).cast(TypeMap.toSpark(cd.sqlType)))
+              .otherwise(col(cn)))
+        }
+        validate(t, next)
+        // post-update uniqueness over the whole table
+        val keys = t.columns.filter(_.unique).map(c => Seq(c.name)) ++
+          (if (t.primaryKey.nonEmpty && !t.hasRowId) Seq(t.primaryKey) else Nil)
+        keys.distinct.foreach { k =>
+          if (next.groupBy(k.map(col): _*).count().filter(col("count") > 1).limit(1).count() > 0)
+            throw new IllegalArgumentException(s"UNIQUE violation after UPDATE: ${k.mkString(",")}")
+        }
+        publish(t, next)
+        ok("UPDATE", nChanged)
+      case _ => throw new IllegalArgumentException(s"cannot parse UPDATE: $stmt")
+    }
+  }
+
+  private def delete(stmt: String): DataFrame = {
+    val re = """(?is)DELETE\s+FROM\s+([\w"]+)(?:\s+WHERE\s+(.*))?""".r
+    stmt.trim.stripSuffix(";") match {
+      case re(rawT, whereS) =>
+        val t = requireTable(rawT)
+        val cur = tableDf(t)
+        val pred = Option(whereS).map(w => expr(PgRewrite.rewrite(w))).getOrElse(lit(true))
+        val keep = cur.filter(!pred || pred.isNull) // SQL: delete rows where pred is TRUE
+        val nDel = cur.count() - keep.count()
+        publish(t, keep)
+        ok("DELETE", nDel)
+      case _ => throw new IllegalArgumentException(s"cannot parse DELETE: $stmt")
+    }
+  }
+
+  /** Publish a new copy-on-write snapshot and bump the version pointer. */
+  private def publish(t: TableDef, df: DataFrame): Unit = {
+    val nt = t.copy(version = t.version + 1)
+    df.write.mode("overwrite").parquet(catalog.tableDir(nt).toString)
+    catalog.putTable(nt)
+  }
+}

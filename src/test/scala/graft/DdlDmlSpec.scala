@@ -1,0 +1,215 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import graft.sqlfront.{GraftSession, PgRewrite, StatementSplitter}
+
+/** DDL/DML/catalog surface (SURVEY §2.10) — the engine-layer behaviors the
+  * DuckDB oracle gate can't express: constraint rejection, sequences,
+  * enums, matview refresh, ALTER metadata evolution, copy-on-write
+  * versioning. Mirrors the reference's integration tests
+  * (kv/KvCorrectnessTest, kv/AlterTableTest, kv/CreateSequenceTest,
+  * kv/EnumTypeTest, kv/MaterializedViewTest, TruncateTest).
+  */
+class DdlDmlSpec extends SparkSpec {
+
+  private def fresh(): GraftSession =
+    new GraftSession(spark, Files.createTempDirectory("graft_wh"))
+
+  test("create table, insert, select roundtrip with types") {
+    val s = fresh()
+    s.sql("""CREATE TABLE users (
+        id BIGINT PRIMARY KEY,
+        name TEXT NOT NULL,
+        balance NUMERIC(10,2),
+        active BOOLEAN,
+        joined DATE)""")
+    s.sql("INSERT INTO users VALUES (1, 'ann', 10.50, true, DATE '2024-01-01'), " +
+      "(2, 'bob', 20.25, false, DATE '2024-02-01')")
+    val r = s.sql("SELECT id, name, balance FROM users ORDER BY id").collect()
+    assert(r.length == 2)
+    assert(r(0).getString(1) == "ann")
+    assert(r(0).getDecimal(2).toString == "10.50")
+  }
+
+  test("primary key duplicate rejected; batch-internal dup rejected") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY, v TEXT)")
+    s.sql("INSERT INTO t VALUES (1, 'a')")
+    assertThrows[IllegalArgumentException](s.sql("INSERT INTO t VALUES (1, 'b')"))
+    assertThrows[IllegalArgumentException](s.sql("INSERT INTO t VALUES (2, 'x'), (2, 'y')"))
+    assert(s.sql("SELECT * FROM t").count() == 1) // failed batches not published
+  }
+
+  test("NOT NULL and UNIQUE constraints") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY, email TEXT UNIQUE, name TEXT NOT NULL)")
+    s.sql("INSERT INTO t VALUES (1, 'a@x.com', 'ann')")
+    assertThrows[IllegalArgumentException](s.sql("INSERT INTO t VALUES (2, 'b@x.com', NULL)"))
+    assertThrows[IllegalArgumentException](s.sql("INSERT INTO t VALUES (3, 'a@x.com', 'dup')"))
+  }
+
+  test("foreign key enforcement") {
+    val s = fresh()
+    s.sql("CREATE TABLE parent (id INT PRIMARY KEY, v TEXT)")
+    s.sql("CREATE TABLE child (id INT PRIMARY KEY, pid INT REFERENCES parent(id))")
+    s.sql("INSERT INTO parent VALUES (1, 'p')")
+    s.sql("INSERT INTO child VALUES (10, 1)")
+    assertThrows[IllegalArgumentException](s.sql("INSERT INTO child VALUES (11, 99)"))
+    s.sql("INSERT INTO child VALUES (12, NULL)") // NULL FK allowed
+    assert(s.sql("SELECT * FROM child").count() == 2)
+  }
+
+  test("SERIAL auto-generation and sequences") {
+    val s = fresh()
+    s.sql("CREATE TABLE logs (id SERIAL, msg TEXT)")
+    s.sql("INSERT INTO logs (msg) VALUES ('a'), ('b'), ('c')")
+    val ids = s.sql("SELECT id FROM logs ORDER BY id").collect().map(_.getInt(0)).toSeq
+    assert(ids == Seq(1, 2, 3))
+    s.sql("CREATE SEQUENCE sq START WITH 100 INCREMENT BY 5 MAXVALUE 110 CYCLE MINVALUE 100")
+    assert(s.catalog.nextVal("sq") == 100)
+    assert(s.catalog.nextVal("sq") == 105)
+    assert(s.catalog.nextVal("sq") == 110)
+    assert(s.catalog.nextVal("sq") == 100) // cycles
+  }
+
+  test("enum type validated on insert") {
+    val s = fresh()
+    s.sql("CREATE TYPE mood AS ENUM ('happy', 'sad')")
+    s.sql("CREATE TABLE m (id INT PRIMARY KEY, feeling mood)")
+    s.sql("INSERT INTO m VALUES (1, 'happy')")
+    assertThrows[IllegalArgumentException](s.sql("INSERT INTO m VALUES (2, 'angry')"))
+  }
+
+  test("JSON validation on insert") {
+    val s = fresh()
+    s.sql("CREATE TABLE j (id INT PRIMARY KEY, doc JSON)")
+    s.sql("""INSERT INTO j VALUES (1, '{"a": 1}')""")
+    assertThrows[IllegalArgumentException](s.sql("INSERT INTO j VALUES (2, '{not json')"))
+  }
+
+  test("UPDATE with expression SET and WHERE; DELETE") {
+    val s = fresh()
+    s.sql("CREATE TABLE acc (id INT PRIMARY KEY, balance DOUBLE)")
+    s.sql("INSERT INTO acc VALUES (1, 100.0), (2, 50.0), (3, 10.0)")
+    val u = s.sql("UPDATE acc SET balance = balance + 100 WHERE balance < 60").collect()(0)
+    assert(u.getLong(1) == 2) // rows updated
+    val r = s.sql("SELECT balance FROM acc ORDER BY id").collect().map(_.getDouble(0)).toSeq
+    assert(r == Seq(100.0, 150.0, 110.0))
+    val d = s.sql("DELETE FROM acc WHERE balance > 120").collect()(0)
+    assert(d.getLong(1) == 1)
+    assert(s.sql("SELECT count(*) AS c FROM acc").collect()(0).getLong(0) == 2)
+  }
+
+  test("hidden rowid for PK-less tables is invisible in SELECT *") {
+    val s = fresh()
+    s.sql("CREATE TABLE nopk (v TEXT)")
+    s.sql("INSERT INTO nopk VALUES ('x'), ('y')")
+    val df = s.sql("SELECT * FROM nopk")
+    assert(df.columns.toSeq == Seq("v"))
+    assert(df.count() == 2)
+  }
+
+  test("ALTER TABLE add/drop column with metadata-only evolution") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY, a TEXT)")
+    s.sql("INSERT INTO t VALUES (1, 'x')")
+    s.sql("ALTER TABLE t ADD COLUMN b DOUBLE")
+    // old rows null-fill the new column; new rows carry it
+    s.sql("INSERT INTO t VALUES (2, 'y', 3.5)")
+    val rows = s.sql("SELECT id, b FROM t ORDER BY id").collect()
+    assert(rows(0).isNullAt(1) && rows(1).getDouble(1) == 3.5)
+    s.sql("ALTER TABLE t DROP COLUMN a")
+    assert(s.sql("SELECT * FROM t").columns.toSeq == Seq("id", "b"))
+  }
+
+  test("TRUNCATE and DROP TABLE") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY)")
+    s.sql("INSERT INTO t VALUES (1), (2)")
+    s.sql("TRUNCATE TABLE t")
+    assert(s.sql("SELECT * FROM t").count() == 0)
+    s.sql("DROP TABLE t")
+    assertThrows[IllegalArgumentException](s.sql("INSERT INTO t VALUES (3)"))
+  }
+
+  test("views and materialized views with explicit refresh") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY, v DOUBLE)")
+    s.sql("INSERT INTO t VALUES (1, 10.0), (2, 20.0)")
+    s.sql("CREATE VIEW big AS SELECT * FROM t WHERE v >= 20")
+    assert(s.sql("SELECT count(*) AS c FROM big").collect()(0).getLong(0) == 1)
+    s.sql("CREATE MATERIALIZED VIEW mv AS SELECT count(*) AS c FROM t")
+    assert(s.sql("SELECT c FROM mv").collect()(0).getLong(0) == 2)
+    s.sql("INSERT INTO t VALUES (3, 30.0)")
+    // virtual view sees new data immediately; matview is stale until REFRESH
+    assert(s.sql("SELECT count(*) AS c FROM big").collect()(0).getLong(0) == 2)
+    assert(s.sql("SELECT c FROM mv").collect()(0).getLong(0) == 2)
+    s.sql("REFRESH MATERIALIZED VIEW mv")
+    assert(s.sql("SELECT c FROM mv").collect()(0).getLong(0) == 3)
+  }
+
+  test("multi-statement script returns last result; comments stripped") {
+    val s = fresh()
+    val r = s.sql(
+      """-- demo script
+        |CREATE TABLE t (id INT PRIMARY KEY, v TEXT);
+        |INSERT INTO t VALUES (1, 'semi;colon'); /* block
+        |comment */ INSERT INTO t VALUES (2, 'two');
+        |SELECT id, v FROM t ORDER BY id""".stripMargin).collect()
+    assert(r.map(_.getString(1)).toSeq == Seq("semi;colon", "two"))
+  }
+
+  test("EXPLAIN returns a formatted plan") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY)")
+    val plan = s.sql("EXPLAIN SELECT * FROM t WHERE id > 1").collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("Physical Plan"))
+  }
+
+  test("PG JSON operators rewrite to get_json_object") {
+    assert(PgRewrite.rewrite("SELECT props->>'k' FROM e") ==
+      "SELECT get_json_object(props, '$.k') FROM e")
+    assert(PgRewrite.rewrite("SELECT props->'a'->>'b' FROM e") ==
+      "SELECT get_json_object(props, '$.a.b') FROM e")
+    assert(PgRewrite.rewrite("SELECT props#>>'{a,b}' FROM e") ==
+      "SELECT get_json_object(props, '$.a.b') FROM e")
+    assert(PgRewrite.rewrite("SELECT arr->0 FROM e") ==
+      "SELECT get_json_object(arr, '$[0]') FROM e")
+    assert(PgRewrite.rewrite("SELECT '5'::int, x::double precision FROM e") ==
+      "SELECT CAST('5' AS int), CAST(x AS double precision) FROM e")
+  }
+
+  test("PG JSON operator end-to-end through the session") {
+    val s = fresh()
+    s.sql("CREATE TABLE e (id INT PRIMARY KEY, props JSON)")
+    s.sql("""INSERT INTO e VALUES (1, '{"k": "v1", "n": {"x": 7}}')""")
+    val r = s.sql("SELECT props->>'k' AS k, props#>>'{n,x}' AS nx FROM e").collect()(0)
+    assert(r.getString(0) == "v1" && r.getString(1) == "7")
+  }
+
+  test("catalog persists across sessions (reopen warehouse)") {
+    val wh = Files.createTempDirectory("graft_wh")
+    val s1 = new GraftSession(spark, wh)
+    s1.sql("CREATE TABLE t (id SERIAL, v TEXT); INSERT INTO t (v) VALUES ('a'), ('b')")
+    val s2 = new GraftSession(spark, wh)
+    assert(s2.sql("SELECT count(*) AS c FROM t").collect()(0).getLong(0) == 2)
+    s2.sql("INSERT INTO t (v) VALUES ('c')")
+    assert(s2.sql("SELECT max(id) AS m FROM t").collect()(0).getInt(0) == 3) // sequence resumed
+  }
+
+  test("statement splitter respects quotes and comments") {
+    val stmts = StatementSplitter.split(
+      "SELECT 'a;b' AS x; -- c1; c2\nSELECT 2; /* x; y */ SELECT 3")
+    assert(stmts == Seq("SELECT 'a;b' AS x", "SELECT 2", "SELECT 3"))
+  }
+
+  test("UPDATE rejects constraint-violating result") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    s.sql("INSERT INTO t VALUES (1, 10), (2, 20)")
+    assertThrows[IllegalArgumentException](s.sql("UPDATE t SET id = 1 WHERE id = 2"))
+    // table unchanged after failed update
+    assert(s.sql("SELECT id FROM t ORDER BY id").collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+  }
+}
