@@ -23,7 +23,8 @@ object SparkEntry {
     TextQueries,
     DedupQueries,
     SimilarityQueries,
-    DdlQueries)
+    DdlQueries,
+    EventQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.qs)

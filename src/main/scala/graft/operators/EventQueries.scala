@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.{Exact, Q, QueryPack, Tables}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch analytics over the `events` table, exercising the same
+  * transformations the streaming module runs incrementally
+  * (SURVEY §2.11). Oracles replicate Spark's epoch-aligned window
+  * bucketing and gap-based sessionization in portable SQL.
+  *
+  * All window boundaries are emitted as epoch SECONDS (BIGINT): parquet
+  * timestamp annotations (adjustedToUTC) make tz-aware vs naive datetime
+  * comparisons engine-dependent, while epoch integers are unambiguous.
+  */
+object EventQueries extends QueryPack {
+
+  // DuckDB: epoch seconds of the nanos-typed ts (floor, matching Spark's
+  // unix_timestamp truncation).
+  private val oEs = "(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000)"
+
+  val qs: Seq[Q] = Seq(
+    // Tumbling window: Spark's window() aligns buckets to the epoch, so a
+    // 1h bucket start is floor(epoch/3600)*3600.
+    Q(
+      "evt_tumbling_window",
+      s"""SELECT ($oEs // 3600) * 3600 AS w_start_s,
+         |       event_type,
+         |       COUNT(*) AS events,
+         |       ${Exact.oSum("value")} AS total
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY w_start_s, event_type""".stripMargin
+    ) { (s, dir) =>
+      val df = Tables.load(s, dir, "events")
+      df.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("events"), Exact.dsum(col("value")).as("total"))
+        .select(unix_timestamp(col("w.start")).as("w_start_s"),
+          col("event_type"), col("events"), col("total"))
+        .orderBy(col("w_start_s"), col("event_type"))
+    },
+
+    // Sliding window 1h/30m: each event lands in 2 overlapping buckets;
+    // the oracle explodes the two slide offsets explicitly.
+    Q(
+      "evt_sliding_window",
+      s"""SELECT ($oEs // 1800) * 1800 - i * 1800 AS w_start_s,
+         |       event_type, COUNT(*) AS events
+         |FROM events CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS i)
+         |GROUP BY 1, 2
+         |ORDER BY w_start_s, event_type""".stripMargin
+    ) { (s, dir) =>
+      EventStreams.sliding(Tables.load(s, dir, "events"), "1 hour", "30 minutes")
+        .select(unix_timestamp(col("w_start")).as("w_start_s"),
+          col("event_type"), col("events"))
+        .orderBy(col("w_start_s"), col("event_type"))
+    },
+
+    // Gap-based sessionization via Spark's native session_window (30 min
+    // inactivity gap); the oracle rebuilds identical sessions with a
+    // lag-gap running sum. session_window.end = last event + gap.
+    Q(
+      "evt_sessions",
+      s"""WITH e AS (
+         |  SELECT user_id, $oEs AS es, value,
+         |         CASE WHEN $oEs - lag($oEs) OVER (PARTITION BY user_id ORDER BY ts) >= 1800
+         |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM events WHERE user_id < 100),
+         |s AS (
+         |  SELECT user_id, es, value,
+         |         SUM(brk) OVER (PARTITION BY user_id ORDER BY es
+         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM e)
+         |SELECT user_id, MIN(es) AS s_start_s, MAX(es) + 1800 AS s_end_s,
+         |       COUNT(*) AS events,
+         |       ${Exact.oSum("value")} AS total
+         |FROM s GROUP BY user_id, sid
+         |ORDER BY user_id, s_start_s""".stripMargin
+    ) { (s, dir) =>
+      val df = Tables.load(s, dir, "events").filter(col("user_id") < 100)
+      df.groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("events"), Exact.dsum(col("value")).as("total"))
+        .select(col("user_id"),
+          unix_timestamp(col("sw.start")).as("s_start_s"),
+          unix_timestamp(col("sw.end")).as("s_end_s"),
+          col("events"), col("total"))
+        .orderBy(col("user_id"), col("s_start_s"))
+    },
+
+    // Conversion funnel: users whose first view precedes their first
+    // click precedes their first purchase — one conditional-aggregation
+    // pass, no self-joins.
+    Q(
+      "evt_funnel",
+      s"""SELECT user_id, tv, tc, tp
+         |FROM (
+         |  SELECT user_id,
+         |         MIN(CASE WHEN event_type = 'view' THEN $oEs END) AS tv,
+         |         MIN(CASE WHEN event_type = 'click' THEN $oEs END) AS tc,
+         |         MIN(CASE WHEN event_type = 'purchase' THEN $oEs END) AS tp
+         |  FROM events GROUP BY user_id) t
+         |WHERE tv IS NOT NULL AND tc IS NOT NULL AND tp IS NOT NULL
+         |  AND tv < tc AND tc < tp
+         |ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      val es = unix_timestamp(col("ts"))
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", es)).as("tv"),
+          min(when(col("event_type") === "click", es)).as("tc"),
+          min(when(col("event_type") === "purchase", es)).as("tp"))
+        .filter(col("tv").isNotNull && col("tc").isNotNull && col("tp").isNotNull &&
+          col("tv") < col("tc") && col("tc") < col("tp"))
+        .orderBy(col("user_id"))
+    },
+
+    // Per-user running event index + inter-event gap seconds — the
+    // lag/window shape of stream feature engineering.
+    Q(
+      "evt_gaps",
+      s"""SELECT user_id, event_id,
+         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+         |  $oEs - lag($oEs) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+         |FROM events WHERE user_id < 40
+         |ORDER BY user_id, seq""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .filter(col("user_id") < 40)
+        .select(col("user_id"), col("event_id"),
+          row_number().over(w).as("seq"),
+          (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+            .as("gap_s"))
+        .orderBy(col("user_id"), col("seq"))
+    }
+  )
+}

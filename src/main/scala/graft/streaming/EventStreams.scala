@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-stream transformations (SURVEY §2.11 — green-field extension:
+  * the reference's closest analogue is the scheduled matview refresh job,
+  * kv/jobs/MaterializedViewRefreshJob.java; here the same maintenance is
+  * expressed Spark-natively and incrementally).
+  *
+  * Every transformation is source-agnostic: applied to `spark.read` it is
+  * a batch analytic; applied to `spark.readStream` (+ [[withLateData]])
+  * it is an incremental Structured Streaming query with bounded state.
+  * That one-definition/two-modes property is the engine's replacement for
+  * the reference's "recompute the whole view on a timer".
+  */
+object EventStreams {
+
+  /** Watermark for streaming use — bounds state for the windowed
+    * aggregations and defines the late-data cutoff. */
+  def withLateData(df: DataFrame, delay: String = "1 hour"): DataFrame =
+    df.withWatermark("ts", delay)
+
+  /** Tumbling-window counts+sums per event type. */
+  def tumbling(df: DataFrame, width: String = "1 hour"): DataFrame =
+    df.groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("events"), sum(col("value")).as("total"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("event_type"), col("events"), col("total"))
+
+  /** Sliding-window counts (width, slide). */
+  def sliding(df: DataFrame, width: String, slide: String): DataFrame =
+    df.groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("events"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("event_type"), col("events"))
+
+  /** Session windows per user (gap-based merge) — Spark's native
+    * `session_window`, which works identically for batch and streaming
+    * (streaming requires the watermark). */
+  def sessions(df: DataFrame, gap: String = "30 minutes"): DataFrame =
+    df.groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
+      .agg(count(lit(1)).as("events"), sum(col("value")).as("total"))
+      .select(col("user_id"), col("s.start").as("s_start"), col("s.end").as("s_end"),
+        col("events"), col("total"))
+}

@@ -1,0 +1,130 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Structured Streaming behaviors (SURVEY §2.11): incremental windowed
+  * aggregation, watermark-based late-data dropping, session merging, and
+  * foreachBatch materialized-view maintenance — the Spark-native version
+  * of the reference's scheduled matview refresh
+  * (kv/jobs/MaterializedViewRefreshJob.java).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("tumbling window aggregates incrementally across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.tumbling(EventStreams.withLateData(in.toDF(), "2 hours"), "1 hour")
+      .writeStream.format("memory").queryName("tumbling_sink")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(Ev(1, ts(5), 1, "view", 1.0), Ev(2, ts(20), 1, "view", 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(3, ts(70), 2, "click", 5.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT w_start, event_type, events, total FROM tumbling_sink ORDER BY w_start").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getLong(2) == 2 && rows(0).getDouble(3) == 3.0) // hour 0: two views
+      assert(rows(1).getString(1) == "click" && rows(1).getLong(2) == 1)
+    } finally q.stop()
+  }
+
+  test("watermark drops events later than the allowed delay") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // 10-minute watermark, append mode: a window only emits once the
+    // watermark passes its end, and events older than the watermark are dropped.
+    val q = EventStreams.tumbling(EventStreams.withLateData(in.toDF(), "10 minutes"), "1 hour")
+      .writeStream.format("memory").queryName("wm_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Ev(1, ts(30), 1, "view", 1.0))
+      q.processAllAvailable()
+      // advance event time far past hour-0's end + watermark → hour-0 finalizes
+      in.addData(Ev(2, ts(200), 1, "view", 1.0))
+      q.processAllAvailable()
+      // this event belongs to hour 0, which is already finalized → dropped
+      in.addData(Ev(3, ts(31), 1, "view", 100.0))
+      q.processAllAvailable()
+      val hour0 = spark.sql("SELECT events, total FROM wm_sink WHERE event_type = 'view' " +
+        "AND w_start = TIMESTAMP '2024-01-01 00:00:00'").collect()
+      assert(hour0.length == 1)
+      assert(hour0(0).getLong(0) == 1 && hour0(0).getDouble(1) == 1.0) // late row excluded
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap and split beyond it") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.sessions(EventStreams.withLateData(in.toDF(), "2 hours"), "30 minutes")
+      .writeStream.format("memory").queryName("sess_sink")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // user 1: events at 0, 20, 40 min → one session (gaps < 30m);
+      // then 120 min → second session. user 2: single event.
+      in.addData(
+        Ev(1, ts(0), 1, "view", 1.0), Ev(2, ts(20), 1, "view", 1.0),
+        Ev(3, ts(40), 1, "view", 1.0), Ev(4, ts(120), 1, "view", 1.0),
+        Ev(5, ts(10), 2, "click", 2.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, events FROM sess_sink ORDER BY user_id, s_start").collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((1L, 3L), (1L, 1L), (2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch maintains a materialized aggregate incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = java.nio.file.Files.createTempDirectory("graft_mv").toString
+    // update-mode counts per event_type; each micro-batch merges changed
+    // rows into the parquet "matview" — incremental refresh, not recompute.
+    val counts = EventStreams.withLateData(in.toDF(), "1 hour")
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val q = counts.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val cur = scala.util.Try(spark.read.parquet(out)).getOrElse(batch.limit(0))
+        cur.join(batch, Seq("event_type"), "left_anti").union(batch)
+          .coalesce(1).write.mode("overwrite").parquet(out + ".tmp")
+        spark.read.parquet(out + ".tmp").write.mode("overwrite").parquet(out)
+      }.start()
+    try {
+      in.addData(Ev(1, ts(0), 1, "view", 1.0), Ev(2, ts(1), 1, "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(3, ts(2), 2, "click", 1.0), Ev(4, ts(3), 1, "view", 1.0))
+      q.processAllAvailable()
+      val m = spark.read.parquet(out).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(m == Map("view" -> 3L, "click" -> 1L))
+    } finally q.stop()
+  }
+
+  test("batch and streaming agree on the same transformation") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      Ev(1, ts(0), 1, "view", 1.0), Ev(2, ts(20), 1, "view", 2.0),
+      Ev(3, ts(70), 2, "click", 5.0), Ev(4, ts(75), 2, "view", 7.0))
+    val batch = EventStreams.tumbling(evs.toDF(), "1 hour")
+      .orderBy($"w_start", $"event_type").collect()
+    val in = MemoryStream[Ev]
+    val q = EventStreams.tumbling(EventStreams.withLateData(in.toDF(), "1 day"), "1 hour")
+      .writeStream.format("memory").queryName("agree_sink")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(evs: _*)
+      q.processAllAvailable()
+      val stream = spark.sql("SELECT * FROM agree_sink ORDER BY w_start, event_type").collect()
+      assert(stream.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+}
