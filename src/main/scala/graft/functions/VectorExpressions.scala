@@ -1,0 +1,157 @@
+package graft.functions
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot inner loops of the similarity /
+  * dedup operators (SURVEY §2.12: custom `Expression` only where codegen
+  * performance demands — these are those cases).
+  *
+  * Both reproduce, bit-for-bit, the semantics of the composed-builtin
+  * formulations they replace (and of the DuckDB oracle):
+  *  - [[DotExactExpr]] ≡ aggregate(zip_with(a,b,*), 0 :: decimal(20,12), +)
+  *    — each double product quantized to scale 12 with HALF_UP (exactly
+  *    Spark's double→decimal cast), accumulated exactly in a long.
+  *  - [[MinHashExpr]] ≡ k independent min-hashes h_i(s) = first 15 hex
+  *    digits of md5(s + "#" + i) — computed in ONE pass over the shingle
+  *    array instead of an explode(×k) + shuffle + groupBy.
+  */
+object FastOps {
+
+  /** HALF_UP quantization of a double to scale 12 — semantically identical
+    * to Spark's Cast(double → decimal(_,12)) (which goes through
+    * BigDecimal(Double.toString(p)).setScale(12, HALF_UP)) but in pure
+    * double arithmetic on the fast path.
+    *
+    * Soundness: 10^12 is exactly representable, so x = fl(p·10^12) is
+    * within 0.5 ulp(x) of the true product p·10^12. The HALF_UP result can
+    * only differ from round-on-x when the true value lies within that
+    * error of a .5 boundary — so anything farther than 2 ulp from the
+    * boundary is decided exactly; the rare ambiguous case (and |x| beyond
+    * 2^53, which cannot happen for |p|<9e3) falls back to BigDecimal. */
+  private def quant12(p: Double): Long = {
+    val x = p * 1e12
+    val a = math.abs(x)
+    val fl = math.floor(a)
+    val fr = a - fl
+    if (math.abs(fr - 0.5) > math.ulp(a) * 2.0 + 1e-12) {
+      val q = if (fr > 0.5) fl + 1.0 else fl
+      if (x < 0) -q.toLong else q.toLong
+    } else
+      new JBigDecimal(java.lang.Double.toString(p))
+        .setScale(12, RoundingMode.HALF_UP).unscaledValue().longValueExact()
+  }
+
+  /** Exact decimal(·,12)-quantized dot product of two float vectors.
+    * |dot| < 9.2e6 is guaranteed exact (unscaled long headroom). */
+  def dotExact(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += quant12(a.getFloat(i).toDouble * b.getFloat(i).toDouble)
+      i += 1
+    }
+    new JBigDecimal(java.math.BigInteger.valueOf(acc), 12).doubleValue()
+  }
+
+  /** Same quantized-exact dot where the second side is double (e.g. LSH
+    * hyperplanes). */
+  def dotExactFD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += quant12(a.getFloat(i).toDouble * b.getDouble(i))
+      i += 1
+    }
+    new JBigDecimal(java.math.BigInteger.valueOf(acc), 12).doubleValue()
+  }
+
+  private val hex = "0123456789abcdef".toCharArray
+
+  /** k min-hashes over a shingle array in one pass: min over shingles of
+    * long(md5(shingle + "#" + i).hex.substring(0,15), 16). */
+  def minHash(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var s = 0
+    val n = shingles.numElements()
+    while (s < n) {
+      val base = shingles.getUTF8String(s).toString
+      var i = 0
+      while (i < k) {
+        md.reset()
+        val digest = md.digest((base + "#" + i).getBytes("UTF-8"))
+        // first 15 hex chars = 60 bits: digest[0..6] full bytes + high nibble of digest[7]
+        var v = 0L
+        var bi = 0
+        while (bi < 7) { v = (v << 8) | (digest(bi) & 0xffL); bi += 1 }
+        v = (v << 4) | ((digest(7) & 0xf0L) >> 4)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** dot_exact(array<float>, array<float>) → double; codegen emits a single
+  * static call (no per-element Catalyst interpretation). */
+case class DotExactExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    FastOps.dotExact(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.FastOps.dotExact($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** dot_exact_fd(array<float>, array<double>) → double. */
+case class DotExactFDExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    FastOps.dotExactFD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.FastOps.dotExactFD($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** minhash(array<string>, k) → array<bigint>: the k-wise signature in one
+  * pass (k is a literal). */
+case class MinHashExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any, k: Any): Any =
+    FastOps.minHash(a.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, k) =>
+      s"${ev.value} = graft.functions.FastOps.minHash($a, $k);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column-API façade for the native expressions. */
+object VectorFunctions {
+  def dotExact(a: Column, b: Column): Column =
+    Bridge.column(DotExactExpr(Bridge.expression(a), Bridge.expression(b)))
+  def dotExactFD(a: Column, b: Column): Column =
+    Bridge.column(DotExactFDExpr(Bridge.expression(a), Bridge.expression(b)))
+  def minHash(shingles: Column, k: Int): Column =
+    Bridge.column(MinHashExpr(Bridge.expression(shingles),
+      org.apache.spark.sql.catalyst.expressions.Literal(k)))
+}

@@ -38,6 +38,13 @@ object DedupQueries extends QueryPack {
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
     shingleSets(s, dir).select(col("doc_id"), explode(col("shingles")).as("sh"))
 
+  /** DuckDB spelling of the per-doc distinct-shingle LIST (no unnest). */
+  private val oSets =
+    """SELECT doc_id, list_distinct(
+      |    list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+      |                   i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS ss
+      |  FROM documents""".stripMargin
+
   /** DuckDB spelling of the same distinct-shingle set. */
   private val oShingles =
     """SELECT doc_id, unnest(list_distinct(
@@ -124,31 +131,42 @@ object DedupQueries extends QueryPack {
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM bands x JOIN bands y
          |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
-         |truth AS (${oJaccardPairs("0.8")})
-         |SELECT t.a, t.b, t.jaccard
-         |FROM cand c JOIN truth t ON c.a = t.a AND c.b = t.b
-         |ORDER BY t.a, t.b""".stripMargin
+         |sets AS ($oSets)
+         |SELECT c.a, c.b,
+         |       CAST(len(list_intersect(x.ss, y.ss)) AS DOUBLE)
+         |         / (len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))) AS jaccard
+         |FROM cand c JOIN sets x ON c.a = x.doc_id JOIN sets y ON c.b = y.doc_id
+         |WHERE CAST(len(list_intersect(x.ss, y.ss)) AS DOUBLE)
+         |         / (len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))) >= 0.8
+         |ORDER BY c.a, c.b""".stripMargin
     ) { (s, dir) =>
-      val sh = shingleRows(s, dir)
-      val mh = sh
-        .select(col("doc_id"), explode(sequence(lit(0), lit(11))).as("i"), col("sh"))
-        .select(col("doc_id"), col("i"),
-          conv(substring(md5(concat(col("sh"), lit("#"), col("i"))), 1, 15), 16, 10)
-            .cast("long").as("h"))
-        .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("v"))
-      val bands = mh
-        .groupBy(col("doc_id"), (col("i") / 3).cast("int").as("band"))
-        .agg(concat_ws(",",
-          transform(array_sort(collect_list(struct(col("i"), col("v")))),
-            x => x.getField("v").cast("string"))).as("sig"))
+      // one-pass signature (native MinHashExpr): no explode(x12), no
+      // signature shuffle - per doc a single array<long>, then 4 band keys
+      val sig = shingleSets(s, dir)
+        .select(col("doc_id"),
+          graft.functions.VectorFunctions.minHash(col("shingles"), 12).as("mh"))
+      val bands = sig
+        .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band"), col("mh"))
+        .select(col("doc_id"), col("band"),
+          concat_ws(",",
+            transform(slice(col("mh"), col("band") * 3 + 1, lit(3)),
+              x => x.cast("string"))).as("sig"))
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct()
-      val truth = jaccardPairs(s, dir, 0.8)
-      cand.join(truth, Seq("a", "b"))
-        .select(col("a"), col("b"), col("jaccard"))
+      // candidate-local verification: join the (few) candidates back to
+      // their shingle SETS and compute Jaccard with array_intersect -
+      // no inverted-index pass, cost proportional to |candidates|
+      val ss = shingleSets(s, dir)
+      val inter = size(array_intersect(col("sa"), col("sb")))
+      cand
+        .join(ss.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
+        .join(ss.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
+        .select(col("a"), col("b"),
+          (inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
         .orderBy(col("a"), col("b"))
     },
 

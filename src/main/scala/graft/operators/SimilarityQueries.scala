@@ -27,14 +27,12 @@ object SimilarityQueries extends QueryPack {
   // Quantization at scale 12 is identical to the oracle's DECIMAL(38,12).
   private val dec = DecimalType(20, 12)
 
-  /** Exact decimal-accumulated dot product of two float-array columns. */
+  /** Exact decimal(20,12)-accumulated dot product — a native codegen'd
+    * Expression ([[graft.functions.DotExactExpr]]) semantically identical
+    * to aggregate(zip_with(a,b,*), 0::decimal(20,12), +) but one static
+    * call per row instead of interpreted per-element lambdas. */
   private def dotExact(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0).cast(dec),
-      // re-cast each step: decimal + widens to (38,11), which would break
-      // the fold's type contract; values are ≪ 10^26 so the cast is exact
-      (acc, x) => (acc + x.cast(dec)).cast(dec)).cast("double")
+    graft.functions.VectorFunctions.dotExact(a, b)
 
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("norm", sqrt(dotExact(col("embedding"), col("embedding"))))
@@ -168,7 +166,7 @@ object SimilarityQueries extends QueryPack {
       // Sketch: sign bit per plane, assembled into one long.
       val proj = vecs.crossJoin(broadcast(plArr))
         .select(col("vec_id"), col("embedding"), col("norm"), col("b"),
-          dotExact(col("embedding"), col("plane")).as("s"))
+          graft.functions.VectorFunctions.dotExactFD(col("embedding"), col("plane")).as("s"))
       val sketch = proj.groupBy(col("vec_id"))
         .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L))
           .as("sk"))
