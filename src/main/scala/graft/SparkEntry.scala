@@ -24,7 +24,8 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     DdlQueries,
-    EventQueries)
+    EventQueries,
+    MultimodalQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.qs)

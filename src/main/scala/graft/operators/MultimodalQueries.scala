@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column queries (north-star): binary payloads + typed
+  * metadata over the synthesized media table (see [[Multimodal]]). The
+  * manifest and frame-sampling pipelines are fully oracle-checked (DuckDB
+  * builds the identical payloads with encode()); the stubbed decode is
+  * checked for shape/determinism in MultimodalSpec.
+  */
+object MultimodalQueries extends QueryPack {
+
+  val qs: Seq[Q] = Seq(
+    // Ingestion manifest: per-modality counts/bytes/metadata ranges.
+    // Metadata-only aggregation — the parquet scan prunes the payload
+    // column entirely (ReadSchema excludes it).
+    Q(
+      "mm_manifest",
+      """SELECT modality, COUNT(*) AS docs,
+        |       SUM(octet_length(encode(text))) AS total_bytes,
+        |       MIN(doc_id % 640 + 64) AS min_w,
+        |       MAX(doc_id % 480 + 48) AS max_h
+        |FROM (SELECT doc_id, text,
+        |        ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality
+        |      FROM documents) t
+        |GROUP BY modality
+        |ORDER BY modality""".stripMargin
+    ) { (s, dir) =>
+      Multimodal.mediaTable(Tables.load(s, dir, "documents"))
+        .groupBy(col("modality"))
+        .agg(count(lit(1)).as("docs"),
+          sum(octet_length(col("payload"))).as("total_bytes"),
+          min(col("meta.width")).as("min_w"),
+          max(col("meta.height")).as("max_h"))
+        .orderBy(col("modality"))
+    },
+
+    // Frame sampling: video payloads → 64-byte pseudo-frames → every 10th
+    // frame, per-doc sampled counts.
+    Q(
+      "mm_frame_sample",
+      """SELECT doc_id, n_frames, COUNT(*) AS sampled
+        |FROM (
+        |  SELECT doc_id,
+        |         (octet_length(encode(text)) // 64)::INT AS n_frames,
+        |         unnest(generate_series(0, (octet_length(encode(text)) // 64)::INT - 1)) AS frame_no
+        |  FROM documents
+        |  WHERE ['image','audio','video'][(doc_id % 3 + 1)::INT] = 'video') t
+        |WHERE frame_no % 10 = 0
+        |GROUP BY doc_id, n_frames
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.mediaTable(Tables.load(s, dir, "documents")), 10)
+        .groupBy(col("doc_id"), col("n_frames"))
+        .agg(count(lit(1)).as("sampled"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Stubbed decode through the typed mapPartitions path — the driver
+    // records a rows-only check (mapPartitions output is outside SQL), and
+    // MultimodalSpec asserts determinism + feature shape.
+    Q.noOracle("mm_decode_features") { (s, dir) =>
+      Multimodal.decodeFeaturesStub(
+          Multimodal.mediaTable(Tables.load(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("modality"), col("n_bytes"),
+          round(element_at(col("features"), 1), 6).as("f0"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}
