@@ -25,7 +25,8 @@ object SparkEntry {
     SimilarityQueries,
     DdlQueries,
     EventQueries,
-    MultimodalQueries)
+    MultimodalQueries,
+    TpchQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.qs)

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: the properties that decide whether these
+  * operators survive a 100x scale-up (SURVEY §4 — everything the
+  * reference lacked and Catalyst provides, verified rather than assumed).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+
+  test("filters are pushed into the parquet scan") {
+    val p = planOf("scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,500)]"),
+      s"missing pushdown:\n$p")
+  }
+
+  test("projection prunes the scan to selected columns only") {
+    val p = planOf("scan_project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    // 3 of lineitem's 17 columns read
+    assert(read.contains("l_orderkey") && read.contains("l_quantity") &&
+      !read.contains("l_comment") && !read.contains("l_shipdate"), read)
+  }
+
+  test("dimension joins broadcast the small side") {
+    val p = planOf("q3_shipping_priority")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast join in:\n$p")
+  }
+
+  test("aggregations are partial (map-side) then final") {
+    val p = planOf("q1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, // partial + final
+      s"expected two-phase aggregate in:\n$p")
+  }
+
+  test("top-k orderBy+limit plans TakeOrderedAndProject, not a full sort") {
+    val p = planOf("sort_limit_offset")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
+  }
+
+  test("IN-subquery plans a semi join; NOT EXISTS an anti join") {
+    val semi = planOf("sub_in_uncorrelated")
+    assert(semi.toLowerCase.contains("leftsemi"), s"expected semi join:\n$semi")
+    val anti = planOf("sub_not_exists_correlated")
+    assert(anti.toLowerCase.contains("leftanti"), s"expected anti join:\n$anti")
+  }
+
+  test("scan-level queries stay inside whole-stage codegen") {
+    // AQE finalizes (and shows codegen stages) only after execution
+    val df = SparkEntry.queries("filter_comparisons")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n) Op" is the WholeStageCodegen marker in the plan string
+    assert(p.contains("WholeStageCodegen") || "\\*\\(\\d+\\) ".r.findFirstIn(p).isDefined,
+      s"expected codegen spans:\n$p")
+  }
+
+  test("native dot-product expression participates in codegen (no HOF lambdas)") {
+    val df = SparkEntry.queries("sim_topk_bruteforce")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dotexactexpr") || p.contains("DotExactExpr") ||
+      !p.contains("aggregate(zip_with"), s"expected native expression:\n${p.take(1200)}")
+  }
+
+  test("partition count scales with input, not fixed at 200") {
+    assert(spark.conf.get("spark.sql.shuffle.partitions").toInt <= 32)
+    assert(spark.conf.get("spark.sql.adaptive.enabled").toBoolean)
+  }
+}
