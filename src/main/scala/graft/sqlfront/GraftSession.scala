@@ -109,6 +109,10 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     case "EXPLAIN" => explain(stmt)
     case "BEGIN" | "COMMIT" | "ROLLBACK" | "VACUUM" | "ANALYZE" | "SET" | "DO" =>
       ok(kw(stmt)) // no-ops (reference kv/KvQueryExecutor.java:2837-2864)
+    case "SHOW" => showTables() // psql \dt analogue (reference meta-commands,
+                                // postgres/PostgresConnectionHandler.java:372-396)
+    case "DESCRIBE" | "DESC" => describe(lastWord(stmt))
+    case "COPY" => copy(stmt)
     case "SELECT" | "WITH" | "VALUES" | "TABLE" =>
       registerAll()
       spark.sql(PgRewrite.rewrite(stmt))
@@ -387,6 +391,82 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         f"$plan%nExecution: rows=$n time=${(System.nanoTime() - t0) / 1e6}%.1f ms"
       }
     text.linesIterator.toSeq.toDF("plan")
+  }
+
+  // --------------------------------------------- introspection / utility
+
+  /** SHOW TABLES: catalog listing (tables, views, matviews, sequences,
+    * enums) — the engine's pg_catalog-lite (reference PgCatalogManager). */
+  private def showTables(): DataFrame = {
+    import spark.implicits._
+    val rows =
+      catalog.tables.values.map(t => (t.name, "table")).toSeq ++
+        catalog.views.values.map(v => (v.name, if (v.materialized) "matview" else "view")) ++
+        catalog.sequences.values.map(q => (q.name, "sequence")) ++
+        catalog.enums.values.map(e => (e.name, "enum"))
+    rows.toDF("name", "type").orderBy("type", "name")
+  }
+
+  /** DESCRIBE t: visible columns with declared type + constraint flags
+    * (reference psql \d). */
+  private def describe(name: String): DataFrame = {
+    import spark.implicits._
+    val t = requireTable(name)
+    t.visibleColumns.map { c =>
+      val flags = Seq(
+        if (t.primaryKey.contains(c.name)) Some("PK") else None,
+        if (c.notNull) Some("NOT NULL") else None,
+        if (c.unique) Some("UNIQUE") else None,
+        if (c.serial) Some("SERIAL") else None,
+        c.enumType.map(e => s"ENUM($e)"),
+        c.references.map(r => s"FK→${r._1}(${r._2})")).flatten.mkString(" ")
+      (c.name, c.sqlType, flags)
+    }.toDF("column", "type", "constraints")
+  }
+
+  /** COPY t FROM 'file' [WITH] (FORMAT CSV[, HEADER]) — bulk load through
+    * the same validation+append path as INSERT (reference COPY FROM STDIN,
+    * postgres/PostgresConnectionHandler.java:1310; file-based here).
+    * COPY t TO 'file' exports the visible projection as CSV. */
+  private def copy(stmt: String): DataFrame = {
+    val fromRe = """(?is)COPY\s+([\w"]+)\s+FROM\s+'([^']+)'(.*)""".r
+    val toRe = """(?is)COPY\s+([\w"]+)\s+TO\s+'([^']+)'(.*)""".r
+    stmt.trim.stripSuffix(";") match {
+      case fromRe(rawT, path, opts) =>
+        val t = requireTable(rawT)
+        val header = opts.toUpperCase.contains("HEADER")
+        val vis = t.visibleColumns
+        val src = spark.read
+          .option("header", header)
+          .schema(StructType(vis.map(c =>
+            StructField(c.name, TypeMap.toSpark(c.sqlType), nullable = true))))
+          .csv(path)
+        insertRows(t, Some(vis.map(_.name).mkString(",")), src)
+      case toRe(rawT, path, opts) =>
+        val t = requireTable(rawT)
+        val header = opts.toUpperCase.contains("HEADER")
+        visibleDf(t).write.option("header", header).mode("overwrite").csv(path)
+        ok("COPY TO")
+      case _ => throw new IllegalArgumentException(s"cannot parse COPY: $stmt")
+    }
+  }
+
+  /** Time travel: read table `name` at an older snapshot version — the
+    * file-level MVCC the copy-on-write layout gives for free (reference
+    * reads at an MVCC timestamp, kv/KvStore.java:353-408; here versions
+    * are the published snapshot dirs). Current data is never disturbed. */
+  def tableVersion(name: String, version: Long): DataFrame = {
+    val t = requireTable(name)
+    require(version <= t.version, s"version $version > current ${t.version}")
+    val asOf = t.copy(version = version)
+    val dir = catalog.tableDir(asOf)
+    val schema = StructType(t.columns.map(c =>
+      StructField(c.name, TypeMap.toSpark(c.sqlType), nullable = true)))
+    val df =
+      if (!Files.exists(dir) || !Files.list(dir).iterator().hasNext)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema).parquet(dir.toString)
+    df.select(t.visibleColumns.map(c => col(c.name)): _*)
   }
 
   // ----------------------------------------------------------------- DML

@@ -1,0 +1,70 @@
+package graft
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.sqlfront.{PgRewrite, StatementSplitter}
+
+/** Property tests for the engine's pure layers (no Spark session). */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop, n: Int = 300): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val ident: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(8).mkString)
+
+  test("StatementSplitter round-trips statements with quoted semicolons") {
+    val stmtGen = for {
+      a <- ident; b <- Gen.oneOf("x;y", "a--b", "p/*q*/", "plain", "it''s")
+    } yield s"SELECT '$b' AS $a FROM t"
+    check(Prop.forAll(Gen.nonEmptyListOf(stmtGen)) { stmts =>
+      StatementSplitter.split(stmts.mkString(";\n")) == stmts
+    })
+  }
+
+  test("StatementSplitter strips comments outside strings only") {
+    val s = StatementSplitter.split(
+      "SELECT 1; -- drop; everything\nSELECT '-- not a comment'; /* x;\ny */ SELECT 2")
+    assert(s == Seq("SELECT 1", "SELECT '-- not a comment'", "SELECT 2"))
+  }
+
+  test("PgRewrite is idempotent") {
+    val sqlGen = Gen.oneOf(
+      "SELECT props->>'k' FROM e",
+      "SELECT props->'a'->>'b', arr->0 FROM e WHERE props#>>'{x,y}' = '1'",
+      "SELECT x::int, '5'::double precision FROM t",
+      "SELECT a, b FROM t WHERE c > 1")
+    check(Prop.forAll(sqlGen) { sql =>
+      val once = PgRewrite.rewrite(sql)
+      PgRewrite.rewrite(once) == once
+    })
+  }
+
+  test("PgRewrite leaves operator-free SQL untouched") {
+    check(Prop.forAll(ident, ident) { (a, b) =>
+      val sql = s"SELECT $a, count(*) FROM $b GROUP BY $a"
+      PgRewrite.rewrite(sql) == sql
+    })
+  }
+
+  test("fast-path quantization matches BigDecimal HALF_UP at scale 12") {
+    // the invariant DotExactExpr's soundness rests on, hammered across
+    // magnitudes
+    val doubles = Gen.oneOf(
+      Gen.choose(-100.0, 100.0),
+      Gen.choose(-1e-6, 1e-6),
+      Gen.choose(-9000.0, 9000.0).map(v => v * v / 9000.0))
+    check(Prop.forAll(doubles) { p =>
+      val viaExpr = graft.functions.FastOps.dotExact(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(p.toFloat)),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(1.0f)))
+      val prod = p.toFloat.toDouble * 1.0f.toDouble
+      val expect = new JBigDecimal(java.lang.Double.toString(prod))
+        .setScale(12, RoundingMode.HALF_UP).doubleValue()
+      viaExpr == expect
+    }, n = 2000)
+  }
+}

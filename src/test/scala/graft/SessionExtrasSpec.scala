@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+import graft.sqlfront.GraftSession
+
+/** Introspection, COPY bulk load, and time-travel reads. */
+class SessionExtrasSpec extends SparkSpec {
+
+  private def fresh(): GraftSession =
+    new GraftSession(spark, Files.createTempDirectory("graft_wh"))
+
+  test("SHOW TABLES lists catalog objects with kinds") {
+    val s = fresh()
+    s.sql("""CREATE TABLE t1 (id INT PRIMARY KEY);
+             CREATE VIEW v1 AS SELECT * FROM t1;
+             CREATE SEQUENCE sq1;
+             CREATE TYPE col AS ENUM ('red','blue')""")
+    val m = s.sql("SHOW TABLES").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("t1") == "table" && m("v1") == "view" &&
+      m("sq1") == "sequence" && m("col") == "enum")
+  }
+
+  test("DESCRIBE shows declared types and constraint flags") {
+    val s = fresh()
+    s.sql("CREATE TABLE parent (id INT PRIMARY KEY); " +
+      "CREATE TABLE t (id SERIAL PRIMARY KEY, name TEXT NOT NULL, pid INT REFERENCES parent(id))")
+    val d = s.sql("DESCRIBE t").collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(d("id").contains("PK") && d("id").contains("SERIAL"))
+    assert(d("name").contains("NOT NULL"))
+    assert(d("pid").contains("FK→parent(id)"))
+  }
+
+  test("COPY FROM CSV goes through validation; COPY TO round-trips") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY, name TEXT NOT NULL, score DOUBLE)")
+    val csv = Files.createTempDirectory("graft_csv").resolve("in.csv")
+    Files.writeString(csv, "id,name,score\n1,ann,1.5\n2,bob,2.5\n")
+    s.sql(s"COPY t FROM '$csv' (FORMAT CSV, HEADER)")
+    assert(s.sql("SELECT count(*) AS c FROM t").collect()(0).getLong(0) == 2)
+    // constraint path still active: duplicate PK in a second load is rejected
+    assertThrows[IllegalArgumentException](s.sql(s"COPY t FROM '$csv' (FORMAT CSV, HEADER)"))
+    val out = Files.createTempDirectory("graft_csv").resolve("out")
+    s.sql(s"COPY t TO '$out' (FORMAT CSV, HEADER)")
+    val back = spark.read.option("header", true).csv(out.toString)
+    assert(back.count() == 2 && back.columns.toSeq == Seq("id", "name", "score"))
+  }
+
+  test("time travel reads prior snapshot versions after UPDATE/DELETE") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    s.sql("INSERT INTO t VALUES (1, 10), (2, 20)")   // version 0
+    s.sql("UPDATE t SET v = v * 10 WHERE id = 2")     // publishes version 1
+    s.sql("DELETE FROM t WHERE id = 1")               // publishes version 2
+    assert(s.tableVersion("t", 0).collect().map(_.getInt(1)).sorted.toSeq == Seq(10, 20))
+    assert(s.tableVersion("t", 1).collect().map(_.getInt(1)).sorted.toSeq == Seq(10, 200))
+    assert(s.tableVersion("t", 2).collect().map(_.getInt(1)).sorted.toSeq == Seq(200))
+    assertThrows[IllegalArgumentException](s.tableVersion("t", 99))
+  }
+}
