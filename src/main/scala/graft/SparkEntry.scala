@@ -26,7 +26,8 @@ object SparkEntry {
     DdlQueries,
     EventQueries,
     MultimodalQueries,
-    TpchQueries)
+    TpchQueries,
+    ArrayQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.qs)

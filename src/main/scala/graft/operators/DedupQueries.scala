@@ -52,19 +52,38 @@ object DedupQueries extends QueryPack {
       |                   i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS sh
       |  FROM documents""".stripMargin
 
-  /** Exact Jaccard >= thr pairs via shingle inverted index (Spark side). */
+  /** Exact Jaccard >= thr pairs with PREFIX FILTERING (AllPairs/PPJoin):
+    * index only each doc's rarest `n - floor(thr*n) + 1` shingles (global
+    * rarest-first order) — any pair with J >= thr must collide inside
+    * those prefixes, so candidates shrink by orders of magnitude versus
+    * the full inverted index while the result is provably identical
+    * (floor under-estimates ceil(thr*n), so the prefix is a superset of
+    * the canonical one). Verification is candidate-local via
+    * array_intersect. Output == naive inverted-index join == the oracle.
+    */
   private def jaccardPairs(s: SparkSession, dir: String, thr: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(thr == 0.8, "prefix length below is derived for thr = 0.8")
     val sh = shingleRows(s, dir)
-    val sizes = shingleSets(s, dir).select(col("doc_id"), size(col("shingles")).as("n"))
-    val inter = sh.as("x").join(sh.as("y"),
+    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val prefix = sh.join(freq, "sh")
+      .select(col("doc_id"), col("sh"),
+        row_number().over(w).as("pos"),
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("n"))
+      .filter(col("pos") <= col("n") - expr("(8 * n) div 10") + 1)
+      .select(col("doc_id"), col("sh"))
+    val cand = prefix.as("x").join(prefix.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val ss = shingleSets(s, dir)
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    cand
+      .join(ss.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
+      .join(ss.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
       .select(col("a"), col("b"),
-        (col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
+        (inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)).as("jaccard"))
       .filter(col("jaccard") >= thr)
   }
 
