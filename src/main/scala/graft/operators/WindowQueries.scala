@@ -144,6 +144,24 @@ object WindowQueries extends QueryPack {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    // NTH_VALUE with a full frame (absent from the reference, SURVEY §2.5).
+    Q(
+      "win_nth_value",
+      """SELECT l_orderkey, l_linenumber,
+        |  NTH_VALUE(l_quantity, 2) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_qty
+        |FROM lineitem WHERE l_orderkey < 150
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 150)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          nth_value(col("l_quantity"), 2).over(w).as("second_qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
     // NTILE / PERCENT_RANK / CUME_DIST — beyond the reference's function
     // set (SURVEY §2.5 lists them as absent), included for parity-plus.
     Q(

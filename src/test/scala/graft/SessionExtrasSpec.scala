@@ -45,6 +45,23 @@ class SessionExtrasSpec extends SparkSpec {
     assert(back.count() == 2 && back.columns.toSeq == Seq("id", "name", "score"))
   }
 
+  test("INSERT INTO ... SELECT goes through validation and appends") {
+    val s = fresh()
+    s.sql("CREATE TABLE src (id INT PRIMARY KEY, v DOUBLE); " +
+      "CREATE TABLE dst (id INT PRIMARY KEY, v DOUBLE)")
+    s.sql("INSERT INTO src VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
+    s.sql("INSERT INTO dst SELECT id, v FROM src WHERE v > 2")
+    assert(s.sql("SELECT id FROM dst ORDER BY id").collect().map(_.getInt(0)).toSeq == Seq(2, 3))
+    // PK conflict on re-insert is caught
+    assertThrows[IllegalArgumentException](s.sql("INSERT INTO dst SELECT id, v FROM src WHERE v > 2"))
+  }
+
+  test("VERSION() and system functions answer through the rewrite") {
+    val s = fresh()
+    val v = s.sql("SELECT VERSION() AS v").collect()(0).getString(0)
+    assert(v.contains("Spark"))
+  }
+
   test("time travel reads prior snapshot versions after UPDATE/DELETE") {
     val s = fresh()
     s.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
