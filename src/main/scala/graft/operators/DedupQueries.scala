@@ -189,6 +189,38 @@ object DedupQueries extends QueryPack {
         .orderBy(col("a"), col("b"))
     },
 
+    // Hierarchical MinHash roll-up: per-doc signatures (native
+    // MinHashExpr) merged per source with the MinHashAgg Aggregator -
+    // elementwise min == signature of the UNION of the source's shingle
+    // sets, so corpus statistics roll up without revisiting documents.
+    // The oracle computes the same min directly over all (doc,shingle)
+    // rows of each source.
+    Q(
+      "dedup_minhash_rollup",
+      s"""WITH sh AS (
+         |  SELECT source, unnest(list_distinct(
+         |    list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+         |                   i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))) AS sh
+         |  FROM documents)
+         |SELECT source, i,
+         |       MIN(CAST(('0x' || substr(md5(sh || '#' || i), 1, 15)) AS BIGINT)) AS v
+         |FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i)
+         |GROUP BY source, i
+         |ORDER BY source, i""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      val sig = docs.select(col("source"),
+        graft.functions.VectorFunctions.minHash(
+          array_distinct(transform(sequence(lit(0), size(toks) - 3),
+            i => array_join(slice(toks, i + 1, lit(3)), " "))), 8).as("mh"))
+      sig.groupBy(col("source"))
+        .agg(graft.functions.MinHashAgg.union(col("mh")).as("gsig"))
+        .select(col("source"), posexplode(col("gsig")))
+        .select(col("source"), col("pos").cast("int").as("i"), col("col").as("v"))
+        .orderBy(col("source"), col("i"))
+    },
+
     // SimHash: 32-bit weighted bit-vote signature per doc; near-dup
     // candidates must share one of 4 exact 8-bit bands (hamming<=3 ⇒ some
     // band is untouched), then verified by hamming distance. Banding makes

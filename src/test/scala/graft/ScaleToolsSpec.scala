@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.SkewJoin
+
+/** Scale-technique helpers: salted skew join equivalence, approximate
+  * sketches within tolerance of exact answers. */
+class ScaleToolsSpec extends SparkSpec {
+
+  test("salted join returns exactly the unsalted join's rows under skew") {
+    // events.user_id is the fact key; synthesize a hot key by mapping 40%
+    // of rows onto user 1
+    val fact = Tables.load(spark, sf("sf0.01"), "events")
+      .withColumn("uid", when(col("event_id") % 5 < 2, 1L).otherwise(col("user_id")))
+      .select(col("uid"), col("event_id"), col("value"))
+    val dim = Tables.load(spark, sf("sf0.01"), "events")
+      .select(col("user_id").as("uid")).distinct()
+      .withColumn("seg", col("uid") % 10)
+    val plain = fact.join(dim, Seq("uid"), "inner")
+      .agg(count(lit(1)), sum(col("seg")), sum(col("event_id"))).collect()(0)
+    val salted = SkewJoin.salted(fact, dim, "uid", buckets = 8)
+      .agg(count(lit(1)), sum(col("seg")), sum(col("event_id"))).collect()(0)
+    assert(plain == salted)
+  }
+
+  test("left salted join preserves unmatched fact rows") {
+    val fact = spark.range(0, 100).select(col("id").as("k"), col("id").as("v"))
+    val dim = spark.range(0, 50).select(col("id").as("k"), (col("id") * 10).as("d"))
+    val plain = fact.join(dim, Seq("k"), "left").orderBy("k", "v").collect().toSeq
+    val salted = SkewJoin.salted(fact, dim, "k", 4, "left").orderBy("k", "v").collect().toSeq
+    assert(plain == salted)
+  }
+
+  test("approximate sketches land within tolerance of exact answers") {
+    val df = Tables.load(spark, sf("sf0.01"), "orders")
+    val exact = df.select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+    val approx = df.select(approx_count_distinct(col("o_custkey"), 0.05))
+      .collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.10,
+      s"approx=$approx exact=$exact")
+    val p50 = df.stat.approxQuantile("o_totalprice", Array(0.5), 0.01)(0)
+    val lo = df.filter(col("o_totalprice") <= p50).count().toDouble / df.count()
+    assert(lo > 0.45 && lo < 0.55, s"median quantile off: $lo")
+  }
+}

@@ -109,6 +109,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming deduplication drops replayed events within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.withLateData(in.toDF(), "1 hour")
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Ev(1, ts(0), 1, "view", 1.0), Ev(2, ts(1), 1, "view", 2.0))
+      q.processAllAvailable()
+      // replay event 1 (at-least-once ingestion) plus one new event
+      in.addData(Ev(1, ts(0), 1, "view", 1.0), Ev(3, ts(2), 2, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup_sink ORDER BY event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("batch and streaming agree on the same transformation") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Seq(
