@@ -27,7 +27,8 @@ object SparkEntry {
     EventQueries,
     MultimodalQueries,
     TpchQueries,
-    ArrayQueries)
+    ArrayQueries,
+    TemporalQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.qs)

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.{Exact, Q, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of and range joins — operators Spark has no native form for
+  * (named in the build brief as the canonical custom-operator cases).
+  * Both are COMPOSED from existing operators (preference (a) of the
+  * custom-operator ladder): semantics allow it, and the compositions
+  * scale — one shuffle on the join key for as-of, bin-equi-join for
+  * range — so no custom SparkPlan is warranted.
+  *
+  * Oracles use DuckDB's native ASOF JOIN / inequality join, so the
+  * compositions are checked against a first-class implementation.
+  */
+object TemporalQueries extends QueryPack {
+
+  val qs: Seq[Q] = Seq(
+    // AS-OF JOIN: for each purchase, the same user's latest view at or
+    // before it. Composition: tag both sides, union, and take
+    // last(value ignoreNulls) over (user ORDER BY ts, side) — the
+    // merge-sorted-streams formulation: ONE shuffle on user_id, a sort,
+    // no per-row probing. At equal timestamps the view sorts first
+    // (side 0), matching ASOF's inclusive l.ts >= r.ts.
+    Q(
+      "asof_join_events",
+      """SELECT p.user_id, p.event_id,
+        |       (epoch_us(CAST(p.ts AS TIMESTAMP)) // 1000000) AS purchase_s,
+        |       v.value AS last_view_value,
+        |       (epoch_us(CAST(v.ts AS TIMESTAMP)) // 1000000) AS view_s
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase' AND user_id < 120) p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          col("value").as("v_value"), lit(null).cast("long").as("p_event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase" && col("user_id") < 120)
+        .select(col("user_id"), col("ts"), lit(1).as("side"),
+          lit(null).cast("double").as("v_value"), col("event_id").as("p_event_id"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      views.union(purchases)
+        .withColumn("last_view_value", last(col("v_value"), ignoreNulls = true).over(w))
+        .withColumn("last_view_ts",
+          last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("user_id"), col("p_event_id").as("event_id"),
+          unix_timestamp(col("ts")).as("purchase_s"),
+          col("last_view_value"),
+          unix_timestamp(col("last_view_ts")).as("view_s"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // RANGE JOIN via binning: overlapping value bands joined to events by
+    // containment. Composition: quantize each band to the fixed-width
+    // bins it spans (explode — band rows only), quantize each event to
+    // its bin, EQUI-join on bin, then exact containment filter. Both
+    // sides shuffle on the bin key — no nested-loop, which is what makes
+    // a big×big interval join feasible; the oracle does the naive
+    // inequality join.
+    Q(
+      "range_join_binned",
+      s"""SELECT band_id, COUNT(*) AS n, ${Exact.oSum("e.value")} AS total
+         |FROM (VALUES (1, 0.0, 25.0), (2, 20.0, 45.0), (3, 40.0, 65.0),
+         |             (4, 60.0, 85.0), (5, 80.0, 100.0)) b(band_id, lo, hi)
+         |JOIN events e ON e.value >= b.lo AND e.value < b.hi
+         |GROUP BY band_id
+         |ORDER BY band_id""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val binW = 20.0
+      val bands = Seq((1, 0.0, 25.0), (2, 20.0, 45.0), (3, 40.0, 65.0),
+        (4, 60.0, 85.0), (5, 80.0, 100.0)).toDF("band_id", "lo", "hi")
+      val bandBins = bands.select(col("band_id"), col("lo"), col("hi"),
+        explode(sequence(floor(col("lo") / binW).cast("int"),
+          floor((col("hi") - lit(1e-9)) / binW).cast("int"))).as("bin"))
+      val ev = Tables.load(s, dir, "events")
+        .select(col("value"), floor(col("value") / binW).cast("int").as("bin"))
+      ev.join(bandBins, "bin")
+        .filter(col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("total"))
+        .orderBy(col("band_id"))
+    }
+  )
+}

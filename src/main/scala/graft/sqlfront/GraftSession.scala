@@ -54,7 +54,9 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     tableDf(t).select(t.visibleColumns.map(c => col(c.name)): _*)
 
   /** Register every table, view and matview as temp views so spark.sql
-    * can resolve them (views in creation order → views-on-views work). */
+    * can resolve them (views in creation order → views-on-views work),
+    * plus pg_catalog-lite introspection views (reference
+    * kv/PgCatalogManager.java: pg_class / pg_attribute emulation). */
   def registerAll(): Unit = {
     catalog.tables.values.foreach(t => visibleDf(t).createOrReplaceTempView(t.name))
     catalog.views.values.foreach { v =>
@@ -63,6 +65,16 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         if (Files.exists(dir)) spark.read.parquet(dir.toString).createOrReplaceTempView(v.name)
       } else spark.sql(PgRewrite.rewrite(v.sql)).createOrReplaceTempView(v.name)
     }
+    import spark.implicits._
+    (catalog.tables.values.map(t => (t.name, "r")).toSeq ++
+      catalog.views.values.map(v => (v.name, if (v.materialized) "m" else "v")))
+      .toDF("relname", "relkind").createOrReplaceTempView("pg_class")
+    catalog.tables.values.flatMap(t =>
+      t.visibleColumns.zipWithIndex.map { case (c, i) =>
+        (t.name, c.name, c.sqlType, i + 1, c.notNull)
+      }).toSeq
+      .toDF("relname", "attname", "atttype", "attnum", "attnotnull")
+      .createOrReplaceTempView("pg_attribute")
   }
 
   // --------------------------------------------------------------- route

@@ -62,6 +62,18 @@ class SessionExtrasSpec extends SparkSpec {
     assert(v.contains("Spark"))
   }
 
+  test("pg_catalog emulation answers pg_class/pg_attribute queries") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY, name TEXT NOT NULL); " +
+      "CREATE VIEW v AS SELECT id FROM t")
+    val kinds = s.sql("SELECT relname, relkind FROM pg_class ORDER BY relname")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(kinds("t") == "r" && kinds("v") == "v")
+    val cols = s.sql("SELECT attname, atttype FROM pg_attribute " +
+      "WHERE relname = 't' ORDER BY attnum").collect().map(_.getString(0)).toSeq
+    assert(cols == Seq("id", "name"))
+  }
+
   test("time travel reads prior snapshot versions after UPDATE/DELETE") {
     val s = fresh()
     s.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
