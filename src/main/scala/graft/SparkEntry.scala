@@ -28,7 +28,8 @@ object SparkEntry {
     MultimodalQueries,
     TpchQueries,
     ArrayQueries,
-    TemporalQueries)
+    TemporalQueries,
+    SqlSurfaceQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.qs)

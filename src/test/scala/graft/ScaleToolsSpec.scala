@@ -31,6 +31,14 @@ class ScaleToolsSpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("native expressions are SQL-callable via SparkSessionExtensions") {
+    val r = spark.sql(
+      "SELECT dot_exact(CAST(array(1.5, 2.0) AS ARRAY<FLOAT>), CAST(array(2.0, 3.0) AS ARRAY<FLOAT>)) AS d, " +
+      "graft_minhash(array('a b c'), 2) AS mh").collect()(0)
+    assert(r.getDouble(0) == 9.0)
+    assert(r.getSeq[Long](1).length == 2)
+  }
+
   test("approximate sketches land within tolerance of exact answers") {
     val df = Tables.load(spark, sf("sf0.01"), "orders")
     val exact = df.select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
