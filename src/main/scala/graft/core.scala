@@ -65,7 +65,10 @@ object Tables {
   */
 object Engine {
   def session(appName: String = "graft"): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default matches the driver environment (local[32], 32 shuffle
+    // partitions per the build brief); SPARK_GRAFT_CPUS overrides for
+    // smaller dev machines
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .appName(appName)
       .withExtensions(new graft.functions.GraftExtensions)

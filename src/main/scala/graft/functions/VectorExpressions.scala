@@ -75,8 +75,6 @@ object FastOps {
     new JBigDecimal(java.math.BigInteger.valueOf(acc), 12).doubleValue()
   }
 
-  private val hex = "0123456789abcdef".toCharArray
-
   /** k min-hashes over a shingle array in one pass: min over shingles of
     * long(md5(shingle + "#" + i).hex.substring(0,15), 16). */
   def minHash(shingles: ArrayData, k: Int): ArrayData = {
@@ -102,6 +100,54 @@ object FastOps {
     }
     new GenericArrayData(mins)
   }
+}
+
+/** shingles(text, n) → array<string>: distinct word n-grams of a single-
+  * space-tokenized text in one pass, first-occurrence order — semantically
+  * identical to array_distinct(transform(sequence(0, size-n),
+  * i -> array_join(slice(tokens, i+1, n), ' '))) but without the
+  * interpreted per-element lambda chain (which dominated the dedup
+  * queries' runtime).
+  */
+object ShingleOps {
+  def shingles(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(' ')
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val sb = new java.lang.StringBuilder
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      out(k) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next()); k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class ShinglesExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(t: Any, n: Any): Any =
+    ShingleOps.shingles(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = graft.functions.ShingleOps.shingles($t, $n);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** dot_exact(array<float>, array<float>) → double; codegen emits a single
@@ -154,4 +200,7 @@ object VectorFunctions {
   def minHash(shingles: Column, k: Int): Column =
     Bridge.column(MinHashExpr(Bridge.expression(shingles),
       org.apache.spark.sql.catalyst.expressions.Literal(k)))
+  def shingles(text: Column, n: Int): Column =
+    Bridge.column(ShinglesExpr(Bridge.expression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(n)))
 }

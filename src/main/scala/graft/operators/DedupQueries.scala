@@ -26,14 +26,10 @@ object DedupQueries extends QueryPack {
   /** Distinct word-trigram shingles per document, computed arrays-first
     * (transform over sequence — no self-joins; one row per doc until the
     * final explode). */
-  private def shingleSets(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
       .select(col("doc_id"),
-        array_distinct(
-          transform(sequence(lit(0), size(toks) - 3),
-            i => array_join(slice(toks, i + 1, lit(3)), " "))).as("shingles"))
-  }
+        graft.functions.VectorFunctions.shingles(col("text"), 3).as("shingles"))
 
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
     shingleSets(s, dir).select(col("doc_id"), explode(col("shingles")).as("sh"))
@@ -209,11 +205,9 @@ object DedupQueries extends QueryPack {
          |ORDER BY source, i""".stripMargin
     ) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val toks = split(col("text"), " ")
       val sig = docs.select(col("source"),
         graft.functions.VectorFunctions.minHash(
-          array_distinct(transform(sequence(lit(0), size(toks) - 3),
-            i => array_join(slice(toks, i + 1, lit(3)), " "))), 8).as("mh"))
+          graft.functions.VectorFunctions.shingles(col("text"), 3), 8).as("mh"))
       sig.groupBy(col("source"))
         .agg(graft.functions.MinHashAgg.union(col("mh")).as("gsig"))
         .select(col("source"), posexplode(col("gsig")))
