@@ -67,6 +67,30 @@ class PlanSpec extends SparkSpec {
       !p.contains("aggregate(zip_with"), s"expected native expression:\n${p.take(1200)}")
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    import org.apache.spark.sql.functions._
+    val l = SparkEntry.queries("scan_project")(spark, sf()).sparkSession // reuse session
+    spark.sql("DROP TABLE IF EXISTS b_orders"); spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Tables.load(spark, sf(), "orders")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables.load(spark, sf(), "lineitem")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    val joined = spark.table("b_orders").join(spark.table("b_lineitem"),
+      col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus")).count()
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    // bucketing makes both sides pre-partitioned on the join key: the join
+    // itself requires NO Exchange (the only exchange is for the final groupBy)
+    val joinSection = p.substring(p.indexOf("SortMergeJoin").max(0))
+    assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey") &&
+      !joinSection.contains("Exchange hashpartitioning(l_orderkey"),
+      s"unexpected shuffle before bucketed join:\n$p")
+    spark.sql("DROP TABLE b_orders"); spark.sql("DROP TABLE b_lineitem")
+  }
+
   test("partition count scales with input, not fixed at 200") {
     assert(spark.conf.get("spark.sql.shuffle.partitions").toInt <= 32)
     assert(spark.conf.get("spark.sql.adaptive.enabled").toBoolean)

@@ -128,6 +128,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState maintains custom per-user state across batches") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // custom state: per-user lifetime event count + max value seen -
+    // the KeyValueGroupedDataset state API (SURVEY §2.11 extension)
+    val counts = in.toDF().as[Ev]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[(Long, Double)]) =>
+          val (c0, m0) = state.getOption.getOrElse((0L, Double.MinValue))
+          val batch = evs.toSeq
+          val next = (c0 + batch.size, math.max(m0, batch.map(_.value).max))
+          state.update(next)
+          (uid, next._1, next._2)
+      }.toDF("user_id", "n", "max_v")
+    val q = counts.writeStream.format("memory").queryName("state_sink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(Ev(1, ts(0), 1, "view", 5.0), Ev(2, ts(1), 1, "view", 3.0))
+      q.processAllAvailable()
+      in.addData(Ev(3, ts(2), 1, "click", 9.0), Ev(4, ts(3), 2, "view", 1.0))
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT user_id, max(n) AS n, max(max_v) AS mv FROM state_sink GROUP BY user_id ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(last == Seq((1L, 3L, 9.0), (2L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("batch and streaming agree on the same transformation") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Seq(
