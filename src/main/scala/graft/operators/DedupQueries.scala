@@ -215,6 +215,56 @@ object DedupQueries extends QueryPack {
         .orderBy(col("source"), col("i"))
     },
 
+    // Near-dup CLUSTERING: connected components over the Jaccard>=0.8
+    // pair graph via hash-min label propagation - each doc's cluster id
+    // converges to the smallest doc_id in its component in O(diameter)
+    // distributed rounds (joins + groupBy only; the driver loop holds no
+    // data). The oracle computes the same components with a recursive-CTE
+    // transitive closure, which is feasible because the pair set is small.
+    Q(
+      "dedup_components",
+      s"""WITH pairs AS (${oJaccardPairs("0.8")}),
+         |edges AS (
+         |  SELECT a AS u, b AS v FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |r AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM r JOIN edges e ON r.v = e.u
+         |)
+         |SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
+         |FROM (SELECT u, v FROM r UNION ALL SELECT u, u FROM edges) t
+         |GROUP BY u
+         |ORDER BY doc_id""".stripMargin.replaceFirst("WITH pairs", "WITH RECURSIVE pairs")
+    ) { (s, dir) =>
+      val pairs = jaccardPairs(s, dir, 0.8).select(col("a"), col("b"))
+      val edges = pairs.union(pairs.select(col("b"), col("a")))
+        .toDF("u", "v").cache()
+      var labels = edges.select(col("u").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        // each node adopts min(own label, neighbors' labels)
+        val nbr = edges.join(labels.withColumnRenamed("id", "v")
+            .withColumnRenamed("lbl", "vlbl"), "v")
+          .groupBy(col("u").as("id")).agg(min(col("vlbl")).as("nlbl"))
+        val next = labels.join(nbr, Seq("id"), "left")
+          .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .cache()
+        val changed = next.as("n").join(labels.as("o"), "id")
+          .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      val out = labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+        .orderBy(col("doc_id"))
+      edges.unpersist()
+      out
+    },
+
     // SimHash: 32-bit weighted bit-vote signature per doc; near-dup
     // candidates must share one of 4 exact 8-bit bands (hamming<=3 ⇒ some
     // band is untouched), then verified by hamming distance. Banding makes
