@@ -113,7 +113,7 @@ object JoinQueries extends QueryPack {
          |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
          |JOIN nation   ON s_nationkey = n_nationkey
          |JOIN region   ON n_regionkey = r_regionkey
-         |WHERE r_name = 'R0' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
     ) { (s, dir) =>
@@ -124,7 +124,7 @@ object JoinQueries extends QueryPack {
       val l  = Tables.load(s, dir, "lineitem")
       val su = Tables.load(s, dir, "supplier")
       val n  = Tables.load(s, dir, "nation")
-      val r  = Tables.load(s, dir, "region").filter(col("r_name") === "R0")
+      val r  = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
       c.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("l_orderkey") === col("o_orderkey"))
         .join(su, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
