@@ -185,11 +185,12 @@ object JoinQueries extends QueryPack {
     Q(
       "join_anti",
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin
     ) { (s, dir) =>
       val c = Tables.load(s, dir, "customer")
-      val o = Tables.load(s, dir, "orders")
+      val o = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 400000)
       c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))

@@ -47,7 +47,7 @@ object SubqueryQueries extends QueryPack {
     both(
       "sub_not_in",
       """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderkey < 30000)
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
         |  AND c_custkey < 300
         |ORDER BY c_custkey""".stripMargin),
 
@@ -65,7 +65,9 @@ object SubqueryQueries extends QueryPack {
     both(
       "sub_not_exists_correlated",
       """SELECT c_custkey, c_name FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        |                    AND o.o_totalprice > 250000)
         |  AND c_custkey < 500
         |ORDER BY c_custkey""".stripMargin),
 

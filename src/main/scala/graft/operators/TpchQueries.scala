@@ -21,12 +21,12 @@ object TpchQueries extends QueryPack {
       s"""SELECT ${Exact.oSum("l_extendedprice * l_discount")} AS revenue,
          |       COUNT(*) AS cnt
          |FROM lineitem
-         |WHERE l_shipdate >= DATE '2024-01-01' AND l_shipdate < DATE '2024-07-01'
+         |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-07-01'
          |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
     ) { (s, dir) =>
       Tables.load(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= lit("2024-01-01") &&
-          col("l_shipdate") < lit("2024-07-01") &&
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-07-01") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .agg(Exact.dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
           count(lit(1)).as("cnt"))
@@ -69,13 +69,13 @@ object TpchQueries extends QueryPack {
         |       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
         |       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-        |WHERE l.l_shipdate >= DATE '2024-01-01' AND l.l_shipdate < DATE '2025-01-01'
+        |WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
         |GROUP BY l.l_linestatus
         |ORDER BY l.l_linestatus""".stripMargin
     ) { (s, dir) =>
       val o = Tables.load(s, dir, "orders")
       val l = Tables.load(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= lit("2024-01-01") && col("l_shipdate") < lit("2025-01-01"))
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
       val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
       o.join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_linestatus"))
