@@ -238,10 +238,14 @@ object DedupQueries extends QueryPack {
          |ORDER BY doc_id""".stripMargin.replaceFirst("WITH pairs", "WITH RECURSIVE pairs")
     ) { (s, dir) =>
       val pairs = jaccardPairs(s, dir, 0.8).select(col("a"), col("b"))
+      // the verified near-dup graph is orders of magnitude smaller than
+      // the corpus; one partition keeps each propagation round a single
+      // local task (at larger graph sizes, partition by u instead)
       val edges = pairs.union(pairs.select(col("b"), col("a")))
-        .toDF("u", "v").cache()
+        .toDF("u", "v").repartition(1).cache()
       var labels = edges.select(col("u").as("id")).distinct()
         .withColumn("lbl", col("id"))
+      var prevCache: org.apache.spark.sql.DataFrame = null
       var converged = false
       var iter = 0
       while (!converged && iter < 20) {
@@ -249,13 +253,15 @@ object DedupQueries extends QueryPack {
         val nbr = edges.join(labels.withColumnRenamed("id", "v")
             .withColumnRenamed("lbl", "vlbl"), "v")
           .groupBy(col("u").as("id")).agg(min(col("vlbl")).as("nlbl"))
+        // carry the previous label so convergence needs no extra join
         val next = labels.join(nbr, Seq("id"), "left")
-          .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .select(col("id"), col("lbl").as("prev"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
           .cache()
-        val changed = next.as("n").join(labels.as("o"), "id")
-          .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count()
-        labels.unpersist()
-        labels = next
+        val changed = next.filter(col("lbl") =!= col("prev")).limit(1).count()
+        if (prevCache != null) prevCache.unpersist()
+        prevCache = next
+        labels = next.select(col("id"), col("lbl"))
         converged = changed == 0
         iter += 1
       }

@@ -91,6 +91,20 @@ class PlanSpec extends SparkSpec {
     spark.sql("DROP TABLE b_orders"); spark.sql("DROP TABLE b_lineitem")
   }
 
+  test("partitioned writes prune partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.load(spark, sf(), "events")
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).filter(col("day") === lit("2024-01-03"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("PartitionFilters: [") && !pf.contains("PartitionFilters: []"),
+      s"expected non-empty partition filters:\n$p")
+  }
+
   test("partition count scales with input, not fixed at 200") {
     assert(spark.conf.get("spark.sql.shuffle.partitions").toInt <= 32)
     assert(spark.conf.get("spark.sql.adaptive.enabled").toBoolean)
