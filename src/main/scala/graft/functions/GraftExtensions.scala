@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => IntersectCountRule)
     e.injectFunction((FunctionIdentifier("dot_exact"),
       info("dot_exact", "dot_exact(array<float>, array<float>) - exact decimal-quantized dot product"),
       (args: Seq[Expression]) => DotExactExpr(args(0), args(1))))

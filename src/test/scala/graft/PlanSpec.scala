@@ -105,6 +105,19 @@ class PlanSpec extends SparkSpec {
       s"expected non-empty partition filters:\n$p")
   }
 
+  test("injected optimizer rule rewrites size(array_intersect) to one-pass count") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("dedup_minhash_lsh")(spark, sf())
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.contains("intersectcountexpr") || p.contains("IntersectCountExpr"),
+      s"rule did not fire:\n${p.take(1500)}")
+    // semantics: matches size(array_intersect) incl. nulls and duplicates
+    val r = spark.sql(
+      "SELECT size(array_intersect(array('a','b','b','c'), array('b','c','d'))) AS s, " +
+      "size(array_intersect(CAST(NULL AS ARRAY<STRING>), array('x'))) AS n").collect()(0)
+    assert(r.getInt(0) == 2 && r.isNullAt(1))
+  }
+
   test("partition count scales with input, not fixed at 200") {
     assert(spark.conf.get("spark.sql.shuffle.partitions").toInt <= 32)
     assert(spark.conf.get("spark.sql.adaptive.enabled").toBoolean)
