@@ -117,6 +117,19 @@ object SubqueryQueries extends QueryPack {
         |WHERE p.big_cnt >= 3
         |ORDER BY p.o_custkey""".stripMargin),
 
+    // Correlated AGGREGATE subquery in WHERE (TPC-H Q2 shape): each row
+    // compared to a per-group aggregate computed over the same table -
+    // Catalyst decorrelates to an aggregate + join; the reference would
+    // re-run the inner query per outer row.
+    both(
+      "sub_correlated_agg",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem l1
+        |WHERE l_extendedprice = (SELECT MAX(l_extendedprice) FROM lineitem l2
+        |                         WHERE l2.l_orderkey = l1.l_orderkey)
+        |  AND l_orderkey < 12000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
     // IN + correlated conjunct mixing both rewrite classes.
     both(
       "sub_in_nested",
