@@ -104,14 +104,19 @@ object SimilarityQueries extends QueryPack {
          |WHERE dot / (na.norm * nb.norm) >= 0.4
          |ORDER BY a, b""".stripMargin
     ) { (s, dir) =>
+      // blocked all-pairs: B blocks → B(B+1)/2 block-pair rows, each one
+      // native kernel call (CosinePairsExpr) — identical quantized-exact
+      // cosine, but no O(n²) wide-row materialization before arithmetic
+      val B = 16
       val vecs = withNorm(Tables.load(s, dir, "embeddings"))
-      val right = vecs.select(col("vec_id").as("b"), col("embedding").as("eb"),
-        col("norm").as("nb"))
-      vecs.select(col("vec_id").as("a"), col("embedding").as("ea"), col("norm").as("na"))
-        .join(right, col("a") < col("b"))
-        .select(col("a"), col("b"),
-          (dotExact(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
-        .filter(col("cosine") >= 0.4)
+      val blocks = vecs
+        .withColumn("bid", pmod(col("vec_id"), lit(B)).cast("int"))
+        .groupBy(col("bid"))
+        .agg(collect_list(struct(col("vec_id"), col("embedding"), col("norm"))).as("blk"))
+      val pairs = blocks.as("x").join(blocks.as("y"), col("x.bid") <= col("y.bid"))
+        .select(explode(graft.functions.CosineBlock.pairs(
+          col("x.blk"), col("y.blk"), 0.4, col("x.bid") === col("y.bid"))).as("p"))
+      pairs.select(col("p.a").as("a"), col("p.b").as("b"), col("p.cosine").as("cosine"))
         .orderBy(col("a"), col("b"))
     },
 
