@@ -28,7 +28,8 @@ final case class TableDef(
     columns: Seq[ColumnDef],
     primaryKey: Seq[String],
     version: Long = 0L,
-    hasRowId: Boolean = false) { // hidden auto-increment rowid (reference kv/KvQueryExecutor.java:2287-2303)
+    hasRowId: Boolean = false,
+    uniqueKeys: Seq[Seq[String]] = Nil) { // composite UNIQUE(a,b,...) constraints // hidden auto-increment rowid (reference kv/KvQueryExecutor.java:2287-2303)
   def column(n: String): Option[ColumnDef] =
     columns.find(_.name.equalsIgnoreCase(n))
   def visibleColumns: Seq[ColumnDef] =
@@ -134,6 +135,7 @@ final class Catalog(val root: Path) {
       }.mkString("[", ",", "]")
       s"{${js("name")}:${js(t.name)},${js("columns")}:$cols," +
         s"${js("pk")}:${t.primaryKey.map(js).mkString("[", ",", "]")}," +
+        s"${js("uniqueKeys")}:${t.uniqueKeys.map(k => k.map(js).mkString("[", ",", "]")).mkString("[", ",", "]")}," +
         s"${js("version")}:${t.version},${js("rowid")}:${t.hasRowId}}"
     }.mkString(","))
     sb.append("],\n\"sequences\":[")
@@ -178,7 +180,9 @@ final class Catalog(val root: Path) {
       }
       val t = TableDef(m("name").asInstanceOf[String], cols,
         m("pk").asInstanceOf[Seq[Any]].map(_.asInstanceOf[String]),
-        m("version").asInstanceOf[Number].longValue(), m("rowid").asInstanceOf[Boolean])
+        m("version").asInstanceOf[Number].longValue(), m("rowid").asInstanceOf[Boolean],
+        m.getOrElse("uniqueKeys", Seq.empty[Any]).asInstanceOf[Seq[Any]]
+          .map(_.asInstanceOf[Seq[Any]].map(_.asInstanceOf[String])))
       tables(t.name.toLowerCase) = t
     }
     arr("sequences").foreach { m =>

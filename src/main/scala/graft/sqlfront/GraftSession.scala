@@ -166,15 +166,17 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       var pk = Seq.empty[String]
       var cols = Seq.empty[ColumnDef]
       var fks = Map.empty[String, (String, String)]
-      var uniques = Set.empty[String]
+      var uniques = Set.empty[String]          // single-column UNIQUE(c)
+      var uniqueKeys = Seq.empty[Seq[String]]  // composite UNIQUE(a, b, ...)
       topSplit(body).foreach { item =>
         val up = item.toUpperCase
         if (up.startsWith("PRIMARY KEY")) {
           pk = item.substring(item.indexOf('(') + 1, item.lastIndexOf(')'))
             .split(",").map(_.trim.replaceAll("\"", "").toLowerCase).toSeq
         } else if (up.startsWith("UNIQUE")) {
-          uniques ++= item.substring(item.indexOf('(') + 1, item.lastIndexOf(')'))
-            .split(",").map(_.trim.replaceAll("\"", "").toLowerCase)
+          val ks = item.substring(item.indexOf('(') + 1, item.lastIndexOf(')'))
+            .split(",").map(_.trim.replaceAll("\"", "").toLowerCase).toSeq
+          if (ks.length == 1) uniques += ks.head else uniqueKeys :+= ks
         } else if (up.startsWith("FOREIGN KEY") || up.startsWith("CONSTRAINT")) {
           val fkRe = """(?is).*FOREIGN\s+KEY\s*\(([\w"]+)\)\s*REFERENCES\s+([\w"]+)\s*\(([\w"]+)\).*""".r
           item match {
@@ -204,7 +206,8 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         val sq = s"${name}_${c.name}_seq"
         if (!catalog.sequences.contains(sq)) catalog.putSequence(SequenceDef(sq))
       }
-      catalog.putTable(TableDef(name, cols, pk, version = 0L, hasRowId = hasRowId))
+      catalog.putTable(TableDef(name, cols, pk, version = 0L, hasRowId = hasRowId,
+        uniqueKeys = uniqueKeys))
       ok("CREATE TABLE")
     case _ => throw new IllegalArgumentException(s"cannot parse CREATE TABLE: $stmt")
   }
@@ -518,7 +521,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     * anti-join regardless of batch size). */
   private def checkUnique(t: TableDef, newRows: DataFrame, existing: DataFrame): Unit = {
     val keys: Seq[Seq[String]] =
-      t.columns.filter(_.unique).map(c => Seq(c.name)) ++
+      t.columns.filter(_.unique).map(c => Seq(c.name)) ++ t.uniqueKeys ++
         (if (t.primaryKey.nonEmpty && !t.hasRowId) Seq(t.primaryKey) else Nil)
     keys.distinct.foreach { k =>
       val kc = k.map(col)
@@ -608,7 +611,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         }
         validate(t, next)
         // post-update uniqueness over the whole table
-        val keys = t.columns.filter(_.unique).map(c => Seq(c.name)) ++
+        val keys = t.columns.filter(_.unique).map(c => Seq(c.name)) ++ t.uniqueKeys ++
           (if (t.primaryKey.nonEmpty && !t.hasRowId) Seq(t.primaryKey) else Nil)
         keys.distinct.foreach { k =>
           if (next.groupBy(k.map(col): _*).count().filter(col("count") > 1).limit(1).count() > 0)

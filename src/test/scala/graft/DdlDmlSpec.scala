@@ -49,6 +49,18 @@ class DdlDmlSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](s.sql("INSERT INTO t VALUES (3, 'a@x.com', 'dup')"))
   }
 
+  test("composite PRIMARY KEY and multi-column UNIQUE semantics") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (a INT, b INT, v TEXT, PRIMARY KEY (a, b), UNIQUE (v, b))")
+    s.sql("INSERT INTO t VALUES (1, 1, 'x'), (1, 2, 'x')") // pair-unique: ok
+    // duplicate composite PK rejected
+    assertThrows[IllegalArgumentException](s.sql("INSERT INTO t VALUES (1, 1, 'y')"))
+    // duplicate (v, b) pair rejected; same v with new b is fine
+    assertThrows[IllegalArgumentException](s.sql("INSERT INTO t VALUES (9, 2, 'x')"))
+    s.sql("INSERT INTO t VALUES (9, 3, 'x')")
+    assert(s.sql("SELECT count(*) AS c FROM t").collect()(0).getLong(0) == 3)
+  }
+
   test("foreign key enforcement") {
     val s = fresh()
     s.sql("CREATE TABLE parent (id INT PRIMARY KEY, v TEXT)")
