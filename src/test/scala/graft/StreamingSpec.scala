@@ -158,6 +158,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with preceding views") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val v = views.toDF().selectExpr("user_id AS v_user", "ts AS v_ts", "value AS v_val")
+      .withWatermark("v_ts", "1 hour")
+    val b = buys.toDF().selectExpr("user_id AS b_user", "ts AS b_ts", "event_id AS b_id")
+      .withWatermark("b_ts", "1 hour")
+    // purchase joins every view of the same user within the prior hour -
+    // watermarks on both sides bound the join state
+    val joined = b.join(v,
+      expr("b_user = v_user AND b_ts >= v_ts AND b_ts < v_ts + INTERVAL 1 HOUR"))
+    val q = joined.writeStream.format("memory").queryName("ssj_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData(Ev(1, ts(0), 1, "view", 10.0), Ev(2, ts(30), 1, "view", 20.0),
+        Ev(3, ts(0), 2, "view", 30.0))
+      buys.addData(Ev(10, ts(45), 1, "purchase", 1.0),  // joins both views of user 1
+        Ev(11, ts(80), 1, "purchase", 1.0),             // joins only the ts(30) view
+                                                        // (ts(90) would sit exactly on
+                                                        // the exclusive +1h bound)
+        Ev(12, ts(200), 2, "purchase", 1.0))            // outside the hour: no match
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT b_id, v_val FROM ssj_sink ORDER BY b_id, v_val")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows == Seq((10L, 10.0), (10L, 20.0), (11L, 20.0)))
+    } finally q.stop()
+  }
+
+  test("stream enriched by a static dimension table") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val dim = spark.createDataFrame(Seq((1L, "gold"), (2L, "basic")))
+      .toDF("user_id", "tier")
+    val q = in.toDF().join(dim, "user_id")
+      .groupBy($"tier").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("dim_sink")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(Ev(1, ts(0), 1, "view", 1.0), Ev(2, ts(1), 1, "view", 1.0),
+        Ev(3, ts(2), 2, "click", 1.0), Ev(4, ts(3), 9, "view", 1.0)) // user 9: no dim row
+      q.processAllAvailable()
+      val m = spark.sql("SELECT tier, n FROM dim_sink").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(m == Map("gold" -> 2L, "basic" -> 1L))
+    } finally q.stop()
+  }
+
   test("batch and streaming agree on the same transformation") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Seq(
