@@ -128,6 +128,26 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Regex ("BPE-ish") tokenization: alpha runs and digit runs as
+    // separate tokens — a character-class pattern both engines' regex
+    // dialects (Java / RE2) interpret identically.
+    Q(
+      "text_regex_tokens",
+      """SELECT doc_id,
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_subtok,
+        |       len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS n_uniq_subtok
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val toks = regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          size(toks).as("n_subtok"),
+          size(array_distinct(toks)).as("n_uniq_subtok"))
+        .orderBy(col("doc_id"))
+    },
+
     // Corpus-level term frequency: explode tokens → count — the shape of
     // a vocabulary build. Partial aggregation keeps the shuffle at
     // |vocab| rows regardless of corpus size.

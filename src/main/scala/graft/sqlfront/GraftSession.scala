@@ -449,13 +449,13 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     stmt.trim.stripSuffix(";") match {
       case fromRe(rawT, path, opts) =>
         val t = requireTable(rawT)
-        val header = opts.toUpperCase.contains("HEADER")
+        val up = opts.toUpperCase
         val vis = t.visibleColumns
-        val src = spark.read
-          .option("header", header)
-          .schema(StructType(vis.map(c =>
-            StructField(c.name, TypeMap.toSpark(c.sqlType), nullable = true))))
-          .csv(path)
+        val schema = StructType(vis.map(c =>
+          StructField(c.name, TypeMap.toSpark(c.sqlType), nullable = true)))
+        val src =
+          if (up.contains("JSON")) spark.read.schema(schema).json(path)
+          else spark.read.option("header", up.contains("HEADER")).schema(schema).csv(path)
         insertRows(t, Some(vis.map(_.name).mkString(",")), src)
       case toRe(rawT, path, opts) =>
         val t = requireTable(rawT)
@@ -568,8 +568,14 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     val missing = t.columns.filterNot(c => targetNames.contains(c.name))
     val serialCols = missing.filter(_.serial)
     // allocate contiguous id blocks driver-side (single-writer sequences),
-    // assign by row_number — batch stays distributed
-    val n = dfv.count()
+    // assign by row_number — batch stays distributed. VALUES inserts are
+    // LocalRelations whose row count is known without running a job
+    // (checked on `renamed`, before the nondeterministic __ord column).
+    val n = renamed.queryExecution.optimizedPlan match {
+      case org.apache.spark.sql.catalyst.plans.logical.LocalRelation(_, data, _, _) =>
+        data.size.toLong
+      case _ => renamed.count()
+    }
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("__ord"))
     if (serialCols.nonEmpty) dfv = dfv.withColumn("__rn", row_number().over(w))
     serialCols.foreach { c =>

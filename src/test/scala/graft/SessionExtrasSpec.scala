@@ -45,6 +45,15 @@ class SessionExtrasSpec extends SparkSpec {
     assert(back.count() == 2 && back.columns.toSeq == Seq("id", "name", "score"))
   }
 
+  test("COPY FROM JSON loads through validation") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY, name TEXT NOT NULL)")
+    val f = Files.createTempDirectory("graft_json").resolve("in.json")
+    Files.writeString(f, "{\"id\": 1, \"name\": \"ann\"}\n{\"id\": 2, \"name\": \"bob\"}\n")
+    s.sql(s"COPY t FROM '$f' (FORMAT JSON)")
+    assert(s.sql("SELECT count(*) AS c FROM t").collect()(0).getLong(0) == 2)
+  }
+
   test("INSERT INTO ... SELECT goes through validation and appends") {
     val s = fresh()
     s.sql("CREATE TABLE src (id INT PRIMARY KEY, v DOUBLE); " +
