@@ -31,6 +31,12 @@ class PropertySpec extends AnyFunSuite {
     assert(s == Seq("SELECT 1", "SELECT '-- not a comment'", "SELECT 2"))
   }
 
+  test("StatementSplitter keeps dollar-quoted bodies intact") {
+    val s = StatementSplitter.split(
+      "DO $$ BEGIN x; y; END $$; SELECT 1")
+    assert(s == Seq("DO $$ BEGIN x; y; END $$", "SELECT 1"))
+  }
+
   test("PgRewrite is idempotent") {
     val sqlGen = Gen.oneOf(
       "SELECT props->>'k' FROM e",
