@@ -487,22 +487,30 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   // ----------------------------------------------------------------- DML
 
   /** Constraint validation for a batch of prospective rows (visible
-    * columns, already cast). Distributed checks only. */
+    * columns, already cast). All row-local constraints (NOT NULL, enum,
+    * JSON validity) evaluate in ONE distributed pass — a single projection
+    * naming the first violated constraint per row — so validation cost
+    * does not scale with the number of constraints. FK checks follow as
+    * anti-joins (they need the parent table). */
   private def validate(t: TableDef, rows: DataFrame): Unit = {
-    t.columns.filter(c => c.notNull && !c.serial).foreach { c =>
-      if (rows.filter(col(c.name).isNull).limit(1).count() > 0)
-        throw new IllegalArgumentException(s"NOT NULL violation: ${t.name}.${c.name}")
-    }
-    t.columns.filter(_.enumType.isDefined).foreach { c =>
-      val allowed = catalog.enums(c.enumType.get.toLowerCase).values
-      if (rows.filter(col(c.name).isNotNull && !col(c.name).isin(allowed: _*)).limit(1).count() > 0)
-        throw new IllegalArgumentException(
-          s"invalid value for enum ${c.enumType.get} in ${t.name}.${c.name}")
-    }
-    t.columns.filter(c => c.sqlType.toUpperCase.startsWith("JSON")).foreach { c =>
-      if (rows.filter(col(c.name).isNotNull && expr(s"try_parse_json(${c.name})").isNull)
-            .limit(1).count() > 0)
-        throw new IllegalArgumentException(s"invalid JSON in ${t.name}.${c.name}")
+    val rowChecks: Seq[(String, Column)] =
+      t.columns.filter(c => c.notNull && !c.serial).map(c =>
+        s"NOT NULL violation: ${t.name}.${c.name}" -> col(c.name).isNull) ++
+      t.columns.filter(_.enumType.isDefined).map { c =>
+        val allowed = catalog.enums(c.enumType.get.toLowerCase).values
+        s"invalid value for enum ${c.enumType.get} in ${t.name}.${c.name}" ->
+          (col(c.name).isNotNull && !col(c.name).isin(allowed: _*))
+      } ++
+      t.columns.filter(c => c.sqlType.toUpperCase.startsWith("JSON")).map(c =>
+        s"invalid JSON in ${t.name}.${c.name}" ->
+          (col(c.name).isNotNull && expr(s"try_parse_json(${c.name})").isNull))
+    if (rowChecks.nonEmpty) {
+      val firstViolation = coalesce(rowChecks.map { case (msg, cond) =>
+        when(cond, lit(msg))
+      }: _*)
+      rows.select(firstViolation.as("__viol")).filter(col("__viol").isNotNull)
+        .limit(1).collect().headOption
+        .foreach(r => throw new IllegalArgumentException(r.getString(0)))
     }
     t.columns.filter(_.references.isDefined).foreach { c =>
       val (rt, rc) = c.references.get
