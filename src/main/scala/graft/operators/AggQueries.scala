@@ -14,6 +14,32 @@ object AggQueries extends QueryPack {
   import Exact._
 
   val qs: Seq[Q] = Seq(
+    // HAVING with full boolean structure (AND/OR over multiple aggregates)
+    // — the reference supports exactly ONE bare comparison (SURVEY §7.5
+    // defect 5, kv/KvQueryExecutor.java:3832-3984); Catalyst gives the
+    // complete expression language post-aggregation.
+    Q(
+      "agg_having_complex",
+      """SELECT o_custkey, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+        |       MAX(o_totalprice) AS biggest
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING (COUNT(*) >= 25 AND MAX(o_totalprice) > 400000)
+        |    OR SUM(CAST(o_totalprice AS DECIMAL(28,6))) > 4500000
+        |ORDER BY o_custkey""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(dec)).as("total_dec"),
+          max(col("o_totalprice")).as("biggest"))
+        .filter((col("cnt") >= 25 && col("biggest") > 400000) ||
+          col("total_dec") > 4500000)
+        .select(col("o_custkey"), col("cnt"),
+          col("total_dec").cast("double").as("total"), col("biggest"))
+        .orderBy(col("o_custkey"))
+    },
     // TPC-H Q1 shape: the reference demo's flagship agg (demo-ecommerce.sh).
     Q(
       "q1_pricing_summary",

@@ -144,6 +144,26 @@ object WindowQueries extends QueryPack {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    // Numeric RANGE frame: all orders within +/-5000 of the current
+    // row's price count as peers — value-based frames the reference only
+    // parses (window/WindowFrame.java:10-48).
+    Q(
+      "win_range_frame",
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |                 RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING) AS near_price_peers
+        |FROM orders WHERE o_custkey < 30
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+        .rangeBetween(-5000, 5000)
+      Tables.load(s, dir, "orders")
+        .filter(col("o_custkey") < 30)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          count(lit(1)).over(w).as("near_price_peers"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
     // NTH_VALUE with a full frame (absent from the reference, SURVEY §2.5).
     Q(
       "win_nth_value",
