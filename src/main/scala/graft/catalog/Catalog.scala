@@ -111,6 +111,29 @@ final class Catalog(val root: Path) {
     next
   }
 
+  /** Reserve a contiguous block of `n` values in ONE catalog write (one
+    * read-modify-write + one fsync regardless of batch size — the bulk
+    * analogue of the reference's CAS block allocation,
+    * kv/SchemaManager.java:777-898). Returns the first value; the block is
+    * `first, first+increment, …, first+(n-1)*increment`. */
+  def reserve(name: String, n: Long): Long = {
+    require(n > 0, s"reserve: block size must be positive, got $n")
+    val sq = sequences.getOrElse(name.toLowerCase,
+      throw new IllegalArgumentException(s"unknown sequence: $name"))
+    val f0 = sq.current.map(_ + sq.increment).getOrElse(sq.start)
+    val first =
+      if (f0 > sq.maxValue || f0 < sq.minValue) {
+        if (!sq.cycle) throw new IllegalStateException(s"sequence $name exhausted")
+        if (sq.increment > 0) sq.minValue else sq.maxValue
+      } else f0
+    val last = first + (n - 1) * sq.increment
+    if (last > sq.maxValue || last < sq.minValue)
+      throw new IllegalStateException(s"sequence $name exhausted (block of $n does not fit)")
+    sequences(sq.name.toLowerCase) = sq.copy(current = Some(last))
+    save()
+    first
+  }
+
   // --- persistence: hand-rolled JSON (flat, schema-stable) so the library
   // has zero dependencies beyond Spark's own classpath.
 

@@ -55,7 +55,7 @@ object ArrayQueries extends QueryPack {
     Q(
       "arr_build_setops",
       """SELECT c_custkey,
-        |       list_sort([c_custkey % 7, c_custkey % 5, c_custkey % 7]) AS built,
+        |       array_to_string(list_sort([c_custkey % 7, c_custkey % 5, c_custkey % 7]), ',') AS built,
         |       len(list_distinct([c_custkey % 7, c_custkey % 5, c_custkey % 7])) AS n_uniq,
         |       list_contains([c_custkey % 7, c_custkey % 5], 3) AS has3
         |FROM customer WHERE c_custkey < 60
@@ -65,7 +65,7 @@ object ArrayQueries extends QueryPack {
       Tables.load(s, dir, "customer")
         .filter(col("c_custkey") < 60)
         .select(col("c_custkey"),
-          array_sort(a).as("built"),
+          array_join(array_sort(a).cast("array<string>"), ",").as("built"),
           size(array_distinct(a)).as("n_uniq"),
           array_contains(array(col("c_custkey") % 7, col("c_custkey") % 5), 3).as("has3"))
         .orderBy(col("c_custkey"))

@@ -63,10 +63,17 @@ object DedupQueries extends QueryPack {
     val sh = shingleRows(s, dir)
     val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val wn = Window.partitionBy(col("doc_id"))
+    // `n` (full per-doc set size → prefix bound) is computed BEFORE the
+    // df>=2 filter; the sorted row_number window then runs only over
+    // non-singleton shingles. A df=1 shingle can never produce a candidate
+    // (the self-join needs two docs on the same shingle), and dropping
+    // them keeps the prefix a superset of the canonical one: shared
+    // shingles all have df>=2 and can only move to EARLIER positions.
     val prefix = sh.join(freq, "sh")
-      .select(col("doc_id"), col("sh"),
-        row_number().over(w).as("pos"),
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("n"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .filter(col("df") >= 2)
+      .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= col("n") - expr("(8 * n) div 10") + 1)
       .select(col("doc_id"), col("sh"))
     val cand = prefix.as("x").join(prefix.as("y"),
@@ -95,6 +102,67 @@ object DedupQueries extends QueryPack {
        |JOIN sizes sa ON a = sa.doc_id
        |JOIN sizes sb ON b = sb.doc_id
        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $thr""".stripMargin
+
+  /** Connected components over an undirected pair list (a,b) via hash-min
+    * label propagation: each node adopts min(own label, neighbors' labels)
+    * per round, converging to the component's smallest id in O(diameter)
+    * distributed rounds (joins + groupBy only; the driver loop holds just
+    * a convergence flag). Returns (id, cluster).
+    *
+    * Partitioning is adaptive: a small verified near-dup graph collapses
+    * to one local task per round; above the threshold the edges hash-
+    * partition on `u` — the join/groupBy key — so every round stays
+    * distributed and co-partitioned at any graph size. Hitting `maxIter`
+    * without convergence fails LOUDLY (a silent cap would publish wrong
+    * clusters).
+    */
+  private[graft] def labelPropagation(
+      pairs: DataFrame, maxIter: Int = 20,
+      smallGraphEdges: Long = 100000L): DataFrame = {
+    val p = pairs.toDF("a", "b")
+    val edgesRaw = p.union(p.select(col("b"), col("a"))).toDF("u", "v").cache()
+    val eCount = edgesRaw.count()
+    val edges = (if (eCount <= smallGraphEdges) edgesRaw.coalesce(1)
+                 else edgesRaw.repartition(col("u"))).cache()
+    edges.count()
+    edgesRaw.unpersist()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    var prevCache: DataFrame = null
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbr = edges.join(labels.withColumnRenamed("id", "v")
+          .withColumnRenamed("lbl", "vlbl"), "v")
+        .groupBy(col("u").as("id")).agg(min(col("vlbl")).as("nlbl"))
+      // carry the previous label so convergence needs no extra join
+      val nextPlan = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"), col("lbl").as("prev"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // CUT LINEAGE each round (RDD-backed leaf): the logical plan would
+      // otherwise double per iteration — exponential analyzer/optimizer
+      // cost that OOMs the driver on deep graphs long before the data does
+      val next = pairs.sparkSession
+        .createDataFrame(nextPlan.rdd, nextPlan.schema).cache()
+      val changed = next.filter(col("lbl") =!= col("prev")).limit(1).count()
+      if (prevCache != null) prevCache.unpersist()
+      prevCache = next
+      labels = next.select(col("id"), col("lbl"))
+      converged = changed == 0
+      iter += 1
+    }
+    if (!converged) {
+      edges.unpersist()
+      throw new IllegalStateException(
+        s"connected-components label propagation did not converge in $maxIter rounds " +
+          s"($eCount edges) — raise maxIter (graph diameter exceeds the round cap)")
+    }
+    val out = labels.select(col("id"), col("lbl").as("cluster")).cache()
+    out.count() // materialize before releasing the inputs it derives from
+    if (prevCache != null) prevCache.unpersist()
+    edges.unpersist()
+    out
+  }
 
   val qs: Seq[Q] = Seq(
     // Exact dedup: hash-groupBy on content digest, keep the smallest id
@@ -238,37 +306,9 @@ object DedupQueries extends QueryPack {
          |ORDER BY doc_id""".stripMargin.replaceFirst("WITH pairs", "WITH RECURSIVE pairs")
     ) { (s, dir) =>
       val pairs = jaccardPairs(s, dir, 0.8).select(col("a"), col("b"))
-      // the verified near-dup graph is orders of magnitude smaller than
-      // the corpus; one partition keeps each propagation round a single
-      // local task (at larger graph sizes, partition by u instead)
-      val edges = pairs.union(pairs.select(col("b"), col("a")))
-        .toDF("u", "v").repartition(1).cache()
-      var labels = edges.select(col("u").as("id")).distinct()
-        .withColumn("lbl", col("id"))
-      var prevCache: org.apache.spark.sql.DataFrame = null
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 20) {
-        // each node adopts min(own label, neighbors' labels)
-        val nbr = edges.join(labels.withColumnRenamed("id", "v")
-            .withColumnRenamed("lbl", "vlbl"), "v")
-          .groupBy(col("u").as("id")).agg(min(col("vlbl")).as("nlbl"))
-        // carry the previous label so convergence needs no extra join
-        val next = labels.join(nbr, Seq("id"), "left")
-          .select(col("id"), col("lbl").as("prev"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-          .cache()
-        val changed = next.filter(col("lbl") =!= col("prev")).limit(1).count()
-        if (prevCache != null) prevCache.unpersist()
-        prevCache = next
-        labels = next.select(col("id"), col("lbl"))
-        converged = changed == 0
-        iter += 1
-      }
-      val out = labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      labelPropagation(pairs)
+        .select(col("id").as("doc_id"), col("cluster"))
         .orderBy(col("doc_id"))
-      edges.unpersist()
-      out
     },
 
     // SimHash: 32-bit weighted bit-vote signature per doc; near-dup

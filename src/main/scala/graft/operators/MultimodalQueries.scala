@@ -19,9 +19,9 @@ object MultimodalQueries extends QueryPack {
     Q(
       "mm_manifest",
       """SELECT modality, COUNT(*) AS docs,
-        |       SUM(octet_length(encode(text))) AS total_bytes,
-        |       MIN(doc_id % 640 + 64) AS min_w,
-        |       MAX(doc_id % 480 + 48) AS max_h
+        |       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |       CAST(MIN(doc_id % 640 + 64) AS BIGINT) AS min_w,
+        |       CAST(MAX(doc_id % 480 + 48) AS BIGINT) AS max_h
         |FROM (SELECT doc_id, text,
         |        ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality
         |      FROM documents) t
@@ -31,9 +31,9 @@ object MultimodalQueries extends QueryPack {
       Multimodal.mediaTable(Tables.load(s, dir, "documents"))
         .groupBy(col("modality"))
         .agg(count(lit(1)).as("docs"),
-          sum(octet_length(col("payload"))).as("total_bytes"),
-          min(col("meta.width")).as("min_w"),
-          max(col("meta.height")).as("max_h"))
+          sum(octet_length(col("payload"))).cast("long").as("total_bytes"),
+          min(col("meta.width")).cast("long").as("min_w"),
+          max(col("meta.height")).cast("long").as("max_h"))
         .orderBy(col("modality"))
     },
 

@@ -31,6 +31,14 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
 
   // ---------------------------------------------------------------- read
 
+  /** Directory-emptiness probe that closes its Files.list stream (leaked
+    * directory fds otherwise accumulate over a long-lived session). */
+  private def dirNonEmpty(dir: Path): Boolean = {
+    if (!Files.exists(dir)) return false
+    val s = Files.list(dir)
+    try s.iterator().hasNext finally s.close()
+  }
+
   /** Current snapshot of a table, reconciled to catalog schema: columns
     * added by ALTER after the snapshot was written are null-filled;
     * dropped columns are projected away (metadata-only ALTER, reference
@@ -43,7 +51,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     // after a file was written are null-filled by the parquet reader,
     // dropped columns are ignored, and mixed-schema snapshot dirs read
     // deterministically without a mergeSchema footer sweep.
-    if (!Files.exists(dir) || !Files.list(dir).iterator().hasNext)
+    if (!dirNonEmpty(dir))
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else spark.read.schema(schema).parquet(dir.toString)
   }
@@ -75,6 +83,33 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       }).toSeq
       .toDF("relname", "attname", "atttype", "attnum", "attnotnull")
       .createOrReplaceTempView("pg_attribute")
+    // pg_index: one row per PK / unique constraint, synthesized from
+    // catalog metadata (reference kv/PgCatalogManager.java emulates the
+    // same surface from its TableMetadata).
+    val idxRows = catalog.tables.values.flatMap { t =>
+      val pk =
+        if (t.primaryKey.nonEmpty)
+          Seq((s"${t.name}_pkey", t.name, true, true, t.primaryKey.mkString(",")))
+        else Nil
+      val singles = t.columns.filter(_.unique).map(c =>
+        (s"${t.name}_${c.name}_key", t.name, true, false, c.name))
+      val composites = t.uniqueKeys.zipWithIndex.map { case (k, i) =>
+        (s"${t.name}_uq${i + 1}_key", t.name, true, false, k.mkString(","))
+      }
+      pk ++ singles ++ composites
+    }.toSeq
+    idxRows.toDF("indexname", "relname", "indisunique", "indisprimary", "indkey")
+      .createOrReplaceTempView("pg_index")
+    // pg_namespace: fixed schema list (single-database engine, like the
+    // reference's emulation).
+    Seq("public", "pg_catalog", "information_schema").map(Tuple1(_))
+      .toDF("nspname").createOrReplaceTempView("pg_namespace")
+    // pg_type: base types plus user enum types ('b' vs 'e' typtype).
+    val baseTypes = Seq("bool", "int2", "int4", "int8", "float4", "float8",
+      "numeric", "text", "varchar", "date", "time", "timestamp", "timestamptz",
+      "interval", "json", "jsonb", "bytea", "uuid").map((_, "b"))
+    (baseTypes ++ catalog.enums.values.map(e => (e.name, "e")))
+      .toDF("typname", "typtype").createOrReplaceTempView("pg_type")
   }
 
   // --------------------------------------------------------------- route
@@ -289,12 +324,48 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   private def alterTable(stmt: String): DataFrame = {
     val addRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+ADD\s+(?:COLUMN\s+)?(.*)""".r
     val dropRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+DROP\s+(?:COLUMN\s+)?([\w"]+)\s*""".r
-    val pkRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+ADD\s+PRIMARY\s+KEY\s*\(([^)]*)\)\s*""".r
+    val pkRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+ADD\s+(?:CONSTRAINT\s+[\w"]+\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)\s*""".r
+    // ADD CONSTRAINT forms (reference kv/KvQueryExecutor.java:2877-3153:
+    // FK is recorded as metadata; enforcement here happens on every later
+    // INSERT/UPDATE through validate()/checkUnique()).
+    val fkRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+ADD\s+(?:CONSTRAINT\s+[\w"]+\s+)?FOREIGN\s+KEY\s*\(([\w"]+)\)\s*REFERENCES\s+([\w"]+)\s*\(([\w"]+)\)\s*""".r
+    val uqRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+ADD\s+(?:CONSTRAINT\s+[\w"]+\s+)?UNIQUE\s*\(([^)]*)\)\s*""".r
+    val ckRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+ADD\s+(?:CONSTRAINT\s+[\w"]+\s+)?CHECK\s*\(.*""".r
     stmt.trim.stripSuffix(";") match {
       case pkRe(rawT, colsS) =>
         val t = requireTable(rawT)
         val pk = colsS.split(",").map(_.trim.replaceAll("\"", "").toLowerCase).toSeq
         catalog.putTable(t.copy(primaryKey = pk))
+        ok("ALTER TABLE")
+      case fkRe(rawT, rawC, rawRt, rawRc) =>
+        val t = requireTable(rawT)
+        val cn = rawC.replaceAll("\"", "").toLowerCase
+        val rt = rawRt.replaceAll("\"", "").toLowerCase
+        val rc = rawRc.replaceAll("\"", "").toLowerCase
+        require(catalog.getTable(rt).isDefined, s"FK parent missing: $rt")
+        val cd = t.column(cn).getOrElse(throw new IllegalArgumentException(s"no column $cn"))
+        catalog.putTable(t.copy(columns = t.columns.map(c =>
+          if (c.name == cd.name) c.copy(references = Some((rt, rc))) else c)))
+        ok("ALTER TABLE")
+      case uqRe(rawT, colsS) =>
+        val t = requireTable(rawT)
+        val ks = colsS.split(",").map(_.trim.replaceAll("\"", "").toLowerCase).toSeq
+        ks.foreach(k => require(t.column(k).isDefined, s"no column $k"))
+        val nt =
+          if (ks.length == 1)
+            t.copy(columns = t.columns.map(c =>
+              if (c.name == ks.head) c.copy(unique = true) else c))
+          else t.copy(uniqueKeys = t.uniqueKeys :+ ks)
+        // reject immediately if existing rows already violate the new key
+        val allSet = ks.map(col(_).isNotNull).reduce(_ && _)
+        if (tableDf(nt).filter(allSet).groupBy(ks.map(col): _*).count()
+            .filter(col("count") > 1).limit(1).count() > 0)
+          throw new IllegalArgumentException(
+            s"cannot ADD UNIQUE: existing duplicates on (${ks.mkString(",")})")
+        catalog.putTable(nt)
+        ok("ALTER TABLE")
+      case ckRe(rawT) =>
+        requireTable(rawT) // CHECK accepted + ignored (reference parity)
         ok("ALTER TABLE")
       case dropRe(rawT, rawC) =>
         val t = requireTable(rawT)
@@ -366,7 +437,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   /** Recompute a matview snapshot (reference kv/KvQueryExecutor.java:5088-5256
     * row-copies through the driver; here the SELECT writes parquet directly
     * — fully distributed, any size). */
-  private def materialize(v: ViewDef): Unit = {
+  private[graft] def materialize(v: ViewDef): Unit = {
     registerAll()
     val nv = v.copy(version = v.version + 1)
     spark.sql(PgRewrite.rewrite(v.sql)).write.mode("overwrite")
@@ -375,11 +446,14 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   }
 
   private def refreshMatview(stmt: String): DataFrame = {
-    val name = lastWord(stmt).toLowerCase
+    val incremental = stmt.trim.stripSuffix(";").toUpperCase.endsWith("INCREMENTALLY")
+    val body = stmt.trim.stripSuffix(";").replaceAll("(?i)\\s+INCREMENTALLY\\s*$", "")
+    val name = lastWord(body).toLowerCase
     val v = catalog.views.getOrElse(name,
       throw new IllegalArgumentException(s"no such matview: $name"))
     require(v.materialized, s"$name is not materialized")
-    materialize(v)
+    if (incremental) graft.streaming.MatviewMaintenance.refreshOnce(this, name)
+    else materialize(v)
     ok("REFRESH")
   }
 
@@ -478,7 +552,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     val schema = StructType(t.columns.map(c =>
       StructField(c.name, TypeMap.toSpark(c.sqlType), nullable = true)))
     val df =
-      if (!Files.exists(dir) || !Files.list(dir).iterator().hasNext)
+      if (!dirNonEmpty(dir))
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       else spark.read.schema(schema).parquet(dir.toString)
     df.select(t.visibleColumns.map(c => col(c.name)): _*)
@@ -533,9 +607,14 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         (if (t.primaryKey.nonEmpty && !t.hasRowId) Seq(t.primaryKey) else Nil)
     keys.distinct.foreach { k =>
       val kc = k.map(col)
-      if (newRows.groupBy(kc: _*).count().filter(col("count") > 1).limit(1).count() > 0)
+      // Postgres NULL semantics: a key containing any NULL is always
+      // distinct — exclude such rows from both checks (the semi-join would
+      // never match NULLs, but the groupBy would wrongly count them).
+      val allSet = k.map(col(_).isNotNull).reduce(_ && _)
+      val nn = newRows.filter(allSet)
+      if (nn.groupBy(kc: _*).count().filter(col("count") > 1).limit(1).count() > 0)
         throw new IllegalArgumentException(s"UNIQUE violation within batch: ${k.mkString(",")}")
-      if (newRows.join(existing.select(k.map(col): _*), k, "left_semi").limit(1).count() > 0)
+      if (nn.join(existing.filter(allSet).select(kc: _*), k, "left_semi").limit(1).count() > 0)
         throw new IllegalArgumentException(s"UNIQUE violation: ${t.name}(${k.mkString(",")})")
     }
   }
@@ -571,26 +650,35 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       s"INSERT arity mismatch: ${targetNames.length} target cols vs ${src.columns.length} values")
     val renamed = src.toDF(targetNames: _*)
     // fill serial / default / missing columns
-    val batchTag = monotonically_increasing_id()
-    var dfv = renamed.withColumn("__ord", batchTag)
+    var dfv = renamed
     val missing = t.columns.filterNot(c => targetNames.contains(c.name))
     val serialCols = missing.filter(_.serial)
-    // allocate contiguous id blocks driver-side (single-writer sequences),
-    // assign by row_number — batch stays distributed. VALUES inserts are
-    // LocalRelations whose row count is known without running a job
-    // (checked on `renamed`, before the nondeterministic __ord column).
+    // VALUES inserts are LocalRelations whose row count is known without
+    // running a job; otherwise one count job.
     val n = renamed.queryExecution.optimizedPlan match {
       case org.apache.spark.sql.catalyst.plans.logical.LocalRelation(_, data, _, _) =>
         data.size.toLong
       case _ => renamed.count()
     }
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__ord"))
-    if (serialCols.nonEmpty) dfv = dfv.withColumn("__rn", row_number().over(w))
-    serialCols.foreach { c =>
-      val sq = s"${t.name}_${c.name}_seq"
-      val base = (1L to n).map(_ => catalog.nextVal(sq)) // contiguous block
-      val start = base.headOption.getOrElse(0L)
-      dfv = dfv.withColumn(c.name, (lit(start) + col("__rn") - 1).cast(TypeMap.toSpark(c.sqlType)))
+    if (serialCols.nonEmpty && n > 0) {
+      // Dense 0-based index via zipWithIndex: per-partition offsets, no
+      // global single-partition window — the batch stays distributed at any
+      // size. Each sequence reserves its whole id block in ONE catalog
+      // write (vs one fsync per row before).
+      val base = dfv.schema
+      val indexed = spark.createDataFrame(
+        dfv.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+        StructType(base.fields :+ StructField("__rn", LongType, nullable = false)))
+      dfv = indexed
+      serialCols.foreach { c =>
+        val sq = s"${t.name}_${c.name}_seq"
+        val inc = catalog.sequences(sq.toLowerCase).increment
+        val start = catalog.reserve(sq, n)
+        dfv = dfv.withColumn(c.name,
+          (lit(start) + col("__rn") * lit(inc)).cast(TypeMap.toSpark(c.sqlType)))
+      }
+    } else serialCols.foreach { c =>
+      dfv = dfv.withColumn(c.name, lit(null).cast(TypeMap.toSpark(c.sqlType)))
     }
     missing.filterNot(_.serial).foreach { c =>
       val v = c.default.map(d => expr(PgRewrite.rewrite(d))).getOrElse(lit(null))
@@ -614,21 +702,30 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         val pred = Option(whereS).map(w => expr(PgRewrite.rewrite(w))).getOrElse(lit(true))
         val cur = tableDf(t)
         val nChanged = cur.filter(pred).count()
-        var next = cur
-        topSplit(setS).foreach { as =>
+        // SQL semantics: every SET expression AND the WHERE predicate
+        // evaluate against the PRE-update row (so `SET a = b, b = a` swaps).
+        // One select against `cur` builds all new columns simultaneously —
+        // never chained withColumn, which would leak updated values into
+        // later assignments.
+        val sets: Map[String, Column] = topSplit(setS).map { as =>
           val Array(c, e) = as.split("=", 2).map(_.trim)
           val cn = c.replaceAll("\"", "").toLowerCase
           val cd = t.column(cn).getOrElse(throw new IllegalArgumentException(s"no column $cn"))
-          next = next.withColumn(cn,
-            when(pred, expr(PgRewrite.rewrite(e)).cast(TypeMap.toSpark(cd.sqlType)))
-              .otherwise(col(cn)))
-        }
+          cn -> when(pred, expr(PgRewrite.rewrite(e)).cast(TypeMap.toSpark(cd.sqlType)))
+            .otherwise(col(cn))
+        }.toMap
+        require(sets.size == topSplit(setS).size,
+          s"multiple assignments to the same column in UPDATE: $setS")
+        val next = cur.select(t.columns.map(c =>
+          sets.getOrElse(c.name, col(c.name)).as(c.name)): _*)
         validate(t, next)
         // post-update uniqueness over the whole table
         val keys = t.columns.filter(_.unique).map(c => Seq(c.name)) ++ t.uniqueKeys ++
           (if (t.primaryKey.nonEmpty && !t.hasRowId) Seq(t.primaryKey) else Nil)
         keys.distinct.foreach { k =>
-          if (next.groupBy(k.map(col): _*).count().filter(col("count") > 1).limit(1).count() > 0)
+          val allSet = k.map(col(_).isNotNull).reduce(_ && _)
+          if (next.filter(allSet).groupBy(k.map(col): _*).count()
+              .filter(col("count") > 1).limit(1).count() > 0)
             throw new IllegalArgumentException(s"UNIQUE violation after UPDATE: ${k.mkString(",")}")
         }
         publish(t, next)

@@ -12,21 +12,33 @@ object StatementSplitter {
     val cur = new StringBuilder
     var i = 0
     var inS = false; var inD = false; var inLine = false; var inBlock = false
-    var inDollar = false // PG dollar-quoted body ($$ ... $$), e.g. DO blocks
+    // PG dollar-quoted body: `$$ … $$` or tagged `$tag$ … $tag$` (e.g. DO
+    // blocks, function bodies). Non-null = the exact closing delimiter.
+    var dollarClose: String = null
+    // `$tag$` opener at position p, or null ($ alone is not an opener)
+    def dollarOpenAt(p: Int): String = {
+      if (sql.charAt(p) != '$') return null
+      var j = p + 1
+      while (j < sql.length && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+      if (j < sql.length && sql.charAt(j) == '$') sql.substring(p, j + 1) else null
+    }
     while (i < sql.length) {
       val c = sql.charAt(i)
       val next = if (i + 1 < sql.length) sql.charAt(i + 1) else ' '
       if (inLine) { if (c == '\n') { inLine = false; cur += c } ; i += 1 }
       else if (inBlock) { if (c == '*' && next == '/') { inBlock = false; i += 2 } else i += 1 }
-      else if (inDollar) {
-        cur += c
-        if (c == '$' && next == '$') { cur += next; i += 2; inDollar = false } else i += 1
+      else if (dollarClose != null) {
+        if (c == '$' && sql.startsWith(dollarClose, i)) {
+          cur ++= dollarClose; i += dollarClose.length; dollarClose = null
+        } else { cur += c; i += 1 }
       }
       else if (inS) { cur += c; if (c == '\'') { if (next == '\'') { cur += next; i += 1 } else inS = false }; i += 1 }
       else if (inD) { cur += c; if (c == '"') inD = false; i += 1 }
       else c match {
         case '-' if next == '-' => inLine = true; i += 2
-        case '$' if next == '$' => inDollar = true; cur += c; cur += next; i += 2
+        case '$' if dollarOpenAt(i) != null =>
+          val tag = dollarOpenAt(i)
+          dollarClose = tag; cur ++= tag; i += tag.length
         case '/' if next == '*' => inBlock = true; i += 2
         case '\'' => inS = true; cur += c; i += 1
         case '"' => inD = true; cur += c; i += 1
@@ -56,7 +68,47 @@ object PgRewrite {
   private val idxOnIdent = """([\w\.]+)\s*->(>?)\s*(\d+)""".r
   private val keyOnGjo = """get_json_object\(([\w\.]+),\s*'(\$[^']*)'\)\s*->(>?)\s*'([^']+)'""".r
   private val idxOnGjo = """get_json_object\(([\w\.]+),\s*'(\$[^']*)'\)\s*->(>?)\s*(\d+)""".r
-  private val cast = """(\w+|'[^']*'|\))::(\w+(?:\s+precision)?(?:\(\d+(?:,\d+)?\))?)""".r
+  private val castSimple = """((?:\w+\.)*\w+|'[^']*')::(\w+(?:\s+precision)?(?:\(\d+(?:,\d+)?\))?)""".r
+  private val castType = """\w+(?:\s+precision)?(?:\(\d+(?:,\d+)?\))?""".r
+
+  /** Rewrite `expr::type` → `CAST(expr AS type)`. Parenthesized operands
+    * (`(a+b)::int`, `f(x)::int`) need a paren-balanced backward scan — a
+    * regex alternative on `)` would capture only the closer and emit
+    * invalid SQL. Inner `::` inside the captured operand are picked up by
+    * later iterations / the simple-operand pass. */
+  private def rewriteCasts(sql: String): String = {
+    var out = sql
+    var i = out.indexOf("::")
+    while (i >= 0) {
+      if (i > 0 && out.charAt(i - 1) == ')') {
+        // scan back to the balanced '(' and any attached function name
+        var depth = 0; var j = i - 1; var found = -1
+        while (j >= 0 && found < 0) {
+          out.charAt(j) match {
+            case ')' => depth += 1
+            case '(' => depth -= 1; if (depth == 0) found = j
+            case _ =>
+          }
+          if (found < 0) j -= 1
+        }
+        val next = castType.findPrefixMatchOf(out.substring(i + 2)) match {
+          case Some(m) if found >= 0 =>
+            var k = found - 1
+            while (k >= 0 && (out.charAt(k).isLetterOrDigit ||
+              out.charAt(k) == '_' || out.charAt(k) == '.')) k -= 1
+            val start = k + 1
+            val operand = out.substring(start, i)
+            out = out.substring(0, start) +
+              s"CAST($operand AS ${m.matched})" + out.substring(i + 2 + m.end)
+            start
+          case _ => i + 2
+        }
+        i = out.indexOf("::", next)
+      } else i = out.indexOf("::", i + 2)
+    }
+    castSimple.replaceAllIn(out, m =>
+      java.util.regex.Matcher.quoteReplacement(s"CAST(${m.group(1)} AS ${m.group(2)})"))
+  }
 
   def rewrite(sql: String): String = {
     var s = path.replaceAllIn(sql, m =>
@@ -79,8 +131,7 @@ object PgRewrite {
           s"get_json_object(${m.group(1)}, '$$[${m.group(3)}]')"))
       changed = s != before
     }
-    s = cast.replaceAllIn(s, m =>
-      java.util.regex.Matcher.quoteReplacement(s"CAST(${m.group(1)} AS ${m.group(2)})"))
+    s = rewriteCasts(s)
     // PG system functions the reference serves at protocol level
     // (postgres/PostgresConnectionHandler.java:202-213,296-371)
     s = s.replaceAll("(?i)\\bVERSION\\s*\\(\\)", "'graft (Spark " +

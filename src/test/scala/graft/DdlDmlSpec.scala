@@ -216,6 +216,104 @@ class DdlDmlSpec extends SparkSpec {
     assert(stmts == Seq("SELECT 'a;b' AS x", "SELECT 2", "SELECT 3"))
   }
 
+  test("UPDATE SET expressions all evaluate against the pre-update row") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY, a INT, b INT)")
+    s.sql("INSERT INTO t VALUES (1, 10, 20), (2, 30, 40)")
+    // SQL semantics: both RHS read the OLD row → this swaps
+    s.sql("UPDATE t SET a = b, b = a WHERE id = 1")
+    val r = s.sql("SELECT a, b FROM t ORDER BY id").collect()
+    assert(r(0).getInt(0) == 20 && r(0).getInt(1) == 10)
+    assert(r(1).getInt(0) == 30 && r(1).getInt(1) == 40)
+    // WHERE referencing a column being SET selects on the OLD value
+    s.sql("UPDATE t SET a = a + 1000 WHERE a < 25")
+    assert(s.sql("SELECT a FROM t ORDER BY id").collect().map(_.getInt(0)).toSeq ==
+      Seq(1020, 30))
+    // duplicate assignment to the same column is rejected (PG parity)
+    assertThrows[IllegalArgumentException](s.sql("UPDATE t SET a = 1, a = 2"))
+  }
+
+  test("UNIQUE allows multiple NULLs (Postgres semantics)") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY, email TEXT UNIQUE)")
+    s.sql("INSERT INTO t VALUES (1, NULL), (2, NULL)") // batch-internal NULLs distinct
+    s.sql("INSERT INTO t VALUES (3, NULL)")            // cross-batch NULL distinct
+    s.sql("INSERT INTO t VALUES (4, 'a@x')")
+    assertThrows[IllegalArgumentException](s.sql("INSERT INTO t VALUES (5, 'a@x')"))
+    assert(s.sql("SELECT count(*) AS c FROM t").collect()(0).getLong(0) == 4)
+    // UPDATE post-check tolerates NULL keys too
+    s.sql("UPDATE t SET email = NULL WHERE id = 4")
+    assert(s.sql("SELECT count(*) AS c FROM t WHERE email IS NULL").collect()(0).getLong(0) == 4)
+    // composite UNIQUE: a NULL component makes the key distinct
+    s.sql("CREATE TABLE u (id INT PRIMARY KEY, a INT, b INT, UNIQUE (a, b))")
+    s.sql("INSERT INTO u VALUES (1, 7, NULL), (2, 7, NULL)")
+    assertThrows[IllegalArgumentException](s.sql("INSERT INTO u VALUES (3, 7, 8), (4, 7, 8)"))
+  }
+
+  test("ALTER TABLE ADD CONSTRAINT FOREIGN KEY enforces later inserts") {
+    val s = fresh()
+    s.sql("CREATE TABLE parent (id INT PRIMARY KEY); " +
+      "CREATE TABLE child (id INT PRIMARY KEY, pid INT)")
+    s.sql("INSERT INTO parent VALUES (1)")
+    s.sql("INSERT INTO child VALUES (10, 99)") // pre-constraint: unchecked
+    s.sql("ALTER TABLE child ADD CONSTRAINT child_pid_fk FOREIGN KEY (pid) REFERENCES parent (id)")
+    assertThrows[IllegalArgumentException](s.sql("INSERT INTO child VALUES (11, 77)"))
+    s.sql("INSERT INTO child VALUES (12, 1)")
+    val d = s.sql("DESCRIBE child").collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(d("pid").contains("FK→parent(id)"))
+    // unnamed form too
+    s.sql("CREATE TABLE child2 (id INT PRIMARY KEY, pid INT)")
+    s.sql("ALTER TABLE child2 ADD FOREIGN KEY (pid) REFERENCES parent (id)")
+    assertThrows[IllegalArgumentException](s.sql("INSERT INTO child2 VALUES (1, 42)"))
+  }
+
+  test("ALTER TABLE ADD CONSTRAINT UNIQUE checks existing rows and future inserts") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT, w INT)")
+    s.sql("INSERT INTO t VALUES (1, 5, 1), (2, 5, 2)")
+    // existing duplicates block the constraint
+    assertThrows[IllegalArgumentException](s.sql("ALTER TABLE t ADD CONSTRAINT t_v UNIQUE (v)"))
+    s.sql("UPDATE t SET v = 6 WHERE id = 2")
+    s.sql("ALTER TABLE t ADD CONSTRAINT t_v UNIQUE (v)")
+    assertThrows[IllegalArgumentException](s.sql("INSERT INTO t VALUES (3, 6, 3)"))
+    // composite form lands in uniqueKeys
+    s.sql("ALTER TABLE t ADD CONSTRAINT t_vw UNIQUE (v, w)")
+    assertThrows[IllegalArgumentException](s.sql("INSERT INTO t VALUES (4, 9, 9), (5, 9, 9)"))
+    // CHECK accepted and ignored (reference parity)
+    s.sql("ALTER TABLE t ADD CONSTRAINT c CHECK (v > 0)")
+  }
+
+  test("parenthesized and function-call :: casts rewrite correctly") {
+    assert(PgRewrite.rewrite("SELECT (a+b)::int FROM t") ==
+      "SELECT CAST((a+b) AS int) FROM t")
+    assert(PgRewrite.rewrite("SELECT abs(x)::bigint FROM t") ==
+      "SELECT CAST(abs(x) AS bigint) FROM t")
+    assert(PgRewrite.rewrite("SELECT ((a+b)*c)::decimal(10,2) FROM t") ==
+      "SELECT CAST(((a+b)*c) AS decimal(10,2)) FROM t")
+    assert(PgRewrite.rewrite("SELECT t.c::int FROM t") ==
+      "SELECT CAST(t.c AS int) FROM t")
+    // nested: inner cast inside a parenthesized operand
+    assert(PgRewrite.rewrite("SELECT (x::double + 1)::int FROM t") ==
+      "SELECT CAST((CAST(x AS double) + 1) AS int) FROM t")
+  }
+
+  test("parenthesized :: cast end-to-end through the session") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY, a DOUBLE, b DOUBLE)")
+    s.sql("INSERT INTO t VALUES (1, 1.6, 2.7)")
+    val r = s.sql("SELECT (a + b)::int AS s, round(a, 0)::bigint AS ra FROM t").collect()(0)
+    assert(r.getInt(0) == 4 && r.getLong(1) == 2L)
+  }
+
+  test("tagged dollar quoting shields statement bodies") {
+    val stmts = StatementSplitter.split(
+      "DO $fn$ BEGIN; SELECT 1; END $fn$; SELECT 2")
+    assert(stmts == Seq("DO $fn$ BEGIN; SELECT 1; END $fn$", "SELECT 2"))
+    // plain $$ still works, and a $tag$ body may contain $$
+    val mixed = StatementSplitter.split("DO $body$ x; $$ y; $body$; SELECT 3")
+    assert(mixed == Seq("DO $body$ x; $$ y; $body$", "SELECT 3"))
+  }
+
   test("UPDATE rejects constraint-violating result") {
     val s = fresh()
     s.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")

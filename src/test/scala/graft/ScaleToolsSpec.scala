@@ -39,6 +39,29 @@ class ScaleToolsSpec extends SparkSpec {
     assert(r.getSeq[Long](1).length == 2)
   }
 
+  test("label propagation converges on a deep chain and fails loudly past the cap") {
+    import spark.implicits._
+    // chain 0-1-…-12: diameter 12 → needs 12 propagation rounds; a silent
+    // cap would publish wrong clusters, so the cap must throw instead
+    val pairs = (0 until 12).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val out = graft.operators.DedupQueries.labelPropagation(pairs, maxIter = 20)
+    val rows = out.collect()
+    assert(rows.length == 13 && rows.forall(_.getLong(1) == 0L))
+    assertThrows[IllegalStateException](
+      graft.operators.DedupQueries.labelPropagation(pairs, maxIter = 3))
+  }
+
+  test("label propagation stays correct on the hash-partitioned large-graph path") {
+    import spark.implicits._
+    // 5 star components; a tiny threshold forces the repartition(u) path
+    val pairs = (0 until 50).map(i => (i.toLong, (i % 5).toLong + 100L)).toDF("a", "b")
+    val out = graft.operators.DedupQueries.labelPropagation(
+      pairs, maxIter = 20, smallGraphEdges = 10)
+    val m = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 50).foreach(i => assert(m(i.toLong) == (i % 5).toLong, s"node $i"))
+    (0 until 5).foreach(k => assert(m(100L + k) == k.toLong, s"hub $k"))
+  }
+
   test("approximate sketches land within tolerance of exact answers") {
     val df = Tables.load(spark, sf("sf0.01"), "orders")
     val exact = df.select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)

@@ -83,6 +83,82 @@ class SessionExtrasSpec extends SparkSpec {
     assert(cols == Seq("id", "name"))
   }
 
+  test("bulk INSERT..SELECT: one sequence reservation, distributed id assignment") {
+    val s = fresh()
+    s.sql("CREATE TABLE big (id SERIAL, v BIGINT)")
+    spark.range(0, 100000).toDF("src_v").createOrReplaceTempView("bulk_src")
+    s.sql("INSERT INTO big (v) SELECT src_v FROM bulk_src")
+    val r = s.sql(
+      "SELECT min(id) AS a, max(id) AS b, count(DISTINCT id) AS d, count(*) AS n FROM big")
+      .collect()(0)
+    assert(r.getInt(0) == 1 && r.getInt(1) == 100000)
+    assert(r.getLong(2) == 100000L && r.getLong(3) == 100000L)
+    // the whole block was reserved in ONE catalog write
+    assert(s.catalog.sequences("big_id_seq").current.contains(100000L))
+    // and the id assignment stayed distributed: multiple part-files, not a
+    // single-partition funnel
+    val t = s.catalog.getTable("big").get
+    val parts = {
+      val st = Files.list(s.catalog.tableDir(t))
+      try st.filter(p => p.toString.endsWith(".parquet")).count()
+      finally st.close()
+    }
+    assert(parts > 1, s"expected multiple part-files, got $parts")
+  }
+
+  test("SERIAL honors a pre-existing sequence's START and INCREMENT") {
+    val s = fresh()
+    s.sql("CREATE SEQUENCE t_id_seq START WITH 10 INCREMENT BY 5")
+    s.sql("CREATE TABLE t (id SERIAL, v TEXT)")
+    s.sql("INSERT INTO t (v) VALUES ('a'), ('b'), ('c')")
+    assert(s.sql("SELECT id FROM t ORDER BY id").collect().map(_.getInt(0)).toSeq ==
+      Seq(10, 15, 20))
+    assert(s.catalog.nextVal("t_id_seq") == 25) // sequence state consistent
+  }
+
+  test("pg_index, pg_namespace and pg_type answer introspection queries") {
+    val s = fresh()
+    s.sql("CREATE TYPE mood AS ENUM ('up','down'); " +
+      "CREATE TABLE t (id INT PRIMARY KEY, email TEXT UNIQUE, a INT, b INT, UNIQUE (a, b))")
+    val idx = s.sql("SELECT indexname, indisprimary, indkey FROM pg_index " +
+      "WHERE relname = 't' ORDER BY indexname").collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2)))
+    assert(idx.toSeq == Seq(
+      ("t_email_key", false, "email"), ("t_pkey", true, "id"), ("t_uq1_key", false, "a,b")))
+    val ns = s.sql("SELECT nspname FROM pg_namespace").collect().map(_.getString(0)).toSet
+    assert(ns.contains("public") && ns.contains("pg_catalog"))
+    val ty = s.sql("SELECT typname, typtype FROM pg_type " +
+      "WHERE typname IN ('int4', 'mood')").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ty == Map("int4" -> "b", "mood" -> "e"))
+  }
+
+  test("REFRESH MATERIALIZED VIEW INCREMENTALLY reads only new rows") {
+    val s = fresh()
+    s.sql("CREATE TABLE ev (id INT PRIMARY KEY, kind TEXT, amt DOUBLE)")
+    s.sql("INSERT INTO ev VALUES (1,'a',1.0), (2,'a',2.0), (3,'b',3.0)")
+    s.sql("CREATE MATERIALIZED VIEW evagg AS " +
+      "SELECT kind, count(*) AS n, sum(amt) AS total FROM ev GROUP BY kind")
+    // first incremental refresh streams the 3 existing rows into state
+    assert(graft.streaming.MatviewMaintenance.refreshOnce(s, "evagg") == 3L)
+    s.sql("INSERT INTO ev VALUES (4,'b',4.0)")
+    // the second pass reads ONLY the appended part-file — no recompute
+    assert(graft.streaming.MatviewMaintenance.refreshOnce(s, "evagg") == 1L)
+    val m = s.sql("SELECT kind, n, total FROM evagg ORDER BY kind").collect()
+    assert(m(0).getString(0) == "a" && m(0).getLong(1) == 2 && m(0).getDouble(2) == 3.0)
+    assert(m(1).getString(0) == "b" && m(1).getLong(1) == 2 && m(1).getDouble(2) == 7.0)
+    // statement form
+    s.sql("INSERT INTO ev VALUES (5,'a',5.0)")
+    s.sql("REFRESH MATERIALIZED VIEW evagg INCREMENTALLY")
+    val a = s.sql("SELECT n, total FROM evagg WHERE kind = 'a'").collect()(0)
+    assert(a.getLong(0) == 3 && a.getDouble(1) == 8.0)
+    // UPDATE publishes a new snapshot → checkpoint resets, result stays right
+    s.sql("UPDATE ev SET amt = 10.0 WHERE id = 1")
+    s.sql("REFRESH MATERIALIZED VIEW evagg INCREMENTALLY")
+    val a2 = s.sql("SELECT n, total FROM evagg WHERE kind = 'a'").collect()(0)
+    assert(a2.getLong(0) == 3 && a2.getDouble(1) == 17.0)
+  }
+
   test("time travel reads prior snapshot versions after UPDATE/DELETE") {
     val s = fresh()
     s.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
