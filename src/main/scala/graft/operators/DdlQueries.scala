@@ -38,6 +38,58 @@ object DdlQueries extends QueryPack {
         .select(col("id"), col("name"), col("balance"), col("orders").cast("int").as("orders"))
     },
 
+    // ALTER TABLE ADD CONSTRAINT enforcement (reference
+    // kv/KvQueryExecutor.java:2877-3153): FK and UNIQUE added post-hoc
+    // must reject violating inserts while accepting valid ones; the final
+    // table state is fully determined.
+    Q(
+      "ddl_alter_constraint",
+      """SELECT * FROM (VALUES
+        |  (1, 10, 'ok'),
+        |  (2, 20, 'ok2')
+        |) t(id, pid, v)
+        |ORDER BY id""".stripMargin
+    ) { (s, _) =>
+      val gs = new GraftSession(s, Files.createTempDirectory("graft_gate"))
+      gs.sql("""
+        CREATE TABLE par (id INT PRIMARY KEY);
+        CREATE TABLE ch (id INT PRIMARY KEY, pid INT, v TEXT);
+        INSERT INTO par VALUES (10), (20);
+        INSERT INTO ch VALUES (1, 10, 'ok');
+        ALTER TABLE ch ADD CONSTRAINT ch_fk FOREIGN KEY (pid) REFERENCES par (id);
+        ALTER TABLE ch ADD CONSTRAINT ch_u UNIQUE (v);
+      """)
+      def rejected(sql: String): Boolean =
+        try { gs.sql(sql); false } catch { case _: IllegalArgumentException => true }
+      require(rejected("INSERT INTO ch VALUES (9, 99, 'x')"), "orphan FK accepted")
+      require(rejected("INSERT INTO ch VALUES (9, 10, 'ok')"), "duplicate UNIQUE accepted")
+      gs.sql("INSERT INTO ch VALUES (2, 20, 'ok2')")
+      gs.sql("SELECT id, pid, v FROM ch ORDER BY id")
+    },
+
+    // Incremental matview refresh: rows inserted after materialization
+    // reach the view through the checkpointed streaming path (only new
+    // part-files are read), and the refreshed state is fully determined.
+    Q(
+      "ddl_matview_incremental",
+      """SELECT * FROM (VALUES
+        |  ('a', CAST(3 AS BIGINT), CAST(8.0 AS DOUBLE)),
+        |  ('b', CAST(2 AS BIGINT), CAST(7.0 AS DOUBLE))
+        |) t(kind, n, total)
+        |ORDER BY kind""".stripMargin
+    ) { (s, _) =>
+      val gs = new GraftSession(s, Files.createTempDirectory("graft_gate"))
+      gs.sql("""
+        CREATE TABLE ev (id INT PRIMARY KEY, kind TEXT, amt DOUBLE);
+        INSERT INTO ev VALUES (1,'a',1.0), (2,'a',2.0), (3,'b',3.0);
+        CREATE MATERIALIZED VIEW evagg AS
+          SELECT kind, count(*) AS n, sum(amt) AS total FROM ev GROUP BY kind;
+        INSERT INTO ev VALUES (4,'b',4.0), (5,'a',5.0);
+        REFRESH MATERIALIZED VIEW evagg INCREMENTALLY;
+      """)
+      gs.sql("SELECT kind, n, total FROM evagg ORDER BY kind")
+    },
+
     // PG-dialect JSON operators through the session's pre-rewrite
     // (SURVEY §4.3.1; reference kv/KvQueryExecutor.java:3159-3211) — the
     // oracle uses DuckDB's native json functions on the same literals.

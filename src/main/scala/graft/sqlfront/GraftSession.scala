@@ -110,7 +110,22 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       "interval", "json", "jsonb", "bytea", "uuid").map((_, "b"))
     (baseTypes ++ catalog.enums.values.map(e => (e.name, "e")))
       .toDF("typname", "typtype").createOrReplaceTempView("pg_type")
+    // pg_proc: the callable surface — Spark builtins plus graft's native
+    // SQL-registered expressions (reference lists its function registry).
+    // The registry is static per session, so list it once, not per query.
+    if (!pgProcRegistered) {
+      (spark.catalog.listFunctions().collect().map(f => (f.name, "public")).toSeq :+
+        (("nextval", "pg_catalog"))).distinct
+        .toDF("proname", "pronamespace").createOrReplaceTempView("pg_proc")
+      pgProcRegistered = true
+    }
+    // pg_settings: live session configuration (reference serves a fixed
+    // GUC list at protocol level; here the real Spark conf).
+    spark.conf.getAll.toSeq.map { case (k, vl) => (k, vl) }
+      .toDF("name", "setting").createOrReplaceTempView("pg_settings")
   }
+
+  private var pgProcRegistered = false
 
   // --------------------------------------------------------------- route
 

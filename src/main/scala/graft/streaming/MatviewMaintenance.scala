@@ -3,7 +3,8 @@ package graft.streaming
 import java.nio.file.{Files, Path}
 import scala.util.control.NonFatal
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{StructField, StructType}
 
 import graft.sqlfront.{GraftSession, PgRewrite, TypeMap}
@@ -88,6 +89,48 @@ object MatviewMaintenance {
     } finally {
       gs.registerAll() // restore the batch temp view over the base table
     }
+  }
+
+  /** Continuous background maintenance — the analogue of the reference's
+    * BackgroundJobScheduler + MaterializedViewRefreshJob pair, but push-
+    * based: a long-running streaming query that picks up every appended
+    * part-file within one trigger interval and republishes the matview,
+    * instead of a timer that re-runs the full SELECT. Share the same
+    * checkpoint as [[refreshOnce]], so one-shot and background refreshes
+    * can interleave. Caller owns the returned query's lifecycle. */
+  def continuous(gs: GraftSession, name: String,
+      triggerInterval: String = "5 seconds"): StreamingQuery = {
+    val spark = gs.spark
+    val v = gs.catalog.views(name.toLowerCase)
+    require(v.materialized, s"$name is not materialized")
+    val t = (v.sql match {
+      case fromRe(b) => gs.catalog.getTable(b.replaceAll("\"", "").toLowerCase)
+      case _ => None
+    }).getOrElse(throw new IllegalArgumentException(
+      s"cannot maintain $name continuously: no single base table in its SQL"))
+    val ckptRoot = gs.catalog.root.resolve("_ckpt_" + v.name)
+    val marker = ckptRoot.resolve("_basever")
+    if (Files.exists(marker) && Files.readString(marker).trim != t.version.toString)
+      deleteRec(ckptRoot)
+    Files.createDirectories(ckptRoot)
+    Files.writeString(marker, t.version.toString)
+    val dir = gs.catalog.tableDir(t)
+    Files.createDirectories(dir)
+    val schema = StructType(t.columns.map(c =>
+      StructField(c.name, TypeMap.toSpark(c.sqlType), nullable = true)))
+    gs.registerAll()
+    spark.readStream.schema(schema).parquet(dir.toString)
+      .select(t.visibleColumns.map(c => org.apache.spark.sql.functions.col(c.name)): _*)
+      .createOrReplaceTempView(t.name)
+    val target = gs.catalog.matviewDir(v).toString
+    val agg = spark.sql(PgRewrite.rewrite(v.sql))
+    agg.writeStream.outputMode("complete")
+      .option("checkpointLocation", ckptRoot.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerInterval))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(target)
+      }
+      .start()
   }
 
   private def deleteRec(p: Path): Unit = {

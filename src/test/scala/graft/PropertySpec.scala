@@ -37,6 +37,24 @@ class PropertySpec extends AnyFunSuite {
     assert(s == Seq("DO $$ BEGIN x; y; END $$", "SELECT 1"))
   }
 
+  test("StatementSplitter round-trips tagged dollar-quoted bodies") {
+    val body = Gen.oneOf("x; y", "SELECT 1; SELECT 2", "it''s; fine", "$$ inner; $$")
+    val gen = for { tag <- ident; b <- body; a <- ident } yield
+      (s"DO $$$tag$$ $b $$$tag$$", s"SELECT 1 AS $a")
+    check(Prop.forAll(gen) { case (doStmt, sel) =>
+      StatementSplitter.split(s"$doStmt;\n$sel") == Seq(doStmt, sel)
+    })
+  }
+
+  test("PgRewrite handles parenthesized casts without corrupting SQL") {
+    check(Prop.forAll(ident, ident) { (a, b) =>
+      PgRewrite.rewrite(s"SELECT ($a + $b)::int FROM t") ==
+        s"SELECT CAST(($a + $b) AS int) FROM t" &&
+      PgRewrite.rewrite(s"SELECT f($a)::bigint FROM t") ==
+        s"SELECT CAST(f($a) AS bigint) FROM t"
+    })
+  }
+
   test("PgRewrite is idempotent") {
     val sqlGen = Gen.oneOf(
       "SELECT props->>'k' FROM e",

@@ -159,6 +159,35 @@ class SessionExtrasSpec extends SparkSpec {
     assert(a2.getLong(0) == 3 && a2.getDouble(1) == 17.0)
   }
 
+  test("pg_proc and pg_settings expose the function registry and live conf") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY)")
+    val fns = s.sql("SELECT proname FROM pg_proc " +
+      "WHERE proname IN ('sum', 'dot_exact', 'graft_minhash')").collect()
+      .map(_.getString(0)).toSet
+    assert(fns == Set("sum", "dot_exact", "graft_minhash")) // builtins + native graft fns
+    val shuffle = s.sql(
+      "SELECT setting FROM pg_settings WHERE name = 'spark.sql.shuffle.partitions'")
+      .collect()(0).getString(0)
+    assert(shuffle.toInt > 0)
+  }
+
+  test("repeated table reads do not leak directory file descriptors") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY); INSERT INTO t VALUES (1)")
+    val t = s.catalog.getTable("t").get
+    def fdCount(): Int = {
+      val st = Files.list(java.nio.file.Paths.get("/proc/self/fd"))
+      try st.count().toInt finally st.close()
+    }
+    s.tableDf(t).count() // settle lazy initialization
+    val before = fdCount()
+    (1 to 500).foreach(_ => s.tableDf(t))
+    (1 to 500).foreach(_ => s.tableVersion("t", 0))
+    val after = fdCount()
+    assert(after - before < 50, s"fd growth: $before -> $after")
+  }
+
   test("time travel reads prior snapshot versions after UPDATE/DELETE") {
     val s = fresh()
     s.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")

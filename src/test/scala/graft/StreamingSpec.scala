@@ -109,6 +109,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("continuous background maintenance keeps a session matview fresh") {
+    val s = new graft.sqlfront.GraftSession(
+      spark, java.nio.file.Files.createTempDirectory("graft_wh"))
+    s.sql("CREATE TABLE ev (id INT PRIMARY KEY, kind TEXT, amt DOUBLE)")
+    s.sql("INSERT INTO ev VALUES (1,'a',1.0), (2,'b',2.0)")
+    s.sql("CREATE MATERIALIZED VIEW evtot AS " +
+      "SELECT kind, sum(amt) AS total FROM ev GROUP BY kind")
+    // the scheduler analogue: a long-running query picks up appended
+    // part-files and republishes — no REFRESH statements needed
+    val q = graft.streaming.MatviewMaintenance.continuous(s, "evtot", "1 second")
+    try {
+      q.processAllAvailable()
+      s.sql("INSERT INTO ev VALUES (3,'a',10.0)")
+      q.processAllAvailable()
+      val m = s.sql("SELECT kind, total FROM evtot ORDER BY kind").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(m == Map("a" -> 11.0, "b" -> 2.0))
+    } finally q.stop()
+  }
+
   test("streaming deduplication drops replayed events within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
