@@ -311,6 +311,45 @@ object DedupQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Decontamination: eval/train overlap detection — the training-data
+    // hygiene pass run before every model train. The smallest source is
+    // the "eval set"; for each of its docs, count train docs sharing at
+    // least one word-5-gram and how many of its 5-grams are compromised.
+    // Shape at 100 TB: the eval side is tiny → its shingles broadcast
+    // against the corpus-sized train inverted index; one hash join, no
+    // all-pairs.
+    Q(
+      "dedup_contamination",
+      """WITH sh AS (
+        |  SELECT doc_id, source, unnest(list_distinct(
+        |    list_transform(generate_series(1, len(string_split(text,' ')) - 4),
+        |                   i -> array_to_string((string_split(text,' '))[i:i+4], ' ')))) AS sh
+        |  FROM documents)
+        |SELECT e.doc_id,
+        |       COUNT(DISTINCT t.doc_id) AS contaminating_docs,
+        |       COUNT(DISTINCT e.sh) AS shared_shingles
+        |FROM sh e JOIN sh t ON e.sh = t.sh
+        |WHERE e.source = (SELECT min(source) FROM documents)
+        |  AND t.source <> (SELECT min(source) FROM documents)
+        |GROUP BY e.doc_id
+        |ORDER BY e.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val sh5 = docs.select(col("doc_id"), col("source"),
+        explode(graft.functions.VectorFunctions.shingles(col("text"), 5)).as("sh"))
+      val msrc = docs.agg(min(col("source")).as("msrc"))
+      val tagged = sh5.crossJoin(broadcast(msrc))
+      val evalSh = tagged.filter(col("source") === col("msrc"))
+        .select(col("doc_id").as("e_id"), col("sh"))
+      val trainSh = tagged.filter(col("source") =!= col("msrc"))
+        .select(col("doc_id").as("t_id"), col("sh"))
+      evalSh.join(trainSh, "sh")
+        .groupBy(col("e_id").as("doc_id"))
+        .agg(countDistinct(col("t_id")).as("contaminating_docs"),
+          countDistinct(col("sh")).as("shared_shingles"))
+        .orderBy(col("doc_id"))
+    },
+
     // SimHash: 32-bit weighted bit-vote signature per doc; near-dup
     // candidates must share one of 4 exact 8-bit bands (hamming<=3 ⇒ some
     // band is untouched), then verified by hamming distance. Banding makes

@@ -183,6 +183,81 @@ object SimilarityQueries extends QueryPack {
           (dotExact(col("embedding"), col("eb")) / (col("norm") * col("nb"))).as("cosine"))
         .filter(col("cosine") >= 0.2)
         .orderBy(col("a"), col("b"))
+    },
+
+    // IVF-Flat ANN — the other canonical scale path besides LSH: a coarse
+    // quantizer (deterministic: the first 16 corpus vectors as centroids)
+    // partitions the corpus into inverted lists; each query probes its 2
+    // nearest centroids and exact-reranks ONLY those lists. At 100 TB the
+    // lists are hash-partitioned by centroid id and the probe set is a
+    // broadcast — a query touches nprobe/nlist of the corpus instead of
+    // all of it.
+    Q(
+      "sim_ann_ivf",
+      s"""WITH u AS ($oVecs),
+         |n AS ($oNorms),
+         |cents AS (SELECT vec_id AS cid, x, p FROM u WHERE vec_id < 16),
+         |adots AS (
+         |  SELECT u.vec_id, c.cid,
+         |         CAST(SUM(CAST(CAST(u.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         |  FROM u JOIN cents c ON u.p = c.p
+         |  GROUP BY u.vec_id, c.cid),
+         |acos AS (
+         |  SELECT a.vec_id, a.cid, a.dot / (nv.norm * nc.norm) AS cos
+         |  FROM adots a JOIN n nv ON a.vec_id = nv.vec_id JOIN n nc ON a.cid = nc.vec_id),
+         |ranked_assign AS (
+         |  SELECT vec_id, cid,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
+         |  FROM acos),
+         |lists AS (SELECT vec_id, cid FROM ranked_assign WHERE rnk = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid FROM ranked_assign
+         |  WHERE rnk <= 2 AND vec_id IN (5, 6, 7, 8, 9)),
+         |cand AS (
+         |  SELECT p.query_id, l.vec_id AS neighbor_id
+         |  FROM probes p JOIN lists l ON p.cid = l.cid AND l.vec_id <> p.query_id),
+         |dots AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         CAST(SUM(CAST(CAST(q.x AS DOUBLE) * CAST(v.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         |  FROM cand c JOIN u q ON q.vec_id = c.query_id
+         |              JOIN u v ON v.vec_id = c.neighbor_id AND q.p = v.p
+         |  GROUP BY c.query_id, c.neighbor_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, dot / (nq.norm * nn.norm) AS cosine
+         |  FROM dots JOIN n nq ON query_id = nq.vec_id JOIN n nn ON neighbor_id = nn.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin
+    ) { (s, dir) =>
+      val vecs = withNorm(Tables.load(s, dir, "embeddings"))
+      val cents = vecs.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("norm").as("cnorm"))
+      // assignment: every vector scored against the 16 broadcast centroids
+      val assigned = vecs.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("norm"), col("cid"),
+          (dotExact(col("embedding"), col("ce")) / (col("norm") * col("cnorm"))).as("cos"))
+      val wA = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
+      val rankedAssign = assigned.withColumn("rnk", row_number().over(wA))
+      val lists = rankedAssign.filter(col("rnk") === 1)
+        .select(col("vec_id"), col("embedding"), col("norm"), col("cid"))
+      val probes = rankedAssign.filter(col("rnk") <= 2 && col("vec_id").isin(5, 6, 7, 8, 9))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("norm").as("qnorm"), col("cid"))
+      // probe join: only the 2 probed lists per query are rescanned
+      val scored = lists.join(broadcast(probes), "cid")
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (dotExact(col("qe"), col("embedding")) / (col("qnorm") * col("norm")))
+            .as("cosine"))
+      val wq = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      scored.withColumn("rnk", row_number().over(wq))
+        .filter(col("rnk") <= 10)
+        .orderBy(col("query_id"), col("rnk"))
     }
   )
 }
