@@ -389,15 +389,12 @@ object DedupQueries extends QueryPack {
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
       val th = tf.select(col("doc_id"), col("cnt"),
         conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
-      val votes = th
-        .select(col("doc_id"), col("cnt"), col("h"),
-          explode(sequence(lit(0), lit(31))).as("b"))
-        .groupBy(col("doc_id"), col("b"))
-        .agg(sum(when(expr("((h >> b) & 1) = 1"), col("cnt")).otherwise(-col("cnt"))).as("s"))
-      val sig = votes
+      // fused bit votes: ONE partial-aggregated pass (32 longs per doc
+      // cross the shuffle) instead of explode(×32) + (doc,bit) groupBy —
+      // bit-identical to the oracle's explicit vote spelling
+      val sig = th
         .groupBy(col("doc_id"))
-        .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L))
-          .as("sh32"))
+        .agg(graft.functions.BitVoteAgg.simhash32(col("h"), col("cnt")).as("sh32"))
       val bandrows = sig
         .select(col("doc_id"), col("sh32"), explode(sequence(lit(0), lit(3))).as("band"))
         .withColumn("bkey", expr("(sh32 >> (band * 8)) & 255"))
