@@ -50,6 +50,32 @@ class PlanSpec extends SparkSpec {
     assert(anti.toLowerCase.contains("leftanti"), s"expected anti join:\n$anti")
   }
 
+  test("IVF probe join broadcasts the query side") {
+    // the probe set (queries × 2 centroids) must broadcast against the
+    // corpus-sized inverted lists — a shuffle here would defeat IVF
+    val p = planOf("sim_ann_ivf")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast probe join:\n${p.take(1500)}")
+  }
+
+  test("decontamination joins the shingle inverted index once (hash join, no cartesian)") {
+    val p = planOf("dedup_contamination")
+    assert(!p.contains("CartesianProduct"),
+      s"decontamination must not plan a cartesian:\n${p.take(1500)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected equi-join on shingle:\n${p.take(1500)}")
+  }
+
+  test("fused SimHash signature aggregates partially (map-side) per document") {
+    val df = SparkEntry.queries("dedup_simhash")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // BitVoteAgg must run as a two-phase ObjectHashAggregate/SortAggregate
+    // (partial + final), so only 32 longs per doc cross the shuffle
+    assert("(ObjectHashAggregate|SortAggregate|HashAggregate)".r.findAllIn(p).size >= 2,
+      s"expected two-phase custom aggregate:\n${p.take(1500)}")
+  }
+
   test("scan-level queries stay inside whole-stage codegen") {
     // AQE finalizes (and shows codegen stages) only after execution
     val df = SparkEntry.queries("filter_comparisons")(spark, sf())
