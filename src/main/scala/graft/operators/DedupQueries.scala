@@ -109,21 +109,48 @@ object DedupQueries extends QueryPack {
     * distributed rounds (joins + groupBy only; the driver loop holds just
     * a convergence flag). Returns (id, cluster).
     *
-    * Partitioning is adaptive: a small verified near-dup graph collapses
-    * to one local task per round; above the threshold the edges hash-
-    * partition on `u` — the join/groupBy key — so every round stays
-    * distributed and co-partitioned at any graph size. Hitting `maxIter`
-    * without convergence fails LOUDLY (a silent cap would publish wrong
-    * clusters).
+    * Execution is adaptive: a small verified near-dup graph (≤
+    * `smallGraphEdges`) resolves with a driver-local union-find — one
+    * collect instead of O(diameter) scheduler rounds; above the threshold
+    * the edges hash-partition on `u` — the join/groupBy key — so every
+    * round stays distributed and co-partitioned at any graph size.
+    * Hitting `maxIter` without convergence fails LOUDLY (a silent cap
+    * would publish wrong clusters).
     */
   private[graft] def labelPropagation(
       pairs: DataFrame, maxIter: Int = 20,
       smallGraphEdges: Long = 100000L): DataFrame = {
     val p = pairs.toDF("a", "b")
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
     val edgesRaw = p.union(p.select(col("b"), col("a"))).toDF("u", "v").cache()
     val eCount = edgesRaw.count()
-    val edges = (if (eCount <= smallGraphEdges) edgesRaw.coalesce(1)
-                 else edgesRaw.repartition(col("u"))).cache()
+    if (eCount <= smallGraphEdges) {
+      // The verified near-dup graph fits comfortably on the driver
+      // (≤ ~1.6 MB per 100k edges): one collect + path-compressed
+      // min-root union-find replaces O(diameter) distributed rounds and
+      // their scheduler latency. The distributed loop below remains the
+      // scale path, taken whenever the graph is genuinely large.
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var root = x
+        while (parent.getOrElse(root, root) != root) root = parent(root)
+        var cur = x
+        while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+        root
+      }
+      val arr = edgesRaw.collect()
+      edgesRaw.unpersist()
+      arr.foreach { row =>
+        val ru = find(row.getLong(0)); val rv = find(row.getLong(1))
+        if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+      }
+      val ids = arr.iterator.flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
+        .toArray.distinct
+      val s = pairs.sparkSession
+      import s.implicits._
+      return ids.sorted.map(id => (id, find(id))).toSeq.toDF("id", "cluster")
+    }
+    val edges = edgesRaw.repartition(col("u")).cache()
     edges.count()
     edgesRaw.unpersist()
     var labels = edges.select(col("u").as("id")).distinct()

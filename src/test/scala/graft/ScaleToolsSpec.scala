@@ -42,13 +42,29 @@ class ScaleToolsSpec extends SparkSpec {
   test("label propagation converges on a deep chain and fails loudly past the cap") {
     import spark.implicits._
     // chain 0-1-…-12: diameter 12 → needs 12 propagation rounds; a silent
-    // cap would publish wrong clusters, so the cap must throw instead
+    // cap would publish wrong clusters, so the cap must throw instead.
+    // smallGraphEdges = 0 forces the distributed loop (the local
+    // union-find path has no round cap to test).
     val pairs = (0 until 12).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
-    val out = graft.operators.DedupQueries.labelPropagation(pairs, maxIter = 20)
+    val out = graft.operators.DedupQueries.labelPropagation(
+      pairs, maxIter = 20, smallGraphEdges = 0)
     val rows = out.collect()
     assert(rows.length == 13 && rows.forall(_.getLong(1) == 0L))
     assertThrows[IllegalStateException](
-      graft.operators.DedupQueries.labelPropagation(pairs, maxIter = 3))
+      graft.operators.DedupQueries.labelPropagation(pairs, maxIter = 3, smallGraphEdges = 0))
+  }
+
+  test("local union-find path agrees with the distributed propagation loop") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 300).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }.toDF("a", "b")
+    val local = graft.operators.DedupQueries.labelPropagation(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = graft.operators.DedupQueries.labelPropagation(
+      pairs, maxIter = 40, smallGraphEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
   }
 
   test("label propagation stays correct on the hash-partitioned large-graph path") {
