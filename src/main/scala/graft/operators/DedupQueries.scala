@@ -122,7 +122,13 @@ object DedupQueries extends QueryPack {
       smallGraphEdges: Long = 100000L): DataFrame = {
     val p = pairs.toDF("a", "b")
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-    val edgesRaw = p.union(p.select(col("b"), col("a"))).toDF("u", "v").cache()
+    // both edge directions from ONE pass over the pair plan — a union of
+    // (a,b) with (b,a) would evaluate the (possibly expensive) upstream
+    // pair computation twice, once per branch
+    val edgesRaw = p.select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v")).cache()
     val eCount = edgesRaw.count()
     if (eCount <= smallGraphEdges) {
       // The verified near-dup graph fits comfortably on the driver
