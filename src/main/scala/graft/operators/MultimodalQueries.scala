@@ -59,10 +59,25 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
-    // Stubbed decode through the typed mapPartitions path — the driver
-    // records a rows-only check (mapPartitions output is outside SQL), and
-    // MultimodalSpec asserts determinism + feature shape.
-    Q.noOracle("mm_decode_features") { (s, dir) =>
+    // Stubbed decode through the typed mapPartitions path. The decode
+    // itself is the clearly-marked deterministic fake (no codecs in this
+    // container) — but BECAUSE it is deterministic over the payload
+    // bytes, DuckDB replays the identical arithmetic (same float-op
+    // order: per-byte /255 accumulation, then /n, then *4) and the
+    // distributed mapPartitions plumbing is fully oracle-checked, not
+    // just rows-counted. MultimodalSpec still asserts shape/determinism.
+    Q(
+      "mm_decode_features",
+      """SELECT doc_id,
+        |       ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       round(COALESCE(list_sum(list_transform(
+        |                generate_series(1, octet_length(encode(text)), 4),
+        |                i -> ord(substr(text, i, 1)) / 255.0)), 0.0)
+        |             / GREATEST(octet_length(encode(text)), 1) * 4.0, 6) AS f0
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
       Multimodal.decodeFeaturesStub(
           Multimodal.mediaTable(Tables.load(s, dir, "documents")))
         .toDF()
