@@ -19,7 +19,10 @@ object Bench {
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}") }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    def jstr(s: String): String = "\"" + s.replaceAll("[\"\\\\\n]", " ") + "\""
+    // strip every JSON-forbidden char (quotes, backslash, ALL control
+    // chars) — a multi-line Spark exception must not corrupt the record
+    def jstr(s: String): String =
+      "\"" + s.replaceAll("[\"\\\\\\x00-\\x1f]", " ") + "\""
     val passed = results.filter(_._3.isEmpty)
     val qs = passed.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }

@@ -156,7 +156,9 @@ object DedupQueries extends QueryPack {
       import s.implicits._
       return ids.sorted.map(id => (id, find(id))).toSeq.toDF("id", "cluster")
     }
-    val edges = edgesRaw.repartition(col("u")).cache()
+    // partition by v — the key each round's edges⋈labels join hashes on —
+    // so the cached edge side never reshuffles across iterations
+    val edges = edgesRaw.repartition(col("v")).cache()
     edges.count()
     edgesRaw.unpersist()
     var labels = edges.select(col("u").as("id")).distinct()
@@ -185,6 +187,7 @@ object DedupQueries extends QueryPack {
       iter += 1
     }
     if (!converged) {
+      if (prevCache != null) prevCache.unpersist()
       edges.unpersist()
       throw new IllegalStateException(
         s"connected-components label propagation did not converge in $maxIter rounds " +

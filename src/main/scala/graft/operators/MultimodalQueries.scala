@@ -66,6 +66,12 @@ object MultimodalQueries extends QueryPack {
     // order: per-byte /255 accumulation, then /n, then *4) and the
     // distributed mapPartitions plumbing is fully oracle-checked, not
     // just rows-counted. MultimodalSpec still asserts shape/determinism.
+    //
+    // ORACLE PRECONDITION: the oracle indexes characters (ord/substr)
+    // where the stub indexes UTF-8 bytes — identical only for pure-ASCII
+    // text, which holds for this corpus (octet_length == length for every
+    // document; verified at all SFs). A non-ASCII corpus would need a
+    // byte-accurate oracle (DuckDB lacks get_byte over BLOBs).
     Q(
       "mm_decode_features",
       """SELECT doc_id,

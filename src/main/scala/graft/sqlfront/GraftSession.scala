@@ -318,6 +318,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
           catalog.dropTable(n)
           spark.catalog.dropTempView(n)
         }
+        graft.streaming.MatviewMaintenance.onSnapshotChange(catalog.root.toString)
         ok("DROP TABLE")
     }
   }
@@ -333,6 +334,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       Files.createDirectories(catalog.tableDir(nt))
       catalog.putTable(nt)
     }
+    graft.streaming.MatviewMaintenance.onSnapshotChange(catalog.root.toString)
     ok("TRUNCATE")
   }
 
@@ -343,14 +345,30 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     // ADD CONSTRAINT forms (reference kv/KvQueryExecutor.java:2877-3153:
     // FK is recorded as metadata; enforcement here happens on every later
     // INSERT/UPDATE through validate()/checkUnique()).
-    val fkRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+ADD\s+(?:CONSTRAINT\s+[\w"]+\s+)?FOREIGN\s+KEY\s*\(([\w"]+)\)\s*REFERENCES\s+([\w"]+)\s*\(([\w"]+)\)\s*""".r
+    // trailing ON DELETE/ON UPDATE actions accepted + ignored (reference
+    // records FK actions as metadata only)
+    val fkRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+ADD\s+(?:CONSTRAINT\s+[\w"]+\s+)?FOREIGN\s+KEY\s*\(([\w"]+)\)\s*REFERENCES\s+([\w"]+)\s*\(([\w"]+)\)\s*(?:ON\s+(?:DELETE|UPDATE)\s+.*)?""".r
     val uqRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+ADD\s+(?:CONSTRAINT\s+[\w"]+\s+)?UNIQUE\s*\(([^)]*)\)\s*""".r
     val ckRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+ADD\s+(?:CONSTRAINT\s+[\w"]+\s+)?CHECK\s*\(.*""".r
     stmt.trim.stripSuffix(";") match {
       case pkRe(rawT, colsS) =>
         val t = requireTable(rawT)
         val pk = colsS.split(",").map(_.trim.replaceAll("\"", "").toLowerCase).toSeq
-        catalog.putTable(t.copy(primaryKey = pk))
+        pk.foreach(k => require(t.column(k).isDefined, s"no column $k"))
+        // the new key must actually hold on existing rows, and the key
+        // columns become NOT NULL — otherwise checkUnique/validate would
+        // never enforce the added PK (rowid tables included)
+        val cur = tableDf(t)
+        if (cur.filter(pk.map(col(_).isNull).reduce(_ || _)).limit(1).count() > 0)
+          throw new IllegalArgumentException(
+            s"cannot ADD PRIMARY KEY: NULLs present in (${pk.mkString(",")})")
+        if (cur.groupBy(pk.map(col): _*).count()
+            .filter(col("count") > 1).limit(1).count() > 0)
+          throw new IllegalArgumentException(
+            s"cannot ADD PRIMARY KEY: existing duplicates on (${pk.mkString(",")})")
+        catalog.putTable(t.copy(primaryKey = pk,
+          columns = t.columns.map(c =>
+            if (pk.contains(c.name)) c.copy(notNull = true) else c)))
         ok("ALTER TABLE")
       case fkRe(rawT, rawC, rawRt, rawRc) =>
         val t = requireTable(rawT)
@@ -389,6 +407,12 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         ok("ALTER TABLE")
       case addRe(rawT, colDef) =>
         val t = requireTable(rawT)
+        // a constraint form the dedicated patterns above failed to parse
+        // must ERROR here, not silently become a junk column named
+        // "constraint"/"foreign" in the catalog
+        val firstWord = colDef.trim.split("[\\s(]+", 2)(0).toUpperCase
+        if (Set("CONSTRAINT", "FOREIGN", "UNIQUE", "PRIMARY", "CHECK")(firstWord))
+          throw new IllegalArgumentException(s"unsupported ALTER constraint form: $stmt")
         val c = parseColumnDef(colDef, t.name)
         require(t.column(c.name).isEmpty, s"column exists: ${c.name}")
         catalog.putTable(t.copy(columns = t.columns :+ c))
@@ -619,7 +643,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   private def checkUnique(t: TableDef, newRows: DataFrame, existing: DataFrame): Unit = {
     val keys: Seq[Seq[String]] =
       t.columns.filter(_.unique).map(c => Seq(c.name)) ++ t.uniqueKeys ++
-        (if (t.primaryKey.nonEmpty && !t.hasRowId) Seq(t.primaryKey) else Nil)
+        (if (t.primaryKey.nonEmpty) Seq(t.primaryKey) else Nil)
     keys.distinct.foreach { k =>
       val kc = k.map(col)
       // Postgres NULL semantics: a key containing any NULL is always
@@ -668,44 +692,56 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     var dfv = renamed
     val missing = t.columns.filterNot(c => targetNames.contains(c.name))
     val serialCols = missing.filter(_.serial)
-    // VALUES inserts are LocalRelations whose row count is known without
-    // running a job; otherwise one count job.
-    val n = renamed.queryExecution.optimizedPlan match {
-      case org.apache.spark.sql.catalyst.plans.logical.LocalRelation(_, data, _, _) =>
-        data.size.toLong
-      case _ => renamed.count()
-    }
-    if (serialCols.nonEmpty && n > 0) {
-      // Dense 0-based index via zipWithIndex: per-partition offsets, no
-      // global single-partition window — the batch stays distributed at any
-      // size. Each sequence reserves its whole id block in ONE catalog
-      // write (vs one fsync per row before).
-      val base = dfv.schema
-      val indexed = spark.createDataFrame(
-        dfv.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
-        StructType(base.fields :+ StructField("__rn", LongType, nullable = false)))
-      dfv = indexed
-      serialCols.foreach { c =>
-        val sq = s"${t.name}_${c.name}_seq"
-        val inc = catalog.sequences(sq.toLowerCase).increment
-        val start = catalog.reserve(sq, n)
-        dfv = dfv.withColumn(c.name,
-          (lit(start) + col("__rn") * lit(inc)).cast(TypeMap.toSpark(c.sqlType)))
+    var cached: DataFrame = null
+    val n =
+      if (serialCols.nonEmpty) {
+        // Dense 0-based index via zipWithIndex (per-partition offsets, no
+        // global single-partition window), CACHED and counted so the
+        // source query is evaluated exactly ONCE: id assignment, the
+        // reserved block size, constraint checks and the final write all
+        // read the same materialized rows — a nondeterministic source
+        // cannot produce ids outside the reservation. Each sequence
+        // reserves its whole block in ONE catalog write.
+        val base = dfv.schema
+        val indexed = spark.createDataFrame(
+          dfv.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+          StructType(base.fields :+ StructField("__rn", LongType, nullable = false)))
+          .cache()
+        val cnt = indexed.count() // materializes the cache
+        dfv = indexed
+        cached = indexed
+        if (cnt > 0) serialCols.foreach { c =>
+          val sq = s"${t.name}_${c.name}_seq"
+          val inc = catalog.sequences(sq.toLowerCase).increment
+          val start = catalog.reserve(sq, cnt)
+          dfv = dfv.withColumn(c.name,
+            (lit(start) + col("__rn") * lit(inc)).cast(TypeMap.toSpark(c.sqlType)))
+        } else serialCols.foreach { c =>
+          dfv = dfv.withColumn(c.name, lit(null).cast(TypeMap.toSpark(c.sqlType)))
+        }
+        cnt
+      } else renamed.queryExecution.optimizedPlan match {
+        // VALUES inserts are LocalRelations whose row count is known
+        // without running a job; otherwise one count job.
+        case org.apache.spark.sql.catalyst.plans.logical.LocalRelation(_, data, _, _) =>
+          data.size.toLong
+        case _ => renamed.count()
       }
-    } else serialCols.foreach { c =>
-      dfv = dfv.withColumn(c.name, lit(null).cast(TypeMap.toSpark(c.sqlType)))
-    }
     missing.filterNot(_.serial).foreach { c =>
       val v = c.default.map(d => expr(PgRewrite.rewrite(d))).getOrElse(lit(null))
       dfv = dfv.withColumn(c.name, v.cast(TypeMap.toSpark(c.sqlType)))
     }
     val aligned = dfv.select(t.columns.map(c =>
       col(c.name).cast(TypeMap.toSpark(c.sqlType)).as(c.name)): _*)
-    validate(t, aligned)
-    checkUnique(t, aligned, tableDf(t))
-    val dir = catalog.tableDir(t)
-    Files.createDirectories(dir)
-    aligned.write.mode("append").parquet(dir.toString)
+    try {
+      validate(t, aligned)
+      checkUnique(t, aligned, tableDf(t))
+      val dir = catalog.tableDir(t)
+      Files.createDirectories(dir)
+      aligned.write.mode("append").parquet(dir.toString)
+    } finally {
+      if (cached != null) cached.unpersist()
+    }
     ok("INSERT", n)
   }
 
@@ -736,7 +772,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         validate(t, next)
         // post-update uniqueness over the whole table
         val keys = t.columns.filter(_.unique).map(c => Seq(c.name)) ++ t.uniqueKeys ++
-          (if (t.primaryKey.nonEmpty && !t.hasRowId) Seq(t.primaryKey) else Nil)
+          (if (t.primaryKey.nonEmpty) Seq(t.primaryKey) else Nil)
         keys.distinct.foreach { k =>
           val allSet = k.map(col(_).isNotNull).reduce(_ && _)
           if (next.filter(allSet).groupBy(k.map(col): _*).count()
@@ -764,10 +800,14 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     }
   }
 
-  /** Publish a new copy-on-write snapshot and bump the version pointer. */
+  /** Publish a new copy-on-write snapshot and bump the version pointer.
+    * Active matview maintainers watch the superseded snapshot dir, so
+    * they are stopped here (and rebuild from the new snapshot on their
+    * next start) rather than left idling against dead files. */
   private def publish(t: TableDef, df: DataFrame): Unit = {
     val nt = t.copy(version = t.version + 1)
     df.write.mode("overwrite").parquet(catalog.tableDir(nt).toString)
     catalog.putTable(nt)
+    graft.streaming.MatviewMaintenance.onSnapshotChange(catalog.root.toString)
   }
 }

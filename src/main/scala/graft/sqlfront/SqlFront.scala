@@ -71,25 +71,56 @@ object PgRewrite {
   private val castSimple = """((?:\w+\.)*\w+|'[^']*')::(\w+(?:\s+precision)?(?:\(\d+(?:,\d+)?\))?)""".r
   private val castType = """\w+(?:\s+precision)?(?:\(\d+(?:,\d+)?\))?""".r
 
+  /** Spans [start, end) of single-quoted literals ('' escape honored). */
+  private def literalSpans(s: String): Array[(Int, Int)] = {
+    val spans = Array.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') {
+        val start = i; i += 1
+        var done = false
+        while (i < s.length && !done) {
+          if (s.charAt(i) == '\'') {
+            if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2
+            else { done = true; i += 1 }
+          } else i += 1
+        }
+        spans += ((start, i))
+      } else i += 1
+    }
+    spans.result()
+  }
+
   /** Rewrite `expr::type` → `CAST(expr AS type)`. Parenthesized operands
     * (`(a+b)::int`, `f(x)::int`) need a paren-balanced backward scan — a
     * regex alternative on `)` would capture only the closer and emit
-    * invalid SQL. Inner `::` inside the captured operand are picked up by
-    * later iterations / the simple-operand pass. */
+    * invalid SQL. String literals are opaque throughout: a `::` inside a
+    * literal is content, and the backward scan steps OVER literals so a
+    * `(` inside one (e.g. `split_part(x, '(', 1)::int`) can't unbalance
+    * it. Inner `::` inside a captured operand are picked up by later
+    * iterations / the simple-operand pass. */
   private def rewriteCasts(sql: String): String = {
     var out = sql
     var i = out.indexOf("::")
     while (i >= 0) {
-      if (i > 0 && out.charAt(i - 1) == ')') {
-        // scan back to the balanced '(' and any attached function name
+      val spans = literalSpans(out)
+      // `::` strictly inside a literal is content, not a cast
+      val inLiteral = spans.exists { case (a, b) => i > a && i < b - 1 }
+      if (!inLiteral && i > 0 && out.charAt(i - 1) == ')') {
+        // scan back to the balanced '(' and any attached function name,
+        // hopping over whole literals
         var depth = 0; var j = i - 1; var found = -1
         while (j >= 0 && found < 0) {
-          out.charAt(j) match {
-            case ')' => depth += 1
-            case '(' => depth -= 1; if (depth == 0) found = j
-            case _ =>
+          val span = spans.find { case (a, b) => j >= a && j < b }
+          if (span.isDefined) j = span.get._1 - 1
+          else {
+            out.charAt(j) match {
+              case ')' => depth += 1
+              case '(' => depth -= 1; if (depth == 0) found = j
+              case _ =>
+            }
+            if (found < 0) j -= 1
           }
-          if (found < 0) j -= 1
         }
         val next = castType.findPrefixMatchOf(out.substring(i + 2)) match {
           case Some(m) if found >= 0 =>
@@ -106,8 +137,13 @@ object PgRewrite {
         i = out.indexOf("::", next)
       } else i = out.indexOf("::", i + 2)
     }
-    castSimple.replaceAllIn(out, m =>
-      java.util.regex.Matcher.quoteReplacement(s"CAST(${m.group(1)} AS ${m.group(2)})"))
+    val spans = literalSpans(out)
+    castSimple.replaceSomeIn(out, m => {
+      val cp = m.end(1) // position of the "::"
+      if (spans.exists { case (a, b) => cp > a && cp < b - 1 }) None
+      else Some(java.util.regex.Matcher.quoteReplacement(
+        s"CAST(${m.group(1)} AS ${m.group(2)})"))
+    })
   }
 
   def rewrite(sql: String): String = {

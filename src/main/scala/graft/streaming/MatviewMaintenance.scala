@@ -25,37 +25,105 @@ import graft.sqlfront.{GraftSession, PgRewrite, TypeMap}
   * refreshes stay incremental across calls — `REFRESH MATERIALIZED VIEW v
   * INCREMENTALLY` only ever pays for rows inserted since the last call.
   *
-  * UPDATE/DELETE/TRUNCATE publish a NEW snapshot dir (copy-on-write), so
-  * the checkpoint records the base-table version it was built against; on
-  * drift the checkpoint resets and the new snapshot streams from scratch
-  * (still incremental thereafter). Views whose SQL a streaming plan can't
-  * express (no aggregate, LIMIT, …) fall back to a full recompute.
+  * Snapshot-drift safety: UPDATE/DELETE/TRUNCATE publish a NEW snapshot
+  * dir (copy-on-write), and a joined dimension changing invalidates held
+  * aggregation state even when the base table did not move — so the
+  * checkpoint records the version of EVERY catalog table at build time.
+  * Any drift resets the checkpoint and the new snapshots stream from
+  * scratch (still incremental thereafter). A drift observed by a RUNNING
+  * [[continuous]] query fails that query loudly — a background maintainer
+  * must never keep publishing silently stale state. Views whose SQL a
+  * streaming plan can't express (no aggregate, LIMIT, …) fall back to a
+  * full recompute.
+  *
+  * At most one maintenance query runs per (warehouse, view): starting
+  * [[continuous]] twice throws, and [[refreshOnce]] while a continuous
+  * query is active simply drains that query instead of competing for its
+  * checkpoint.
   */
 object MatviewMaintenance {
 
   private val fromRe = """(?is).*?\bFROM\s+([\w"]+).*""".r
 
+  /** Active continuous maintainers keyed by (warehouse root, view). */
+  private val active =
+    scala.collection.concurrent.TrieMap.empty[(String, String), StreamingQuery]
+
+  /** Called by the session whenever a snapshot version bumps
+    * (UPDATE/DELETE/TRUNCATE/DROP): stops every active maintainer on that
+    * warehouse, because their file streams watch the now-superseded
+    * snapshot dirs and would otherwise idle forever while the matview
+    * silently diverges. The next refreshOnce/continuous call sees the
+    * version-stamp mismatch, resets the checkpoint, and rebuilds from the
+    * new snapshots. */
+  def onSnapshotChange(root: String): Unit =
+    active.filterInPlace { case ((r, _), q) =>
+      if (r == root) { if (q.isActive) q.stop(); false } else true
+    }
+
+  /** Version stamp of every table in the catalog — state held by the
+    * maintenance query depends on all of them (joined dims included). */
+  private def versionStamp(gs: GraftSession): String =
+    gs.catalog.tables.values.toSeq.sortBy(_.name)
+      .map(t => s"${t.name}:${t.version}").mkString(",")
+
   /** One incremental refresh of matview `name`; returns the number of new
-    * base-table rows processed (0 = matview was already current). Falls
-    * back to a full [[GraftSession.materialize]] when the view SQL has no
-    * single resolvable base table or isn't streamable. */
+    * base-table rows processed (0 = already current, -1 = maintained by a
+    * fallback full recompute or an active continuous query). */
   def refreshOnce(gs: GraftSession, name: String): Long = {
-    val spark = gs.spark
+    val key = (gs.catalog.root.toString, name.toLowerCase)
+    active.get(key).filter(_.isActive) match {
+      case Some(q) => q.processAllAvailable(); return -1L
+      case None => active.remove(key)
+    }
     val v = gs.catalog.views(name.toLowerCase)
     require(v.materialized, s"$name is not materialized")
+    startQuery(gs, name, None) match {
+      case None => -1L // fell back to full materialize
+      case Some(q) =>
+        try q.processAllAvailable() finally q.stop()
+        q.recentProgress.map(_.numInputRows).sum
+    }
+  }
+
+  /** Continuous background maintenance — the analogue of the reference's
+    * BackgroundJobScheduler + MaterializedViewRefreshJob pair, but push-
+    * based: a long-running streaming query picks up every appended
+    * part-file within one trigger interval and republishes the matview.
+    * Caller owns the returned query's lifecycle (stop() when done). */
+  def continuous(gs: GraftSession, name: String,
+      triggerInterval: String = "5 seconds"): StreamingQuery = {
+    val key = (gs.catalog.root.toString, name.toLowerCase)
+    active.get(key).filter(_.isActive).foreach(_ =>
+      throw new IllegalStateException(s"continuous maintenance already running for $name"))
+    val q = startQuery(gs, name,
+      Some(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerInterval)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot maintain $name incrementally (view SQL is not streamable)"))
+    active(key) = q
+    q
+  }
+
+  /** Build and start the maintenance stream. Returns None after falling
+    * back to a full recompute (un-streamable SQL / no single base). */
+  private def startQuery(gs: GraftSession, name: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger]): Option[StreamingQuery] = {
+    val spark = gs.spark
+    val v = gs.catalog.views(name.toLowerCase)
     val baseOpt = v.sql match {
       case fromRe(t) => gs.catalog.getTable(t.replaceAll("\"", "").toLowerCase)
       case _ => None
     }
-    val t = baseOpt.getOrElse { gs.materialize(v); return -1L }
+    val t = baseOpt.getOrElse { gs.materialize(v); return None }
 
     val ckptRoot = gs.catalog.root.resolve("_ckpt_" + v.name)
-    // checkpoint validity is tied to the snapshot dir it streams from
+    // checkpoint validity is tied to every snapshot it may hold state from
     val marker = ckptRoot.resolve("_basever")
-    if (Files.exists(marker) && Files.readString(marker).trim != t.version.toString)
+    val stamp = versionStamp(gs)
+    if (Files.exists(marker) && Files.readString(marker).trim != stamp)
       deleteRec(ckptRoot)
     Files.createDirectories(ckptRoot)
-    Files.writeString(marker, t.version.toString)
+    Files.writeString(marker, stamp)
 
     val dir = gs.catalog.tableDir(t)
     Files.createDirectories(dir)
@@ -71,66 +139,30 @@ object MatviewMaintenance {
     val target = gs.catalog.matviewDir(v).toString
     try {
       val agg = spark.sql(PgRewrite.rewrite(v.sql))
-      val q = agg.writeStream.outputMode("complete")
+      var writer = agg.writeStream.outputMode("complete")
         .option("checkpointLocation", ckptRoot.resolve("ckpt").toString)
         .foreachBatch { (batch: DataFrame, _: Long) =>
+          // a snapshot moved under a running maintainer → fail LOUDLY;
+          // publishing from stale state would be silent corruption
+          val cur = versionStamp(gs)
+          if (cur != stamp)
+            throw new IllegalStateException(
+              s"snapshot versions changed under matview maintenance of ${v.name} " +
+                s"(was [$stamp], now [$cur]) — restart maintenance to rebuild")
           batch.write.mode("overwrite").parquet(target)
         }
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      q.recentProgress.map(_.numInputRows).sum
+      trigger.foreach(tr => writer = writer.trigger(tr))
+      Some(writer.start())
     } catch {
       case NonFatal(_) =>
-        // not streamable (or the stream failed): full recompute is always
-        // correct, and the stale checkpoint must not mask the fresh state
+        // not streamable: full recompute is always correct, and the stale
+        // checkpoint must not mask the fresh state
         deleteRec(ckptRoot)
         gs.materialize(v)
-        -1L
+        None
     } finally {
       gs.registerAll() // restore the batch temp view over the base table
     }
-  }
-
-  /** Continuous background maintenance — the analogue of the reference's
-    * BackgroundJobScheduler + MaterializedViewRefreshJob pair, but push-
-    * based: a long-running streaming query that picks up every appended
-    * part-file within one trigger interval and republishes the matview,
-    * instead of a timer that re-runs the full SELECT. Share the same
-    * checkpoint as [[refreshOnce]], so one-shot and background refreshes
-    * can interleave. Caller owns the returned query's lifecycle. */
-  def continuous(gs: GraftSession, name: String,
-      triggerInterval: String = "5 seconds"): StreamingQuery = {
-    val spark = gs.spark
-    val v = gs.catalog.views(name.toLowerCase)
-    require(v.materialized, s"$name is not materialized")
-    val t = (v.sql match {
-      case fromRe(b) => gs.catalog.getTable(b.replaceAll("\"", "").toLowerCase)
-      case _ => None
-    }).getOrElse(throw new IllegalArgumentException(
-      s"cannot maintain $name continuously: no single base table in its SQL"))
-    val ckptRoot = gs.catalog.root.resolve("_ckpt_" + v.name)
-    val marker = ckptRoot.resolve("_basever")
-    if (Files.exists(marker) && Files.readString(marker).trim != t.version.toString)
-      deleteRec(ckptRoot)
-    Files.createDirectories(ckptRoot)
-    Files.writeString(marker, t.version.toString)
-    val dir = gs.catalog.tableDir(t)
-    Files.createDirectories(dir)
-    val schema = StructType(t.columns.map(c =>
-      StructField(c.name, TypeMap.toSpark(c.sqlType), nullable = true)))
-    gs.registerAll()
-    spark.readStream.schema(schema).parquet(dir.toString)
-      .select(t.visibleColumns.map(c => org.apache.spark.sql.functions.col(c.name)): _*)
-      .createOrReplaceTempView(t.name)
-    val target = gs.catalog.matviewDir(v).toString
-    val agg = spark.sql(PgRewrite.rewrite(v.sql))
-    agg.writeStream.outputMode("complete")
-      .option("checkpointLocation", ckptRoot.resolve("ckpt").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerInterval))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(target)
-      }
-      .start()
   }
 
   private def deleteRec(p: Path): Unit = {

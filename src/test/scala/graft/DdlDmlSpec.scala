@@ -283,6 +283,46 @@ class DdlDmlSpec extends SparkSpec {
     s.sql("ALTER TABLE t ADD CONSTRAINT c CHECK (v > 0)")
   }
 
+  test("ALTER TABLE ADD PRIMARY KEY is enforced on rowid tables") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (id INT, v TEXT)") // no PK → hidden rowid
+    s.sql("INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+    s.sql("ALTER TABLE t ADD PRIMARY KEY (id)")
+    // duplicate and NULL PKs now rejected
+    assertThrows[IllegalArgumentException](s.sql("INSERT INTO t VALUES (1, 'dup')"))
+    assertThrows[IllegalArgumentException](s.sql("INSERT INTO t VALUES (NULL, 'n')"))
+    s.sql("INSERT INTO t VALUES (3, 'c')")
+    assert(s.sql("SELECT count(*) AS c FROM t").collect()(0).getLong(0) == 3)
+    // and the ALTER itself validates existing rows
+    s.sql("CREATE TABLE u (id INT); INSERT INTO u VALUES (7), (7)")
+    assertThrows[IllegalArgumentException](s.sql("ALTER TABLE u ADD PRIMARY KEY (id)"))
+  }
+
+  test("unparseable ADD CONSTRAINT forms error instead of corrupting the schema") {
+    val s = fresh()
+    s.sql("CREATE TABLE par (id INT PRIMARY KEY); " +
+      "CREATE TABLE ch (id INT PRIMARY KEY, pid INT, a INT, b INT)")
+    // composite FK: unsupported → must THROW, not become a junk column
+    assertThrows[IllegalArgumentException](
+      s.sql("ALTER TABLE ch ADD CONSTRAINT x FOREIGN KEY (a, b) REFERENCES par (id)"))
+    assert(s.sql("SELECT * FROM ch").columns.toSeq == Seq("id", "pid", "a", "b"))
+    // trailing ON DELETE action accepted (metadata-ignored, reference parity)
+    s.sql("ALTER TABLE ch ADD CONSTRAINT fk FOREIGN KEY (pid) REFERENCES par (id) ON DELETE CASCADE")
+    assertThrows[IllegalArgumentException](s.sql("INSERT INTO ch VALUES (1, 99, 1, 1)"))
+  }
+
+  test("cast rewrite treats string literals as opaque") {
+    // '(' inside a literal must not unbalance the paren scan
+    assert(PgRewrite.rewrite("SELECT split_part(x, '(', 1)::int FROM t") ==
+      "SELECT CAST(split_part(x, '(', 1) AS int) FROM t")
+    // '::' inside a literal is content, not a cast
+    assert(PgRewrite.rewrite("SELECT 'a::b' AS x FROM t") ==
+      "SELECT 'a::b' AS x FROM t")
+    // whole-literal operands still cast
+    assert(PgRewrite.rewrite("SELECT '5'::int FROM t") ==
+      "SELECT CAST('5' AS int) FROM t")
+  }
+
   test("parenthesized and function-call :: casts rewrite correctly") {
     assert(PgRewrite.rewrite("SELECT (a+b)::int FROM t") ==
       "SELECT CAST((a+b) AS int) FROM t")

@@ -126,6 +126,22 @@ class StreamingSpec extends SparkSpec {
       val m = s.sql("SELECT kind, total FROM evtot ORDER BY kind").collect()
         .map(r => r.getString(0) -> r.getDouble(1)).toMap
       assert(m == Map("a" -> 11.0, "b" -> 2.0))
+      // a second maintainer on the same view is refused
+      assertThrows[IllegalStateException](
+        graft.streaming.MatviewMaintenance.continuous(s, "evtot", "1 second"))
+      // a snapshot bump (UPDATE publishes a new version dir) STOPS the
+      // maintainer — it must not idle against the dead dir while the
+      // matview silently diverges
+      s.sql("UPDATE ev SET amt = 100.0 WHERE id = 1")
+      assert(!q.isActive)
+      // restarting rebuilds from the new snapshot and is correct again
+      val q2 = graft.streaming.MatviewMaintenance.continuous(s, "evtot", "1 second")
+      try {
+        q2.processAllAvailable()
+        val m2 = s.sql("SELECT kind, total FROM evtot ORDER BY kind").collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        assert(m2 == Map("a" -> 110.0, "b" -> 2.0))
+      } finally q2.stop()
     } finally q.stop()
   }
 
