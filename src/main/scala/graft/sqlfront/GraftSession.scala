@@ -152,7 +152,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       else if (up.matches("(?s)CREATE\\s+(OR\\s+REPLACE\\s+)?(MATERIALIZED\\s+)?VIEW.*")) createView(stmt)
       else if (up.startsWith("CREATE SEQUENCE")) createSequence(stmt)
       else if (up.startsWith("CREATE TYPE")) createType(stmt)
-      else if (up.contains("INDEX")) ok("CREATE INDEX") // metadata no-op (SURVEY §2.1: Catalyst pruning replaces index scans)
+      else if (up.contains("INDEX")) createIndex(stmt)
       else throw new IllegalArgumentException(s"unsupported CREATE: $stmt")
     case "DROP" =>
       val up = stmt.trim.toUpperCase
@@ -213,6 +213,9 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         if (ifNot != null) return ok("CREATE TABLE (exists)")
         throw new IllegalArgumentException(s"table exists: $name")
       }
+      // clear any stale inline-PK bookkeeping from a previous same-name
+      // table (DROP + CREATE must not inherit the old definition's PK)
+      inlinePkCols = inlinePkCols.filterNot(_._1 == name)
       var pk = Seq.empty[String]
       var cols = Seq.empty[ColumnDef]
       var fks = Map.empty[String, (String, String)]
@@ -303,7 +306,12 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       sqlType = if (sqlType.equalsIgnoreCase("BIGSERIAL")) "BIGINT" else "INT"
     }
     val enumType = catalog.enums.get(sqlType.toLowerCase.stripSuffix("[]")).map(_.name)
-    ColumnDef(name, if (enumType.isDefined) "TEXT" else sqlType,
+    // an enum-ARRAY column must stay an array type; only the element
+    // type collapses to TEXT
+    val storedType =
+      if (enumType.isDefined) (if (sqlType.trim.endsWith("[]")) "TEXT[]" else "TEXT")
+      else sqlType
+    ColumnDef(name, storedType,
       notNull = notNull, unique = unique, serial = serial,
       enumType = enumType, references = references, default = default)
   }
@@ -381,29 +389,28 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
           if (c.name == cd.name) c.copy(references = Some((rt, rc))) else c)))
         ok("ALTER TABLE")
       case uqRe(rawT, colsS) =>
-        val t = requireTable(rawT)
-        val ks = colsS.split(",").map(_.trim.replaceAll("\"", "").toLowerCase).toSeq
-        ks.foreach(k => require(t.column(k).isDefined, s"no column $k"))
-        val nt =
-          if (ks.length == 1)
-            t.copy(columns = t.columns.map(c =>
-              if (c.name == ks.head) c.copy(unique = true) else c))
-          else t.copy(uniqueKeys = t.uniqueKeys :+ ks)
-        // reject immediately if existing rows already violate the new key
-        val allSet = ks.map(col(_).isNotNull).reduce(_ && _)
-        if (tableDf(nt).filter(allSet).groupBy(ks.map(col): _*).count()
-            .filter(col("count") > 1).limit(1).count() > 0)
-          throw new IllegalArgumentException(
-            s"cannot ADD UNIQUE: existing duplicates on (${ks.mkString(",")})")
-        catalog.putTable(nt)
-        ok("ALTER TABLE")
+        addUniqueKey(requireTable(rawT),
+          colsS.split(",").map(_.trim.replaceAll("\"", "").toLowerCase).toSeq,
+          "ALTER TABLE")
       case ckRe(rawT) =>
         requireTable(rawT) // CHECK accepted + ignored (reference parity)
         ok("ALTER TABLE")
       case dropRe(rawT, rawC) =>
         val t = requireTable(rawT)
         val c = rawC.replaceAll("\"", "").toLowerCase
-        catalog.putTable(t.copy(columns = t.columns.filterNot(_.name == c)))
+        // dependent-object hygiene (PG errors without CASCADE; we match):
+        // another table's FK on this column blocks the drop
+        catalog.tables.values.foreach { o =>
+          if (o.name != t.name && o.columns.exists(_.references.contains((t.name, c))))
+            throw new IllegalArgumentException(
+              s"cannot DROP COLUMN ${t.name}.$c: referenced by a FOREIGN KEY on ${o.name}")
+        }
+        // constraints that include the column fall away with it (PG drops
+        // the whole multi-column constraint)
+        catalog.putTable(t.copy(
+          columns = t.columns.filterNot(_.name == c),
+          primaryKey = if (t.primaryKey.contains(c)) Nil else t.primaryKey,
+          uniqueKeys = t.uniqueKeys.filterNot(_.contains(c))))
         ok("ALTER TABLE")
       case addRe(rawT, colDef) =>
         val t = requireTable(rawT)
@@ -415,9 +422,52 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
           throw new IllegalArgumentException(s"unsupported ALTER constraint form: $stmt")
         val c = parseColumnDef(colDef, t.name)
         require(t.column(c.name).isEmpty, s"column exists: ${c.name}")
+        // a SERIAL/IDENTITY column needs its backing sequence, exactly as
+        // createTable provisions one
+        if (c.serial) {
+          val sq = s"${t.name}_${c.name}_seq"
+          if (!catalog.sequences.contains(sq)) catalog.putSequence(SequenceDef(sq))
+        }
         catalog.putTable(t.copy(columns = t.columns :+ c))
         ok("ALTER TABLE")
       case _ => throw new IllegalArgumentException(s"unsupported ALTER: $stmt")
+    }
+  }
+
+  /** Declare a UNIQUE key (shared by ALTER TABLE ADD UNIQUE and CREATE
+    * UNIQUE INDEX): rejects if existing rows already violate it, then
+    * records single columns as `unique` flags and composites in
+    * `uniqueKeys`. */
+  private def addUniqueKey(t: TableDef, ks: Seq[String], kind: String): DataFrame = {
+    ks.foreach(k => require(t.column(k).isDefined, s"no column $k"))
+    val nt =
+      if (ks.length == 1)
+        t.copy(columns = t.columns.map(c =>
+          if (c.name == ks.head) c.copy(unique = true) else c))
+      else t.copy(uniqueKeys = t.uniqueKeys :+ ks)
+    val allSet = ks.map(col(_).isNotNull).reduce(_ && _)
+    if (tableDf(nt).filter(allSet).groupBy(ks.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"cannot ADD UNIQUE: existing duplicates on (${ks.mkString(",")})")
+    catalog.putTable(nt)
+    ok(kind)
+  }
+
+  /** CREATE [UNIQUE] INDEX: a plain index is a metadata no-op (SURVEY
+    * §2.1 — Catalyst pushdown/pruning replaces index scans), but a UNIQUE
+    * index DECLARES A CONSTRAINT and maps onto the same metadata as ALTER
+    * TABLE ADD UNIQUE. Functional/expression indexes stay no-ops (their
+    * uniqueness isn't expressible as column metadata). */
+  private def createIndex(stmt: String): DataFrame = {
+    val uqIdxRe = """(?is)CREATE\s+UNIQUE\s+INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:[\w"]+\s+)?ON\s+([\w"]+)\s*\(([^)]*)\)\s*""".r
+    stmt.trim.stripSuffix(";") match {
+      case uqIdxRe(rawT, colsS) =>
+        val t = requireTable(rawT)
+        val ks = colsS.split(",").map(_.trim.replaceAll("\"", "").toLowerCase).toSeq
+        if (ks.forall(k => t.column(k).isDefined)) addUniqueKey(t, ks, "CREATE INDEX")
+        else ok("CREATE INDEX") // expression index: accept, cannot enforce
+      case _ => ok("CREATE INDEX")
     }
   }
 
@@ -466,6 +516,9 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         val name = rawName.replaceAll("\"", "").toLowerCase
         if (catalog.views.contains(name) && orRepl == null)
           throw new IllegalArgumentException(s"view exists: $name")
+        // a redefinition must not inherit maintenance state built for the
+        // old SQL (no-op for a fresh name)
+        graft.streaming.MatviewMaintenance.onViewChanged(this, name)
         val v = ViewDef(name, body.trim, materialized = mat != null)
         catalog.putView(v)
         if (v.materialized) materialize(v)
@@ -498,6 +551,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
 
   private def dropView(stmt: String): DataFrame = {
     val name = lastWord(stmt).toLowerCase
+    graft.streaming.MatviewMaintenance.onViewChanged(this, name)
     catalog.dropView(name)
     spark.catalog.dropTempView(name)
     ok("DROP VIEW")
@@ -611,8 +665,14 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         s"NOT NULL violation: ${t.name}.${c.name}" -> col(c.name).isNull) ++
       t.columns.filter(_.enumType.isDefined).map { c =>
         val allowed = catalog.enums(c.enumType.get.toLowerCase).values
-        s"invalid value for enum ${c.enumType.get} in ${t.name}.${c.name}" ->
-          (col(c.name).isNotNull && !col(c.name).isin(allowed: _*))
+        val bad =
+          if (c.sqlType.trim.toUpperCase.endsWith("[]")) {
+            // enum arrays: every non-NULL element must be an allowed value
+            val lits = allowed.map(v => s"'${v.replace("'", "''")}'").mkString(",")
+            col(c.name).isNotNull &&
+              expr(s"exists(${c.name}, x -> x IS NOT NULL AND NOT x IN ($lits))")
+          } else col(c.name).isNotNull && !col(c.name).isin(allowed: _*)
+        s"invalid value for enum ${c.enumType.get} in ${t.name}.${c.name}" -> bad
       } ++
       t.columns.filter(c => c.sqlType.toUpperCase.startsWith("JSON")).map(c =>
         s"invalid JSON in ${t.name}.${c.name}" ->
@@ -664,7 +724,9 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     stmt.trim.stripSuffix(";") match {
       case valRe(rawT, _, colsS, valuesS) =>
         val t = requireTable(rawT)
-        val src = spark.sql(s"SELECT * FROM VALUES $valuesS")
+        // PG-dialect expressions inside VALUES get the same rewrite the
+        // SELECT branch applies
+        val src = spark.sql(PgRewrite.rewrite(s"SELECT * FROM VALUES $valuesS"))
         insertRows(t, Option(colsS), src)
       case selRe(rawT, _, colsS, sel) =>
         val t = requireTable(rawT)
@@ -722,10 +784,18 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         cnt
       } else renamed.queryExecution.optimizedPlan match {
         // VALUES inserts are LocalRelations whose row count is known
-        // without running a job; otherwise one count job.
+        // without running a job and are trivially deterministic.
         case org.apache.spark.sql.catalyst.plans.logical.LocalRelation(_, data, _, _) =>
           data.size.toLong
-        case _ => renamed.count()
+        case _ =>
+          // arbitrary SELECT source: cache so validation, uniqueness
+          // checks and the write all see ONE evaluation — a
+          // nondeterministic source must not pass checks on one row set
+          // and publish another
+          val c = renamed.cache()
+          cached = c
+          dfv = c
+          c.count()
       }
     missing.filterNot(_.serial).foreach { c =>
       val v = c.default.map(d => expr(PgRewrite.rewrite(d))).getOrElse(lit(null))
@@ -745,12 +815,36 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     ok("INSERT", n)
   }
 
+  /** Split `body` at the first top-level WHERE keyword — outside string
+    * literals and parens, so `SET note = 'a where b'` parses correctly. */
+  private def splitTopLevelWhere(body: String): (String, Option[String]) = {
+    var i = 0; var inS = false; var depth = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (inS) { if (c == '\'') inS = false }
+      else c match {
+        case '\'' => inS = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'w' | 'W' if depth == 0 &&
+            body.regionMatches(true, i, "WHERE", 0, 5) &&
+            (i == 0 || body.charAt(i - 1).isWhitespace) &&
+            (i + 5 >= body.length || !body.charAt(i + 5).isLetterOrDigit) =>
+          return (body.substring(0, i).trim, Some(body.substring(i + 5).trim))
+        case _ =>
+      }
+      i += 1
+    }
+    (body.trim, None)
+  }
+
   private def update(stmt: String): DataFrame = {
-    val re = """(?is)UPDATE\s+([\w"]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?""".r
+    val re = """(?is)UPDATE\s+([\w"]+)\s+SET\s+(.*)""".r
     stmt.trim.stripSuffix(";") match {
-      case re(rawT, setS, whereS) =>
+      case re(rawT, body) =>
         val t = requireTable(rawT)
-        val pred = Option(whereS).map(w => expr(PgRewrite.rewrite(w))).getOrElse(lit(true))
+        val (setS, whereOpt) = splitTopLevelWhere(body)
+        val pred = whereOpt.map(w => expr(PgRewrite.rewrite(w))).getOrElse(lit(true))
         val cur = tableDf(t)
         val nChanged = cur.filter(pred).count()
         // SQL semantics: every SET expression AND the WHERE predicate

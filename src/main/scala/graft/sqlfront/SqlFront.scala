@@ -63,9 +63,11 @@ object StatementSplitter {
   * `||` concat and standard functions need no rewrite (Spark-native).
   */
 object PgRewrite {
-  private val path = """([\w\.]+)\s*#>>?\s*'\{([^}]*)\}'""".r
-  private val keyOnIdent = """([\w\.]+)\s*->(>?)\s*'([^']+)'""".r
-  private val idxOnIdent = """([\w\.]+)\s*->(>?)\s*(\d+)""".r
+  // LHS of a JSON operator: a column reference or a string literal
+  private val jsonLhs = """([\w\.]+|'(?:[^']|'')*')"""
+  private val path = (jsonLhs + """\s*#>>?\s*'\{([^}]*)\}'""").r
+  private val keyOnIdent = (jsonLhs + """\s*->(>?)\s*'([^']+)'""").r
+  private val idxOnIdent = (jsonLhs + """\s*->(>?)\s*(\d+)""").r
   private val keyOnGjo = """get_json_object\(([\w\.]+),\s*'(\$[^']*)'\)\s*->(>?)\s*'([^']+)'""".r
   private val idxOnGjo = """get_json_object\(([\w\.]+),\s*'(\$[^']*)'\)\s*->(>?)\s*(\d+)""".r
   private val castSimple = """((?:\w+\.)*\w+|'[^']*')::(\w+(?:\s+precision)?(?:\(\d+(?:,\d+)?\))?)""".r

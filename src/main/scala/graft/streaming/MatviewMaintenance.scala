@@ -61,11 +61,23 @@ object MatviewMaintenance {
       if (r == root) { if (q.isActive) q.stop(); false } else true
     }
 
-  /** Version stamp of every table in the catalog — state held by the
-    * maintenance query depends on all of them (joined dims included). */
-  private def versionStamp(gs: GraftSession): String =
-    gs.catalog.tables.values.toSeq.sortBy(_.name)
-      .map(t => s"${t.name}:${t.version}").mkString(",")
+  /** Called when a view is dropped or redefined (CREATE OR REPLACE):
+    * stops its maintainer and removes its checkpoint, so a recreated view
+    * can never inherit file-source logs or aggregation state built for
+    * DIFFERENT SQL. */
+  def onViewChanged(gs: GraftSession, name: String): Unit = {
+    val key = (gs.catalog.root.toString, name.toLowerCase)
+    active.remove(key).foreach(q => if (q.isActive) q.stop())
+    deleteRec(gs.catalog.root.resolve("_ckpt_" + name.toLowerCase))
+  }
+
+  /** Validity stamp of a maintenance checkpoint: the version of every
+    * catalog table (state may depend on joined dims, not just the base)
+    * plus the view's own SQL — a redefinition invalidates held state even
+    * when no snapshot moved. */
+  private def versionStamp(gs: GraftSession, v: graft.catalog.ViewDef): String =
+    (gs.catalog.tables.values.toSeq.sortBy(_.name)
+      .map(t => s"${t.name}:${t.version}") :+ s"sql:${v.sql.hashCode}").mkString(",")
 
   /** One incremental refresh of matview `name`; returns the number of new
     * base-table rows processed (0 = already current, -1 = maintained by a
@@ -119,7 +131,7 @@ object MatviewMaintenance {
     val ckptRoot = gs.catalog.root.resolve("_ckpt_" + v.name)
     // checkpoint validity is tied to every snapshot it may hold state from
     val marker = ckptRoot.resolve("_basever")
-    val stamp = versionStamp(gs)
+    val stamp = versionStamp(gs, v)
     if (Files.exists(marker) && Files.readString(marker).trim != stamp)
       deleteRec(ckptRoot)
     Files.createDirectories(ckptRoot)
@@ -144,7 +156,7 @@ object MatviewMaintenance {
         .foreachBatch { (batch: DataFrame, _: Long) =>
           // a snapshot moved under a running maintainer → fail LOUDLY;
           // publishing from stale state would be silent corruption
-          val cur = versionStamp(gs)
+          val cur = versionStamp(gs, v)
           if (cur != stamp)
             throw new IllegalStateException(
               s"snapshot versions changed under matview maintenance of ${v.name} " +

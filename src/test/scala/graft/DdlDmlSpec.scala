@@ -311,6 +311,76 @@ class DdlDmlSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](s.sql("INSERT INTO ch VALUES (1, 99, 1, 1)"))
   }
 
+  test("re-created table does not inherit the old definition's inline PK") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY); DROP TABLE t")
+    s.sql("CREATE TABLE t (id INT, v INT)") // no key this time
+    s.sql("INSERT INTO t VALUES (1, 1), (1, 2)") // duplicates fine now
+    assert(s.sql("SELECT count(*) AS c FROM t").collect()(0).getLong(0) == 2)
+  }
+
+  test("ALTER TABLE ADD COLUMN SERIAL provisions its sequence") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (a INT); INSERT INTO t VALUES (10)")
+    s.sql("ALTER TABLE t ADD COLUMN id SERIAL")
+    s.sql("INSERT INTO t (a) VALUES (20), (30)")
+    val ids = s.sql("SELECT id FROM t WHERE a > 10 ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq
+    assert(ids == Seq(1, 2))
+  }
+
+  test("DROP COLUMN drops constraints with it and blocks FK-referenced drops") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (a INT, b INT, PRIMARY KEY (a, b))")
+    s.sql("ALTER TABLE t DROP COLUMN b")
+    s.sql("INSERT INTO t VALUES (1), (1)") // PK fell away with its column
+    assert(s.sql("SELECT count(*) AS c FROM t").collect()(0).getLong(0) == 2)
+    s.sql("CREATE TABLE par (id INT PRIMARY KEY); " +
+      "CREATE TABLE ch (id INT PRIMARY KEY, pid INT REFERENCES par(id))")
+    assertThrows[IllegalArgumentException](s.sql("ALTER TABLE par DROP COLUMN id"))
+  }
+
+  test("CREATE UNIQUE INDEX declares an enforced unique constraint") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY, email TEXT)")
+    s.sql("INSERT INTO t VALUES (1, 'a@x')")
+    s.sql("CREATE UNIQUE INDEX t_email_idx ON t (email)")
+    assertThrows[IllegalArgumentException](s.sql("INSERT INTO t VALUES (2, 'a@x')"))
+    s.sql("INSERT INTO t VALUES (3, 'b@x')")
+    // existing duplicates block the index creation
+    s.sql("CREATE TABLE u (id INT PRIMARY KEY, v INT); INSERT INTO u VALUES (1, 5), (2, 5)")
+    assertThrows[IllegalArgumentException](s.sql("CREATE UNIQUE INDEX ON u (v)"))
+    // plain index stays a no-op
+    s.sql("CREATE INDEX t_email_plain ON t (email)")
+  }
+
+  test("UPDATE parses a WHERE keyword inside a string literal correctly") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY, note TEXT)")
+    s.sql("INSERT INTO t VALUES (1, 'x'), (2, 'y')")
+    s.sql("UPDATE t SET note = 'a where b' WHERE id = 1")
+    val notes = s.sql("SELECT note FROM t ORDER BY id").collect().map(_.getString(0)).toSeq
+    assert(notes == Seq("a where b", "y"))
+  }
+
+  test("enum array columns keep array type and validate elements") {
+    val s = fresh()
+    s.sql("CREATE TYPE mood AS ENUM ('ok', 'sad')")
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY, ms mood[])")
+    s.sql("INSERT INTO t SELECT 1, array('ok', 'sad')")
+    assertThrows[IllegalArgumentException](
+      s.sql("INSERT INTO t SELECT 2, array('ok', 'angry')"))
+    val r = s.sql("SELECT ms FROM t").collect()(0).getSeq[String](0)
+    assert(r == Seq("ok", "sad"))
+  }
+
+  test("INSERT VALUES accepts PG-dialect expressions via the rewrite") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY, v TEXT)")
+    s.sql("""INSERT INTO t VALUES (1, '{"a": "hi"}'->>'a')""")
+    assert(s.sql("SELECT v FROM t").collect()(0).getString(0) == "hi")
+  }
+
   test("cast rewrite treats string literals as opaque") {
     // '(' inside a literal must not unbalance the paren scan
     assert(PgRewrite.rewrite("SELECT split_part(x, '(', 1)::int FROM t") ==

@@ -188,6 +188,22 @@ class SessionExtrasSpec extends SparkSpec {
     assert(after - before < 50, s"fd growth: $before -> $after")
   }
 
+  test("redefining a matview resets its incremental-refresh checkpoint") {
+    val s = fresh()
+    s.sql("CREATE TABLE ev (id INT PRIMARY KEY, kind TEXT, amt DOUBLE)")
+    s.sql("INSERT INTO ev VALUES (1,'a',1.0), (2,'a',-2.0), (3,'b',3.0)")
+    s.sql("CREATE MATERIALIZED VIEW m AS SELECT kind, count(*) AS n FROM ev GROUP BY kind")
+    assert(graft.streaming.MatviewMaintenance.refreshOnce(s, "m") == 3L)
+    // new SQL under the same name: held state for the old SQL must die
+    s.sql("CREATE OR REPLACE MATERIALIZED VIEW m AS " +
+      "SELECT kind, count(*) AS n FROM ev WHERE amt > 0 GROUP BY kind")
+    s.sql("INSERT INTO ev VALUES (4,'a',-4.0)")
+    graft.streaming.MatviewMaintenance.refreshOnce(s, "m")
+    val m = s.sql("SELECT kind, n FROM m ORDER BY kind").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("a" -> 1L, "b" -> 1L)) // only amt>0 rows counted
+  }
+
   test("time travel reads prior snapshot versions after UPDATE/DELETE") {
     val s = fresh()
     s.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
