@@ -70,6 +70,7 @@ object PgRewrite {
   private val idxOnIdent = (jsonLhs + """\s*->(>?)\s*(\d+)""").r
   private val keyOnGjo = """get_json_object\(([\w\.]+),\s*'(\$[^']*)'\)\s*->(>?)\s*'([^']+)'""".r
   private val idxOnGjo = """get_json_object\(([\w\.]+),\s*'(\$[^']*)'\)\s*->(>?)\s*(\d+)""".r
+  private val regexOp = """([\w\.]+)\s*(!?)~(\*?)\s*('(?:[^']|'')*')""".r
   private val castSimple = """((?:\w+\.)*\w+|'[^']*')::(\w+(?:\s+precision)?(?:\(\d+(?:,\d+)?\))?)""".r
   private val castType = """\w+(?:\s+precision)?(?:\(\d+(?:,\d+)?\))?""".r
 
@@ -169,6 +170,15 @@ object PgRewrite {
           s"get_json_object(${m.group(1)}, '$$[${m.group(3)}]')"))
       changed = s != before
     }
+    // PG regex-match operators: `~` / `~*` / `!~` / `!~*` → RLIKE (the
+    // case-insensitive forms inject an inline (?i) flag). Only literal
+    // patterns rewrite — a computed pattern stays untouched.
+    s = regexOp.replaceAllIn(s, m => {
+      val lhs = m.group(1); val neg = m.group(2) == "!"; val ci = m.group(3) == "*"
+      val pat = if (ci) "'(?i)" + m.group(4).drop(1) else m.group(4)
+      val e = s"$lhs RLIKE $pat"
+      java.util.regex.Matcher.quoteReplacement(if (neg) s"NOT ($e)" else e)
+    })
     s = rewriteCasts(s)
     // PG system functions the reference serves at protocol level
     // (postgres/PostgresConnectionHandler.java:202-213,296-371)

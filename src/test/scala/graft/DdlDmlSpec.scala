@@ -381,6 +381,22 @@ class DdlDmlSpec extends SparkSpec {
     assert(s.sql("SELECT v FROM t").collect()(0).getString(0) == "hi")
   }
 
+  test("PG regex-match operators rewrite to RLIKE") {
+    assert(PgRewrite.rewrite("SELECT * FROM t WHERE name ~ '^A'") ==
+      "SELECT * FROM t WHERE name RLIKE '^A'")
+    assert(PgRewrite.rewrite("SELECT * FROM t WHERE name !~* 'b$'") ==
+      "SELECT * FROM t WHERE NOT (name RLIKE '(?i)b$')")
+    val s = fresh()
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY, name TEXT)")
+    s.sql("INSERT INTO t VALUES (1, 'Alice'), (2, 'bob'), (3, 'ALFRED')")
+    assert(s.sql("SELECT count(*) AS c FROM t WHERE name ~ '^A'")
+      .collect()(0).getLong(0) == 2)
+    assert(s.sql("SELECT count(*) AS c FROM t WHERE name ~* '^al'")
+      .collect()(0).getLong(0) == 2) // Alice + ALFRED, case-folded
+    assert(s.sql("SELECT id FROM t WHERE name !~ 'o' ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 3))
+  }
+
   test("cast rewrite treats string literals as opaque") {
     // '(' inside a literal must not unbalance the paren scan
     assert(PgRewrite.rewrite("SELECT split_part(x, '(', 1)::int FROM t") ==
