@@ -347,6 +347,57 @@ object DedupQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Canonical selection — the actual OUTPUT of a dedup pass: every doc
+    // mapped to its near-dup cluster (singletons are their own cluster),
+    // one canonical representative kept per cluster (longest text, tie →
+    // smallest id). Only the verified dup graph enters the component
+    // loop; the corpus-wide work is one left join + one window over
+    // clusters — corpus-linear.
+    Q(
+      "dedup_canonical",
+      s"""WITH pairs AS (${oJaccardPairs("0.8")}),
+         |edges AS (
+         |  SELECT a AS u, b AS v FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |r AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM r JOIN edges e ON r.v = e.u
+         |),
+         |comp AS (
+         |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
+         |  FROM (SELECT u, v FROM r UNION ALL SELECT u, u FROM edges) t
+         |  GROUP BY u),
+         |alldocs AS (
+         |  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster, d.n_chars
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         |ranked AS (
+         |  SELECT cluster, doc_id, n_chars,
+         |         ROW_NUMBER() OVER (PARTITION BY cluster
+         |                            ORDER BY n_chars DESC, doc_id) AS rnk
+         |  FROM alldocs)
+         |SELECT cluster,
+         |       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+         |       CAST(MIN(CASE WHEN rnk = 1 THEN doc_id END) AS BIGINT) AS canonical_id
+         |FROM ranked
+         |GROUP BY cluster
+         |ORDER BY cluster""".stripMargin.replaceFirst("WITH pairs", "WITH RECURSIVE pairs")
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val comp = labelPropagation(jaccardPairs(s, dir, 0.8).select(col("a"), col("b")))
+        .withColumnRenamed("id", "doc_id")
+      val all = docs.join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"), col("n_chars"))
+      val w = Window.partitionBy(col("cluster")).orderBy(col("n_chars").desc, col("doc_id"))
+      all.withColumn("rnk", row_number().over(w))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"),
+          min(when(col("rnk") === 1, col("doc_id"))).as("canonical_id"))
+        .orderBy(col("cluster"))
+    },
+
     // Decontamination: eval/train overlap detection — the training-data
     // hygiene pass run before every model train. The smallest source is
     // the "eval set"; for each of its docs, count train docs sharing at

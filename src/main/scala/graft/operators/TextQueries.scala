@@ -164,6 +164,35 @@ object TextQueries extends QueryPack {
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("w"))
         .limit(20)
+    },
+
+    // Deterministic stratified sampling — how a training mix is drawn
+    // from a multi-source corpus: membership is a pure function of the
+    // doc id (md5 mod), so the sample is reproducible across runs,
+    // engines and scales, needs no global shuffle or state, and keeps
+    // per-source proportions auditable. The same WHERE clause extracts
+    // the actual sampled rows at any SF.
+    Q(
+      "text_sample_stratified",
+      """SELECT source,
+        |       CAST(COUNT(*) AS BIGINT) AS total_docs,
+        |       CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 = 0
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs,
+        |       CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 = 0
+        |                     THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      val inSample =
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 8 === 0
+      Tables.load(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("total_docs"),
+          sum(when(inSample, 1L).otherwise(0L)).as("sampled_docs"),
+          sum(when(inSample, col("n_chars")).otherwise(0L)).as("sampled_chars"))
+        .orderBy(col("source"))
     }
   )
 }
