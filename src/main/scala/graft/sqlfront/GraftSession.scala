@@ -537,15 +537,29 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     catalog.putView(nv)
   }
 
+  /** REFRESH MATERIALIZED VIEW v [INCREMENTALLY | CONTINUOUSLY]:
+    * bare = full recompute; INCREMENTALLY = one-shot streaming refresh of
+    * only the part-files appended since the last call; CONTINUOUSLY =
+    * start the background maintainer (the reference's scheduler job,
+    * kv/jobs/BackgroundJobScheduler.java, as a SQL statement) — stopped
+    * by DROP / redefinition / any snapshot version bump. */
   private def refreshMatview(stmt: String): DataFrame = {
-    val incremental = stmt.trim.stripSuffix(";").toUpperCase.endsWith("INCREMENTALLY")
-    val body = stmt.trim.stripSuffix(";").replaceAll("(?i)\\s+INCREMENTALLY\\s*$", "")
+    val trimmed = stmt.trim.stripSuffix(";")
+    val up = trimmed.toUpperCase
+    val mode =
+      if (up.endsWith("INCREMENTALLY")) "incremental"
+      else if (up.endsWith("CONTINUOUSLY")) "continuous"
+      else "full"
+    val body = trimmed.replaceAll("(?i)\\s+(INCREMENTALLY|CONTINUOUSLY)\\s*$", "")
     val name = lastWord(body).toLowerCase
     val v = catalog.views.getOrElse(name,
       throw new IllegalArgumentException(s"no such matview: $name"))
     require(v.materialized, s"$name is not materialized")
-    if (incremental) graft.streaming.MatviewMaintenance.refreshOnce(this, name)
-    else materialize(v)
+    mode match {
+      case "incremental" => graft.streaming.MatviewMaintenance.refreshOnce(this, name)
+      case "continuous" => graft.streaming.MatviewMaintenance.continuous(this, name)
+      case _ => materialize(v)
+    }
     ok("REFRESH")
   }
 

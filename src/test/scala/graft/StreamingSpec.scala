@@ -145,6 +145,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("REFRESH MATERIALIZED VIEW CONTINUOUSLY starts the background maintainer") {
+    val s = new graft.sqlfront.GraftSession(
+      spark, java.nio.file.Files.createTempDirectory("graft_wh"))
+    s.sql("CREATE TABLE ev (id INT PRIMARY KEY, kind TEXT, amt DOUBLE)")
+    s.sql("INSERT INTO ev VALUES (1,'a',1.0)")
+    s.sql("CREATE MATERIALIZED VIEW tot AS SELECT sum(amt) AS total FROM ev")
+    s.sql("REFRESH MATERIALIZED VIEW tot CONTINUOUSLY")
+    try {
+      s.sql("INSERT INTO ev VALUES (2,'b',4.0)")
+      // the background query picks the insert up on its own trigger
+      val deadline = System.nanoTime() + 30e9.toLong
+      var total = 0.0
+      while (total != 5.0 && System.nanoTime() < deadline) {
+        Thread.sleep(250)
+        total = s.sql("SELECT total FROM tot").collect()(0).getDouble(0)
+      }
+      assert(total == 5.0)
+    } finally
+      // DROP stops the maintainer and clears its checkpoint
+      s.sql("DROP MATERIALIZED VIEW tot")
+  }
+
   test("streaming deduplication drops replayed events within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
