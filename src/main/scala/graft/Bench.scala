@@ -11,7 +11,12 @@ object Bench {
     // a failed query is recorded as a FAILURE (errors object + nonzero
     // failed count), never as a (fast) timing — the bench must not flatter
     // a regression
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // optional args = run only the named queries (local iteration);
+    // the driver passes none and gets the full suite
+    val selected =
+      if (args.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.filter(kv => args.contains(kv._1)).toSeq
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }

@@ -78,23 +78,41 @@ final class Catalog(val root: Path) {
   def tableDir(t: TableDef): Path = root.resolve(t.name).resolve(s"v${t.version}")
   def matviewDir(v: ViewDef): Path = root.resolve("_mv_" + v.name).resolve(s"v${v.version}")
 
-  def putTable(t: TableDef): Unit = { tables(t.name.toLowerCase) = t; save() }
-  def dropTable(n: String): Unit = { tables.remove(n.toLowerCase); save() }
+  // Mutators are synchronized: a continuous matview maintainer publishes
+  // version bumps from its streaming thread while the session thread
+  // reads/mutates the same maps (save() iterates all four).
+  def putTable(t: TableDef): Unit = synchronized { tables(t.name.toLowerCase) = t; save() }
+  def dropTable(n: String): Unit = synchronized { tables.remove(n.toLowerCase); save() }
   def getTable(n: String): Option[TableDef] = tables.get(n.toLowerCase)
 
-  def putSequence(sq: SequenceDef): Unit = { sequences(sq.name.toLowerCase) = sq; save() }
-  def dropSequence(n: String): Unit = { sequences.remove(n.toLowerCase); save() }
+  def putSequence(sq: SequenceDef): Unit = synchronized { sequences(sq.name.toLowerCase) = sq; save() }
+  def dropSequence(n: String): Unit = synchronized { sequences.remove(n.toLowerCase); save() }
 
-  def putView(v: ViewDef): Unit = { views(v.name.toLowerCase) = v; save() }
-  def dropView(n: String): Unit = { views.remove(n.toLowerCase); save() }
+  def putView(v: ViewDef): Unit = synchronized { views(v.name.toLowerCase) = v; save() }
+  def dropView(n: String): Unit = synchronized { views.remove(n.toLowerCase); save() }
 
-  def putEnum(e: EnumDef): Unit = { enums(e.name.toLowerCase) = e; save() }
-  def dropEnum(n: String): Unit = { enums.remove(n.toLowerCase); save() }
+  def putEnum(e: EnumDef): Unit = synchronized { enums(e.name.toLowerCase) = e; save() }
+  def dropEnum(n: String): Unit = synchronized { enums.remove(n.toLowerCase); save() }
+
+  /** Restore catalog state captured at BEGIN (single-session ROLLBACK).
+    * Version pointers flip back to the snapshot's dirs — copy-on-write
+    * means those dirs were never disturbed. Sequences are deliberately
+    * NOT restored: nextval is non-transactional (PostgreSQL semantics —
+    * rolled-back SERIAL inserts leave gaps), but sequences *created*
+    * inside the transaction are dropped (DDL is transactional). */
+  def restore(ts: Seq[(String, TableDef)], vs: Seq[(String, ViewDef)],
+      es: Seq[(String, EnumDef)], sqNames: Set[String]): Unit = synchronized {
+    tables.clear(); tables ++= ts
+    views.clear(); views ++= vs
+    enums.clear(); enums ++= es
+    sequences.filterInPlace((n, _) => sqNames.contains(n))
+    save()
+  }
 
   /** Allocate the next value of a sequence (reference semantics:
     * INCREMENT/START/MIN/MAX/CYCLE; single-writer so a plain read-modify-
     * write replaces the reference's Cassandra CAS loop). */
-  def nextVal(name: String): Long = {
+  def nextVal(name: String): Long = synchronized {
     val sq = sequences.getOrElse(name.toLowerCase,
       throw new IllegalArgumentException(s"unknown sequence: $name"))
     val next = sq.current match {
@@ -116,7 +134,7 @@ final class Catalog(val root: Path) {
     * analogue of the reference's CAS block allocation,
     * kv/SchemaManager.java:777-898). Returns the first value; the block is
     * `first, first+increment, …, first+(n-1)*increment`. */
-  def reserve(name: String, n: Long): Long = {
+  def reserve(name: String, n: Long): Long = synchronized {
     require(n > 0, s"reserve: block size must be positive, got $n")
     val sq = sequences.getOrElse(name.toLowerCase,
       throw new IllegalArgumentException(s"unknown sequence: $name"))

@@ -55,6 +55,20 @@ object Tables {
     * reference them by bare name (matching the oracle SQL's table names). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Decouple a compute-dense narrow stage from SCAN parallelism. A small
+    * compressed parquet file arrives as one split, so a CPU-heavy per-row
+    * map (shingling, k×md5 min-hash, simhash bit votes, dot products)
+    * inherits ONE task no matter how many cores the cluster has — the
+    * work runs single-threaded before the first shuffle ever happens. A
+    * round-robin repartition to the cluster's parallelism moves only the
+    * raw input rows (once, cheap) and lets the expensive map use every
+    * core. At 100 TB the file count usually provides the splits, but the
+    * same trap returns whenever few-files-heavy-compute stages appear
+    * (re-deriving features for one shard, a dimension-sized corpus), so
+    * the compute-dense operators below call this unconditionally. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }
 
 /** Session factory: every entry point (Verify, Bench, tests) builds its

@@ -80,14 +80,20 @@ object FastOps {
   def minHash(shingles: ArrayData, k: Int): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
     val md = java.security.MessageDigest.getInstance("MD5")
+    // suffix bytes for "#<i>" precomputed once — the hot loop feeds the
+    // digest straight from the UTF8String's bytes, no per-(shingle,i)
+    // String concat / re-encode
+    val suffixes = Array.tabulate(k)(i => ("#" + i).getBytes("UTF-8"))
     var s = 0
     val n = shingles.numElements()
     while (s < n) {
-      val base = shingles.getUTF8String(s).toString
+      val base = shingles.getUTF8String(s).getBytes // UTF-8 already
       var i = 0
       while (i < k) {
         md.reset()
-        val digest = md.digest((base + "#" + i).getBytes("UTF-8"))
+        md.update(base)
+        md.update(suffixes(i))
+        val digest = md.digest()
         // first 15 hex chars = 60 bits: digest[0..6] full bytes + high nibble of digest[7]
         var v = 0L
         var bi = 0

@@ -107,6 +107,37 @@ object DdlQueries extends QueryPack {
         INSERT INTO ej VALUES (1, '{"k": "v1", "n": {"x": 7}}'), (2, '{"k": "v2", "n": {"x": 9}}');
       """)
       gs.sql("SELECT id, props->>'k' AS k, props#>>'{n,x}' AS nx FROM ej ORDER BY id")
+    },
+
+    // Transactional session semantics (reference
+    // kv/KvTransactionCoordinator.java:221-664, exercised by
+    // kv/TransactionAtomicityTest.java): INSERT+UPDATE+DELETE inside
+    // BEGIN…ROLLBACK must leave the pre-txn snapshots untouched, and a
+    // following BEGIN…COMMIT must stick. Catalog-version snapshot restore
+    // — no 2PC, single-session scope.
+    Q(
+      "ddl_txn_rollback",
+      """SELECT * FROM (VALUES
+        |  (1, CAST(100.0 AS DOUBLE)),
+        |  (2, CAST(50.0 AS DOUBLE)),
+        |  (9, CAST(9.0 AS DOUBLE))
+        |) t(id, bal)
+        |ORDER BY id""".stripMargin
+    ) { (s, _) =>
+      val gs = new GraftSession(s, Files.createTempDirectory("graft_gate"))
+      gs.sql("""
+        CREATE TABLE acct (id INT PRIMARY KEY, bal DOUBLE);
+        INSERT INTO acct VALUES (1, 100.0), (2, 50.0);
+        BEGIN;
+        INSERT INTO acct VALUES (3, 75.0);
+        UPDATE acct SET bal = bal - 40 WHERE id = 1;
+        DELETE FROM acct WHERE id = 2;
+        ROLLBACK;
+        BEGIN;
+        INSERT INTO acct VALUES (9, 9.0);
+        COMMIT;
+      """)
+      gs.sql("SELECT id, bal FROM acct ORDER BY id")
     }
   )
 }

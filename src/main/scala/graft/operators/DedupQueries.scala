@@ -27,7 +27,7 @@ object DedupQueries extends QueryPack {
     * (transform over sequence — no self-joins; one row per doc until the
     * final explode). */
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.spread(Tables.load(s, dir, "documents"))
       .select(col("doc_id"),
         graft.functions.VectorFunctions.shingles(col("text"), 3).as("shingles"))
 
@@ -212,7 +212,7 @@ object DedupQueries extends QueryPack {
         |HAVING COUNT(*) >= 1
         |ORDER BY digest""".stripMargin
     ) { (s, dir) =>
-      Tables.load(s, dir, "documents")
+      Tables.spread(Tables.load(s, dir, "documents"))
         .groupBy(md5(col("text")).as("digest"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
         .filter(col("copies") >= 1)
@@ -308,7 +308,7 @@ object DedupQueries extends QueryPack {
          |GROUP BY source, i
          |ORDER BY source, i""".stripMargin
     ) { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.spread(Tables.load(s, dir, "documents"))
       val sig = docs.select(col("source"),
         graft.functions.VectorFunctions.minHash(
           graft.functions.VectorFunctions.shingles(col("text"), 3), 8).as("mh"))
@@ -421,7 +421,7 @@ object DedupQueries extends QueryPack {
         |GROUP BY e.doc_id
         |ORDER BY e.doc_id""".stripMargin
     ) { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.spread(Tables.load(s, dir, "documents"))
       val sh5 = docs.select(col("doc_id"), col("source"),
         explode(graft.functions.VectorFunctions.shingles(col("text"), 5)).as("sh"))
       val msrc = docs.agg(min(col("source")).as("msrc"))
@@ -471,7 +471,7 @@ object DedupQueries extends QueryPack {
         |WHERE bit_count(xor(sa, sb)) <= 3
         |ORDER BY a, b""".stripMargin
     ) { (s, dir) =>
-      val tf = Tables.load(s, dir, "documents")
+      val tf = Tables.spread(Tables.load(s, dir, "documents"))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
       val th = tf.select(col("doc_id"), col("cnt"),

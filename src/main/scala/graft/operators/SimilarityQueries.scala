@@ -35,7 +35,10 @@ object SimilarityQueries extends QueryPack {
     graft.functions.VectorFunctions.dotExact(a, b)
 
   private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("norm", sqrt(dotExact(col("embedding"), col("embedding"))))
+    // spread first: the embeddings fixture is one parquet split, and the
+    // per-row norm / downstream dot-product kernels are the CPU cost here
+    Tables.spread(df)
+      .withColumn("norm", sqrt(dotExact(col("embedding"), col("embedding"))))
 
   /** DuckDB spelling: per-vector squared norm and pairwise dot via
     * position join, decimal-accumulated. */
@@ -106,8 +109,16 @@ object SimilarityQueries extends QueryPack {
     ) { (s, dir) =>
       // blocked all-pairs: B blocks → B(B+1)/2 block-pair rows, each one
       // native kernel call (CosinePairsExpr) — identical quantized-exact
-      // cosine, but no O(n²) wide-row materialization before arithmetic
-      val B = 16
+      // cosine, but no O(n²) wide-row materialization before arithmetic.
+      // B derives from the corpus count so a block row stays bounded
+      // (≤ maxPerBlock vectors ≈ a few MB) no matter the corpus size —
+      // a fixed B would make block rows grow linearly with the corpus
+      // and OOM the collect_list at 100× scale. The all-pairs COMPUTE
+      // is inherently quadratic (this query is the small-scale ground
+      // truth for the ANN variants); only the materialization is bounded.
+      val maxPerBlock = 4096L
+      val n = Tables.load(s, dir, "embeddings").count() // metadata-only
+      val B = math.max(16L, (n + maxPerBlock - 1) / maxPerBlock).toInt
       val vecs = withNorm(Tables.load(s, dir, "embeddings"))
       val blocks = vecs
         .withColumn("bid", pmod(col("vec_id"), lit(B)).cast("int"))

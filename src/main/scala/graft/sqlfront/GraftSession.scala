@@ -145,6 +145,76 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     Seq((kind, n)).toDF("status", "count")
   }
 
+  // ---------------------------------------------------------- transactions
+
+  /** Single-session transaction snapshot. Copy-on-write versioning makes
+    * BEGIN→ROLLBACK nearly free: UPDATE/DELETE/TRUNCATE publish NEW
+    * version dirs, so restoring the catalog's version pointers undoes
+    * them without touching a byte of data. The one mutation that happens
+    * in place is INSERT/COPY appending part-files to the current snapshot
+    * dir — so the snapshot also records each table's file listing, and
+    * ROLLBACK deletes files that were not present at BEGIN. Mirrors the
+    * reference's atomicity guarantees (kv/KvTransactionCoordinator.java:
+    * 221-664, kv/TransactionAtomicityTest.java) for the single-session
+    * case, without its Percolator 2PC machinery. */
+  private final case class TxnSnapshot(
+      tables: Seq[(String, TableDef)],
+      views: Seq[(String, graft.catalog.ViewDef)],
+      enums: Seq[(String, graft.catalog.EnumDef)],
+      seqNames: Set[String],
+      files: Map[String, Set[String]])
+
+  private var activeTxn: Option[TxnSnapshot] = None
+
+  private def listDir(p: Path): Set[String] =
+    if (!Files.exists(p)) Set.empty
+    else {
+      val s = Files.list(p)
+      try {
+        val b = Set.newBuilder[String]
+        s.forEach(f => b += f.getFileName.toString)
+        b.result()
+      } finally s.close()
+    }
+
+  private def beginTxn(): DataFrame = {
+    if (activeTxn.isDefined)
+      throw new IllegalStateException(
+        "BEGIN: a transaction is already in progress (nested transactions are not supported)")
+    activeTxn = Some(TxnSnapshot(
+      catalog.tables.toSeq,
+      catalog.views.toSeq,
+      catalog.enums.toSeq,
+      catalog.sequences.keySet.toSet,
+      catalog.tables.values.map(t => t.name -> listDir(catalog.tableDir(t))).toMap))
+    ok("BEGIN")
+  }
+
+  private def commitTxn(): DataFrame = { activeTxn = None; ok("COMMIT") }
+
+  private def rollbackTxn(): DataFrame = activeTxn match {
+    case None => ok("ROLLBACK") // PG: warning + no-op outside a txn
+    case Some(snap) =>
+      activeTxn = None
+      // temp views registered for tables/views created inside the txn
+      // must not outlive the rollback
+      val keep = (snap.tables.map(_._1) ++ snap.views.map(_._1)).toSet
+      (catalog.tables.keySet ++ catalog.views.keySet)
+        .filterNot(keep).foreach(spark.catalog.dropTempView(_))
+      catalog.restore(snap.tables, snap.views, snap.enums, snap.seqNames)
+      // un-append: INSERT/COPY wrote part-files into snapshot dirs that
+      // predate the txn — remove exactly the files BEGIN did not see
+      snap.files.foreach { case (name, had) =>
+        catalog.getTable(name).foreach { t =>
+          val dir = catalog.tableDir(t)
+          (listDir(dir) -- had).foreach(f => Files.deleteIfExists(dir.resolve(f)))
+        }
+      }
+      // maintainers may hold state built from rolled-back rows
+      graft.streaming.MatviewMaintenance.onSnapshotChange(catalog.root.toString)
+      ok("ROLLBACK")
+  }
+
   private def execOne(stmt: String): DataFrame = kw(stmt) match {
     case "CREATE" =>
       val up = stmt.trim.toUpperCase
@@ -169,7 +239,10 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     case "DELETE" => delete(stmt)
     case "REFRESH" => refreshMatview(stmt)
     case "EXPLAIN" => explain(stmt)
-    case "BEGIN" | "COMMIT" | "ROLLBACK" | "VACUUM" | "ANALYZE" | "SET" | "DO" =>
+    case "BEGIN" | "START" => beginTxn()
+    case "COMMIT" | "END" => commitTxn()
+    case "ROLLBACK" | "ABORT" => rollbackTxn()
+    case "VACUUM" | "ANALYZE" | "SET" | "DO" =>
       ok(kw(stmt)) // no-ops (reference kv/KvQueryExecutor.java:2837-2864)
     case "SHOW" => showTables() // psql \dt analogue (reference meta-commands,
                                 // postgres/PostgresConnectionHandler.java:372-396)

@@ -74,10 +74,33 @@ object MatviewMaintenance {
   /** Validity stamp of a maintenance checkpoint: the version of every
     * catalog table (state may depend on joined dims, not just the base)
     * plus the view's own SQL — a redefinition invalidates held state even
-    * when no snapshot moved. */
-  private def versionStamp(gs: GraftSession, v: graft.catalog.ViewDef): String =
+    * when no snapshot moved. INSERT appends part-files without bumping a
+    * version, so for every table EXCEPT the streamed base the stamp also
+    * digests the snapshot dir's file listing: rows appended to a joined
+    * dimension reset the checkpoint (held aggregation state was built
+    * against the old dimension contents), while appends to the base table
+    * are exactly what the file stream consumes and must NOT invalidate. */
+  private def versionStamp(gs: GraftSession, v: graft.catalog.ViewDef,
+      base: Option[String]): String =
     (gs.catalog.tables.values.toSeq.sortBy(_.name)
-      .map(t => s"${t.name}:${t.version}") :+ s"sql:${v.sql.hashCode}").mkString(",")
+      .map { t =>
+        val files =
+          if (base.contains(t.name)) "" else ":" + dirDigest(gs.catalog.tableDir(t))
+        s"${t.name}:${t.version}$files"
+      } :+ s"sql:${v.sql.hashCode}").mkString(",")
+
+  /** Order-independent digest of a snapshot dir's (file name, size) set. */
+  private def dirDigest(p: Path): String =
+    if (!Files.exists(p)) "-"
+    else {
+      val s = Files.list(p)
+      try {
+        val entries = new java.util.ArrayList[String]()
+        s.forEach(f => entries.add(f.getFileName.toString + "#" + Files.size(f)))
+        java.util.Collections.sort(entries)
+        Integer.toHexString(String.join("|", entries).hashCode)
+      } finally s.close()
+    }
 
   /** One incremental refresh of matview `name`; returns the number of new
     * base-table rows processed (0 = already current, -1 = maintained by a
@@ -131,7 +154,7 @@ object MatviewMaintenance {
     val ckptRoot = gs.catalog.root.resolve("_ckpt_" + v.name)
     // checkpoint validity is tied to every snapshot it may hold state from
     val marker = ckptRoot.resolve("_basever")
-    val stamp = versionStamp(gs, v)
+    val stamp = versionStamp(gs, v, Some(t.name))
     if (Files.exists(marker) && Files.readString(marker).trim != stamp)
       deleteRec(ckptRoot)
     Files.createDirectories(ckptRoot)
@@ -148,7 +171,6 @@ object MatviewMaintenance {
     spark.readStream.schema(schema).parquet(dir.toString)
       .select(t.visibleColumns.map(c => org.apache.spark.sql.functions.col(c.name)): _*)
       .createOrReplaceTempView(t.name)
-    val target = gs.catalog.matviewDir(v).toString
     try {
       val agg = spark.sql(PgRewrite.rewrite(v.sql))
       var writer = agg.writeStream.outputMode("complete")
@@ -156,12 +178,20 @@ object MatviewMaintenance {
         .foreachBatch { (batch: DataFrame, _: Long) =>
           // a snapshot moved under a running maintainer → fail LOUDLY;
           // publishing from stale state would be silent corruption
-          val cur = versionStamp(gs, v)
+          val cur = versionStamp(gs, v, Some(t.name))
           if (cur != stamp)
             throw new IllegalStateException(
               s"snapshot versions changed under matview maintenance of ${v.name} " +
                 s"(was [$stamp], now [$cur]) — restart maintenance to rebuild")
-          batch.write.mode("overwrite").parquet(target)
+          // copy-on-write publish: every batch lands in the NEXT version
+          // dir and only then moves the catalog pointer, so a concurrent
+          // reader that already file-listed the current dir always sees a
+          // complete immutable snapshot (same discipline as table publish,
+          // GraftSession.publish)
+          val curView = gs.catalog.views(v.name.toLowerCase)
+          val nv = curView.copy(version = curView.version + 1)
+          batch.write.mode("overwrite").parquet(gs.catalog.matviewDir(nv).toString)
+          gs.catalog.putView(nv)
         }
       trigger.foreach(tr => writer = writer.trigger(tr))
       Some(writer.start())

@@ -440,6 +440,38 @@ class DdlDmlSpec extends SparkSpec {
     assert(mixed == Seq("DO $body$ x; $$ y; $body$", "SELECT 3"))
   }
 
+  test("BEGIN…ROLLBACK undoes INSERT, UPDATE, DELETE and txn-local DDL") {
+    val s = fresh()
+    s.sql("CREATE TABLE acct (id INT PRIMARY KEY, bal DOUBLE)")
+    s.sql("INSERT INTO acct VALUES (1, 100.0), (2, 50.0)")
+    s.sql("BEGIN")
+    s.sql("INSERT INTO acct VALUES (3, 75.0)")
+    s.sql("UPDATE acct SET bal = bal - 40 WHERE id = 1")
+    s.sql("DELETE FROM acct WHERE id = 2")
+    s.sql("CREATE TABLE scratch (x INT)")
+    // txn sees its own writes
+    assert(s.sql("SELECT count(*) AS c FROM acct").collect()(0).getLong(0) == 2L)
+    s.sql("ROLLBACK")
+    // snapshots untouched: pre-txn rows and values restored, DDL undone
+    val rows = s.sql("SELECT id, bal FROM acct ORDER BY id").collect()
+    assert(rows.map(r => (r.getInt(0), r.getDouble(1))).toSeq == Seq((1, 100.0), (2, 50.0)))
+    assertThrows[Exception](s.sql("SELECT * FROM scratch"))
+  }
+
+  test("COMMIT keeps txn writes; nested BEGIN rejected; bare ROLLBACK is a no-op") {
+    val s = fresh()
+    s.sql("CREATE TABLE t2 (id INT PRIMARY KEY)")
+    s.sql("BEGIN")
+    s.sql("INSERT INTO t2 VALUES (1)")
+    assertThrows[IllegalStateException](s.sql("BEGIN"))
+    s.sql("COMMIT")
+    s.sql("ROLLBACK") // outside any txn: PG-style no-op
+    assert(s.sql("SELECT count(*) AS c FROM t2").collect()(0).getLong(0) == 1L)
+    // a rollback after commit must not resurrect the snapshot
+    s.sql("BEGIN"); s.sql("INSERT INTO t2 VALUES (2)"); s.sql("ROLLBACK")
+    assert(s.sql("SELECT count(*) AS c FROM t2").collect()(0).getLong(0) == 1L)
+  }
+
   test("UPDATE rejects constraint-violating result") {
     val s = fresh()
     s.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
