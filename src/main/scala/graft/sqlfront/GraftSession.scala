@@ -533,14 +533,21 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     * TABLE ADD UNIQUE. Functional/expression indexes stay no-ops (their
     * uniqueness isn't expressible as column metadata). */
   private def createIndex(stmt: String): DataFrame = {
-    val uqIdxRe = """(?is)CREATE\s+UNIQUE\s+INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:[\w"]+\s+)?ON\s+([\w"]+)\s*\(([^)]*)\)\s*""".r
+    // optional CONCURRENTLY, schema-qualified table, USING clause — all
+    // forms that carry UNIQUE must parse or THROW: silently accepting an
+    // unparsed unique index would leave the user believing a uniqueness
+    // constraint exists that is never enforced
+    val uqIdxRe = ("""(?is)CREATE\s+UNIQUE\s+INDEX\s+(?:CONCURRENTLY\s+)?(?:IF\s+NOT\s+EXISTS\s+)?(?:[\w"]+\s+)?""" +
+      """ON\s+(?:(?:[\w"]+)\.)?([\w"]+)\s*(?:USING\s+\w+\s*)?\(([^)]*)\)\s*""").r
     stmt.trim.stripSuffix(";") match {
       case uqIdxRe(rawT, colsS) =>
         val t = requireTable(rawT)
         val ks = colsS.split(",").map(_.trim.replaceAll("\"", "").toLowerCase).toSeq
         if (ks.forall(k => t.column(k).isDefined)) addUniqueKey(t, ks, "CREATE INDEX")
         else ok("CREATE INDEX") // expression index: accept, cannot enforce
-      case _ => ok("CREATE INDEX")
+      case s if s.toUpperCase.contains("UNIQUE") =>
+        throw new IllegalArgumentException(s"cannot parse CREATE UNIQUE INDEX: $stmt")
+      case _ => ok("CREATE INDEX") // plain index: a no-op by design
     }
   }
 
@@ -905,12 +912,22 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   /** Split `body` at the first top-level WHERE keyword — outside string
     * literals and parens, so `SET note = 'a where b'` parses correctly. */
   private def splitTopLevelWhere(body: String): (String, Option[String]) = {
-    var i = 0; var inS = false; var depth = 0
+    // same opacity classes as StatementSplitter: quoted literals, quoted
+    // identifiers (a column named "where"), -- and /* */ comments
+    var i = 0; var inS = false; var inD = false
+    var inLine = false; var inBlock = false; var depth = 0
     while (i < body.length) {
       val c = body.charAt(i)
-      if (inS) { if (c == '\'') inS = false }
+      val next = if (i + 1 < body.length) body.charAt(i + 1) else ' '
+      if (inLine) { if (c == '\n') inLine = false }
+      else if (inBlock) { if (c == '*' && next == '/') { inBlock = false; i += 1 } }
+      else if (inS) { if (c == '\'') inS = false }
+      else if (inD) { if (c == '"') inD = false }
       else c match {
+        case '-' if next == '-' => inLine = true; i += 1
+        case '/' if next == '*' => inBlock = true; i += 1
         case '\'' => inS = true
+        case '"' => inD = true
         case '(' => depth += 1
         case ')' => depth -= 1
         case 'w' | 'W' if depth == 0 &&

@@ -71,7 +71,9 @@ object PgRewrite {
   private val keyOnGjo = """get_json_object\(([\w\.]+),\s*'(\$[^']*)'\)\s*->(>?)\s*'([^']+)'""".r
   private val idxOnGjo = """get_json_object\(([\w\.]+),\s*'(\$[^']*)'\)\s*->(>?)\s*(\d+)""".r
   private val regexOp = """([\w\.]+)\s*(!?)~(\*?)\s*('(?:[^']|'')*')""".r
-  private val castSimple = """((?:\w+\.)*\w+|'[^']*')::(\w+(?:\s+precision)?(?:\(\d+(?:,\d+)?\))?)""".r
+  // literal operand is escape-aware ('' stays inside the literal) so
+  // `'it''s'::text` captures the WHOLE literal, not a tail slice of it
+  private val castSimple = """((?:\w+\.)*\w+|'(?:[^']|'')*')::(\w+(?:\s+precision)?(?:\(\d+(?:,\d+)?\))?)""".r
   private val castType = """\w+(?:\s+precision)?(?:\(\d+(?:,\d+)?\))?""".r
 
   /** Spans [start, end) of single-quoted literals ('' escape honored). */
@@ -149,35 +151,45 @@ object PgRewrite {
     })
   }
 
+  /** True when `pos` falls strictly inside a quoted literal — operator
+    * text stored IN a string (e.g. an inserted TEXT value that happens to
+    * contain `col ~ 'pat'` or `a->>'k'`) is content, never syntax. The
+    * operand regexes themselves may legitimately START on a literal
+    * (literal LHS), so gating keys on the OPERATOR's position. */
+  private def inLiteral(spans: Array[(Int, Int)], pos: Int): Boolean =
+    spans.exists { case (a, b) => pos > a && pos < b - 1 }
+
   def rewrite(sql: String): String = {
-    var s = path.replaceAllIn(sql, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        s"get_json_object(${m.group(1)}, '$$.${m.group(2).split(",").map(_.trim).mkString(".")}')"))
+    def gated(re: scala.util.matching.Regex, s: String, opPos: scala.util.matching.Regex.Match => Int,
+        repl: scala.util.matching.Regex.Match => String): String = {
+      val spans = literalSpans(s)
+      re.replaceSomeIn(s, m =>
+        if (inLiteral(spans, opPos(m))) None
+        else Some(java.util.regex.Matcher.quoteReplacement(repl(m))))
+    }
+    var s = gated(path, sql, _.end(1),
+      m => s"get_json_object(${m.group(1)}, '$$.${m.group(2).split(",").map(_.trim).mkString(".")}')")
     var changed = true
     while (changed) {
       val before = s
-      s = keyOnGjo.replaceAllIn(s, m =>
-        java.util.regex.Matcher.quoteReplacement(
-          s"get_json_object(${m.group(1)}, '${m.group(2)}.${m.group(4)}')"))
-      s = idxOnGjo.replaceAllIn(s, m =>
-        java.util.regex.Matcher.quoteReplacement(
-          s"get_json_object(${m.group(1)}, '${m.group(2)}[${m.group(4)}]')"))
-      s = keyOnIdent.replaceAllIn(s, m =>
-        java.util.regex.Matcher.quoteReplacement(
-          s"get_json_object(${m.group(1)}, '$$.${m.group(3)}')"))
-      s = idxOnIdent.replaceAllIn(s, m =>
-        java.util.regex.Matcher.quoteReplacement(
-          s"get_json_object(${m.group(1)}, '$$[${m.group(3)}]')"))
+      s = gated(keyOnGjo, s, _.end(2),
+        m => s"get_json_object(${m.group(1)}, '${m.group(2)}.${m.group(4)}')")
+      s = gated(idxOnGjo, s, _.end(2),
+        m => s"get_json_object(${m.group(1)}, '${m.group(2)}[${m.group(4)}]')")
+      s = gated(keyOnIdent, s, _.end(1),
+        m => s"get_json_object(${m.group(1)}, '$$.${m.group(3)}')")
+      s = gated(idxOnIdent, s, _.end(1),
+        m => s"get_json_object(${m.group(1)}, '$$[${m.group(3)}]')")
       changed = s != before
     }
     // PG regex-match operators: `~` / `~*` / `!~` / `!~*` → RLIKE (the
     // case-insensitive forms inject an inline (?i) flag). Only literal
     // patterns rewrite — a computed pattern stays untouched.
-    s = regexOp.replaceAllIn(s, m => {
+    s = gated(regexOp, s, _.start(3) - 1, m => {
       val lhs = m.group(1); val neg = m.group(2) == "!"; val ci = m.group(3) == "*"
       val pat = if (ci) "'(?i)" + m.group(4).drop(1) else m.group(4)
       val e = s"$lhs RLIKE $pat"
-      java.util.regex.Matcher.quoteReplacement(if (neg) s"NOT ($e)" else e)
+      if (neg) s"NOT ($e)" else e
     })
     s = rewriteCasts(s)
     // PG system functions the reference serves at protocol level

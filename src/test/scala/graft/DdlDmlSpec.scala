@@ -421,6 +421,41 @@ class DdlDmlSpec extends SparkSpec {
     // nested: inner cast inside a parenthesized operand
     assert(PgRewrite.rewrite("SELECT (x::double + 1)::int FROM t") ==
       "SELECT CAST((CAST(x AS double) + 1) AS int) FROM t")
+    // doubled-quote escape: the WHOLE literal is the operand, never a tail
+    assert(PgRewrite.rewrite("SELECT 'it''s'::text") ==
+      "SELECT CAST('it''s' AS text)")
+  }
+
+  test("operators inside string literals are content, not syntax") {
+    // regex-match shaped text stored in a literal must survive verbatim
+    assert(PgRewrite.rewrite("INSERT INTO t VALUES ('col ~ ''pat''')") ==
+      "INSERT INTO t VALUES ('col ~ ''pat''')")
+    // JSON-operator shaped text inside a literal likewise
+    assert(PgRewrite.rewrite("SELECT 'a->>b is an operator'") ==
+      "SELECT 'a->>b is an operator'")
+    // while the real operators outside literals still rewrite
+    assert(PgRewrite.rewrite("SELECT name FROM t WHERE name ~ '^ab'") ==
+      "SELECT name FROM t WHERE name RLIKE '^ab'")
+  }
+
+  test("UPDATE parsing is comment- and quoted-identifier-proof") {
+    val s = fresh()
+    s.sql("CREATE TABLE upc (id INT PRIMARY KEY, v INT)")
+    s.sql("INSERT INTO upc VALUES (1, 10), (2, 20)")
+    s.sql("UPDATE upc SET v = 1 -- where\nWHERE id = 1")
+    val r = s.sql("SELECT id, v FROM upc ORDER BY id").collect()
+    assert(r.map(x => (x.getInt(0), x.getInt(1))).toSeq == Seq((1, 1), (2, 20)))
+  }
+
+  test("unparseable CREATE UNIQUE INDEX throws; rich forms parse") {
+    val s = fresh()
+    s.sql("CREATE TABLE uix (id INT PRIMARY KEY, v INT)")
+    s.sql("CREATE UNIQUE INDEX CONCURRENTLY uix_v ON public.uix USING btree (v)")
+    s.sql("INSERT INTO uix VALUES (1, 5)")
+    assertThrows[IllegalArgumentException](s.sql("INSERT INTO uix VALUES (2, 5)"))
+    // a UNIQUE INDEX the parser cannot understand must not silently no-op
+    assertThrows[IllegalArgumentException](
+      s.sql("CREATE UNIQUE INDEX weird ON uix ((v + 1)) WHERE v > 0"))
   }
 
   test("parenthesized :: cast end-to-end through the session") {
