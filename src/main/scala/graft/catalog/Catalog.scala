@@ -1,7 +1,7 @@
 package graft.catalog
 
 import java.nio.file.{Files, Path, Paths}
-import scala.collection.mutable
+import scala.collection.{immutable, mutable}
 import scala.jdk.CollectionConverters._
 
 /** Column metadata (reference kv/TableMetadata.java:293-353 stores the
@@ -68,31 +68,40 @@ final class Catalog(val root: Path) {
   Files.createDirectories(root)
   private val file = root.resolve("catalog.json")
 
-  val tables: mutable.LinkedHashMap[String, TableDef] = mutable.LinkedHashMap()
-  val sequences: mutable.LinkedHashMap[String, SequenceDef] = mutable.LinkedHashMap()
-  val views: mutable.LinkedHashMap[String, ViewDef] = mutable.LinkedHashMap()
-  val enums: mutable.LinkedHashMap[String, EnumDef] = mutable.LinkedHashMap()
+  // State is held as @volatile IMMUTABLE maps swapped atomically under
+  // the lock: a continuous matview maintainer reads these from its
+  // streaming thread (versionStamp iterates all tables) while the
+  // session thread mutates — unlocked readers always observe a complete,
+  // insertion-ordered snapshot, never a torn LinkedHashMap mid-put.
+  // VectorMap preserves insertion order across updates of existing keys
+  // (a version bump does not move a table to the end of SHOW TABLES).
+  @volatile private var _tables: immutable.VectorMap[String, TableDef] = immutable.VectorMap.empty
+  @volatile private var _sequences: immutable.VectorMap[String, SequenceDef] = immutable.VectorMap.empty
+  @volatile private var _views: immutable.VectorMap[String, ViewDef] = immutable.VectorMap.empty
+  @volatile private var _enums: immutable.VectorMap[String, EnumDef] = immutable.VectorMap.empty
+
+  def tables: Map[String, TableDef] = _tables
+  def sequences: Map[String, SequenceDef] = _sequences
+  def views: Map[String, ViewDef] = _views
+  def enums: Map[String, EnumDef] = _enums
 
   load()
 
   def tableDir(t: TableDef): Path = root.resolve(t.name).resolve(s"v${t.version}")
   def matviewDir(v: ViewDef): Path = root.resolve("_mv_" + v.name).resolve(s"v${v.version}")
 
-  // Mutators are synchronized: a continuous matview maintainer publishes
-  // version bumps from its streaming thread while the session thread
-  // reads/mutates the same maps (save() iterates all four).
-  def putTable(t: TableDef): Unit = synchronized { tables(t.name.toLowerCase) = t; save() }
-  def dropTable(n: String): Unit = synchronized { tables.remove(n.toLowerCase); save() }
-  def getTable(n: String): Option[TableDef] = tables.get(n.toLowerCase)
+  def putTable(t: TableDef): Unit = synchronized { _tables = _tables.updated(t.name.toLowerCase, t); save() }
+  def dropTable(n: String): Unit = synchronized { _tables = _tables.removed(n.toLowerCase); save() }
+  def getTable(n: String): Option[TableDef] = _tables.get(n.toLowerCase)
 
-  def putSequence(sq: SequenceDef): Unit = synchronized { sequences(sq.name.toLowerCase) = sq; save() }
-  def dropSequence(n: String): Unit = synchronized { sequences.remove(n.toLowerCase); save() }
+  def putSequence(sq: SequenceDef): Unit = synchronized { _sequences = _sequences.updated(sq.name.toLowerCase, sq); save() }
+  def dropSequence(n: String): Unit = synchronized { _sequences = _sequences.removed(n.toLowerCase); save() }
 
-  def putView(v: ViewDef): Unit = synchronized { views(v.name.toLowerCase) = v; save() }
-  def dropView(n: String): Unit = synchronized { views.remove(n.toLowerCase); save() }
+  def putView(v: ViewDef): Unit = synchronized { _views = _views.updated(v.name.toLowerCase, v); save() }
+  def dropView(n: String): Unit = synchronized { _views = _views.removed(n.toLowerCase); save() }
 
-  def putEnum(e: EnumDef): Unit = synchronized { enums(e.name.toLowerCase) = e; save() }
-  def dropEnum(n: String): Unit = synchronized { enums.remove(n.toLowerCase); save() }
+  def putEnum(e: EnumDef): Unit = synchronized { _enums = _enums.updated(e.name.toLowerCase, e); save() }
+  def dropEnum(n: String): Unit = synchronized { _enums = _enums.removed(n.toLowerCase); save() }
 
   /** Restore catalog state captured at BEGIN (single-session ROLLBACK).
     * Version pointers flip back to the snapshot's dirs — copy-on-write
@@ -102,10 +111,10 @@ final class Catalog(val root: Path) {
     * inside the transaction are dropped (DDL is transactional). */
   def restore(ts: Seq[(String, TableDef)], vs: Seq[(String, ViewDef)],
       es: Seq[(String, EnumDef)], sqNames: Set[String]): Unit = synchronized {
-    tables.clear(); tables ++= ts
-    views.clear(); views ++= vs
-    enums.clear(); enums ++= es
-    sequences.filterInPlace((n, _) => sqNames.contains(n))
+    _tables = immutable.VectorMap.from(ts)
+    _views = immutable.VectorMap.from(vs)
+    _enums = immutable.VectorMap.from(es)
+    _sequences = _sequences.filter { case (n, _) => sqNames.contains(n) }
     save()
   }
 
@@ -124,7 +133,7 @@ final class Catalog(val root: Path) {
           if (sq.increment > 0) sq.minValue else sq.maxValue
         } else n
     }
-    sequences(sq.name.toLowerCase) = sq.copy(current = Some(next))
+    _sequences = _sequences.updated(sq.name.toLowerCase, sq.copy(current = Some(next)))
     save()
     next
   }
@@ -147,7 +156,7 @@ final class Catalog(val root: Path) {
     val last = first + (n - 1) * sq.increment
     if (last > sq.maxValue || last < sq.minValue)
       throw new IllegalStateException(s"sequence $name exhausted (block of $n does not fit)")
-    sequences(sq.name.toLowerCase) = sq.copy(current = Some(last))
+    _sequences = _sequences.updated(sq.name.toLowerCase, sq.copy(current = Some(last)))
     save()
     first
   }
@@ -224,7 +233,7 @@ final class Catalog(val root: Path) {
         m("version").asInstanceOf[Number].longValue(), m("rowid").asInstanceOf[Boolean],
         m.getOrElse("uniqueKeys", Seq.empty[Any]).asInstanceOf[Seq[Any]]
           .map(_.asInstanceOf[Seq[Any]].map(_.asInstanceOf[String])))
-      tables(t.name.toLowerCase) = t
+      _tables = _tables.updated(t.name.toLowerCase, t)
     }
     arr("sequences").foreach { m =>
       val q = SequenceDef(m("name").asInstanceOf[String],
@@ -234,17 +243,17 @@ final class Catalog(val root: Path) {
         m("max").asInstanceOf[Number].longValue(),
         m("cycle").asInstanceOf[Boolean],
         Option(m("current")).collect { case n: Number => n.longValue() })
-      sequences(q.name.toLowerCase) = q
+      _sequences = _sequences.updated(q.name.toLowerCase, q)
     }
     arr("views").foreach { m =>
       val v = ViewDef(m("name").asInstanceOf[String], m("sql").asInstanceOf[String],
         m("materialized").asInstanceOf[Boolean], m("version").asInstanceOf[Number].longValue())
-      views(v.name.toLowerCase) = v
+      _views = _views.updated(v.name.toLowerCase, v)
     }
     arr("enums").foreach { m =>
       val e = EnumDef(m("name").asInstanceOf[String],
         m("values").asInstanceOf[Seq[Any]].map(_.asInstanceOf[String]))
-      enums(e.name.toLowerCase) = e
+      _enums = _enums.updated(e.name.toLowerCase, e)
     }
   }
 }

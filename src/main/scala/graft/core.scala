@@ -56,19 +56,27 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 
-  /** Decouple a compute-dense narrow stage from SCAN parallelism. A small
-    * compressed parquet file arrives as one split, so a CPU-heavy per-row
-    * map (shingling, k×md5 min-hash, simhash bit votes, dot products)
+  /** Decouple a compute-dense narrow stage from SCAN parallelism — but
+    * only when the scan actually under-parallelizes. A small compressed
+    * parquet file arrives as one split, so a CPU-heavy per-row map
+    * (shingling, k×md5 min-hash, simhash bit votes, dot products)
     * inherits ONE task no matter how many cores the cluster has — the
-    * work runs single-threaded before the first shuffle ever happens. A
-    * round-robin repartition to the cluster's parallelism moves only the
-    * raw input rows (once, cheap) and lets the expensive map use every
-    * core. At 100 TB the file count usually provides the splits, but the
-    * same trap returns whenever few-files-heavy-compute stages appear
-    * (re-deriving features for one shard, a dimension-sized corpus), so
-    * the compute-dense operators below call this unconditionally. */
-  def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * work runs single-threaded before the first shuffle ever happens.
+    * For that case a round-robin repartition to the cluster's
+    * parallelism moves only the raw input rows (once, cheap) and lets
+    * the expensive map use every core.
+    *
+    * The gate matters at the other end of the scale: at 100 TB the file
+    * count already provides ≥cores splits, and an unconditional
+    * repartition would shuffle the entire raw corpus over the network
+    * before any work happens. So we read the physical split count off
+    * the plan (driver-side only, no job) and pass the DataFrame through
+    * untouched whenever the source already saturates the cluster. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val splits = df.rdd.getNumPartitions
+    if (splits >= target) df else df.repartition(target)
+  }
 }
 
 /** Session factory: every entry point (Verify, Bench, tests) builds its

@@ -117,7 +117,11 @@ object SimilarityQueries extends QueryPack {
       // is inherently quadratic (this query is the small-scale ground
       // truth for the ANN variants); only the materialization is bounded.
       val maxPerBlock = 4096L
-      val n = Tables.load(s, dir, "embeddings").count() // metadata-only
+      // a real (cheap) Spark job: parquet COUNT(*) is answered from the
+      // footer row-counts without reading column data, but it does
+      // schedule tasks — one footer read per file, corpus-size
+      // independent per file
+      val n = Tables.load(s, dir, "embeddings").count()
       val B = math.max(16L, (n + maxPerBlock - 1) / maxPerBlock).toInt
       val vecs = withNorm(Tables.load(s, dir, "embeddings"))
       val blocks = vecs

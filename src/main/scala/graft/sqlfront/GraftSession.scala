@@ -204,14 +204,21 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       catalog.restore(snap.tables, snap.views, snap.enums, snap.seqNames)
       // un-append: INSERT/COPY wrote part-files into snapshot dirs that
       // predate the txn — remove exactly the files BEGIN did not see
-      snap.files.foreach { case (name, had) =>
-        catalog.getTable(name).foreach { t =>
+      val unAppended = snap.files.flatMap { case (name, had) =>
+        catalog.getTable(name).flatMap { t =>
           val dir = catalog.tableDir(t)
-          (listDir(dir) -- had).foreach(f => Files.deleteIfExists(dir.resolve(f)))
+          val extra = listDir(dir) -- had
+          extra.foreach(f => Files.deleteIfExists(dir.resolve(f)))
+          if (extra.nonEmpty) Some(name) else None
         }
-      }
+      }.toSet
       // maintainers may hold state built from rolled-back rows
       graft.streaming.MatviewMaintenance.onSnapshotChange(catalog.root.toString)
+      // file REMOVAL from a streamed base dir is invisible to the
+      // checkpoint version stamp (the base listing is excluded by
+      // design) — the affected views' checkpoints must be rebuilt, or
+      // the next refresh would republish rolled-back rows from state
+      graft.streaming.MatviewMaintenance.onBaseFilesRemoved(this, unAppended)
       ok("ROLLBACK")
   }
 
@@ -545,7 +552,11 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         val ks = colsS.split(",").map(_.trim.replaceAll("\"", "").toLowerCase).toSeq
         if (ks.forall(k => t.column(k).isDefined)) addUniqueKey(t, ks, "CREATE INDEX")
         else ok("CREATE INDEX") // expression index: accept, cannot enforce
-      case s if s.toUpperCase.contains("UNIQUE") =>
+      // only statements that really declare CREATE UNIQUE INDEX must
+      // parse-or-throw — a plain index whose NAME merely contains the
+      // substring 'unique' (idx_unique_email, a column unique_id) is
+      // still a valid no-op
+      case s if s.matches("""(?is)^\s*CREATE\s+UNIQUE\s+INDEX\b.*""") =>
         throw new IllegalArgumentException(s"cannot parse CREATE UNIQUE INDEX: $stmt")
       case _ => ok("CREATE INDEX") // plain index: a no-op by design
     }
@@ -651,6 +662,11 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     ok("DROP VIEW")
   }
 
+  /** EXPLAIN [ANALYZE]. Caveat on ANALYZE timing: execution is driven by
+    * `df.count()`, and Catalyst may prune columns the bare query would
+    * materialize (a count over a projection can skip column reads), so
+    * the reported time can slightly UNDERSTATE the real scan cost. Plan
+    * text is unaffected. */
   private def explain(stmt: String): DataFrame = {
     import spark.implicits._
     val inner = stmt.trim.replaceFirst("(?is)^EXPLAIN\\s+(ANALYZE\\s+)?", "")

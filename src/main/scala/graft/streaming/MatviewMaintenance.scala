@@ -61,6 +61,25 @@ object MatviewMaintenance {
       if (r == root) { if (q.isActive) q.stop(); false } else true
     }
 
+  /** Called when part-files are REMOVED from a table's current snapshot
+    * dir without a version bump (transaction ROLLBACK un-appending
+    * INSERT/COPY files). The base table's file listing is deliberately
+    * excluded from [[versionStamp]] — appends there are what the stream
+    * consumes — so a checkpoint whose file-source log already recorded a
+    * now-deleted file would pass the stamp check and keep aggregation
+    * state containing rolled-back rows. Removal is outside the
+    * append-only contract of a file stream, so the checkpoints of every
+    * view streaming from an affected base are deleted; the next refresh
+    * rebuilds from the surviving files. */
+  def onBaseFilesRemoved(gs: GraftSession, tables: Set[String]): Unit =
+    gs.catalog.views.values.filter(_.materialized).foreach { v =>
+      val base = v.sql match {
+        case fromRe(t) => Some(t.replaceAll("\"", "").toLowerCase)
+        case _ => None
+      }
+      if (base.exists(tables)) deleteRec(gs.catalog.root.resolve("_ckpt_" + v.name))
+    }
+
   /** Called when a view is dropped or redefined (CREATE OR REPLACE):
     * stops its maintainer and removes its checkpoint, so a recreated view
     * can never inherit file-source logs or aggregation state built for
@@ -96,7 +115,16 @@ object MatviewMaintenance {
       val s = Files.list(p)
       try {
         val entries = new java.util.ArrayList[String]()
-        s.forEach(f => entries.add(f.getFileName.toString + "#" + Files.size(f)))
+        // a file can vanish between list and size (concurrent _temporary
+        // cleanup, rollback's deleteIfExists) — treat it as a digest
+        // change (sentinel size) so drift still fails with the intended
+        // stamp-mismatch message instead of a NoSuchFileException
+        s.forEach { f =>
+          val size =
+            try Files.size(f)
+            catch { case _: java.nio.file.NoSuchFileException => -1L }
+          entries.add(f.getFileName.toString + "#" + size)
+        }
         java.util.Collections.sort(entries)
         Integer.toHexString(String.join("|", entries).hashCode)
       } finally s.close()

@@ -456,6 +456,12 @@ class DdlDmlSpec extends SparkSpec {
     // a UNIQUE INDEX the parser cannot understand must not silently no-op
     assertThrows[IllegalArgumentException](
       s.sql("CREATE UNIQUE INDEX weird ON uix ((v + 1)) WHERE v > 0"))
+    // ...but a PLAIN index whose name merely contains 'unique' is still
+    // a valid no-op: no error, no constraint declared
+    s.sql("CREATE TABLE pix (id INT PRIMARY KEY, v INT)")
+    s.sql("CREATE INDEX idx_unique_v ON pix (v)")
+    s.sql("INSERT INTO pix VALUES (3, 7), (4, 7)") // duplicates allowed
+    assert(s.sql("SELECT count(*) AS c FROM pix").collect()(0).getLong(0) == 2L)
   }
 
   test("parenthesized :: cast end-to-end through the session") {

@@ -144,6 +144,21 @@ class PlanSpec extends SparkSpec {
     assert(r.getInt(0) == 2 && r.isNullAt(1))
   }
 
+  test("spread is gated: no round-robin shuffle when the scan already has ≥cores splits") {
+    val cores = spark.sparkContext.defaultParallelism
+    // a source that already saturates the cluster must pass through untouched
+    val wide = spark.range(0, 10000).toDF("id").repartition(cores + 4)
+    val spreadWide = Tables.spread(wide)
+    assert(spreadWide eq wide, "spread must be identity when splits >= parallelism")
+    assert(!spreadWide.queryExecution.executedPlan.toString.contains("roundrobin"),
+      "no round-robin exchange expected on an already-parallel source")
+    // a single-split source must still be spread out for compute-dense maps
+    val narrow = spark.range(0, 100).toDF("id").coalesce(1)
+    val spreadNarrow = Tables.spread(narrow)
+    assert(spreadNarrow.rdd.getNumPartitions == cores,
+      s"expected $cores partitions, got ${spreadNarrow.rdd.getNumPartitions}")
+  }
+
   test("partition count scales with input, not fixed at 200") {
     assert(spark.conf.get("spark.sql.shuffle.partitions").toInt <= 32)
     assert(spark.conf.get("spark.sql.adaptive.enabled").toBoolean)

@@ -145,6 +145,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ROLLBACK invalidates a matview checkpoint that consumed txn rows") {
+    val s = new graft.sqlfront.GraftSession(
+      spark, java.nio.file.Files.createTempDirectory("graft_wh"))
+    s.sql("CREATE TABLE rb (id INT PRIMARY KEY, amt DOUBLE)")
+    s.sql("INSERT INTO rb VALUES (1, 1.0)")
+    s.sql("CREATE MATERIALIZED VIEW rbtot AS SELECT sum(amt) AS total FROM rb")
+    s.sql("REFRESH MATERIALIZED VIEW rbtot INCREMENTALLY")
+    assert(s.sql("SELECT total FROM rbtot").collect()(0).getDouble(0) == 1.0)
+    // an incremental refresh INSIDE the txn pulls the uncommitted row
+    // into the checkpoint's file-source log + aggregation state
+    s.sql("BEGIN")
+    s.sql("INSERT INTO rb VALUES (2, 10.0)")
+    s.sql("REFRESH MATERIALIZED VIEW rbtot INCREMENTALLY")
+    assert(s.sql("SELECT total FROM rbtot").collect()(0).getDouble(0) == 11.0)
+    s.sql("ROLLBACK")
+    // the base table's file listing is excluded from the version stamp,
+    // so without explicit invalidation the stale checkpoint would be
+    // reused and keep publishing the rolled-back row from held state
+    s.sql("REFRESH MATERIALIZED VIEW rbtot INCREMENTALLY")
+    assert(s.sql("SELECT total FROM rbtot").collect()(0).getDouble(0) == 1.0,
+      "matview must not retain rolled-back rows after checkpoint rebuild")
+  }
+
   test("REFRESH MATERIALIZED VIEW CONTINUOUSLY starts the background maintainer") {
     val s = new graft.sqlfront.GraftSession(
       spark, java.nio.file.Files.createTempDirectory("graft_wh"))
