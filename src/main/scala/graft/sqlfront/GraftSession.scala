@@ -74,14 +74,16 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       } else spark.sql(PgRewrite.rewrite(v.sql)).createOrReplaceTempView(v.name)
     }
     import spark.implicits._
-    (catalog.tables.values.map(t => (t.name, "r")).toSeq ++
-      catalog.views.values.map(v => (v.name, if (v.materialized) "m" else "v")))
-      .toDF("relname", "relkind").createOrReplaceTempView("pg_class")
+    (catalog.tables.values.map(t => (relOid(t.name), t.name, NsPublic, "r")).toSeq ++
+      catalog.views.values.map(v =>
+        (relOid(v.name), v.name, NsPublic, if (v.materialized) "m" else "v")))
+      .toDF("oid", "relname", "relnamespace", "relkind")
+      .createOrReplaceTempView("pg_class")
     catalog.tables.values.flatMap(t =>
       t.visibleColumns.zipWithIndex.map { case (c, i) =>
-        (t.name, c.name, c.sqlType, i + 1, c.notNull)
+        (relOid(t.name), t.name, c.name, c.sqlType, i + 1, c.notNull)
       }).toSeq
-      .toDF("relname", "attname", "atttype", "attnum", "attnotnull")
+      .toDF("attrelid", "relname", "attname", "atttype", "attnum", "attnotnull")
       .createOrReplaceTempView("pg_attribute")
     // pg_index: one row per PK / unique constraint, synthesized from
     // catalog metadata (reference kv/PgCatalogManager.java emulates the
@@ -100,6 +102,16 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     }.toSeq
     idxRows.toDF("indexname", "relname", "indisunique", "indisprimary", "indkey")
       .createOrReplaceTempView("pg_index")
+    // pg_tables / pg_indexes: the simplified compatibility views psql and
+    // ORMs query by name (reference kv/PgCatalogTable.java:325-353).
+    catalog.tables.values.map(t => ("public", t.name, "graft")).toSeq
+      .toDF("schemaname", "tablename", "tableowner")
+      .createOrReplaceTempView("pg_tables")
+    idxRows.map { case (iname, rel, uq, _, cols) =>
+      val kw = if (uq) "UNIQUE " else ""
+      ("public", rel, iname, s"CREATE ${kw}INDEX $iname ON $rel ($cols)")
+    }.toDF("schemaname", "tablename", "indexname", "indexdef")
+      .createOrReplaceTempView("pg_indexes")
     // pg_namespace: fixed schema list (single-database engine, like the
     // reference's emulation).
     Seq("public", "pg_catalog", "information_schema").map(Tuple1(_))
@@ -123,7 +135,100 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     // GUC list at protocol level; here the real Spark conf).
     spark.conf.getAll.toSeq.map { case (k, vl) => (k, vl) }
       .toDF("name", "setting").createOrReplaceTempView("pg_settings")
+
+    // pg_constraint: PK / UNIQUE / FK rows synthesized from the same
+    // metadata the engine enforces (reference kv/PgCatalogManager.java:
+    // 64-78 registration, kv/PgCatalogTable.java:235-272 shape). conkey /
+    // confkey are 1-based attnums into pg_attribute, so the standard
+    // introspection join pg_constraint → pg_class → pg_attribute resolves
+    // a constraint's columns end-to-end.
+    val conRows = catalog.tables.values.flatMap { t =>
+      def nums(ks: Seq[String]): Seq[Int] = ks.map(attnum(t, _))
+      val rel = relOid(t.name)
+      val pk =
+        if (t.primaryKey.isEmpty) Nil
+        else Seq((relOid(s"${t.name}_pkey"), s"${t.name}_pkey", NsPublic, "p",
+          rel, 0L, nums(t.primaryKey), Seq.empty[Int], true))
+      val singles = t.columns.filter(_.unique).map { c =>
+        (relOid(s"${t.name}_${c.name}_key"), s"${t.name}_${c.name}_key", NsPublic, "u",
+          rel, 0L, nums(Seq(c.name)), Seq.empty[Int], true)
+      }
+      val composites = t.uniqueKeys.zipWithIndex.map { case (k, i) =>
+        (relOid(s"${t.name}_uq${i + 1}_key"), s"${t.name}_uq${i + 1}_key", NsPublic, "u",
+          rel, 0L, nums(k), Seq.empty[Int], true)
+      }
+      val fks = t.columns.flatMap(c => c.references.map { case (rt, rc) =>
+        val refNums = catalog.getTable(rt).map(r => Seq(attnum(r, rc))).getOrElse(Nil)
+        (relOid(s"${t.name}_${c.name}_fkey"), s"${t.name}_${c.name}_fkey", NsPublic, "f",
+          rel, relOid(rt), nums(Seq(c.name)), refNums, true)
+      })
+      pk ++ singles ++ composites ++ fks
+    }.toSeq
+    conRows.toDF("oid", "conname", "connamespace", "contype", "conrelid",
+      "confrelid", "conkey", "confkey", "convalidated")
+      .createOrReplaceTempView("pg_constraint")
+    // pg_attrdef: column DEFAULT expressions, incl. the implicit nextval
+    // of SERIAL columns (reference kv/PgCatalogTable.java:274-286).
+    catalog.tables.values.flatMap { t =>
+      t.visibleColumns.flatMap { c =>
+        val expr =
+          if (c.serial) Some(s"nextval('${t.name}_${c.name}_seq')") else c.default
+        expr.map(e =>
+          (relOid(s"${t.name}_${c.name}_def"), relOid(t.name), attnum(t, c.name), e))
+      }
+    }.toSeq.toDF("oid", "adrelid", "adnum", "adbin")
+      .createOrReplaceTempView("pg_attrdef")
+    // pg_depend: FK constraints depend on the table they reference —
+    // enough for tools walking drop-order (reference doc list, 'n'ormal).
+    conRows.filter(_._4 == "f").map(r => (r._1, r._6, "n"))
+      .toDF("objid", "refobjid", "deptype").createOrReplaceTempView("pg_depend")
+    registerStaticPgCatalog()
   }
+
+  /** attnum: 1-based position among VISIBLE columns, matching
+    * pg_attribute's numbering. */
+  private def attnum(t: TableDef, c: String): Int =
+    t.visibleColumns.indexWhere(_.name.equalsIgnoreCase(c)) + 1
+
+  private val NsPublic = 2200L // reference OID_NAMESPACE_PUBLIC
+
+  /** Deterministic relation oid, stable across re-registration and
+    * independent of catalog insertion order (PG oids are allocation-
+    * ordered; a name-derived oid gives the same join surface without
+    * persisted counters). User relations live above PG's reserved
+    * range. */
+  private def relOid(name: String): Long =
+    16384L + (scala.util.hashing.MurmurHash3.stringHash(name).toLong & 0x7fffffffL)
+
+  /** Catalog tables whose contents never change over a session's life —
+    * registered once (reference kv/PgCatalogManager.java doc list:
+    * pg_database, pg_roles, pg_am, pg_tablespace, pg_operator,
+    * pg_description). */
+  private def registerStaticPgCatalog(): Unit = {
+    if (staticPgRegistered) return
+    import spark.implicits._
+    Seq((1L, "graft", true))
+      .toDF("oid", "datname", "datallowconn").createOrReplaceTempView("pg_database")
+    Seq((10L, "graft", true, true))
+      .toDF("oid", "rolname", "rolsuper", "rolcanlogin")
+      .createOrReplaceTempView("pg_roles")
+    Seq((2L, "heap", "t"), (403L, "btree", "i"), (405L, "hash", "i"))
+      .toDF("oid", "amname", "amtype").createOrReplaceTempView("pg_am")
+    Seq((1663L, "pg_default"), (1664L, "pg_global"))
+      .toDF("oid", "spcname").createOrReplaceTempView("pg_tablespace")
+    Seq("=", "<>", "<", "<=", ">", ">=", "+", "-", "*", "/", "%", "||",
+      "~~", "!~~", "~", "~*", "!~", "!~*", "->", "->>", "#>", "#>>")
+      .zipWithIndex.map { case (op, i) => (91L + i, op) }
+      .toDF("oid", "oprname").createOrReplaceTempView("pg_operator")
+    // COMMENT ON is unsupported (as in the reference) — the table exists
+    // and is empty so introspection joins resolve instead of erroring
+    Seq.empty[(Long, Long, Int, String)]
+      .toDF("objoid", "classoid", "objsubid", "description")
+      .createOrReplaceTempView("pg_description")
+    staticPgRegistered = true
+  }
+
+  private var staticPgRegistered = false
 
   private var pgProcRegistered = false
 
@@ -222,7 +327,10 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       ok("ROLLBACK")
   }
 
-  private def execOne(stmt: String): DataFrame = kw(stmt) match {
+  private def execOne(stmt: String): DataFrame =
+    if (stmt.trim.startsWith("\\")) metaCommand(stmt) else execKeyword(stmt)
+
+  private def execKeyword(stmt: String): DataFrame = kw(stmt) match {
     case "CREATE" =>
       val up = stmt.trim.toUpperCase
       if (up.startsWith("CREATE TABLE")) createTable(stmt)
@@ -699,21 +807,96 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     rows.toDF("name", "type").orderBy("type", "name")
   }
 
-  /** DESCRIBE t: visible columns with declared type + constraint flags
-    * (reference psql \d). */
+  /** DESCRIBE t / \d t: visible columns with declared type + constraint
+    * flags, followed by the table's indexes and FK constraints as their
+    * own rows — the same detail psql's \d prints in its Indexes: /
+    * Foreign-key constraints: sections (reference
+    * postgres/PostgresConnectionHandler.java:372-396 describe path).
+    * Also answers for views/matviews (columns from the resolved plan). */
   private def describe(name: String): DataFrame = {
     import spark.implicits._
-    val t = requireTable(name)
-    t.visibleColumns.map { c =>
-      val flags = Seq(
-        if (t.primaryKey.contains(c.name)) Some("PK") else None,
-        if (c.notNull) Some("NOT NULL") else None,
-        if (c.unique) Some("UNIQUE") else None,
-        if (c.serial) Some("SERIAL") else None,
-        c.enumType.map(e => s"ENUM($e)"),
-        c.references.map(r => s"FK→${r._1}(${r._2})")).flatten.mkString(" ")
-      (c.name, c.sqlType, flags)
-    }.toDF("column", "type", "constraints")
+    catalog.getTable(name.toLowerCase) match {
+      case Some(t) =>
+        val cols = t.visibleColumns.map { c =>
+          val flags = Seq(
+            if (t.primaryKey.contains(c.name)) Some("PK") else None,
+            if (c.notNull) Some("NOT NULL") else None,
+            if (c.unique) Some("UNIQUE") else None,
+            if (c.serial) Some("SERIAL") else None,
+            c.enumType.map(e => s"ENUM($e)"),
+            c.references.map(r => s"FK→${r._1}(${r._2})")).flatten.mkString(" ")
+          (c.name, c.sqlType, flags)
+        }
+        val idx =
+          (if (t.primaryKey.nonEmpty)
+            Seq((s"${t.name}_pkey", "index", s"PRIMARY KEY (${t.primaryKey.mkString(", ")})"))
+          else Nil) ++
+          t.columns.filter(_.unique).map(c =>
+            (s"${t.name}_${c.name}_key", "index", s"UNIQUE (${c.name})")) ++
+          t.uniqueKeys.zipWithIndex.map { case (k, i) =>
+            (s"${t.name}_uq${i + 1}_key", "index", s"UNIQUE (${k.mkString(", ")})")
+          } ++
+          t.columns.flatMap(c => c.references.map { case (rt, rc) =>
+            (s"${t.name}_${c.name}_fkey", "constraint",
+              s"FOREIGN KEY (${c.name}) REFERENCES $rt($rc)")
+          })
+        (cols ++ idx).toDF("column", "type", "constraints")
+      case None if catalog.views.contains(name.toLowerCase) =>
+        val v = catalog.views(name.toLowerCase)
+        registerAll()
+        val kind = if (v.materialized) "matview" else "view"
+        spark.table(v.name).schema.fields.map(f =>
+          (f.name, f.dataType.sql, kind)).toSeq.toDF("column", "type", "constraints")
+      case None =>
+        throw new IllegalArgumentException(s"no such relation: $name")
+    }
+  }
+
+  /** psql backslash meta-commands, answered as result sets (the reference
+    * serves these at wire-protocol level,
+    * postgres/PostgresConnectionHandler.java:372-430; protocol-only
+    * toggles like \q \timing \x stay out of scope). Patterns accept
+    * psql's * wildcard. */
+  private def metaCommand(stmt: String): DataFrame = {
+    import spark.implicits._
+    val parts = stmt.trim.stripSuffix(";").split("\\s+", 2)
+    val cmd = parts(0).toLowerCase
+    val arg = if (parts.length > 1) Some(parts(1).trim.replaceAll("\"", "").toLowerCase)
+      else None
+    def matches(n: String): Boolean =
+      arg.forall(p => n.matches(p.replace("*", ".*")))
+    def rels(kinds: Set[String]): DataFrame =
+      (catalog.tables.values.map(t => ("public", t.name, "table", "graft")).toSeq ++
+        catalog.views.values.map(v =>
+          ("public", v.name, if (v.materialized) "materialized view" else "view", "graft")) ++
+        catalog.sequences.values.map(q => ("public", q.name, "sequence", "graft")))
+        .filter(r => kinds.contains(r._3) && matches(r._2))
+        .toDF("schema", "name", "type", "owner").orderBy("name")
+    cmd match {
+      case "\\dt" | "\\dt+" => rels(Set("table"))
+      case "\\dv" => rels(Set("view", "materialized view"))
+      case "\\ds" => rels(Set("sequence"))
+      case "\\d" | "\\d+" => arg match {
+        case Some(n) => describe(n)
+        case None => rels(Set("table", "view", "materialized view", "sequence"))
+      }
+      case "\\di" =>
+        catalog.tables.values.flatMap { t =>
+          (if (t.primaryKey.nonEmpty) Seq(s"${t.name}_pkey" -> t.name) else Nil) ++
+            t.columns.filter(_.unique).map(c => s"${t.name}_${c.name}_key" -> t.name) ++
+            t.uniqueKeys.zipWithIndex.map { case (_, i) => s"${t.name}_uq${i + 1}_key" -> t.name }
+        }.toSeq.filter(r => matches(r._1))
+          .map { case (i, tn) => ("public", i, "index", "graft", tn) }
+          .toDF("schema", "name", "type", "owner", "table").orderBy("name")
+      case "\\dn" =>
+        Seq(("public", "graft"), ("pg_catalog", "graft"), ("information_schema", "graft"))
+          .toDF("name", "owner")
+      case "\\du" => Seq(("graft", "Superuser")).toDF("role_name", "attributes")
+      case "\\l" | "\\list" =>
+        Seq(("graft", "graft", "UTF8")).toDF("name", "owner", "encoding")
+      case other => throw new IllegalArgumentException(
+        s"unknown meta-command: $other (supported: \\d \\dt \\dv \\ds \\di \\dn \\du \\l)")
+    }
   }
 
   /** COPY t FROM 'file' [WITH] (FORMAT CSV[, HEADER]) — bulk load through
@@ -724,6 +907,12 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     val fromRe = """(?is)COPY\s+([\w"]+)\s+FROM\s+'([^']+)'(.*)""".r
     val toRe = """(?is)COPY\s+([\w"]+)\s+TO\s+'([^']+)'(.*)""".r
     stmt.trim.stripSuffix(";") match {
+      case copyStdinRe(rawT, opts, body) =>
+        val up = opts.toUpperCase
+        val fmt = if (up.contains("JSON")) "JSON" else if (up.contains("CSV")) "CSV" else "TEXT"
+        val lines = body.linesIterator.takeWhile(_.trim != "\\.")
+          .filterNot(_.isEmpty).toSeq
+        copyIn(rawT.replaceAll("\"", ""), lines, fmt, up.contains("HEADER"))
       case fromRe(rawT, path, opts) =>
         val t = requireTable(rawT)
         val up = opts.toUpperCase
@@ -741,6 +930,49 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         ok("COPY TO")
       case _ => throw new IllegalArgumentException(s"cannot parse COPY: $stmt")
     }
+  }
+
+  /** COPY t FROM STDIN with pg_dump-style inline data: the statement text
+    * carries the rows after the first newline, terminated by `\.` — the
+    * scripted form of the reference's CopyData streaming
+    * (postgres/PostgresConnectionHandler.java:1310). Default format is
+    * PG's text mode (tab-separated, \N nulls); (FORMAT CSV [, HEADER])
+    * selects CSV. Data lines must not contain `;` (the statement splitter
+    * runs first). */
+  private val copyStdinRe =
+    """(?is)COPY\s+([\w"]+)\s+FROM\s+STDIN([^\n]*)\n(.*)""".r
+
+  /** COPY FROM STDIN analogue for library users: bulk-load in-memory
+    * lines through the SAME validated insert path as INSERT/COPY — every
+    * constraint (PK/UNIQUE/FK/NOT NULL/enum/JSON) checked distributed,
+    * nothing published unless the whole batch passes (a violation
+    * mid-stream rejects atomically). `format` is "TEXT" (PG default:
+    * tab-separated, \N nulls), "CSV", or "JSON". */
+  def copyIn(table: String, lines: IterableOnce[String], format: String = "TEXT",
+      header: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val t = requireTable(table)
+    val vis = t.visibleColumns
+    val schema = StructType(vis.map(c =>
+      StructField(c.name, TypeMap.toSpark(c.sqlType), nullable = true)))
+    val ds = spark.createDataset(lines.iterator.toSeq)
+    val src = format.toUpperCase match {
+      case "JSON" => spark.read.schema(schema).json(ds)
+      case "CSV" => spark.read.option("header", header).schema(schema).csv(ds)
+      case _ => spark.read.option("sep", "\t").option("nullValue", "\\N")
+        .schema(schema).csv(ds)
+    }
+    insertRows(t, Some(vis.map(_.name).mkString(",")), src)
+  }
+
+  /** Reader overload (java.io interop): drains the reader line-wise into
+    * [[copyIn]]. */
+  def copyIn(table: String, reader: java.io.Reader, format: String,
+      header: Boolean): DataFrame = {
+    val br = new java.io.BufferedReader(reader)
+    val lines = Iterator.continually(br.readLine()).takeWhile(_ != null)
+      .filterNot(_.trim == "\\.")
+    copyIn(table, lines, format, header)
   }
 
   /** Time travel: read table `name` at an older snapshot version — the

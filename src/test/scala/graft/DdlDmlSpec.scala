@@ -513,6 +513,28 @@ class DdlDmlSpec extends SparkSpec {
     assert(s.sql("SELECT count(*) AS c FROM t2").collect()(0).getLong(0) == 1L)
   }
 
+  test("COPY FROM STDIN: inline data, copyIn API, atomic mid-stream rejection") {
+    val s = fresh()
+    s.sql("CREATE TABLE cpi (id INT PRIMARY KEY, name TEXT NOT NULL, score DOUBLE)")
+    // pg_dump-style inline data: default text format (tab-sep, \N null)
+    s.sql("COPY cpi FROM STDIN\n1\tann\t1.5\n2\tbob\t\\N\n\\.")
+    val r = s.sql("SELECT id, name, score FROM cpi ORDER BY id").collect()
+    assert(r.map(_.getInt(0)).toSeq == Seq(1, 2) && r(1).isNullAt(2))
+    // CSV format option
+    s.sql("COPY cpi FROM STDIN (FORMAT CSV)\n3,cat,3.5\n\\.")
+    assert(s.sql("SELECT count(*) AS c FROM cpi").collect()(0).getLong(0) == 3L)
+    // programmatic Reader form — the reference's CopyData stream analogue
+    s.copyIn("cpi", new java.io.StringReader("4\tdee\t4.5\n\\.\n"), "TEXT", header = false)
+    assert(s.sql("SELECT count(*) AS c FROM cpi").collect()(0).getLong(0) == 4L)
+    // a violation anywhere in the stream rejects the WHOLE batch: the
+    // valid leading rows must not be half-applied
+    assertThrows[IllegalArgumentException](
+      s.copyIn("cpi", Seq("5\teve\t5.5", "1\tdup\t0.0"), "TEXT"))
+    assertThrows[IllegalArgumentException](
+      s.copyIn("cpi", Seq("6\t\\N\t6.0"), "TEXT")) // NOT NULL mid-stream
+    assert(s.sql("SELECT count(*) AS c FROM cpi").collect()(0).getLong(0) == 4L)
+  }
+
   test("UPDATE rejects constraint-violating result") {
     val s = fresh()
     s.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")

@@ -30,6 +30,46 @@ class SessionExtrasSpec extends SparkSpec {
     assert(d("pid").contains("FK→parent(id)"))
   }
 
+  test("DESCRIBE appends index and FK constraint rows like psql \\d") {
+    val s = fresh()
+    s.sql("CREATE TABLE parent (id INT PRIMARY KEY); " +
+      "CREATE TABLE t (id INT PRIMARY KEY, email TEXT UNIQUE, a INT, b INT, " +
+      "pid INT REFERENCES parent(id), UNIQUE (a, b))")
+    val rows = s.sql("DESCRIBE t").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val byName = rows.map(r => r._1 -> r).toMap
+    assert(byName("t_pkey")._3 == "PRIMARY KEY (id)")
+    assert(byName("t_email_key")._3 == "UNIQUE (email)")
+    assert(byName("t_uq1_key")._3 == "UNIQUE (a, b)")
+    assert(byName("t_pid_fkey")._3 == "FOREIGN KEY (pid) REFERENCES parent(id)")
+  }
+
+  test("psql meta-commands answer as result sets") {
+    val s = fresh()
+    s.sql("CREATE TABLE orders_meta (id INT PRIMARY KEY, v TEXT UNIQUE); " +
+      "CREATE TABLE other (id INT PRIMARY KEY); " +
+      "CREATE VIEW vord AS SELECT id FROM orders_meta; " +
+      "CREATE SEQUENCE s1")
+    // \dt lists tables only; pattern filters
+    assert(s.sql("\\dt").collect().map(_.getString(1)).toSeq == Seq("orders_meta", "other"))
+    assert(s.sql("\\dt orders*").collect().map(_.getString(1)).toSeq == Seq("orders_meta"))
+    // \d with no arg lists all relations; with a name it describes
+    assert(s.sql("\\d").collect().map(_.getString(1)).toSet ==
+      Set("orders_meta", "other", "vord", "s1"))
+    val d = s.sql("\\d orders_meta").collect().map(_.getString(0))
+    assert(d.contains("id") && d.contains("orders_meta_pkey"))
+    // \d over a view resolves its columns
+    assert(s.sql("\\d vord").collect().map(_.getString(0)).toSeq == Seq("id"))
+    // \di indexes, \dn schemas, \du roles, \l databases
+    assert(s.sql("\\di").collect().map(_.getString(1)).toSet ==
+      Set("orders_meta_pkey", "orders_meta_v_key", "other_pkey"))
+    assert(s.sql("\\dn").collect().map(_.getString(0)).toSet ==
+      Set("public", "pg_catalog", "information_schema"))
+    assert(s.sql("\\du").collect().map(_.getString(0)).toSeq == Seq("graft"))
+    assert(s.sql("\\l").collect().map(_.getString(0)).toSeq == Seq("graft"))
+    assertThrows[IllegalArgumentException](s.sql("\\copyright"))
+  }
+
   test("COPY FROM CSV goes through validation; COPY TO round-trips") {
     val s = fresh()
     s.sql("CREATE TABLE t (id INT PRIMARY KEY, name TEXT NOT NULL, score DOUBLE)")
@@ -157,6 +197,57 @@ class SessionExtrasSpec extends SparkSpec {
     s.sql("REFRESH MATERIALIZED VIEW evagg INCREMENTALLY")
     val a2 = s.sql("SELECT n, total FROM evagg WHERE kind = 'a'").collect()(0)
     assert(a2.getLong(0) == 3 && a2.getDouble(1) == 17.0)
+  }
+
+  test("pg_constraint joins to pg_class and pg_attribute to resolve a FK end-to-end") {
+    val s = fresh()
+    s.sql("CREATE TABLE dept (dept_id INT PRIMARY KEY, dname TEXT); " +
+      "CREATE TABLE emp (emp_id INT PRIMARY KEY, salary DOUBLE, " +
+      "dept_id INT REFERENCES dept(dept_id) DEFAULT 1)")
+    // the introspection walk a real tool does: constraint → owning
+    // relation → referenced relation → referenced column names
+    val fk = s.sql(
+      """SELECT c.conname, rel.relname AS src, ref.relname AS dst, a.attname AS refcol
+        |FROM pg_constraint c
+        |JOIN pg_class rel ON rel.oid = c.conrelid
+        |JOIN pg_class ref ON ref.oid = c.confrelid
+        |JOIN pg_attribute a ON a.attrelid = c.confrelid AND a.attnum = c.confkey[0]
+        |WHERE c.contype = 'f'""".stripMargin).collect()
+    assert(fk.length == 1)
+    assert(fk(0).getString(0) == "emp_dept_id_fkey" && fk(0).getString(1) == "emp" &&
+      fk(0).getString(2) == "dept" && fk(0).getString(3) == "dept_id")
+    // PK constraint carries its 1-based attnums
+    val pk = s.sql("SELECT conname, conkey FROM pg_constraint " +
+      "WHERE contype = 'p' AND conrelid = (SELECT oid FROM pg_class WHERE relname = 'emp')")
+      .collect()
+    assert(pk.length == 1 && pk(0).getString(0) == "emp_pkey" &&
+      pk(0).getSeq[Int](1) == Seq(1))
+    // pg_attrdef lists the declared DEFAULT at the right attnum
+    val ad = s.sql(
+      "SELECT d.adbin FROM pg_attrdef d JOIN pg_attribute a " +
+      "ON a.attrelid = d.adrelid AND a.attnum = d.adnum WHERE a.attname = 'dept_id'")
+      .collect()
+    assert(ad.length == 1 && ad(0).getString(0) == "1")
+  }
+
+  test("pg_database, pg_roles, pg_tables, pg_indexes and pg_am answer tool queries") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY, email TEXT UNIQUE)")
+    assert(s.sql("SELECT datname FROM pg_database WHERE datallowconn")
+      .collect().map(_.getString(0)).toSeq == Seq("graft"))
+    assert(s.sql("SELECT rolname FROM pg_roles WHERE rolcanlogin")
+      .collect().map(_.getString(0)).toSeq == Seq("graft"))
+    assert(s.sql("SELECT tablename FROM pg_tables WHERE schemaname = 'public'")
+      .collect().map(_.getString(0)).toSeq == Seq("t"))
+    val defs = s.sql("SELECT indexdef FROM pg_indexes WHERE tablename = 't' " +
+      "ORDER BY indexname").collect().map(_.getString(0))
+    assert(defs.exists(_.contains("UNIQUE INDEX t_email_key ON t (email)")), defs.mkString("; "))
+    assert(s.sql("SELECT amname FROM pg_am WHERE amtype = 'i' ORDER BY amname")
+      .collect().map(_.getString(0)).toSeq == Seq("btree", "hash"))
+    // empty-but-present: COMMENT ON is unsupported, joins must not error
+    assert(s.sql("SELECT count(*) AS c FROM pg_description").collect()(0).getLong(0) == 0L)
+    assert(s.sql("SELECT count(*) AS c FROM pg_operator WHERE oprname = '='")
+      .collect()(0).getLong(0) == 1L)
   }
 
   test("pg_proc and pg_settings expose the function registry and live conf") {
