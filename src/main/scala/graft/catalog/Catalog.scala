@@ -258,10 +258,11 @@ final class Catalog(val root: Path) {
   }
 }
 
-/** Minimal recursive-descent JSON reader for the catalog file (we control
-  * both writer and reader; no external dependency). Numbers → Long or
-  * Double, null → null, objects → Map, arrays → Seq. */
-private[catalog] object Json {
+/** Minimal recursive-descent JSON reader for the catalog file and the
+  * transaction journal (we control both writer and reader; no external
+  * dependency). Numbers → Long or Double, null → null, objects → Map,
+  * arrays → Seq. */
+private[graft] object Json {
   def parse(s: String): Any = new P(s).value()
 
   private final class P(s: String) {

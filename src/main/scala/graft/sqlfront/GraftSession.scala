@@ -27,7 +27,46 @@ import graft.catalog._
   */
 final class GraftSession(val spark: SparkSession, warehouse: Path) {
 
+  // -------------------------------------------- txn crash recovery (open)
+
+  private val txnCatalogJournal = warehouse.resolve("_txn_catalog.json")
+  private val txnFilesJournal = warehouse.resolve("_txn_files.json")
+
+  /** A journal pair left behind means the previous session died inside
+    * BEGIN…COMMIT. Restore the pre-BEGIN catalog NOW — before [[catalog]]
+    * loads — so version pointers flip back to the pre-txn snapshots; the
+    * recorded file listings are applied after load (mirrors the
+    * reference's lock-cleanup recovery,
+    * kv/KvTransactionCoordinator.java:537-664, at single-session scope). */
+  private val pendingTxnRecovery: Option[Map[String, Set[String]]] =
+    if (!Files.exists(txnCatalogJournal)) None
+    else {
+      val had: Map[String, Set[String]] =
+        if (!Files.exists(txnFilesJournal)) Map.empty
+        else graft.catalog.Json.parse(Files.readString(txnFilesJournal))
+          .asInstanceOf[Map[String, Any]]
+          .map { case (k, v) => k -> v.asInstanceOf[Seq[Any]].map(_.toString).toSet }
+      Files.move(txnCatalogJournal, warehouse.resolve("catalog.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Some(had)
+    }
+
   val catalog = new Catalog(warehouse)
+
+  // finish crash recovery now that the pre-txn version pointers are live:
+  // un-append part-files the dead txn added to surviving snapshot dirs,
+  // and rebuild any matview checkpoint that may have consumed them
+  pendingTxnRecovery.foreach { had =>
+    val unAppended = catalog.tables.values.flatMap { t =>
+      val dir = catalog.tableDir(t)
+      val extra = listDir(dir) -- had.getOrElse(t.name, Set.empty)
+      extra.foreach(f => Files.deleteIfExists(dir.resolve(f)))
+      if (extra.nonEmpty) Some(t.name) else None
+    }.toSet
+    Files.deleteIfExists(txnFilesJournal)
+    graft.streaming.MatviewMaintenance.onBaseFilesRemoved(this, unAppended)
+  }
 
   // ---------------------------------------------------------------- read
 
@@ -286,16 +325,39 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     if (activeTxn.isDefined)
       throw new IllegalStateException(
         "BEGIN: a transaction is already in progress (nested transactions are not supported)")
+    val files = catalog.tables.values
+      .map(t => t.name -> listDir(catalog.tableDir(t))).toMap
     activeTxn = Some(TxnSnapshot(
       catalog.tables.toSeq,
       catalog.views.toSeq,
       catalog.enums.toSeq,
       catalog.sequences.keySet.toSet,
-      catalog.tables.values.map(t => t.name -> listDir(catalog.tableDir(t))).toMap))
+      files))
+    // crash journal: persist the pre-BEGIN state so a session killed
+    // mid-transaction recovers to it on next open. catalog.json IS the
+    // serialized pre-txn catalog — snapshot it (save first: a fresh
+    // warehouse may not have written one yet), plus the file listings
+    // needed to un-append. The files journal is written BEFORE the
+    // catalog journal: recovery keys on the catalog journal's existence,
+    // so a crash between the two writes leaves no half-armed journal.
+    catalog.save()
+    def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    Files.writeString(txnFilesJournal,
+      files.map { case (t, fs) => js(t) + ":" + fs.map(js).mkString("[", ",", "]") }
+        .mkString("{", ",", "}"))
+    Files.copy(warehouse.resolve("catalog.json"), txnCatalogJournal,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ok("BEGIN")
   }
 
-  private def commitTxn(): DataFrame = { activeTxn = None; ok("COMMIT") }
+  private def dropTxnJournal(): Unit = {
+    Files.deleteIfExists(txnCatalogJournal)
+    Files.deleteIfExists(txnFilesJournal)
+  }
+
+  private def commitTxn(): DataFrame = {
+    activeTxn = None; dropTxnJournal(); ok("COMMIT")
+  }
 
   private def rollbackTxn(): DataFrame = activeTxn match {
     case None => ok("ROLLBACK") // PG: warning + no-op outside a txn
@@ -324,6 +386,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       // design) — the affected views' checkpoints must be rebuilt, or
       // the next refresh would republish rolled-back rows from state
       graft.streaming.MatviewMaintenance.onBaseFilesRemoved(this, unAppended)
+      dropTxnJournal()
       ok("ROLLBACK")
   }
 

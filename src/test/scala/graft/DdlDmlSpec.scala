@@ -535,6 +535,29 @@ class DdlDmlSpec extends SparkSpec {
     assert(s.sql("SELECT count(*) AS c FROM cpi").collect()(0).getLong(0) == 4L)
   }
 
+  test("crash mid-transaction: reopening the warehouse recovers pre-BEGIN state") {
+    val wh = Files.createTempDirectory("graft_wh")
+    val s1 = new GraftSession(spark, wh)
+    s1.sql("CREATE TABLE acct (id INT PRIMARY KEY, bal DOUBLE)")
+    s1.sql("INSERT INTO acct VALUES (1, 100.0)")
+    s1.sql("BEGIN")
+    s1.sql("INSERT INTO acct VALUES (2, 50.0)")
+    s1.sql("UPDATE acct SET bal = 0.0 WHERE id = 1")
+    s1.sql("CREATE TABLE scratch (x INT)")
+    // "crash": the session object is abandoned without COMMIT/ROLLBACK —
+    // part-files are appended and the persisted catalog points at the
+    // post-write state; only the journal knows the pre-BEGIN truth
+    val s2 = new GraftSession(spark, wh)
+    val rows = s2.sql("SELECT id, bal FROM acct ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1, 100.0)), s"expected pre-BEGIN state, got $rows")
+    assertThrows[Exception](s2.sql("SELECT * FROM scratch")) // txn DDL undone
+    // recovery is one-shot: the journal is consumed, normal work resumes
+    s2.sql("INSERT INTO acct VALUES (3, 30.0)")
+    val s3 = new GraftSession(spark, wh)
+    assert(s3.sql("SELECT count(*) AS c FROM acct").collect()(0).getLong(0) == 2L)
+  }
+
   test("UPDATE rejects constraint-violating result") {
     val s = fresh()
     s.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
