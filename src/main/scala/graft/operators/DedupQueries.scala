@@ -440,6 +440,46 @@ object DedupQueries extends QueryPack {
         .orderBy(col("cluster"))
     },
 
+    // Embedding-cosine near-dup — the fifth dedup modality (exact,
+    // Jaccard, MinHash, SimHash, and here semantic): vectors whose exact
+    // cosine clears the threshold are near-dups regardless of surface
+    // text. Pair discovery reuses the blocked kernel
+    // (SimilarityQueries.cosinePairs — bounded block rows at any corpus
+    // size), components reuse the same distributed label propagation as
+    // the text graph, canonical = smallest vec_id (no text to rank by).
+    // 100 TB shape: the pair graph is candidate-local, the component
+    // loop distributed, the corpus-wide join one left join.
+    Q(
+      "dedup_embedding_canonical",
+      s"""WITH RECURSIVE ${SimilarityQueries.oCosinePairCtes("0.4")},
+         |edges AS (
+         |  SELECT a AS u, b AS v FROM cpairs
+         |  UNION SELECT b, a FROM cpairs),
+         |r AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM r JOIN edges e ON r.v = e.u
+         |),
+         |comp AS (
+         |  SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster
+         |  FROM (SELECT u, v FROM r UNION ALL SELECT u, u FROM edges) t
+         |  GROUP BY u)
+         |SELECT e.vec_id,
+         |       COALESCE(c.cluster, e.vec_id) AS cluster,
+         |       (e.vec_id = COALESCE(c.cluster, e.vec_id)) AS is_canonical
+         |FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id
+         |ORDER BY e.vec_id""".stripMargin
+    ) { (s, dir) =>
+      val pairs = SimilarityQueries.cosinePairs(s, dir, 0.4).select(col("a"), col("b"))
+      val comp = labelPropagation(pairs).withColumnRenamed("id", "vec_id")
+      Tables.load(s, dir, "embeddings").select(col("vec_id"))
+        .join(comp, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster"), col("vec_id")).as("cluster"))
+        .withColumn("is_canonical", col("vec_id") === col("cluster"))
+        .orderBy(col("vec_id"))
+    },
+
     // Decontamination: eval/train overlap detection — the training-data
     // hygiene pass run before every model train. The smallest source is
     // the "eval set"; for each of its docs, count train docs sharing at

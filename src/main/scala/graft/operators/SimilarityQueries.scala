@@ -51,6 +51,45 @@ object SimilarityQueries extends QueryPack {
        |       sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS norm
        |FROM ($oVecs) GROUP BY vec_id""".stripMargin
 
+  /** Blocked exact cosine pairs ≥ thr over the embeddings corpus —
+    * shared by the `sim_cosine_pairs` gate query and the
+    * embedding-near-dup dedup operator (DedupQueries). Columns
+    * (a, b, cosine). See the inline notes at the call site for the
+    * block-bound reasoning. */
+  private[operators] def cosinePairs(s: SparkSession, dir: String, thr: Double): DataFrame = {
+    val maxPerBlock = 4096L
+    // a real (cheap) Spark job: parquet COUNT(*) is answered from the
+    // footer row-counts without reading column data, but it does
+    // schedule tasks — one footer read per file, corpus-size
+    // independent per file
+    val n = Tables.load(s, dir, "embeddings").count()
+    val B = math.max(16L, (n + maxPerBlock - 1) / maxPerBlock).toInt
+    val vecs = withNorm(Tables.load(s, dir, "embeddings"))
+    val blocks = vecs
+      .withColumn("bid", pmod(col("vec_id"), lit(B)).cast("int"))
+      .groupBy(col("bid"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"), col("norm"))).as("blk"))
+    val pairs = blocks.as("x").join(blocks.as("y"), col("x.bid") <= col("y.bid"))
+      .select(explode(graft.functions.CosineBlock.pairs(
+        col("x.blk"), col("y.blk"), thr, col("x.bid") === col("y.bid"))).as("p"))
+    pairs.select(col("p.a").as("a"), col("p.b").as("b"), col("p.cosine").as("cosine"))
+  }
+
+  /** DuckDB CTE block computing the same cosine pairs as [[cosinePairs]]
+    * (names them `cpairs(a, b)`); splice after WITH [RECURSIVE]. */
+  private[operators] def oCosinePairCtes(thr: String): String =
+    s"""u AS ($oVecs),
+       |n AS ($oNorms),
+       |dots AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |         CAST(SUM(CAST(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+       |  FROM u a JOIN u b ON a.p = b.p AND a.vec_id < b.vec_id
+       |  GROUP BY a.vec_id, b.vec_id),
+       |cpairs AS (
+       |  SELECT a, b FROM dots
+       |  JOIN n na ON a = na.vec_id JOIN n nb ON b = nb.vec_id
+       |  WHERE dot / (na.norm * nb.norm) >= $thr)""".stripMargin
+
   val qs: Seq[Q] = Seq(
     // Brute-force cosine top-k for a small query set: broadcast the
     // queries, scan the corpus once, per-query row_number window.
@@ -116,23 +155,7 @@ object SimilarityQueries extends QueryPack {
       // and OOM the collect_list at 100× scale. The all-pairs COMPUTE
       // is inherently quadratic (this query is the small-scale ground
       // truth for the ANN variants); only the materialization is bounded.
-      val maxPerBlock = 4096L
-      // a real (cheap) Spark job: parquet COUNT(*) is answered from the
-      // footer row-counts without reading column data, but it does
-      // schedule tasks — one footer read per file, corpus-size
-      // independent per file
-      val n = Tables.load(s, dir, "embeddings").count()
-      val B = math.max(16L, (n + maxPerBlock - 1) / maxPerBlock).toInt
-      val vecs = withNorm(Tables.load(s, dir, "embeddings"))
-      val blocks = vecs
-        .withColumn("bid", pmod(col("vec_id"), lit(B)).cast("int"))
-        .groupBy(col("bid"))
-        .agg(collect_list(struct(col("vec_id"), col("embedding"), col("norm"))).as("blk"))
-      val pairs = blocks.as("x").join(blocks.as("y"), col("x.bid") <= col("y.bid"))
-        .select(explode(graft.functions.CosineBlock.pairs(
-          col("x.blk"), col("y.blk"), 0.4, col("x.bid") === col("y.bid"))).as("p"))
-      pairs.select(col("p.a").as("a"), col("p.b").as("b"), col("p.cosine").as("cosine"))
-        .orderBy(col("a"), col("b"))
+      cosinePairs(s, dir, 0.4).orderBy(col("a"), col("b"))
     },
 
     // LSH-bucketed ANN: 8-bit sign-random-projection sketch (hyperplane
