@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suites share ONE SparkSession (SparkSpec.shared), and temp views are
+// session-global: two suites creating a table with the same name (e.g.
+// `users`) stomp each other's registrations when sbt runs suites
+// concurrently. Execution must be sequential for determinism — Spark
+// itself still parallelizes every job across local[32].
+Test / parallelExecution := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

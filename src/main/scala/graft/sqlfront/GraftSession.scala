@@ -969,7 +969,21 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   private def copy(stmt: String): DataFrame = {
     val fromRe = """(?is)COPY\s+([\w"]+)\s+FROM\s+'([^']+)'(.*)""".r
     val toRe = """(?is)COPY\s+([\w"]+)\s+TO\s+'([^']+)'(.*)""".r
+    val toStdoutRe = """(?is)COPY\s+([\w"]+)\s+TO\s+STDOUT(.*)""".r
     stmt.trim.stripSuffix(";") match {
+      case toStdoutRe(rawT, opts) =>
+        // the result-set form of the reference's CopyData-out stream:
+        // every visible row serialized to one line. Default PG text mode
+        // (tab-separated, \N nulls); (FORMAT CSV) selects proper CSV via
+        // Spark's to_csv.
+        val t = requireTable(rawT)
+        val visCols = t.visibleColumns.map(c => col(c.name))
+        val line =
+          if (opts.toUpperCase.contains("CSV"))
+            to_csv(struct(visCols: _*))
+          else
+            concat_ws("\t", visCols.map(c => coalesce(c.cast("string"), lit("\\N"))): _*)
+        visibleDf(t).select(line.as("line"))
       case copyStdinRe(rawT, opts, body) =>
         val up = opts.toUpperCase
         val fmt = if (up.contains("JSON")) "JSON" else if (up.contains("CSV")) "CSV" else "TEXT"

@@ -533,6 +533,10 @@ class DdlDmlSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       s.copyIn("cpi", Seq("6\t\\N\t6.0"), "TEXT")) // NOT NULL mid-stream
     assert(s.sql("SELECT count(*) AS c FROM cpi").collect()(0).getLong(0) == 4L)
+    // COPY TO STDOUT round-trips through the text serialization
+    val out = s.sql("COPY cpi TO STDOUT").collect().map(_.getString(0)).sorted
+    assert(out.length == 4 && out.head == "1\tann\t1.5")
+    assert(out.exists(_.startsWith("2\tbob\t\\N"))) // null spelled \N
   }
 
   test("crash mid-transaction: reopening the warehouse recovers pre-BEGIN state") {
