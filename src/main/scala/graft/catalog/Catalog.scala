@@ -85,6 +85,12 @@ final class Catalog(val root: Path) {
   def views: Map[String, ViewDef] = _views
   def enums: Map[String, EnumDef] = _enums
 
+  /** Monotonic mutation counter, bumped on every persisted change — lets
+    * metadata-derived caches (the pg_catalog temp views) skip rebuilding
+    * when nothing moved. */
+  @volatile private var _generation = 0L
+  def generation: Long = _generation
+
   load()
 
   def tableDir(t: TableDef): Path = root.resolve(t.name).resolve(s"v${t.version}")
@@ -171,6 +177,7 @@ final class Catalog(val root: Path) {
     } + "\""
 
   def save(): Unit = {
+    _generation += 1
     val sb = new StringBuilder("{\n")
     sb.append("\"tables\":[")
     sb.append(tables.values.map { t =>

@@ -105,6 +105,10 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     * plus pg_catalog-lite introspection views (reference
     * kv/PgCatalogManager.java: pg_class / pg_attribute emulation). */
   def registerAll(): Unit = {
+    // table/view registrations rebuild EVERY call: the DataFrame captures
+    // the snapshot dir's file listing at creation, and INSERT/COPY append
+    // part-files without a catalog change — a stale registration would
+    // miss them
     catalog.tables.values.foreach(t => visibleDf(t).createOrReplaceTempView(t.name))
     catalog.views.values.foreach { v =>
       if (v.materialized) {
@@ -112,6 +116,20 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         if (Files.exists(dir)) spark.read.parquet(dir.toString).createOrReplaceTempView(v.name)
       } else spark.sql(PgRewrite.rewrite(v.sql)).createOrReplaceTempView(v.name)
     }
+    registerPgCatalog()
+  }
+
+  /** Rebuild the pg_catalog temp views only when the catalog actually
+    * changed — they derive from table/view/enum METADATA, never from data
+    * files, and materializing ~12 local DataFrames per statement is
+    * measurable in DDL-heavy workloads. The marker is GLOBAL and keyed on
+    * (session identity, generation): temp views live on the shared
+    * SparkSession, so after a different GraftSession registered ITS
+    * catalog, this one must re-register even at an unchanged generation. */
+  private def registerPgCatalog(): Unit = {
+    val tag = (this: AnyRef, catalog.generation)
+    if (GraftSession.lastPgRegistrar.get() == tag) return
+    GraftSession.lastPgRegistrar.set(tag)
     import spark.implicits._
     (catalog.tables.values.map(t => (relOid(t.name), t.name, NsPublic, "r")).toSeq ++
       catalog.views.values.map(v =>
@@ -1333,4 +1351,11 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     catalog.putTable(nt)
     graft.streaming.MatviewMaintenance.onSnapshotChange(catalog.root.toString)
   }
+}
+
+object GraftSession {
+  /** (session identity, catalog generation) of the last pg_catalog
+    * registration on the shared SparkSession — see registerPgCatalog. */
+  private[sqlfront] val lastPgRegistrar =
+    new java.util.concurrent.atomic.AtomicReference[(AnyRef, Long)](null)
 }
