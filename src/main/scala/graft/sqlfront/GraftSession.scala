@@ -1002,12 +1002,14 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
           else
             concat_ws("\t", visCols.map(c => coalesce(c.cast("string"), lit("\\N"))): _*)
         visibleDf(t).select(line.as("line"))
-      case copyStdinRe(rawT, opts, body) =>
+      case copyStdinRe(rawT, colList, opts, body) =>
         val up = opts.toUpperCase
         val fmt = if (up.contains("JSON")) "JSON" else if (up.contains("CSV")) "CSV" else "TEXT"
         val lines = body.linesIterator.takeWhile(_.trim != "\\.")
           .filterNot(_.isEmpty).toSeq
-        copyIn(rawT.replaceAll("\"", ""), lines, fmt, up.contains("HEADER"))
+        val cols = Option(colList).map(
+          _.split(",").map(_.trim.replaceAll("\"", "").toLowerCase).toSeq)
+        copyIn(rawT.replaceAll("\"", ""), lines, fmt, up.contains("HEADER"), cols)
       case fromRe(rawT, path, opts) =>
         val t = requireTable(rawT)
         val up = opts.toUpperCase
@@ -1035,7 +1037,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     * selects CSV. Data lines must not contain `;` (the statement splitter
     * runs first). */
   private val copyStdinRe =
-    """(?is)COPY\s+([\w"]+)\s+FROM\s+STDIN([^\n]*)\n(.*)""".r
+    """(?is)COPY\s+([\w"]+)\s*(?:\(([^)]*)\))?\s*FROM\s+STDIN([^\n]*)\n(.*)""".r
 
   /** COPY FROM STDIN analogue for library users: bulk-load in-memory
     * lines through the SAME validated insert path as INSERT/COPY — every
@@ -1044,12 +1046,22 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     * mid-stream rejects atomically). `format` is "TEXT" (PG default:
     * tab-separated, \N nulls), "CSV", or "JSON". */
   def copyIn(table: String, lines: IterableOnce[String], format: String = "TEXT",
-      header: Boolean = false): DataFrame = {
+      header: Boolean = false, cols: Option[Seq[String]] = None): DataFrame = {
     import spark.implicits._
     val t = requireTable(table)
-    val vis = t.visibleColumns
+    // optional column list (`COPY t (a, b) FROM STDIN`): lines carry only
+    // those columns, the rest take their DEFAULT/serial through the
+    // normal insert path — same semantics as INSERT INTO t (a, b)
+    val vis = cols match {
+      case None => t.visibleColumns
+      case Some(ks) => ks.map(k => t.column(k).getOrElse(
+        throw new IllegalArgumentException(s"COPY: no column $k in ${t.name}")))
+    }
     val schema = StructType(vis.map(c =>
       StructField(c.name, TypeMap.toSpark(c.sqlType), nullable = true)))
+    // the whole stream materializes on the driver before distribution —
+    // bounded by driver memory, like the reference buffering CopyData
+    // rows per connection; kept whole for COPY's all-or-nothing semantics
     val ds = spark.createDataset(lines.iterator.toSeq)
     val src = format.toUpperCase match {
       case "JSON" => spark.read.schema(schema).json(ds)

@@ -533,9 +533,13 @@ class DdlDmlSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       s.copyIn("cpi", Seq("6\t\\N\t6.0"), "TEXT")) // NOT NULL mid-stream
     assert(s.sql("SELECT count(*) AS c FROM cpi").collect()(0).getLong(0) == 4L)
+    // column-list form: unlisted columns take their defaults (NULL here)
+    s.sql("COPY cpi (id, name) FROM STDIN\n7\tgus\n\\.")
+    val g = s.sql("SELECT name, score FROM cpi WHERE id = 7").collect()(0)
+    assert(g.getString(0) == "gus" && g.isNullAt(1))
     // COPY TO STDOUT round-trips through the text serialization
     val out = s.sql("COPY cpi TO STDOUT").collect().map(_.getString(0)).sorted
-    assert(out.length == 4 && out.head == "1\tann\t1.5")
+    assert(out.length == 5 && out.head == "1\tann\t1.5")
     assert(out.exists(_.startsWith("2\tbob\t\\N"))) // null spelled \N
   }
 
