@@ -954,7 +954,22 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         .filter(r => kinds.contains(r._3) && matches(r._2))
         .toDF("schema", "name", "type", "owner").orderBy("name")
     cmd match {
-      case "\\dt" | "\\dt+" => rels(Set("table"))
+      case "\\dt+" =>
+        // like the reference's list-tables-with-sizes: bytes = current
+        // snapshot dir's file total (driver-side metadata listing only)
+        catalog.tables.values.filter(t => matches(t.name)).map { t =>
+          val dir = catalog.tableDir(t)
+          val bytes =
+            if (!Files.exists(dir)) 0L
+            else {
+              val st = Files.list(dir)
+              try st.mapToLong(f =>
+                try Files.size(f) catch { case _: java.io.IOException => 0L }).sum()
+              finally st.close()
+            }
+          ("public", t.name, "table", "graft", bytes)
+        }.toSeq.toDF("schema", "name", "type", "owner", "size_bytes").orderBy("name")
+      case "\\dt" => rels(Set("table"))
       case "\\dv" => rels(Set("view", "materialized view"))
       case "\\ds" => rels(Set("sequence"))
       case "\\d" | "\\d+" => arg match {

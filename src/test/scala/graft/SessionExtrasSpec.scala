@@ -60,6 +60,10 @@ class SessionExtrasSpec extends SparkSpec {
     assert(d.contains("id") && d.contains("orders_meta_pkey"))
     // \d over a view resolves its columns
     assert(s.sql("\\d vord").collect().map(_.getString(0)).toSeq == Seq("id"))
+    // \dt+ adds on-disk size; a table with data reports non-zero bytes
+    s.sql("INSERT INTO orders_meta VALUES (1, 'x')")
+    val plus = s.sql("\\dt+ orders*").collect()
+    assert(plus.length == 1 && plus(0).getLong(4) > 0L)
     // \di indexes, \dn schemas, \du roles, \l databases
     assert(s.sql("\\di").collect().map(_.getString(1)).toSet ==
       Set("orders_meta_pkey", "orders_meta_v_key", "other_pkey"))
