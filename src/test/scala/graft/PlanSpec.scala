@@ -144,6 +144,15 @@ class PlanSpec extends SparkSpec {
     assert(r.getInt(0) == 2 && r.isNullAt(1))
   }
 
+  test("embedding near-dup plans block-bounded join, never a corpus cartesian") {
+    val p = planOf("dedup_embedding_canonical")
+    // the only non-equi join allowed is the B-row block-pair join (a
+    // nested loop over ~B=16 aggregated block rows, bounded by design);
+    // a CartesianProduct would mean the corpus itself is being crossed
+    assert(!p.contains("CartesianProduct"),
+      s"corpus-level cartesian in embedding dedup:\n${p.take(1500)}")
+  }
+
   test("spread is gated: no round-robin shuffle when the scan already has ≥cores splits") {
     val cores = spark.sparkContext.defaultParallelism
     // a source that already saturates the cluster must pass through untouched
