@@ -33,12 +33,19 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, err)
       }
       // min of two runs: a background compaction or host-load spike on a
-      // single run must not record a phantom 6x regression
+      // single run must not record a phantom 6x regression. Sub-second
+      // queries get a third run (costs almost nothing, and their timings
+      // are the most JIT/noise-sensitive relative to their magnitude).
       val r1 = once()
       if (r1._2.isDefined) (name, r1._1, r1._2)
       else {
         val r2 = once()
-        (name, if (r2._2.isEmpty) math.min(r1._1, r2._1) else r1._1, None)
+        var best = if (r2._2.isEmpty) math.min(r1._1, r2._1) else r1._1
+        if (best < 1.0) {
+          val r3 = once()
+          if (r3._2.isEmpty) best = math.min(best, r3._1)
+        }
+        (name, best, None)
       }
     }
     // strip every JSON-forbidden char (quotes, backslash, ALL control
