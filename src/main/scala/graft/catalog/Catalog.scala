@@ -176,7 +176,13 @@ final class Catalog(val root: Path) {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
 
-  def save(): Unit = {
+  /** Synchronized: every caller inside Catalog already holds the monitor
+    * (re-entrant, so this is free), but external callers (BEGIN's journal
+    * snapshot) share the single catalog.json.tmp path — two unsynchronized
+    * writers could interleave writeString on the tmp file and atomically
+    * publish torn JSON. The monitor also makes the `_generation`
+    * read-modify-write atomic. */
+  def save(): Unit = synchronized {
     _generation += 1
     val sb = new StringBuilder("{\n")
     sb.append("\"tables\":[")

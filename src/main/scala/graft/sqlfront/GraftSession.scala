@@ -31,24 +31,47 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
 
   private val txnCatalogJournal = warehouse.resolve("_txn_catalog.json")
   private val txnFilesJournal = warehouse.resolve("_txn_files.json")
+  private val txnOwnerFile = warehouse.resolve("_txn_owner")
+
+  /** True when the journal's owner is a DIFFERENT, still-running OS
+    * process: its transaction is live, not crashed, so recovery must not
+    * reclaim it (the reference's lock cleanup checks holder liveness the
+    * same way, kv/KvTransactionCoordinator.java:537-664). A same-pid owner
+    * cannot be distinguished from an abandoned session object, so opening
+    * a second GraftSession in the SAME process on a warehouse with an open
+    * transaction rolls that transaction back — documented limitation. */
+  private def txnOwnerAlive(): Boolean =
+    try {
+      if (!Files.exists(txnOwnerFile)) false
+      else {
+        val pid = Files.readString(txnOwnerFile).trim.toLong
+        pid != ProcessHandle.current().pid() &&
+          ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+      }
+    } catch { case _: Exception => false }
 
   /** A journal pair left behind means the previous session died inside
     * BEGIN…COMMIT. Restore the pre-BEGIN catalog NOW — before [[catalog]]
     * loads — so version pointers flip back to the pre-txn snapshots; the
     * recorded file listings are applied after load (mirrors the
     * reference's lock-cleanup recovery,
-    * kv/KvTransactionCoordinator.java:537-664, at single-session scope). */
+    * kv/KvTransactionCoordinator.java:537-664, at single-session scope).
+    *
+    * Recovery is IDEMPOTENT: the catalog journal is COPIED (not moved)
+    * over catalog.json here, and journals are deleted only after the file
+    * un-append completes — catalog-journal removal is the commit point of
+    * recovery, so a crash at any intermediate step just re-runs the whole
+    * recovery on the next open. */
   private val pendingTxnRecovery: Option[Map[String, Set[String]]] =
-    if (!Files.exists(txnCatalogJournal)) None
+    if (!Files.exists(txnCatalogJournal) || txnOwnerAlive()) None
     else {
       val had: Map[String, Set[String]] =
         if (!Files.exists(txnFilesJournal)) Map.empty
         else graft.catalog.Json.parse(Files.readString(txnFilesJournal))
           .asInstanceOf[Map[String, Any]]
           .map { case (k, v) => k -> v.asInstanceOf[Seq[Any]].map(_.toString).toSet }
-      Files.move(txnCatalogJournal, warehouse.resolve("catalog.json"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Files.copy(txnCatalogJournal, warehouse.resolve("catalog.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       Some(had)
     }
 
@@ -56,16 +79,23 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
 
   // finish crash recovery now that the pre-txn version pointers are live:
   // un-append part-files the dead txn added to surviving snapshot dirs,
-  // and rebuild any matview checkpoint that may have consumed them
+  // and rebuild any matview checkpoint that may have consumed them.
+  // Checkpoint invalidation is keyed on the JOURNAL's table set (not just
+  // the dirs that had extras this run): a re-run after a mid-recovery
+  // crash finds the extras already deleted, but the checkpoints may still
+  // hold rolled-back rows — the conservative superset keeps the re-run
+  // equivalent to the first run.
   pendingTxnRecovery.foreach { had =>
-    val unAppended = catalog.tables.values.flatMap { t =>
+    catalog.tables.values.foreach { t =>
       val dir = catalog.tableDir(t)
-      val extra = listDir(dir) -- had.getOrElse(t.name, Set.empty)
-      extra.foreach(f => Files.deleteIfExists(dir.resolve(f)))
-      if (extra.nonEmpty) Some(t.name) else None
-    }.toSet
+      (listDir(dir) -- had.getOrElse(t.name, Set.empty))
+        .foreach(f => Files.deleteIfExists(dir.resolve(f)))
+    }
+    graft.streaming.MatviewMaintenance.onBaseFilesRemoved(this, had.keySet)
     Files.deleteIfExists(txnFilesJournal)
-    graft.streaming.MatviewMaintenance.onBaseFilesRemoved(this, unAppended)
+    Files.deleteIfExists(txnOwnerFile)
+    // commit point of recovery — deleted LAST
+    Files.deleteIfExists(txnCatalogJournal)
   }
 
   // ---------------------------------------------------------------- read
@@ -358,19 +388,26 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     // needed to un-append. The files journal is written BEFORE the
     // catalog journal: recovery keys on the catalog journal's existence,
     // so a crash between the two writes leaves no half-armed journal.
-    catalog.save()
-    def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    Files.writeString(txnFilesJournal,
-      files.map { case (t, fs) => js(t) + ":" + fs.map(js).mkString("[", ",", "]") }
-        .mkString("{", ",", "}"))
-    Files.copy(warehouse.resolve("catalog.json"), txnCatalogJournal,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // The save + catalog.json copy run under the Catalog monitor so a
+    // concurrent maintainer putView→save() cannot republish catalog.json
+    // between our save and our snapshot of it.
+    catalog.synchronized {
+      catalog.save()
+      def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      Files.writeString(txnFilesJournal,
+        files.map { case (t, fs) => js(t) + ":" + fs.map(js).mkString("[", ",", "]") }
+          .mkString("{", ",", "}"))
+      Files.writeString(txnOwnerFile, ProcessHandle.current().pid().toString)
+      Files.copy(warehouse.resolve("catalog.json"), txnCatalogJournal,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     ok("BEGIN")
   }
 
   private def dropTxnJournal(): Unit = {
     Files.deleteIfExists(txnCatalogJournal)
     Files.deleteIfExists(txnFilesJournal)
+    Files.deleteIfExists(txnOwnerFile)
   }
 
   private def commitTxn(): DataFrame = {
@@ -1088,12 +1125,14 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   }
 
   /** Reader overload (java.io interop): drains the reader line-wise into
-    * [[copyIn]]. */
+    * [[copyIn]], stopping at EOF or the first `\.` terminator — PG COPY
+    * ignores anything after the terminator, so consumption must stop
+    * there too (matching the inline-statement path's takeWhile). */
   def copyIn(table: String, reader: java.io.Reader, format: String,
       header: Boolean): DataFrame = {
     val br = new java.io.BufferedReader(reader)
-    val lines = Iterator.continually(br.readLine()).takeWhile(_ != null)
-      .filterNot(_.trim == "\\.")
+    val lines = Iterator.continually(br.readLine())
+      .takeWhile(l => l != null && l.trim != "\\.")
     copyIn(table, lines, format, header)
   }
 

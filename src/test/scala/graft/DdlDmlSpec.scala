@@ -523,9 +523,13 @@ class DdlDmlSpec extends SparkSpec {
     // CSV format option
     s.sql("COPY cpi FROM STDIN (FORMAT CSV)\n3,cat,3.5\n\\.")
     assert(s.sql("SELECT count(*) AS c FROM cpi").collect()(0).getLong(0) == 3L)
-    // programmatic Reader form — the reference's CopyData stream analogue
-    s.copyIn("cpi", new java.io.StringReader("4\tdee\t4.5\n\\.\n"), "TEXT", header = false)
+    // programmatic Reader form — the reference's CopyData stream analogue.
+    // PG stops at the first \. terminator: the trailing row after it must
+    // NOT be ingested (and the reader must not be drained past it)
+    s.copyIn("cpi",
+      new java.io.StringReader("4\tdee\t4.5\n\\.\n99\tghost\t9.9\n"), "TEXT", header = false)
     assert(s.sql("SELECT count(*) AS c FROM cpi").collect()(0).getLong(0) == 4L)
+    assert(s.sql("SELECT count(*) AS c FROM cpi WHERE id = 99").collect()(0).getLong(0) == 0L)
     // a violation anywhere in the stream rejects the WHOLE batch: the
     // valid leading rows must not be half-applied
     assertThrows[IllegalArgumentException](
@@ -564,6 +568,30 @@ class DdlDmlSpec extends SparkSpec {
     s2.sql("INSERT INTO acct VALUES (3, 30.0)")
     val s3 = new GraftSession(spark, wh)
     assert(s3.sql("SELECT count(*) AS c FROM acct").collect()(0).getLong(0) == 2L)
+  }
+
+  test("crash DURING recovery: re-running recovery is idempotent") {
+    val wh = Files.createTempDirectory("graft_wh")
+    val s1 = new GraftSession(spark, wh)
+    s1.sql("CREATE TABLE acct (id INT PRIMARY KEY, bal DOUBLE)")
+    s1.sql("INSERT INTO acct VALUES (1, 100.0)")
+    s1.sql("BEGIN")
+    s1.sql("INSERT INTO acct VALUES (2, 50.0)")
+    s1.sql("CREATE TABLE scratch (x INT)")
+    // simulate a recovery that crashed AFTER restoring catalog.json but
+    // BEFORE un-appending part-files / deleting the journals: the journal
+    // pair is still armed, catalog.json already points at pre-BEGIN state
+    Files.copy(wh.resolve("_txn_catalog.json"), wh.resolve("catalog.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // next open must complete the interrupted recovery, not skip it
+    val s2 = new GraftSession(spark, wh)
+    val rows = s2.sql("SELECT id, bal FROM acct ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1, 100.0)), s"expected pre-BEGIN state, got $rows")
+    assertThrows[Exception](s2.sql("SELECT * FROM scratch"))
+    // journals fully consumed — the commit point of recovery was reached
+    assert(!Files.exists(wh.resolve("_txn_catalog.json")))
+    assert(!Files.exists(wh.resolve("_txn_files.json")))
   }
 
   test("UPDATE rejects constraint-violating result") {
