@@ -235,6 +235,103 @@ object AggQueries extends QueryPack {
           min(col("c_acctbal")).as("min_bal"),
           max(col("c_acctbal")).as("max_bal"))
         .orderBy(col("c_mktsegment"))
+    },
+
+    // --- PG ordered-set / ordered-aggregate surface (beyond the
+    // reference, which has no ordered aggregates at all). The Spark side
+    // of the first two runs the PG spelling through PgRewrite — the gate
+    // verifies the compatibility shim end-to-end, not just the operator.
+
+    // string_agg with PG's aggregate-internal ORDER BY (what pg_dump
+    // emits); PgRewrite lifts it to Spark's standard WITHIN GROUP form.
+    Q(
+      "agg_string_agg",
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin
+    ) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(graft.sqlfront.PgRewrite.rewrite(
+        """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+          |FROM nation JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name ORDER BY r_name""".stripMargin))
+    },
+
+    // array_agg(x ORDER BY y): both rewrite paths — same-expression key
+    // (sort_array) and a different key (struct sort + transform).
+    Q(
+      "agg_array_agg_order",
+      """SELECT r_name,
+        |  array_agg(n_name ORDER BY n_name DESC) AS nations_desc,
+        |  array_agg(n_nationkey ORDER BY n_name) AS keys_by_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin
+    ) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(graft.sqlfront.PgRewrite.rewrite(
+        """SELECT r_name,
+          |  array_agg(n_name ORDER BY n_name DESC) AS nations_desc,
+          |  array_agg(n_nationkey ORDER BY n_name) AS keys_by_name
+          |FROM nation JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name ORDER BY r_name""".stripMargin))
+    },
+
+    // percentile_cont / percentile_disc WITHIN GROUP — Spark-native since
+    // 3.4; interpolation (lo + (hi-lo)*frac) is bit-identical to DuckDB's
+    // quantile_cont (verified empirically, incl. non-terminating
+    // fractions). disc CAST to DOUBLE on both sides: Spark returns the
+    // ordering column's type, DuckDB preserves the input type.
+    Q(
+      "agg_percentiles",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
+        |  CAST(quantile_disc(l_quantity, 0.9) AS DOUBLE) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT l_returnflag,
+          |  percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS median_qty,
+          |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25_price,
+          |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS p90_qty
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // mode() WITHIN GROUP: Spark returns the FIRST most-frequent value in
+    // the WITHIN GROUP order (deterministic); the oracle spells that
+    // tie-break explicitly instead of trusting DuckDB's mode() tie choice.
+    Q(
+      "agg_mode",
+      """WITH f AS (SELECT l_returnflag, l_quantity, count(*) AS c
+        |           FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, l_quantity,
+        |        row_number() OVER (PARTITION BY l_returnflag
+        |                           ORDER BY c DESC, l_quantity) AS rn
+        |      FROM f)
+        |SELECT l_returnflag, l_quantity AS mode_qty FROM r WHERE rn = 1
+        |ORDER BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT l_returnflag, mode() WITHIN GROUP (ORDER BY l_quantity) AS mode_qty
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // bool_and / bool_or — PG names, Spark-native, dialect-identical.
+    Q(
+      "agg_bool",
+      """SELECT o_orderpriority,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_totalprice > 400000) AS any_over_400k
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    ) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderpriority,
+          |  bool_and(o_totalprice > 1000) AS all_over_1k,
+          |  bool_or(o_totalprice > 400000) AS any_over_400k
+          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     }
   )
 }

@@ -159,6 +159,91 @@ object PgRewrite {
   private def inLiteral(spans: Array[(Int, Int)], pos: Int): Boolean =
     spans.exists { case (a, b) => pos > a && pos < b - 1 }
 
+  /** PG aggregate-internal ORDER BY (`array_agg(x ORDER BY y [DESC])`,
+    * `string_agg(x, d ORDER BY y)`) → Spark spellings. Spark parses the
+    * standard `WITHIN GROUP` form natively (listagg / string_agg /
+    * percentile_cont / mode), but NOT the PG inside-the-args form, which
+    * is what PG users and pg_dump actually emit. Rewrites:
+    *   string_agg(x, d ORDER BY k)   → string_agg(x, d) WITHIN GROUP (ORDER BY k)
+    *   array_agg(x ORDER BY x [ASC]) → sort_array(array_agg(x))
+    *   array_agg(x ORDER BY x DESC)  → sort_array(array_agg(x), false)
+    *   array_agg(x ORDER BY k, …)    → transform(array_sort(array_agg(struct(k AS _o1, …, x AS _v))), s -> s._v)
+    * (struct natural ordering sorts by the key fields first, then the
+    * value — deterministic under ties; all-DESC wraps in reverse(); mixed
+    * ASC/DESC directions are rejected rather than silently mis-sorted.)
+    */
+  private def rewriteAggOrderBy(sql: String): String = {
+    val fnRe = """(?i)\b(array_agg|string_agg)\s*\(""".r
+    val spans = literalSpans(sql)
+    fnRe.findAllMatchIn(sql).toSeq.reverseIterator.foldLeft(sql) { (s, m) =>
+      if (inLiteral(spans, m.start)) s
+      else {
+        // balanced scan to the close paren, stepping over literals
+        val open = m.end - 1
+        var depth = 0; var j = open; var close = -1
+        while (j < s.length && close < 0) {
+          val span = literalSpans(s).find { case (a, b) => j >= a && j < b }
+          if (span.isDefined) j = span.get._2
+          else {
+            s.charAt(j) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) close = j
+              case _ =>
+            }
+            if (close < 0) j += 1
+          }
+        }
+        val args = s.substring(open + 1, close)
+        // top-level " ORDER BY " split (outside nested parens/literals)
+        val ob = {
+          val re = """(?i)\bORDER\s+BY\b""".r
+          val inner = literalSpans(args)
+          re.findAllMatchIn(args).find { mm =>
+            !inner.exists { case (a, b) => mm.start > a && mm.start < b } &&
+              args.substring(0, mm.start).count(_ == '(') ==
+              args.substring(0, mm.start).count(_ == ')')
+          }
+        }
+        ob match {
+          case None => s
+          case Some(mm) =>
+            val aggArgs = args.substring(0, mm.start).trim
+            val orderBy = args.substring(mm.end).trim
+            val fn = m.group(1).toLowerCase
+            val repl =
+              if (fn == "string_agg")
+                s"string_agg($aggArgs) WITHIN GROUP (ORDER BY $orderBy)"
+              else {
+                val keys = orderBy.split(",").map(_.trim).filter(_.nonEmpty)
+                def dir(k: String): (String, Boolean) = {
+                  val u = k.toUpperCase
+                  if (u.endsWith(" DESC")) (k.dropRight(5).trim, true)
+                  else if (u.endsWith(" ASC")) (k.dropRight(4).trim, false)
+                  else (k, false)
+                }
+                val parsed = keys.map(dir)
+                val descs = parsed.map(_._2).distinct
+                if (descs.length > 1) throw new IllegalArgumentException(
+                  s"array_agg ORDER BY with mixed ASC/DESC directions is not supported: $orderBy")
+                val desc = descs.headOption.getOrElse(false)
+                val exprs = parsed.map(_._1)
+                if (exprs.length == 1 && exprs.head.equalsIgnoreCase(aggArgs))
+                  if (desc) s"sort_array(array_agg($aggArgs), false)"
+                  else s"sort_array(array_agg($aggArgs))"
+                else {
+                  val keyFields = exprs.zipWithIndex
+                    .map { case (k, i) => s"$k AS _o${i + 1}" }.mkString(", ")
+                  val sorted = s"array_sort(array_agg(struct($keyFields, $aggArgs AS _v)))"
+                  val ordered = if (desc) s"reverse($sorted)" else sorted
+                  s"transform($ordered, s -> s._v)"
+                }
+              }
+            s.substring(0, m.start) + repl + s.substring(close + 1)
+        }
+      }
+    }
+  }
+
   def rewrite(sql: String): String = {
     def gated(re: scala.util.matching.Regex, s: String, opPos: scala.util.matching.Regex.Match => Int,
         repl: scala.util.matching.Regex.Match => String): String = {
@@ -192,6 +277,7 @@ object PgRewrite {
       if (neg) s"NOT ($e)" else e
     })
     s = rewriteCasts(s)
+    s = rewriteAggOrderBy(s)
     // PG system functions the reference serves at protocol level
     // (postgres/PostgresConnectionHandler.java:202-213,296-371)
     s = s.replaceAll("(?i)\\bVERSION\\s*\\(\\)", "'graft (Spark " +

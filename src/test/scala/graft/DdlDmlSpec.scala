@@ -192,6 +192,28 @@ class DdlDmlSpec extends SparkSpec {
       "SELECT CAST('5' AS int), CAST(x AS double precision) FROM e")
   }
 
+  test("PG aggregate-internal ORDER BY rewrites to Spark spellings") {
+    assert(PgRewrite.rewrite("SELECT string_agg(a, ',' ORDER BY b) FROM t") ==
+      "SELECT string_agg(a, ',') WITHIN GROUP (ORDER BY b) FROM t")
+    assert(PgRewrite.rewrite("SELECT array_agg(x ORDER BY x) FROM t") ==
+      "SELECT sort_array(array_agg(x)) FROM t")
+    assert(PgRewrite.rewrite("SELECT array_agg(x ORDER BY x DESC) FROM t") ==
+      "SELECT sort_array(array_agg(x), false) FROM t")
+    assert(PgRewrite.rewrite("SELECT array_agg(v ORDER BY k) FROM t") ==
+      "SELECT transform(array_sort(array_agg(struct(k AS _o1, v AS _v))), s -> s._v) FROM t")
+    assert(PgRewrite.rewrite("SELECT array_agg(v ORDER BY k1 DESC, k2 DESC) FROM t") ==
+      "SELECT transform(reverse(array_sort(array_agg(struct(k1 AS _o1, k2 AS _o2, v AS _v)))), s -> s._v) FROM t")
+    // no internal ORDER BY → untouched; outer ORDER BY not confused for it
+    assert(PgRewrite.rewrite("SELECT array_agg(x) FROM t GROUP BY g ORDER BY g") ==
+      "SELECT array_agg(x) FROM t GROUP BY g ORDER BY g")
+    // ORDER BY text inside a string literal is content, not syntax
+    assert(PgRewrite.rewrite("SELECT string_agg(a, ' ORDER BY ') FROM t") ==
+      "SELECT string_agg(a, ' ORDER BY ') FROM t")
+    // mixed directions cannot be expressed with one array_sort — reject
+    assertThrows[IllegalArgumentException](
+      PgRewrite.rewrite("SELECT array_agg(v ORDER BY k1 ASC, k2 DESC) FROM t"))
+  }
+
   test("PG JSON operator end-to-end through the session") {
     val s = fresh()
     s.sql("CREATE TABLE e (id INT PRIMARY KEY, props JSON)")
