@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object TpchQueries extends QueryPack {
 
+  /** Dialect-identical ANSI text run verbatim on both engines (the
+    * subquery-heavy TPC-H shapes need no hints — Catalyst decorrelates
+    * and AQE broadcasts the small sides). */
+  private def both(name: String, text: String): Q =
+    Q(name, text) { (s, dir) => Tables.registerAll(s, dir); s.sql(text) }
+
   val qs: Seq[Q] = Seq(
     // Q6-shape: forecasting revenue — pure scan+filter+agg, the pushdown
     // benchmark. All predicates reach the parquet scan.
@@ -147,6 +153,230 @@ object TpchQueries extends QueryPack {
         .agg(Exact.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("cnt"))
     },
+
+    // Q4-shape: order-priority checking — EXISTS semi-join against the
+    // fact table under a date-range scan filter. (The fixture has no
+    // l_commitdate/l_receiptdate; returned-items stands in for the
+    // late-delivery correlation.)
+    both(
+      "q4_order_priority",
+      """SELECT o.o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin),
+
+    // Q7-shape: volume shipping between two nations by year — 6-way join
+    // where BOTH nation dims broadcast; the fact-side joins shuffle on
+    // their keys.
+    Q(
+      "q7_volume_shipping",
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |       CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+         |       ${Exact.oSum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+         |FROM supplier s
+         |JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+         |JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |JOIN customer c ON c.c_custkey = o.o_custkey
+         |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         |GROUP BY n1.n_name, n2.n_name, CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT)
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+    ) { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val sup = Tables.load(s, dir, "supplier")
+      val n = Tables.load(s, dir, "nation")
+      val n1 = n.select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = n.select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      sup.join(l, col("s_suppkey") === col("l_suppkey"))
+        .join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(Exact.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // Q8-shape: national market share inside one region's market — the
+    // widest join in the suite (7 tables), conditional share-of-total
+    // aggregation by year. part/region/nation broadcast.
+    Q(
+      "q8_market_share",
+      s"""SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+         |  ${Exact.oSum("CASE WHEN n1.n_name = 'NATION_3' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END")}
+         |  / ${Exact.oSum("l.l_extendedprice * (1 - l.l_discount)")} AS mkt_share
+         |FROM part p
+         |JOIN lineitem l ON p.p_partkey = l.l_partkey
+         |JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |JOIN customer c ON c.c_custkey = o.o_custkey
+         |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+         |JOIN region r ON n2.n_regionkey = r.r_regionkey
+         |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+         |WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+         |GROUP BY CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT)
+         |ORDER BY o_year""".stripMargin
+    ) { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val sup = Tables.load(s, dir, "supplier")
+      val p = Tables.load(s, dir, "part").filter(col("p_type") === "ECONOMY")
+      val n = Tables.load(s, dir, "nation")
+      val r = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n1 = n.select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = n.select(col("n_nationkey").as("ck"), col("n_regionkey"))
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      l.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        .join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(sup, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((Exact.dsum(when(col("supp_nation") === "NATION_3", vol).otherwise(0.0)) /
+          Exact.dsum(vol)).as("mkt_share"))
+        .orderBy(col("o_year"))
+    },
+
+    // Q9-shape: product-type profit by nation and year. The fixture has
+    // no partsupp/ps_supplycost, so cost is modeled off the part's list
+    // price (deterministic, join shape identical to Q9's).
+    Q(
+      "q9_product_profit",
+      s"""SELECT n.n_name AS nation, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+         |  ${Exact.oSum("l.l_extendedprice * (1 - l.l_discount) - p.p_retailprice * l.l_quantity * CAST(0.1 AS DOUBLE)")} AS profit
+         |FROM lineitem l
+         |JOIN part p ON p.p_partkey = l.l_partkey
+         |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         |JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |WHERE p.p_name LIKE '%red%'
+         |GROUP BY n.n_name, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT)
+         |ORDER BY nation, o_year DESC""".stripMargin
+    ) { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val sup = Tables.load(s, dir, "supplier")
+      val p = Tables.load(s, dir, "part").filter(col("p_name").like("%red%"))
+      val n = Tables.load(s, dir, "nation")
+      val amount = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("p_retailprice") * col("l_quantity") * lit(0.1)
+      l.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+        .join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(Exact.dsum(amount).as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // Q11-shape: important stock identification — share-of-total HAVING
+    // via a scalar subquery over the same CTE (no partsupp in the
+    // fixture; lineitem revenue stands in for stock value).
+    both(
+      "q11_important_parts",
+      """WITH pv AS (
+        |  SELECT l.l_partkey,
+        |         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS part_value
+        |  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  WHERE s.s_nationkey < 5
+        |  GROUP BY l.l_partkey)
+        |SELECT l_partkey, part_value FROM pv
+        |WHERE part_value > (SELECT CAST(SUM(CAST(part_value AS DECIMAL(28,6))) AS DOUBLE) * CAST(0.002 AS DOUBLE) FROM pv)
+        |ORDER BY part_value DESC, l_partkey""".stripMargin),
+
+    // Q13-shape: customer order-count distribution — LEFT join with an
+    // extra join-condition predicate, double aggregation.
+    both(
+      "q13_count_distribution",
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |      FROM customer c LEFT JOIN orders o
+        |        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        |      GROUP BY c.c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+
+    // Q15-shape: top supplier — CTE reused three times (revenue per
+    // supplier, its max as a scalar subquery, join back to the dim).
+    both(
+      "q15_top_supplier",
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        |WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s.s_suppkey""".stripMargin),
+
+    // Q16-shape: supplier diversity per part group — COUNT(DISTINCT)
+    // over the lineitem-derived part-supplier bridge (no partsupp).
+    both(
+      "q16_part_supplier_cnt",
+      """SELECT p.p_brand, p.p_type, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#45' AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |GROUP BY p.p_brand, p.p_type, p.p_size
+        |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin),
+
+    // Q17-shape: small-quantity-order revenue — correlated scalar AVG
+    // subquery per part (Catalyst decorrelates to an aggregate+join).
+    both(
+      "q17_small_qty_revenue",
+      """SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#23'
+        |  AND l.l_quantity < (SELECT CAST(0.2 AS DOUBLE) *
+        |        (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l2.l_quantity))
+        |      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin),
+
+    // Q21-shape: suppliers who were the ONLY returner on multi-supplier
+    // orders — EXISTS + NOT EXISTS against the same fact table (the
+    // hardest decorrelation shape in the suite).
+    both(
+      "q21_sole_returner",
+      """SELECT s.s_name, COUNT(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name
+        |LIMIT 25""".stripMargin),
+
+    // Q22-shape: global sales opportunity — above-average balances with
+    // no orders (scalar subquery + anti join; nationkey stands in for
+    // the phone country code).
+    both(
+      "q22_sales_opportunity",
+      """SELECT c.c_nationkey, COUNT(*) AS numcust,
+        |       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(c2.c_acctbal)
+        |                     FROM customer c2 WHERE c2.c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c.c_nationkey
+        |ORDER BY c.c_nationkey""".stripMargin),
 
     // Grouping sets — finer than cube/rollup (already covered): explicit
     // set list over two dimensions plus grand total.
