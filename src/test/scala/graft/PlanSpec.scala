@@ -168,6 +168,22 @@ class PlanSpec extends SparkSpec {
       s"expected $cores partitions, got ${spreadNarrow.rdd.getNumPartitions}")
   }
 
+  test("wide TPC-H joins broadcast every dimension and never plan a cartesian") {
+    // q8 joins 7 tables: part/region/nation×2 must broadcast; only the
+    // fact-side joins (lineitem-orders-customer/supplier) may shuffle
+    for (q <- Seq("q7_volume_shipping", "q8_market_share", "q9_product_profit")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n${p.take(1500)}")
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its dim broadcasts:\n${p.take(1500)}")
+    }
+  }
+
+  test("sole-returner EXISTS/NOT EXISTS decorrelate to semi/anti joins") {
+    val p = planOf("q21_sole_returner").toLowerCase
+    assert(p.contains("leftsemi") && p.contains("leftanti"),
+      s"expected decorrelated semi+anti joins:\n${p.take(1500)}")
+  }
+
   test("partition count scales with input, not fixed at 200") {
     assert(spark.conf.get("spark.sql.shuffle.partitions").toInt <= 32)
     assert(spark.conf.get("spark.sql.adaptive.enabled").toBoolean)
