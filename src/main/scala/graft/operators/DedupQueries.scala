@@ -331,6 +331,72 @@ object DedupQueries extends QueryPack {
         .orderBy(col("a"), col("b"))
     },
 
+    // INCREMENTAL dedup — the operation a 100 TB pipeline actually runs
+    // daily: dedupe a new crawl increment (here doc_id % 4 = 0) against
+    // the EXISTING corpus without re-pairing the corpus with itself. At
+    // scale the corpus side of the band join reads a stored signature
+    // table (signatures are computed once per document, ever — the
+    // rollup query above is that persistence path); only the increment
+    // is shingled fresh. The join is band-bucket equi (corpus-linear
+    // shuffle of 4 band keys per doc, never all-pairs), candidates are
+    // verified locally, and corpus-internal duplicates are untouched —
+    // output is exactly "which new docs duplicate something we already
+    // have, and what".
+    Q(
+      "dedup_incremental",
+      s"""WITH sh AS ($oShingles),
+         |mh AS (
+         |  SELECT doc_id, i,
+         |         MIN(CAST(('0x' || substr(md5(sh || '#' || i), 1, 15)) AS BIGINT)) AS v
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS i)
+         |  GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 3 AS band,
+         |         string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS sig
+         |  FROM mh GROUP BY doc_id, i // 3),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.sig = y.sig
+         |   AND x.doc_id % 4 = 0 AND y.doc_id % 4 <> 0),
+         |sets AS ($oSets)
+         |SELECT c.new_id, c.corpus_id,
+         |       CAST(len(list_intersect(x.ss, y.ss)) AS DOUBLE)
+         |         / (len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))) AS jaccard
+         |FROM cand c JOIN sets x ON c.new_id = x.doc_id JOIN sets y ON c.corpus_id = y.doc_id
+         |WHERE CAST(len(list_intersect(x.ss, y.ss)) AS DOUBLE)
+         |         / (len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))) >= 0.8
+         |ORDER BY c.new_id, c.corpus_id""".stripMargin
+    ) { (s, dir) =>
+      val sig = shingleSets(s, dir)
+        .select(col("doc_id"),
+          graft.functions.VectorFunctions.minHash(col("shingles"), 12).as("mh"))
+      val bands = sig
+        .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band"), col("mh"))
+        .select(col("doc_id"), col("band"),
+          concat_ws(",",
+            transform(slice(col("mh"), col("band") * 3 + 1, lit(3)),
+              x => x.cast("string"))).as("sig"))
+      // increment vs corpus: an equi-join on (band, sig) — the corpus
+      // side is the stored-signature scan at scale, the increment side
+      // is small; NO corpus-corpus pairing happens (x strictly new,
+      // y strictly existing)
+      val cand = bands.filter(col("doc_id") % 4 === 0).as("x")
+        .join(bands.filter(col("doc_id") % 4 =!= 0).as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+        .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
+        .distinct()
+      val ss = shingleSets(s, dir)
+      val inter = size(array_intersect(col("sa"), col("sb")))
+      cand
+        .join(ss.select(col("doc_id").as("new_id"), col("shingles").as("sa")), "new_id")
+        .join(ss.select(col("doc_id").as("corpus_id"), col("shingles").as("sb")), "corpus_id")
+        .select(col("new_id"), col("corpus_id"),
+          (inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy(col("new_id"), col("corpus_id"))
+    },
+
     // Hierarchical MinHash roll-up: per-doc signatures (native
     // MinHashExpr) merged per source with the MinHashAgg Aggregator -
     // elementwise min == signature of the UNION of the source's shingle
