@@ -193,6 +193,61 @@ object TextQueries extends QueryPack {
           sum(when(inSample, 1L).otherwise(0L)).as("sampled_docs"),
           sum(when(inSample, col("n_chars")).otherwise(0L)).as("sampled_chars"))
         .orderBy(col("source"))
+    },
+
+    // END-TO-END CURATION — the composition a real training-data run
+    // executes as ONE plan: language filter → quality gate → exact
+    // content dedup (min doc_id survives) → deterministic md5 sampling.
+    // Every stage is corpus-linear (one scan, one content-hash shuffle
+    // for the dedup window; filters push into the scan before it), so
+    // the whole pipeline costs barely more than the dedup stage alone —
+    // the point of declaring it as one DataFrame instead of four
+    // materialized passes.
+    Q(
+      "pipeline_curate",
+      """WITH scored AS (
+        |  SELECT doc_id, source, text,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('a','the'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS stop_ratio,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS uniq_ratio
+        |  FROM documents WHERE lang = 'en'),
+        |graded AS (
+        |  SELECT doc_id, source, text, n_tokens,
+        |    0.4 * uniq_ratio + 0.4 * (1.0 - stop_ratio)
+        |      + CASE WHEN n_tokens BETWEEN 20 AND 90 THEN 0.2 ELSE 0.0 END AS quality
+        |  FROM scored),
+        |deduped AS (
+        |  SELECT doc_id, source, n_tokens, quality,
+        |    row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+        |  FROM graded WHERE quality >= 0.5)
+        |SELECT doc_id, source, n_tokens, quality
+        |FROM deduped
+        |WHERE rn = 1
+        |  AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 <> 3
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = split(col("text"), " ")
+      val scored = Tables.load(s, dir, "documents")
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("source"), col("text"),
+          size(toks).as("n_tokens"),
+          (size(filter(toks, t => t.isin("a", "the"))).cast("double") / size(toks))
+            .as("stop_ratio"),
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("uniq_ratio"))
+      val graded = scored.select(col("doc_id"), col("source"), col("text"), col("n_tokens"),
+        (lit(0.4) * col("uniq_ratio") + lit(0.4) * (lit(1.0) - col("stop_ratio")) +
+          when(col("n_tokens").between(20, 90), 0.2).otherwise(0.0)).as("quality"))
+      val w = Window.partitionBy(md5(lower(trim(col("text"))))).orderBy(col("doc_id"))
+      graded.filter(col("quality") >= 0.5)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 &&
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 4 =!= 3)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("quality"))
+        .orderBy(col("doc_id"))
     }
   )
 }
