@@ -130,15 +130,31 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   def visibleDf(t: TableDef): DataFrame =
     tableDf(t).select(t.visibleColumns.map(c => col(c.name)): _*)
 
+  /** Bumped on every data write that is INVISIBLE to the catalog
+    * generation — INSERT/COPY append part-files without a catalog save.
+    * Every other mutation (UPDATE/DELETE/TRUNCATE publish new version
+    * dirs via putTable; matview publish via putView; ROLLBACK via
+    * restore) already bumps the generation. Together the two counters
+    * capture "anything a registered temp view could be stale against". */
+  @volatile private var dataGen = 0L
+
   /** Register every table, view and matview as temp views so spark.sql
     * can resolve them (views in creation order → views-on-views work),
     * plus pg_catalog-lite introspection views (reference
-    * kv/PgCatalogManager.java: pg_class / pg_attribute emulation). */
+    * kv/PgCatalogManager.java: pg_class / pg_attribute emulation).
+    *
+    * Gated on (session identity, catalog generation, data generation):
+    * a registered DataFrame captures the snapshot dir's file listing at
+    * creation, so it must rebuild after any write — but statement runs
+    * with NO intervening write (the common case in a query-heavy
+    * session) reuse the standing registrations instead of re-listing
+    * every table's directory per statement. The marker is global: after
+    * a different GraftSession registered ITS tables on the shared
+    * SparkSession, this one re-registers even at unchanged counters. */
   def registerAll(): Unit = {
-    // table/view registrations rebuild EVERY call: the DataFrame captures
-    // the snapshot dir's file listing at creation, and INSERT/COPY append
-    // part-files without a catalog change — a stale registration would
-    // miss them
+    val tag = (this: AnyRef, catalog.generation, dataGen)
+    if (GraftSession.lastRegistrar.get() == tag) { registerPgCatalog(); return }
+    GraftSession.lastRegistrar.set(tag)
     catalog.tables.values.foreach(t => visibleDf(t).createOrReplaceTempView(t.name))
     catalog.views.values.foreach { v =>
       if (v.materialized) {
@@ -1312,6 +1328,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       val dir = catalog.tableDir(t)
       Files.createDirectories(dir)
       aligned.write.mode("append").parquet(dir.toString)
+      dataGen += 1 // append is invisible to the catalog generation
     } finally {
       if (cached != null) cached.unpersist()
     }
@@ -1424,4 +1441,9 @@ object GraftSession {
     * registration on the shared SparkSession — see registerPgCatalog. */
   private[sqlfront] val lastPgRegistrar =
     new java.util.concurrent.atomic.AtomicReference[(AnyRef, Long)](null)
+
+  /** (session identity, catalog generation, data generation) of the last
+    * full table/view registration — see registerAll. */
+  private[sqlfront] val lastRegistrar =
+    new java.util.concurrent.atomic.AtomicReference[(AnyRef, Long, Long)](null)
 }
