@@ -33,24 +33,45 @@ case class CosinePairsExpr(children: Seq[Expression])
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(outStruct, containsNull = false)
 
+  /** Decode a block ONCE into primitive arrays. The pair loop otherwise
+    * re-wraps the same UnsafeRow structs and re-reads every embedding
+    * element through ArrayData's virtual getFloat per pair — an O(n²·dim)
+    * stream of allocations and megamorphic calls; decoding is O(n·dim)
+    * and lets the dot loop run over flat float[]s. */
+  private def decode(blk: ArrayData): (Array[Long], Array[Array[Float]], Array[Double]) = {
+    val n = blk.numElements()
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Float]](n)
+    val norms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val r = blk.getStruct(i, 3)
+      ids(i) = r.getLong(0)
+      vecs(i) = r.getArray(1).toFloatArray()
+      norms(i) = r.getDouble(2)
+      i += 1
+    }
+    (ids, vecs, norms)
+  }
+
   override def eval(input: InternalRow): Any = {
     val aBlk = children(0).eval(input).asInstanceOf[ArrayData]
     val bBlk = children(1).eval(input).asInstanceOf[ArrayData]
     val thr = children(2).eval(input).asInstanceOf[Double]
     val same = children(3).eval(input).asInstanceOf[Boolean]
+    val (aIds, aVecs, aNorms) = decode(aBlk)
+    val (bIds, bVecs, bNorms) = decode(bBlk)
     val out = scala.collection.mutable.ArrayBuffer[Any]()
-    val nA = aBlk.numElements()
-    val nB = bBlk.numElements()
+    val nA = aIds.length
+    val nB = bIds.length
     var i = 0
     while (i < nA) {
-      val ra = aBlk.getStruct(i, 3)
-      val ida = ra.getLong(0); val ea = ra.getArray(1); val na = ra.getDouble(2)
+      val ida = aIds(i); val ea = aVecs(i); val na = aNorms(i)
       var j = if (same) i + 1 else 0
       while (j < nB) {
-        val rb = bBlk.getStruct(j, 3)
-        val idb = rb.getLong(0)
-        val cos = FastOps.dotExact(ea, rb.getArray(1)) / (na * rb.getDouble(2))
+        val cos = FastOps.dotExactF(ea, bVecs(j)) / (na * bNorms(j))
         if (cos >= thr) {
+          val idb = bIds(j)
           val (lo, hi) = if (ida < idb) (ida, idb) else (idb, ida)
           out += new GenericInternalRow(Array[Any](lo, hi, cos))
         }

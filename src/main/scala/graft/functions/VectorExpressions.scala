@@ -62,6 +62,20 @@ object FastOps {
     new JBigDecimal(java.math.BigInteger.valueOf(acc), 12).doubleValue()
   }
 
+  /** [[dotExact]] over pre-decoded primitive arrays — same quantized
+    * arithmetic, no per-element virtual ArrayData reads (the blocked
+    * kernel decodes each block once and calls this per pair). */
+  def dotExactF(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += quant12(a(i).toDouble * b(i).toDouble)
+      i += 1
+    }
+    new JBigDecimal(java.math.BigInteger.valueOf(acc), 12).doubleValue()
+  }
+
   /** Same quantized-exact dot where the second side is double (e.g. LSH
     * hyperplanes). */
   def dotExactFD(a: ArrayData, b: ArrayData): Double = {
