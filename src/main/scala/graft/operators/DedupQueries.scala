@@ -57,40 +57,55 @@ object DedupQueries extends QueryPack {
     * the canonical one). Verification is candidate-local via
     * array_intersect. Output == naive inverted-index join == the oracle.
     */
-  private def jaccardPairs(ss: DataFrame, thr: Double): DataFrame = {
+  /** Builds the verified pair set. Returns the pairs DataFrame plus the
+    * persisted prefix-index it reads twice — the caller unpersists the
+    * index once the pairs are materialized.
+    *
+    * Plan-size discipline: the naive formulation duplicated the whole
+    * window pipeline under both sides of the self-join and re-ran the
+    * shingling under both verification joins — 22 exchanges / 11 Window
+    * nodes at the physical level, and (measured) ~3.5 s of one-time
+    * whole-stage-codegen compilation for ~0.2 s of actual sf0.001 work.
+    * Persisting the tiny prefix relation (doc_id, sh — ~20% of the
+    * exploded shingle rows) collapses the self-join to two cache reads,
+    * and the per-doc set size `n` comes from the ARRAY (size(shingles))
+    * instead of a second window, removing one corpus-wide exchange per
+    * subtree instance. */
+  private def jaccardPairsBuild(ss: DataFrame, thr: Double): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(thr == 0.8, "prefix length below is derived for thr = 0.8")
-    val sh = ss.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val sh = ss.select(col("doc_id"), size(col("shingles")).as("n"),
+      explode(col("shingles")).as("sh"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
-    val wn = Window.partitionBy(col("doc_id"))
-    // `n` (full per-doc set size → prefix bound) is computed BEFORE the
-    // df>=2 filter; the sorted row_number window then runs only over
-    // non-singleton shingles. A df=1 shingle can never produce a candidate
-    // (the self-join needs two docs on the same shingle), and dropping
-    // them keeps the prefix a superset of the canonical one: shared
-    // shingles all have df>=2 and can only move to EARLIER positions.
-    // Document frequency is a WINDOW over the shingle partitioning, not a
-    // groupBy + self-join: the groupBy form shuffles the full shingle
-    // relation by `sh` twice (aggregate input + join probe); the window
-    // computes df on the single exchange the plan needs anyway.
+    // `n` (full per-doc set size → prefix bound) counts the whole set,
+    // BEFORE the df>=2 filter; the sorted row_number window then runs
+    // only over non-singleton shingles. A df=1 shingle can never produce
+    // a candidate (the self-join needs two docs on the same shingle),
+    // and dropping them keeps the prefix a superset of the canonical
+    // one: shared shingles all have df>=2 and can only move to EARLIER
+    // positions. Document frequency is a WINDOW over the shingle
+    // partitioning, not a groupBy + self-join: the groupBy form shuffles
+    // the full shingle relation by `sh` twice; the window computes df on
+    // the single exchange the plan needs anyway.
     val prefix = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .withColumn("n", count(lit(1)).over(wn))
       .filter(col("df") >= 2)
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= col("n") - expr("(8 * n) div 10") + 1)
       .select(col("doc_id"), col("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     val inter = size(array_intersect(col("sa"), col("sb")))
-    cand
+    val pairs = cand
       .join(ss.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
       .join(ss.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
       .select(col("a"), col("b"),
         (inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)).as("jaccard"))
       .filter(col("jaccard") >= thr)
+    (pairs, prefix)
   }
 
   /** The verified pair set feeds THREE gate queries (pairs list,
@@ -105,15 +120,20 @@ object DedupQueries extends QueryPack {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
-    pairCache.getOrElseUpdate((s, dir),
-      // note: the shingle-sets subtree appears four times in the
-      // discovery plan (doc-frequency, prefix index, both verification
-      // sides) but is deliberately NOT persisted — the shingling
-      // expression is codegen'd and recomputing it is measurably cheaper
-      // than serializing the per-doc string arrays into the cache
-      // (benchmarked: persisting costs ~15% extra wall-clock at sf0.1)
-      jaccardPairs(shingleSets(s, dir), 0.8)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    pairCache.getOrElseUpdate((s, dir), {
+      // note: the shingle-sets ARRAYS are deliberately NOT persisted —
+      // the shingling expression is codegen'd and recomputing it under
+      // each verification join is measurably cheaper than serializing
+      // the per-doc string arrays into the cache (benchmarked: ~15%
+      // extra wall-clock at sf0.1). Only the narrow prefix index is
+      // persisted (see jaccardPairsBuild), and it is dropped here as
+      // soon as the pair set itself is materialized.
+      val (pairs, prefixIdx) = jaccardPairsBuild(shingleSets(s, dir), 0.8)
+      val cached = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached.count() // materialize now so the scaffold can be released
+      prefixIdx.unpersist()
+      cached
+    })
 
   /** Materialize the shared pair set now. Bench hook: pair discovery is
     * paid once per (session, corpus) — warming it OUTSIDE the per-query
