@@ -138,6 +138,37 @@ object DdlQueries extends QueryPack {
         COMMIT;
       """)
       gs.sql("SELECT id, bal FROM acct ORDER BY id")
+    },
+
+    // UPSERT — the reference's own grammar doc ranks INSERT … ON CONFLICT
+    // its top unimplemented statement (docs/SQL_GRAMMAR.md:715).
+    // Accumulate-merge on conflict, conditional WHERE leaving the losing
+    // row untouched, DO NOTHING arbitrating all unique keys; the fully
+    // determined end state is the oracle (DdlDmlSpec holds the richer
+    // behavioural assertions: EXCLUDED refs, double-hit rejection,
+    // RETURNING).
+    Q(
+      "ddl_upsert",
+      """SELECT * FROM (VALUES
+        |  ('a', 12, CAST(1.5 AS DOUBLE)),
+        |  ('b', 3, CAST(2.0 AS DOUBLE)),
+        |  ('c', 9, CAST(3.0 AS DOUBLE)),
+        |  ('d', 1, CAST(0.5 AS DOUBLE)),
+        |  ('e', 4, CAST(4.0 AS DOUBLE))
+        |) t(sku, qty, price)
+        |ORDER BY sku""".stripMargin
+    ) { (s, _) =>
+      val gs = new GraftSession(s, Files.createTempDirectory("graft_gate"))
+      gs.sql("""
+        CREATE TABLE inv (sku TEXT PRIMARY KEY, qty INT, price DOUBLE);
+        INSERT INTO inv VALUES ('a', 5, 1.0), ('b', 3, 2.0);
+        INSERT INTO inv VALUES ('a', 7, 1.5), ('c', 9, 3.0)
+          ON CONFLICT (sku) DO UPDATE SET qty = qty + EXCLUDED.qty, price = EXCLUDED.price;
+        INSERT INTO inv VALUES ('b', 100, 9.9), ('d', 1, 0.5)
+          ON CONFLICT (sku) DO UPDATE SET qty = EXCLUDED.qty WHERE EXCLUDED.qty < 50;
+        INSERT INTO inv VALUES ('a', 0, 0.0), ('e', 4, 4.0) ON CONFLICT DO NOTHING;
+      """)
+      gs.sql("SELECT sku, qty, price FROM inv ORDER BY sku")
     }
   )
 }

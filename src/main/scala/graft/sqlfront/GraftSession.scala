@@ -1237,25 +1237,120 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     }
   }
 
+  /** First top-level (outside string literals, paren depth 0) match of
+    * `re`, for peeling trailing clauses (RETURNING, ON CONFLICT) off a
+    * DML statement — the keywords as literal content inside a quoted
+    * value are never matched. */
+  private def topLevelMatch(s: String, re: Regex): Option[scala.util.matching.Regex.Match] = {
+    val ok = new Array[Boolean](s.length)
+    var inS = false; var depth = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inS) { if (c == '\'') inS = false; ok(i) = false }
+      else {
+        c match {
+          case '\'' => inS = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+        }
+        ok(i) = !inS && depth == 0 && c != '(' && c != ')'
+      }
+      i += 1
+    }
+    re.findAllMatchIn(s).find(m => ok(m.start))
+  }
+
+  /** `ON CONFLICT [(cols)] DO NOTHING | DO UPDATE SET … [WHERE …]`.
+    * `action` None = DO NOTHING; Some((setClause, where)) = DO UPDATE. */
+  private case class OnConflictClause(
+      target: Seq[String], action: Option[(String, Option[String])])
+
+  private def parseOnConflict(s: String): OnConflictClause = {
+    val re = """(?is)ON\s+CONFLICT\s*(?:\(([^)]*)\))?\s*DO\s+(NOTHING|UPDATE\s+SET\s+.*)""".r
+    s.trim match {
+      case re(cols, act) =>
+        val target = Option(cols).toSeq.flatMap(
+          _.split(",").map(_.trim.replaceAll("\"", "").toLowerCase).filter(_.nonEmpty))
+        if (act.trim.equalsIgnoreCase("NOTHING")) OnConflictClause(target, None)
+        else {
+          require(target.nonEmpty,
+            "ON CONFLICT DO UPDATE requires a conflict target (PG semantics)")
+          val body = act.trim.replaceFirst("(?is)^UPDATE\\s+SET\\s+", "")
+          val (setS, whereOpt) = splitTopLevelWhere(body)
+          OnConflictClause(target, Some((setS, whereOpt)))
+        }
+      case _ => throw new IllegalArgumentException(s"cannot parse ON CONFLICT clause: $s")
+    }
+  }
+
+  /** Peel `RETURNING <exprs>` off the end of a DML statement. */
+  private def splitReturning(s: String): (String, Option[String]) =
+    topLevelMatch(s, """(?i)\bRETURNING\b""".r) match {
+      case Some(m) => (s.substring(0, m.start).trim, Some(s.substring(m.end).trim))
+      case None => (s, None)
+    }
+
+  /** RETURNING projection over the affected rows (PG: the post-image for
+    * INSERT/UPDATE, the deleted row for DELETE). localCheckpoint detaches
+    * the result from the source caches and the superseded snapshot before
+    * the statement's cleanup/publish runs. */
+  private def returningDf(t: TableDef, rows: DataFrame, returning: String): DataFrame = {
+    val visible = rows.select(t.visibleColumns.map(c => col(c.name)): _*)
+    val pinned = visible.localCheckpoint()
+    if (returning.trim == "*") pinned
+    else pinned.selectExpr(topSplit(PgRewrite.rewrite(returning)): _*)
+  }
+
   private def insert(stmt: String): DataFrame = {
     val valRe = """(?is)INSERT\s+INTO\s+([\w"]+)\s*(\(([^)]*)\))?\s*VALUES\s*(.*)""".r
     val selRe = """(?is)INSERT\s+INTO\s+([\w"]+)\s*(\(([^)]*)\))?\s*(SELECT.*|WITH.*)""".r
-    stmt.trim.stripSuffix(";") match {
+    val (noRet, returning) = splitReturning(stmt.trim.stripSuffix(";"))
+    val (core, conflict) = topLevelMatch(noRet, """(?i)\bON\s+CONFLICT\b""".r) match {
+      case Some(m) => (noRet.substring(0, m.start).trim,
+        Some(parseOnConflict(noRet.substring(m.start).trim)))
+      case None => (noRet, None)
+    }
+    core match {
       case valRe(rawT, _, colsS, valuesS) =>
         val t = requireTable(rawT)
         // PG-dialect expressions inside VALUES get the same rewrite the
         // SELECT branch applies
         val src = spark.sql(PgRewrite.rewrite(s"SELECT * FROM VALUES $valuesS"))
-        insertRows(t, Option(colsS), src)
+        insertRows(t, Option(colsS), src, conflict, returning)
       case selRe(rawT, _, colsS, sel) =>
         val t = requireTable(rawT)
         registerAll()
-        insertRows(t, Option(colsS), spark.sql(PgRewrite.rewrite(sel)))
+        insertRows(t, Option(colsS), spark.sql(PgRewrite.rewrite(sel)), conflict, returning)
       case _ => throw new IllegalArgumentException(s"cannot parse INSERT: $stmt")
     }
   }
 
-  private def insertRows(t: TableDef, colsS: Option[String], src: DataFrame): DataFrame = {
+  /** The unique-key sets ON CONFLICT can target: PK + single-column
+    * UNIQUE + composite UNIQUE (the hidden rowid is excluded — fresh
+    * serials cannot conflict). Empty `target` (DO NOTHING only) arbiters
+    * against ALL of them, like PG; a named target must match one. */
+  private def conflictKeySets(t: TableDef, target: Seq[String]): Seq[Seq[String]] = {
+    val all: Seq[Seq[String]] =
+      (if (t.primaryKey.nonEmpty) Seq(t.primaryKey) else Nil) ++
+        t.columns.filter(_.unique).map(c => Seq(c.name)) ++ t.uniqueKeys
+    val sets = all.map(_.map(_.toLowerCase)).distinct
+      .filterNot(_ == Seq(TableDef.RowId))
+    if (target.isEmpty) {
+      require(sets.nonEmpty, s"ON CONFLICT on ${t.name}: table has no unique constraints")
+      sets
+    } else {
+      val tset = target.toSet
+      sets.find(_.toSet == tset).map(Seq(_)).getOrElse(throw new IllegalArgumentException(
+        s"ON CONFLICT (${target.mkString(",")}) does not match a unique " +
+          s"constraint of ${t.name}"))
+    }
+  }
+
+  private def insertRows(t: TableDef, colsS: Option[String], src: DataFrame,
+      conflict: Option[OnConflictClause] = None,
+      returning: Option[String] = None): DataFrame = {
     val targetNames: Seq[String] = colsS match {
       case Some(s) => s.split(",").map(_.trim.replaceAll("\"", "").toLowerCase).toSeq
       case None =>
@@ -1323,16 +1418,112 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     val aligned = dfv.select(t.columns.map(c =>
       col(c.name).cast(TypeMap.toSpark(c.sqlType)).as(c.name)): _*)
     try {
-      validate(t, aligned)
-      checkUnique(t, aligned, tableDf(t))
-      val dir = catalog.tableDir(t)
-      Files.createDirectories(dir)
-      aligned.write.mode("append").parquet(dir.toString)
-      dataGen += 1 // append is invisible to the catalog generation
+      conflict match {
+        case None =>
+          validate(t, aligned)
+          checkUnique(t, aligned, tableDf(t))
+          val dir = catalog.tableDir(t)
+          Files.createDirectories(dir)
+          aligned.write.mode("append").parquet(dir.toString)
+          dataGen += 1 // append is invisible to the catalog generation
+          returning.map(r => returningDf(t, aligned, r)).getOrElse(ok("INSERT", n))
+        case Some(OnConflictClause(target, None)) =>
+          insertDoNothing(t, aligned, target, returning)
+        case Some(OnConflictClause(target, Some((setS, whereOpt)))) =>
+          upsertDoUpdate(t, aligned, target, setS, whereOpt, returning)
+      }
     } finally {
       if (cached != null) cached.unpersist()
     }
-    ok("INSERT", n)
+  }
+
+  /** INSERT … ON CONFLICT DO NOTHING: drop rows whose (non-null) conflict
+    * key already exists — or repeats earlier in the batch (PG processes
+    * rows in order: the first occurrence inserts, later ones conflict
+    * with it) — then append the survivors through the normal validated
+    * path. Rows with NULL in a key never conflict (PG unique semantics).
+    * Sequence values consumed by dropped rows stay consumed, like PG. */
+  private def insertDoNothing(t: TableDef, aligned: DataFrame,
+      target: Seq[String], returning: Option[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var surv = aligned.withColumn("__ord", monotonically_increasing_id())
+    for (k <- conflictKeySets(t, target)) {
+      val allSet = k.map(col(_).isNotNull).reduce(_ && _)
+      val w = Window.partitionBy(k.map(col): _*).orderBy(col("__ord"))
+      surv = surv.withColumn("__rn", row_number().over(w))
+        .filter(!allSet || col("__rn") === 1).drop("__rn")
+        .join(tableDf(t).filter(allSet).select(k.map(col): _*), k, "left_anti")
+    }
+    val out = surv.drop("__ord")
+    val kept = out.count()
+    validate(t, out)
+    checkUnique(t, out, tableDf(t))
+    val dir = catalog.tableDir(t)
+    Files.createDirectories(dir)
+    out.write.mode("append").parquet(dir.toString)
+    dataGen += 1
+    returning.map(r => returningDf(t, out, r)).getOrElse(ok("INSERT", kept))
+  }
+
+  /** INSERT … ON CONFLICT (k) DO UPDATE SET … [WHERE …] — a distributed
+    * MERGE over the copy-on-write snapshot: existing rows that match an
+    * incoming key take the SET expressions (with `EXCLUDED.c` resolved to
+    * the incoming row, bare columns to the existing row, both available
+    * to SET and WHERE), matched-but-WHERE-false rows stay untouched, and
+    * non-matching incoming rows insert. The merged state publishes as a
+    * new snapshot version, exactly like UPDATE. The reference lists
+    * UPSERT as its top unimplemented statement (docs/SQL_GRAMMAR.md:715). */
+  private def upsertDoUpdate(t: TableDef, aligned: DataFrame, target: Seq[String],
+      setS: String, whereOpt: Option[String], returning: Option[String]): DataFrame = {
+    val k = conflictKeySets(t, target).head
+    val allSet = k.map(col(_).isNotNull).reduce(_ && _)
+    // PG: one statement cannot update the same existing row twice
+    if (aligned.filter(allSet).groupBy(k.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        "ON CONFLICT DO UPDATE cannot affect a row a second time: " +
+          s"duplicate (${k.mkString(",")}) keys in the insert batch")
+    val existing = tableDf(t)
+    val inc = aligned.select(t.columns.map(c => col(c.name).as("__exc_" + c.name)): _*)
+    val joinCond = k.map(c => col(c) === col("__exc_" + c)).reduce(_ && _)
+    def resolveExc(e: String): String =
+      e.replaceAll("(?i)\\bEXCLUDED\\s*\\.\\s*\"?(\\w+)\"?", "__exc_$1")
+    val sets: Map[String, Column] = topSplit(setS).map { as =>
+      val Array(c, e) = as.split("=", 2).map(_.trim)
+      val cn = c.replaceAll("\"", "").toLowerCase
+      val cd = t.column(cn).getOrElse(
+        throw new IllegalArgumentException(s"no column $cn in ${t.name}"))
+      cn -> expr(PgRewrite.rewrite(resolveExc(e))).cast(TypeMap.toSpark(cd.sqlType))
+    }.toMap
+    val wherePred = whereOpt.map(w => expr(PgRewrite.rewrite(resolveExc(w)))).getOrElse(lit(true))
+    val matched = existing.join(inc, joinCond, "inner")
+    val updated = matched.filter(wherePred).select(t.columns.map(c =>
+      sets.getOrElse(c.name, col(c.name)).as(c.name)): _*)
+    val skipped = matched.filter(!wherePred || wherePred.isNull)
+      .select(t.columns.map(c => col(c.name)): _*)
+    val untouched = existing.join(
+      aligned.filter(allSet).select(k.map(col): _*), k, "left_anti")
+    val fresh = aligned.join(existing.filter(allSet).select(k.map(col): _*), k, "left_anti")
+    val next = untouched.unionByName(skipped).unionByName(updated).unionByName(fresh)
+    validate(t, next)
+    // post-merge uniqueness over the whole table (the SET expressions or
+    // a different unique key could collide)
+    val keys = t.columns.filter(_.unique).map(c => Seq(c.name)) ++ t.uniqueKeys ++
+      (if (t.primaryKey.nonEmpty) Seq(t.primaryKey) else Nil)
+    keys.distinct.foreach { uk =>
+      val ukSet = uk.map(col(_).isNotNull).reduce(_ && _)
+      if (next.filter(ukSet).groupBy(uk.map(col): _*).count()
+          .filter(col("count") > 1).limit(1).count() > 0)
+        throw new IllegalArgumentException(
+          s"UNIQUE violation after upsert: ${uk.mkString(",")}")
+    }
+    val nUp = updated.count()
+    val nIns = fresh.count()
+    // RETURNING sees the post-image of every inserted or updated row;
+    // pin it before publish supersedes the snapshot this plan reads
+    val ret = returning.map(r => returningDf(t, updated.unionByName(fresh), r))
+    publish(t, next)
+    ret.getOrElse(ok("INSERT", nUp + nIns))
   }
 
   /** Split `body` at the first top-level WHERE keyword — outside string
@@ -1370,7 +1561,8 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
 
   private def update(stmt: String): DataFrame = {
     val re = """(?is)UPDATE\s+([\w"]+)\s+SET\s+(.*)""".r
-    stmt.trim.stripSuffix(";") match {
+    val (noRet, returning) = splitReturning(stmt.trim.stripSuffix(";"))
+    noRet match {
       case re(rawT, body) =>
         val t = requireTable(rawT)
         val (setS, whereOpt) = splitTopLevelWhere(body)
@@ -1382,17 +1574,17 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         // One select against `cur` builds all new columns simultaneously —
         // never chained withColumn, which would leak updated values into
         // later assignments.
-        val sets: Map[String, Column] = topSplit(setS).map { as =>
+        val assign: Map[String, Column] = topSplit(setS).map { as =>
           val Array(c, e) = as.split("=", 2).map(_.trim)
           val cn = c.replaceAll("\"", "").toLowerCase
           val cd = t.column(cn).getOrElse(throw new IllegalArgumentException(s"no column $cn"))
-          cn -> when(pred, expr(PgRewrite.rewrite(e)).cast(TypeMap.toSpark(cd.sqlType)))
-            .otherwise(col(cn))
+          cn -> expr(PgRewrite.rewrite(e)).cast(TypeMap.toSpark(cd.sqlType))
         }.toMap
-        require(sets.size == topSplit(setS).size,
+        require(assign.size == topSplit(setS).size,
           s"multiple assignments to the same column in UPDATE: $setS")
         val next = cur.select(t.columns.map(c =>
-          sets.getOrElse(c.name, col(c.name)).as(c.name)): _*)
+          assign.get(c.name).map(a => when(pred, a).otherwise(col(c.name)))
+            .getOrElse(col(c.name)).as(c.name)): _*)
         validate(t, next)
         // post-update uniqueness over the whole table
         val keys = t.columns.filter(_.unique).map(c => Seq(c.name)) ++ t.uniqueKeys ++
@@ -1403,23 +1595,31 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
               .filter(col("count") > 1).limit(1).count() > 0)
             throw new IllegalArgumentException(s"UNIQUE violation after UPDATE: ${k.mkString(",")}")
         }
+        // RETURNING: the post-image of the updated rows (PG), pinned
+        // before publish supersedes the snapshot this plan reads
+        val ret = returning.map(r => returningDf(t,
+          cur.filter(pred).select(t.columns.map(c =>
+            assign.getOrElse(c.name, col(c.name)).as(c.name)): _*), r))
         publish(t, next)
-        ok("UPDATE", nChanged)
+        ret.getOrElse(ok("UPDATE", nChanged))
       case _ => throw new IllegalArgumentException(s"cannot parse UPDATE: $stmt")
     }
   }
 
   private def delete(stmt: String): DataFrame = {
     val re = """(?is)DELETE\s+FROM\s+([\w"]+)(?:\s+WHERE\s+(.*))?""".r
-    stmt.trim.stripSuffix(";") match {
+    val (noRet, returning) = splitReturning(stmt.trim.stripSuffix(";"))
+    noRet match {
       case re(rawT, whereS) =>
         val t = requireTable(rawT)
         val cur = tableDf(t)
         val pred = Option(whereS).map(w => expr(PgRewrite.rewrite(w))).getOrElse(lit(true))
         val keep = cur.filter(!pred || pred.isNull) // SQL: delete rows where pred is TRUE
         val nDel = cur.count() - keep.count()
+        // RETURNING: the deleted rows' old values (PG), pinned pre-publish
+        val ret = returning.map(r => returningDf(t, cur.filter(pred), r))
         publish(t, keep)
-        ok("DELETE", nDel)
+        ret.getOrElse(ok("DELETE", nDel))
       case _ => throw new IllegalArgumentException(s"cannot parse DELETE: $stmt")
     }
   }

@@ -616,6 +616,78 @@ class DdlDmlSpec extends SparkSpec {
     assert(!Files.exists(wh.resolve("_txn_files.json")))
   }
 
+  test("INSERT ON CONFLICT DO NOTHING skips existing and in-batch duplicate keys") {
+    val s = fresh()
+    s.sql("CREATE TABLE oc (id INT PRIMARY KEY, v TEXT, u INT UNIQUE)")
+    s.sql("INSERT INTO oc VALUES (1, 'a', 10), (2, 'b', 20)")
+    // 1 conflicts on PK, 30 is new, (3,...) repeated in-batch keeps first
+    val r = s.sql(
+      "INSERT INTO oc VALUES (1, 'dup', 30), (3, 'c', 30), (3, 'x', 40) ON CONFLICT DO NOTHING")
+    assert(r.collect()(0).getLong(1) == 1L) // only (3,'c',30) survives: (1,..) hits PK, (3,'x',40) repeats id 3
+    val rows = s.sql("SELECT id, v, u FROM oc ORDER BY id").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getInt(2))).toSeq
+    assert(rows == Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)))
+    // named target must match a unique constraint
+    s.sql("INSERT INTO oc VALUES (4, 'd', 40) ON CONFLICT (id) DO NOTHING")
+    assertThrows[IllegalArgumentException](
+      s.sql("INSERT INTO oc VALUES (5, 'e', 50) ON CONFLICT (v) DO NOTHING"))
+    // a named target arbiters ONLY that constraint: a row passing it but
+    // violating a different unique key is a real error, like PG
+    assertThrows[IllegalArgumentException](
+      s.sql("INSERT INTO oc VALUES (6, 'f', 40) ON CONFLICT (id) DO NOTHING"))
+  }
+
+  test("INSERT ON CONFLICT DO UPDATE merges with EXCLUDED and conditional WHERE") {
+    val s = fresh()
+    s.sql("CREATE TABLE inv (sku TEXT PRIMARY KEY, qty INT, price DOUBLE)")
+    s.sql("INSERT INTO inv VALUES ('a', 5, 1.0), ('b', 3, 2.0)")
+    // classic accumulate-upsert: existing rows add qty, new rows insert
+    s.sql("""INSERT INTO inv VALUES ('a', 7, 1.5), ('c', 9, 3.0)
+            |ON CONFLICT (sku) DO UPDATE SET qty = inv.qty + EXCLUDED.qty, price = EXCLUDED.price""".stripMargin
+      .replace("inv.qty", "qty")) // bare column = existing row (PG allows either)
+    val rows = s.sql("SELECT sku, qty, price FROM inv ORDER BY sku").collect()
+      .map(x => (x.getString(0), x.getInt(1), x.getDouble(2))).toSeq
+    assert(rows == Seq(("a", 12, 1.5), ("b", 3, 2.0), ("c", 9, 3.0)))
+    // conditional update: WHERE false leaves the row untouched
+    s.sql("""INSERT INTO inv VALUES ('a', 100, 9.9), ('b', 1, 0.5)
+            |ON CONFLICT (sku) DO UPDATE SET qty = EXCLUDED.qty, price = EXCLUDED.price
+            |WHERE EXCLUDED.qty < 50""".stripMargin)
+    val rows2 = s.sql("SELECT sku, qty, price FROM inv ORDER BY sku").collect()
+      .map(x => (x.getString(0), x.getInt(1), x.getDouble(2))).toSeq
+    assert(rows2 == Seq(("a", 12, 1.5), ("b", 1, 0.5), ("c", 9, 3.0)))
+    // same key twice in one batch cannot update a row twice (PG error)
+    assertThrows[IllegalArgumentException](
+      s.sql("""INSERT INTO inv VALUES ('a', 1, 1.0), ('a', 2, 2.0)
+              |ON CONFLICT (sku) DO UPDATE SET qty = EXCLUDED.qty""".stripMargin))
+    // DO UPDATE requires a target
+    assertThrows[IllegalArgumentException](
+      s.sql("INSERT INTO inv VALUES ('z', 1, 1.0) ON CONFLICT DO UPDATE SET qty = 0"))
+  }
+
+  test("RETURNING on INSERT, upsert, UPDATE and DELETE") {
+    val s = fresh()
+    s.sql("CREATE TABLE rt (id SERIAL, name TEXT, score INT)")
+    // INSERT RETURNING exposes generated serials
+    val ins = s.sql("INSERT INTO rt (name, score) VALUES ('ann', 10), ('bob', 20) RETURNING id, name")
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(ins == Seq((1, "ann"), (2, "bob")))
+    // expressions + aliases in the projection
+    val up = s.sql("UPDATE rt SET score = score * 2 WHERE name = 'ann' RETURNING name, score AS doubled")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(up == Seq(("ann", 20)))
+    // DELETE RETURNING yields the deleted rows' old values
+    val del = s.sql("DELETE FROM rt WHERE name = 'bob' RETURNING *").collect()
+    assert(del.length == 1 && del(0).getString(1) == "bob" && del(0).getInt(2) == 20)
+    assert(s.sql("SELECT count(*) AS c FROM rt").collect()(0).getLong(0) == 1L)
+    // upsert RETURNING: post-image of updated + inserted rows
+    s.sql("CREATE TABLE ru (k INT PRIMARY KEY, v INT)")
+    s.sql("INSERT INTO ru VALUES (1, 10)")
+    val ups = s.sql(
+      "INSERT INTO ru VALUES (1, 99), (2, 20) ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v RETURNING k, v")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(ups == Seq((1, 99), (2, 20)))
+  }
+
   test("UPDATE rejects constraint-violating result") {
     val s = fresh()
     s.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
