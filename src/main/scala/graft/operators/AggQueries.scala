@@ -258,20 +258,24 @@ object AggQueries extends QueryPack {
     },
 
     // array_agg(x ORDER BY y): both rewrite paths — same-expression key
-    // (sort_array) and a different key (struct sort + transform).
+    // (sort_array) and a different key (struct sort + transform). The
+    // arrays are joined to flat strings for the gate (the driver's pandas
+    // harness cannot sort/hash array columns); element order is exactly
+    // what the joined string pins down, so aggregate-internal ORDER BY is
+    // still verified end-to-end.
     Q(
       "agg_array_agg_order",
       """SELECT r_name,
-        |  array_agg(n_name ORDER BY n_name DESC) AS nations_desc,
-        |  array_agg(n_nationkey ORDER BY n_name) AS keys_by_name
+        |  array_to_string(array_agg(n_name ORDER BY n_name DESC), ',') AS nations_desc,
+        |  array_to_string(array_agg(CAST(n_nationkey AS VARCHAR) ORDER BY n_name), ',') AS keys_by_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin
     ) { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql(graft.sqlfront.PgRewrite.rewrite(
         """SELECT r_name,
-          |  array_agg(n_name ORDER BY n_name DESC) AS nations_desc,
-          |  array_agg(n_nationkey ORDER BY n_name) AS keys_by_name
+          |  array_join(array_agg(n_name ORDER BY n_name DESC), ',') AS nations_desc,
+          |  array_join(array_agg(CAST(n_nationkey AS STRING) ORDER BY n_name), ',') AS keys_by_name
           |FROM nation JOIN region ON n_regionkey = r_regionkey
           |GROUP BY r_name ORDER BY r_name""".stripMargin))
     },

@@ -61,15 +61,23 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     * over catalog.json here, and journals are deleted only after the file
     * un-append completes — catalog-journal removal is the commit point of
     * recovery, so a crash at any intermediate step just re-runs the whole
-    * recovery on the next open. */
-  private val pendingTxnRecovery: Option[Map[String, Set[String]]] =
+    * recovery on the next open.
+    *
+    * The inner Option encodes the un-append step's state: BEGIN arms the
+    * journals files→owner→catalog, and recovery disarms them
+    * files→owner→catalog, so a catalog journal WITHOUT a files journal
+    * can only mean a previous recovery finished the un-append and died
+    * before its commit point. That re-run must NOT treat the missing
+    * files journal as "every table had zero files" — that would make the
+    * un-append loop below delete every part-file of every table. */
+  private val pendingTxnRecovery: Option[Option[Map[String, Set[String]]]] =
     if (!Files.exists(txnCatalogJournal) || txnOwnerAlive()) None
     else {
-      val had: Map[String, Set[String]] =
-        if (!Files.exists(txnFilesJournal)) Map.empty
-        else graft.catalog.Json.parse(Files.readString(txnFilesJournal))
+      val had: Option[Map[String, Set[String]]] =
+        if (!Files.exists(txnFilesJournal)) None // un-append already done
+        else Some(graft.catalog.Json.parse(Files.readString(txnFilesJournal))
           .asInstanceOf[Map[String, Any]]
-          .map { case (k, v) => k -> v.asInstanceOf[Seq[Any]].map(_.toString).toSet }
+          .map { case (k, v) => k -> v.asInstanceOf[Seq[Any]].map(_.toString).toSet })
       Files.copy(txnCatalogJournal, warehouse.resolve("catalog.json"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       Some(had)
@@ -85,14 +93,16 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   // crash finds the extras already deleted, but the checkpoints may still
   // hold rolled-back rows — the conservative superset keeps the re-run
   // equivalent to the first run.
-  pendingTxnRecovery.foreach { had =>
-    catalog.tables.values.foreach { t =>
-      val dir = catalog.tableDir(t)
-      (listDir(dir) -- had.getOrElse(t.name, Set.empty))
-        .foreach(f => Files.deleteIfExists(dir.resolve(f)))
+  pendingTxnRecovery.foreach { hadOpt =>
+    hadOpt.foreach { had =>
+      catalog.tables.values.foreach { t =>
+        val dir = catalog.tableDir(t)
+        (listDir(dir) -- had.getOrElse(t.name, Set.empty))
+          .foreach(f => Files.deleteIfExists(dir.resolve(f)))
+      }
+      graft.streaming.MatviewMaintenance.onBaseFilesRemoved(this, had.keySet)
+      Files.deleteIfExists(txnFilesJournal)
     }
-    graft.streaming.MatviewMaintenance.onBaseFilesRemoved(this, had.keySet)
-    Files.deleteIfExists(txnFilesJournal)
     Files.deleteIfExists(txnOwnerFile)
     // commit point of recovery — deleted LAST
     Files.deleteIfExists(txnCatalogJournal)

@@ -616,6 +616,23 @@ class DdlDmlSpec extends SparkSpec {
     assert(!Files.exists(wh.resolve("_txn_files.json")))
   }
 
+  test("crash between recovery's journal deletes must not wipe table data") {
+    val wh = Files.createTempDirectory("graft_wh")
+    val s1 = new GraftSession(spark, wh)
+    s1.sql("CREATE TABLE acct (id INT PRIMARY KEY, bal DOUBLE)")
+    s1.sql("INSERT INTO acct VALUES (1, 100.0), (2, 50.0)")
+    // simulate a recovery that died AFTER deleting _txn_files.json (the
+    // un-append step already ran) but BEFORE deleting _txn_catalog.json:
+    // the catalog journal is armed alone. The re-run must NOT interpret
+    // the missing files journal as "no table owned any file" — that
+    // reading deletes every part-file of every table.
+    Files.copy(wh.resolve("catalog.json"), wh.resolve("_txn_catalog.json"))
+    val s2 = new GraftSession(spark, wh)
+    assert(s2.sql("SELECT count(*) AS c FROM acct").collect()(0).getLong(0) == 2L)
+    // the re-run still reaches its commit point and disarms the journal
+    assert(!Files.exists(wh.resolve("_txn_catalog.json")))
+  }
+
   test("INSERT ON CONFLICT DO NOTHING skips existing and in-batch duplicate keys") {
     val s = fresh()
     s.sql("CREATE TABLE oc (id INT PRIMARY KEY, v TEXT, u INT UNIQUE)")
