@@ -164,7 +164,12 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   def registerAll(): Unit = {
     val tag = (this: AnyRef, catalog.generation, dataGen)
     if (GraftSession.lastRegistrar.get() == tag) { registerPgCatalog(); return }
-    GraftSession.lastRegistrar.set(tag)
+    // Invalidate first, claim AFTER the loop succeeds: if a view body
+    // throws mid-loop the tag stays unset and the next call re-registers
+    // instead of skipping over half-registered temp views. The null also
+    // keeps a concurrent session from matching its own stale tag while
+    // this one is mid-rebuild.
+    GraftSession.lastRegistrar.set(null)
     catalog.tables.values.foreach(t => visibleDf(t).createOrReplaceTempView(t.name))
     catalog.views.values.foreach { v =>
       if (v.materialized) {
@@ -172,6 +177,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         if (Files.exists(dir)) spark.read.parquet(dir.toString).createOrReplaceTempView(v.name)
       } else spark.sql(PgRewrite.rewrite(v.sql)).createOrReplaceTempView(v.name)
     }
+    GraftSession.lastRegistrar.set(tag)
     registerPgCatalog()
   }
 
@@ -1247,30 +1253,36 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     }
   }
 
-  /** First top-level (outside string literals, paren depth 0) match of
-    * `re`, for peeling trailing clauses (RETURNING, ON CONFLICT) off a
-    * DML statement — the keywords as literal content inside a quoted
-    * value are never matched. */
-  private def topLevelMatch(s: String, re: Regex): Option[scala.util.matching.Regex.Match] = {
+  /** Top-level (outside single-quoted literals AND double-quoted
+    * identifiers, paren depth 0) matches of `re`, for peeling trailing
+    * clauses (RETURNING, ON CONFLICT) off a DML statement — the keywords
+    * as literal content in a quoted value or as a quoted identifier
+    * (`SELECT a AS "returning"`) are never matched. */
+  private def topLevelMatches(s: String, re: Regex): List[scala.util.matching.Regex.Match] = {
     val ok = new Array[Boolean](s.length)
-    var inS = false; var depth = 0
+    var inS = false; var inD = false; var depth = 0
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (inS) { if (c == '\'') inS = false; ok(i) = false }
+      else if (inD) { if (c == '"') inD = false; ok(i) = false }
       else {
         c match {
           case '\'' => inS = true
+          case '"' => inD = true
           case '(' => depth += 1
           case ')' => depth -= 1
           case _ =>
         }
-        ok(i) = !inS && depth == 0 && c != '(' && c != ')'
+        ok(i) = !inS && !inD && depth == 0 && c != '(' && c != ')' && c != '"'
       }
       i += 1
     }
-    re.findAllMatchIn(s).find(m => ok(m.start))
+    re.findAllMatchIn(s).filter(m => ok(m.start)).toList
   }
+
+  private def topLevelMatch(s: String, re: Regex): Option[scala.util.matching.Regex.Match] =
+    topLevelMatches(s, re).headOption
 
   /** `ON CONFLICT [(cols)] DO NOTHING | DO UPDATE SET … [WHERE …]`.
     * `action` None = DO NOTHING; Some((setClause, where)) = DO UPDATE. */
@@ -1317,7 +1329,14 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     val valRe = """(?is)INSERT\s+INTO\s+([\w"]+)\s*(\(([^)]*)\))?\s*VALUES\s*(.*)""".r
     val selRe = """(?is)INSERT\s+INTO\s+([\w"]+)\s*(\(([^)]*)\))?\s*(SELECT.*|WITH.*)""".r
     val (noRet, returning) = splitReturning(stmt.trim.stripSuffix(";"))
-    val (core, conflict) = topLevelMatch(noRet, """(?i)\bON\s+CONFLICT\b""".r) match {
+    // Peel only a match that is REALLY the clause: `JOIN b ON conflict =
+    // b.id` in an INSERT … SELECT source also hits the keyword regex
+    // (CONFLICT is unreserved in PG), but is not followed by DO — skip
+    // it; a match followed by DO with an unparsable action still throws.
+    val conflictAt = topLevelMatches(noRet, """(?i)\bON\s+CONFLICT\b""".r).find { m =>
+      noRet.substring(m.start).trim.matches("""(?is)ON\s+CONFLICT\s*(\([^)]*\))?\s*DO\b.*""")
+    }
+    val (core, conflict) = conflictAt match {
       case Some(m) => (noRet.substring(0, m.start).trim,
         Some(parseOnConflict(noRet.substring(m.start).trim)))
       case None => (noRet, None)
@@ -1448,23 +1467,35 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   }
 
   /** INSERT … ON CONFLICT DO NOTHING: drop rows whose (non-null) conflict
-    * key already exists — or repeats earlier in the batch (PG processes
-    * rows in order: the first occurrence inserts, later ones conflict
-    * with it) — then append the survivors through the normal validated
-    * path. Rows with NULL in a key never conflict (PG unique semantics).
-    * Sequence values consumed by dropped rows stay consumed, like PG. */
+    * key already exists in the table or matches an EARLIER batch row that
+    * actually inserted (PG processes rows in order; only inserted rows
+    * arbitrate — a row skipped on one constraint frees its other keys for
+    * later rows). Rows with NULL in a key never conflict (PG unique
+    * semantics). Sequence values consumed by dropped rows stay consumed,
+    * like PG. */
   private def insertDoNothing(t: TableDef, aligned: DataFrame,
       target: Seq[String], returning: Option[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val keySets = conflictKeySets(t, target)
+    // Rows conflicting with the EXISTING table never insert and never
+    // block later batch rows, so peel them first. The left_anti equality
+    // join is null-safe by construction: a NULL key never equals anything,
+    // so NULL-keyed rows pass through.
     var surv = aligned.withColumn("__ord", monotonically_increasing_id())
-    for (k <- conflictKeySets(t, target)) {
+    for (k <- keySets) {
+      val allSet = k.map(col(_).isNotNull).reduce(_ && _)
+      surv = surv.join(tableDf(t).filter(allSet).select(k.map(col): _*), k, "left_anti")
+    }
+    val out = (if (keySets.size == 1) {
+      // one constraint: first-in-group inserts, the rest conflict with it
+      // (if the first occurrence hit the existing table, so did the rest —
+      // same key — so the pre-peel cannot change which row is first)
+      val k = keySets.head
       val allSet = k.map(col(_).isNotNull).reduce(_ && _)
       val w = Window.partitionBy(k.map(col): _*).orderBy(col("__ord"))
-      surv = surv.withColumn("__rn", row_number().over(w))
+      surv.withColumn("__rn", row_number().over(w))
         .filter(!allSet || col("__rn") === 1).drop("__rn")
-        .join(tableDf(t).filter(allSet).select(k.map(col): _*), k, "left_anti")
-    }
-    val out = surv.drop("__ord")
+    } else resolveBatchConflicts(surv, keySets)).drop("__ord")
     val kept = out.count()
     validate(t, out)
     checkUnique(t, out, tableDf(t))
@@ -1473,6 +1504,50 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     out.write.mode("append").parquet(dir.toString)
     dataGen += 1
     returning.map(r => returningDf(t, out, r)).getOrElse(ok("INSERT", kept))
+  }
+
+  /** PG-order batch arbitration for ON CONFLICT DO NOTHING with several
+    * unique constraints. One window-dedup per constraint is unsound: with
+    * rows r1(a1,b1) r2(a2,b1) r3(a2,b2), PG inserts r1, skips r2 (b1
+    * taken by r1), inserts r3 (a2 is free because r2 never inserted) —
+    * but deduping on `a` first keeps r2 over r3 and then `b` drops r2,
+    * losing r3. Fixpoint instead: a row that is FIRST (by batch order)
+    * within every non-null key group of the undecided set cannot be
+    * blocked (any accepted row sharing one of its keys would have
+    * rejected it last round), so it inserts; rows sharing a key with a
+    * row accepted this round are rejected; the rest go another round.
+    * Every round accepts at least the earliest undecided row, so rounds
+    * are bounded by the conflict-chain depth — 1 for typical batches.
+    * Fully distributed: windows + anti-joins, no driver materialization;
+    * localCheckpoint cuts the per-round lineage like the dedup
+    * label-propagation loop does. */
+  private def resolveBatchConflicts(batch: DataFrame,
+      keySets: Seq[Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var undecided = batch.localCheckpoint()
+    var accepted: DataFrame = null
+    var rounds = 0
+    while (undecided.limit(1).count() > 0) {
+      rounds += 1
+      require(rounds <= 64, "ON CONFLICT batch conflict chain deeper than 64")
+      var d = undecided
+      val flags = keySets.indices.map("__first" + _)
+      keySets.zipWithIndex.foreach { case (k, i) =>
+        val allSet = k.map(col(_).isNotNull).reduce(_ && _)
+        val w = Window.partitionBy(k.map(col): _*).orderBy(col("__ord"))
+        d = d.withColumn(flags(i), !allSet || row_number().over(w) === 1)
+      }
+      val firstInAll = flags.map(col).reduce(_ && _)
+      val acc = d.filter(firstInAll).drop(flags: _*).localCheckpoint()
+      var rest = d.filter(!firstInAll).drop(flags: _*)
+      for (k <- keySets) {
+        val allSet = k.map(col(_).isNotNull).reduce(_ && _)
+        rest = rest.join(acc.filter(allSet).select(k.map(col): _*), k, "left_anti")
+      }
+      accepted = if (accepted == null) acc else accepted.unionByName(acc)
+      undecided = rest.localCheckpoint()
+    }
+    if (accepted == null) batch.limit(0) else accepted
   }
 
   /** INSERT … ON CONFLICT (k) DO UPDATE SET … [WHERE …] — a distributed

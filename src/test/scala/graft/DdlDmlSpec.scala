@@ -654,6 +654,41 @@ class DdlDmlSpec extends SparkSpec {
       s.sql("INSERT INTO oc VALUES (6, 'f', 40) ON CONFLICT (id) DO NOTHING"))
   }
 
+  test("ON CONFLICT DO NOTHING: only rows that actually insert arbitrate (PG order)") {
+    val s = fresh()
+    s.sql("CREATE TABLE oc2 (id INT PRIMARY KEY, v TEXT, u INT UNIQUE)")
+    s.sql("INSERT INTO oc2 VALUES (1, 'a', 10)")
+    // (1,'x',30) hits the existing PK and never inserts, so its u=30 must
+    // NOT block (3,'y',30) — PG inserts the later row.
+    s.sql("INSERT INTO oc2 VALUES (1, 'x', 30), (3, 'y', 30) ON CONFLICT DO NOTHING")
+    val rows = s.sql("SELECT id, v, u FROM oc2 ORDER BY id").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getInt(2))).toSeq
+    assert(rows == Seq((1, "a", 10), (3, "y", 30)))
+    // in-batch chain: r1(5,'p',50) inserts; r2(6,'q',50) skips on u=50;
+    // r3(6,'r',60) inserts because r2 never took id=6.
+    s.sql("INSERT INTO oc2 VALUES (5, 'p', 50), (6, 'q', 50), (6, 'r', 60) ON CONFLICT DO NOTHING")
+    val rows2 = s.sql("SELECT id, v, u FROM oc2 WHERE id >= 5 ORDER BY id").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getInt(2))).toSeq
+    assert(rows2 == Seq((5, "p", 50), (6, "r", 60)))
+    // NULL keys never conflict, on any constraint, existing or in-batch
+    s.sql("INSERT INTO oc2 VALUES (7, 'n', NULL), (8, 'n', NULL) ON CONFLICT DO NOTHING")
+    assert(s.sql("SELECT count(*) AS c FROM oc2 WHERE u IS NULL").collect()(0).getLong(0) == 2L)
+  }
+
+  test("DML clause peeling is not fooled by identifiers named like keywords") {
+    val s = fresh()
+    s.sql("CREATE TABLE kw_src (conflict INT, \"returning\" TEXT)")
+    s.sql("INSERT INTO kw_src VALUES (1, 'x'), (2, 'y')")
+    s.sql("CREATE TABLE kw_dst (id INT PRIMARY KEY, t TEXT)")
+    // a join condition on a column literally named `conflict` after ON
+    s.sql("""INSERT INTO kw_dst
+            |SELECT a.conflict, a."returning" FROM kw_src a JOIN kw_src b ON a.conflict = b.conflict""".stripMargin)
+    assert(s.sql("SELECT count(*) AS c FROM kw_dst").collect()(0).getLong(0) == 2L)
+    // the quoted identifier "returning" in a projection is not the clause
+    s.sql("""INSERT INTO kw_dst SELECT conflict + 10, "returning" FROM kw_src""")
+    assert(s.sql("SELECT count(*) AS c FROM kw_dst").collect()(0).getLong(0) == 4L)
+  }
+
   test("INSERT ON CONFLICT DO UPDATE merges with EXCLUDED and conditional WHERE") {
     val s = fresh()
     s.sql("CREATE TABLE inv (sku TEXT PRIMARY KEY, qty INT, price DOUBLE)")
