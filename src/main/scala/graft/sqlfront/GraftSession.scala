@@ -177,7 +177,10 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         if (Files.exists(dir)) spark.read.parquet(dir.toString).createOrReplaceTempView(v.name)
       } else spark.sql(PgRewrite.rewrite(v.sql)).createOrReplaceTempView(v.name)
     }
-    GraftSession.lastRegistrar.set(tag)
+    // compareAndSet: a session that lost a concurrent-registration race
+    // must NOT claim currency (its temp views may not be the live ones);
+    // leaving the tag unset/foreign forces it to re-register next call.
+    GraftSession.lastRegistrar.compareAndSet(null, tag)
     registerPgCatalog()
   }
 
@@ -1333,8 +1336,39 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     // b.id` in an INSERT … SELECT source also hits the keyword regex
     // (CONFLICT is unreserved in PG), but is not followed by DO — skip
     // it; a match followed by DO with an unparsable action still throws.
-    val conflictAt = topLevelMatches(noRet, """(?i)\bON\s+CONFLICT\b""".r).find { m =>
+    val conflictMatches = topLevelMatches(noRet, """(?i)\bON\s+CONFLICT\b""".r)
+    val conflictAt = conflictMatches.find { m =>
       noRet.substring(m.start).trim.matches("""(?is)ON\s+CONFLICT\s*(\([^)]*\))?\s*DO\b.*""")
+    }
+    // A real-looking clause the DO-lookahead could NOT parse (expression
+    // target with nested parens like `(lower(email))`, or PG's `ON
+    // CONSTRAINT name` form) must fail loudly here — falling through
+    // would leak the clause into the VALUES/SELECT source and surface as
+    // an opaque Spark parse error.
+    if (conflictAt.isEmpty) conflictMatches.foreach { m =>
+      val rest = noRet.substring(m.start)
+        .replaceFirst("""(?is)^ON\s+CONFLICT\s*""", "")
+      if (rest.matches("(?is)^ON\\s+CONSTRAINT\\b.*"))
+        throw new IllegalArgumentException(
+          "ON CONFLICT ON CONSTRAINT <name> is not supported; name the " +
+            "constraint's columns instead: ON CONFLICT (col, ...)")
+      if (rest.startsWith("(")) {
+        // balanced-paren scan: a nested-paren target followed by DO is a
+        // genuine (unsupported) clause; anything else is not a clause
+        var depth = 0; var j = 0; var close = -1
+        while (j < rest.length && close < 0) {
+          rest.charAt(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = j
+            case _ =>
+          }
+          j += 1
+        }
+        if (close >= 0 && rest.substring(close + 1).trim.matches("(?is)^DO\\b.*"))
+          throw new IllegalArgumentException(
+            s"cannot parse ON CONFLICT clause (expression conflict targets " +
+              s"are not supported): ${noRet.substring(m.start)}")
+      }
     }
     val (core, conflict) = conflictAt match {
       case Some(m) => (noRet.substring(0, m.start).trim,
@@ -1526,10 +1560,13 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     import org.apache.spark.sql.expressions.Window
     var undecided = batch.localCheckpoint()
     var accepted: DataFrame = null
-    var rounds = 0
-    while (undecided.limit(1).count() > 0) {
-      rounds += 1
-      require(rounds <= 64, "ON CONFLICT batch conflict chain deeper than 64")
+    // No round cap: each round provably accepts at least the earliest
+    // undecided row, so rounds are bounded by the batch size. The
+    // strict-progress check below guards the loop against a logic
+    // regression instead of an arbitrary depth limit that a large
+    // skewed INSERT…SELECT could legitimately exceed.
+    var remaining = undecided.count()
+    while (remaining > 0) {
       var d = undecided
       val flags = keySets.indices.map("__first" + _)
       keySets.zipWithIndex.foreach { case (k, i) =>
@@ -1546,6 +1583,10 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       }
       accepted = if (accepted == null) acc else accepted.unionByName(acc)
       undecided = rest.localCheckpoint()
+      val next = undecided.count()
+      require(next < remaining,
+        "ON CONFLICT batch resolution made no progress — internal error")
+      remaining = next
     }
     if (accepted == null) batch.limit(0) else accepted
   }

@@ -244,6 +244,48 @@ object PgRewrite {
     }
   }
 
+  /** PG double-quoted identifiers → Spark backticks: `"returning"` →
+    * `` `returning` ``. Without this, qualified `a."kw"` is a Spark
+    * PARSE_SYNTAX_ERROR and a bare `"kw"` parses as a STRING LITERAL in
+    * Spark's default mode — a silent wrong answer, the worst failure
+    * shape. Character scan, not regex: a `"` inside a single-quoted
+    * literal ('' escape honored) is content; `""` inside a quoted
+    * identifier is PG's escape for one `"`; a backtick inside the
+    * identifier body is escaped by doubling (Spark's rule). */
+  private def rewriteQuotedIdents(sql: String): String = {
+    if (sql.indexOf('"') < 0) return sql
+    val out = new StringBuilder(sql.length)
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') { // copy the whole single-quoted literal verbatim
+        out += c; i += 1
+        var done = false
+        while (i < sql.length && !done) {
+          out += sql.charAt(i)
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') { out += '\''; i += 2 }
+            else { done = true; i += 1 }
+          } else i += 1
+        }
+      } else if (c == '"') {
+        val body = new StringBuilder
+        i += 1
+        var done = false
+        while (i < sql.length && !done) {
+          if (sql.charAt(i) == '"') {
+            if (i + 1 < sql.length && sql.charAt(i + 1) == '"') { body += '"'; i += 2 }
+            else { done = true; i += 1 }
+          } else { body += sql.charAt(i); i += 1 }
+        }
+        out += '`'
+        out ++= body.toString.replace("`", "``")
+        out += '`'
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
   def rewrite(sql: String): String = {
     def gated(re: scala.util.matching.Regex, s: String, opPos: scala.util.matching.Regex.Match => Int,
         repl: scala.util.matching.Regex.Match => String): String = {
@@ -252,7 +294,7 @@ object PgRewrite {
         if (inLiteral(spans, opPos(m))) None
         else Some(java.util.regex.Matcher.quoteReplacement(repl(m))))
     }
-    var s = gated(path, sql, _.end(1),
+    var s = gated(path, rewriteQuotedIdents(sql), _.end(1),
       m => s"get_json_object(${m.group(1)}, '$$.${m.group(2).split(",").map(_.trim).mkString(".")}')")
     var changed = true
     while (changed) {

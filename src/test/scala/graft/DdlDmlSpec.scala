@@ -680,13 +680,44 @@ class DdlDmlSpec extends SparkSpec {
     s.sql("CREATE TABLE kw_src (conflict INT, \"returning\" TEXT)")
     s.sql("INSERT INTO kw_src VALUES (1, 'x'), (2, 'y')")
     s.sql("CREATE TABLE kw_dst (id INT PRIMARY KEY, t TEXT)")
-    // a join condition on a column literally named `conflict` after ON
+    // an UNQUALIFIED join condition on a column literally named
+    // `conflict` right after ON — this hits the \bON\s+CONFLICT\b
+    // keyword regex and relies on the DO-lookahead to skip it
     s.sql("""INSERT INTO kw_dst
-            |SELECT a.conflict, a."returning" FROM kw_src a JOIN kw_src b ON a.conflict = b.conflict""".stripMargin)
+            |SELECT a.conflict, a."returning" FROM kw_src a
+            |JOIN (SELECT conflict AS conflict2 FROM kw_src) b ON conflict = b.conflict2""".stripMargin)
     assert(s.sql("SELECT count(*) AS c FROM kw_dst").collect()(0).getLong(0) == 2L)
     // the quoted identifier "returning" in a projection is not the clause
     s.sql("""INSERT INTO kw_dst SELECT conflict + 10, "returning" FROM kw_src""")
     assert(s.sql("SELECT count(*) AS c FROM kw_dst").collect()(0).getLong(0) == 4L)
+  }
+
+  test("double-quoted identifiers in query position are identifiers, not literals") {
+    val s = fresh()
+    s.sql("CREATE TABLE kw_src2 (conflict INT, \"returning\" TEXT)")
+    s.sql("INSERT INTO kw_src2 VALUES (1, 'x'), (2, 'y')")
+    // Spark's default mode parses "returning" as a STRING LITERAL — the
+    // rewrite must return the column's values, not the constant string
+    val bare = s.sql("""SELECT "returning" FROM kw_src2 ORDER BY conflict""")
+      .collect().map(_.getString(0)).toSeq
+    assert(bare == Seq("x", "y"))
+    // qualified form was a PARSE_SYNTAX_ERROR before the rewrite
+    val qual = s.sql("""SELECT a."returning" FROM kw_src2 a ORDER BY a.conflict""")
+      .collect().map(_.getString(0)).toSeq
+    assert(qual == Seq("x", "y"))
+    // a double quote inside a single-quoted literal is content
+    val lit = s.sql("""SELECT 'he said "hi"' AS t FROM kw_src2 WHERE conflict = 1""")
+      .collect()(0).getString(0)
+    assert(lit == "he said \"hi\"")
+    // PG's "" escape folds to one quote char inside the backticked
+    // identifier; a backtick in the body is doubled (Spark's escape)
+    assert(graft.sqlfront.PgRewrite.rewrite("SELECT \"a\"\"b\" FROM t") ==
+      "SELECT `a\"b` FROM t")
+    assert(graft.sqlfront.PgRewrite.rewrite("SELECT \"a`b\" FROM t") ==
+      "SELECT `a``b` FROM t")
+    // a literal containing a quote passes through the rewrite untouched
+    assert(graft.sqlfront.PgRewrite.rewrite("SELECT 'a \"x\" b' FROM t") ==
+      "SELECT 'a \"x\" b' FROM t")
   }
 
   test("INSERT ON CONFLICT DO UPDATE merges with EXCLUDED and conditional WHERE") {
