@@ -71,7 +71,11 @@ object Bench {
       sharedErr.map(e => jstr("shared:dedup_pairs") + ":" + jstr(e))).mkString("{", ",", "}")
     val total = passed.map(_._2).sum + sharedSec.getOrElse(0.0)
     val failed = results.size - passed.size + (if (sharedErr.isDefined) 1 else 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"sf":"$sfDir"}""")
+    // total_s / failed go at the END of the line: the driver's capture
+    // keeps the TAIL when the line exceeds its buffer, and the large
+    // queries map has truncated the front-loaded totals three rounds
+    // running. "value" stays first for anything parsing the full line.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","failed":$failed,"total_s":$total}""")
     graft.operators.DedupQueries.evictSharedPairs(spark)
     spark.stop()
   }

@@ -86,10 +86,152 @@ case class CosinePairsExpr(children: Seq[Expression])
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
 
+/** Within-LSH-bucket blocked verify kernel for the ANN product path
+  * (SimilarityQueries.cosinePairsAnn): blocks of (id, embedding, norm,
+  * bkeys) structs that share one (band, key) bucket. A pair can share
+  * SEVERAL band keys and would otherwise be verified once per shared
+  * band; the kernel computes the pair's FIRST matching band (a short
+  * int-array scan, usually 1-3 compares) and runs the exact-decimal dot
+  * product only in that band's bucket — one dot per candidate pair
+  * across the whole job, no distinct shuffle, bit-identical cosine to
+  * [[CosinePairsExpr]] and the oracle. */
+case class CosineBucketPairsExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  private val outStruct = StructType(Seq(
+    StructField("a", LongType, nullable = false),
+    StructField("b", LongType, nullable = false),
+    StructField("cosine", DoubleType, nullable = false)))
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(outStruct, containsNull = false)
+
+  private def decode(blk: ArrayData)
+      : (Array[Long], Array[Array[Float]], Array[Double], Array[Array[Int]]) = {
+    val n = blk.numElements()
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Float]](n)
+    val norms = new Array[Double](n)
+    val keys = new Array[Array[Int]](n)
+    var i = 0
+    while (i < n) {
+      val r = blk.getStruct(i, 4)
+      ids(i) = r.getLong(0)
+      vecs(i) = r.getArray(1).toFloatArray()
+      norms(i) = r.getDouble(2)
+      keys(i) = r.getArray(3).toIntArray()
+      i += 1
+    }
+    (ids, vecs, norms, keys)
+  }
+
+  private def firstMatchBand(a: Array[Int], b: Array[Int]): Int = {
+    var k = 0
+    val n = math.min(a.length, b.length)
+    while (k < n) { if (a(k) == b(k)) return k; k += 1 }
+    -1
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val aBlk = children(0).eval(input).asInstanceOf[ArrayData]
+    val bBlk = children(1).eval(input).asInstanceOf[ArrayData]
+    val thr = children(2).eval(input).asInstanceOf[Double]
+    val same = children(3).eval(input).asInstanceOf[Boolean]
+    val band = children(4).eval(input).asInstanceOf[Int]
+    val (aIds, aVecs, aNorms, aKeys) = decode(aBlk)
+    val (bIds, bVecs, bNorms, bKeys) = decode(bBlk)
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    val nA = aIds.length
+    val nB = bIds.length
+    var i = 0
+    while (i < nA) {
+      val ida = aIds(i); val ea = aVecs(i); val na = aNorms(i); val ka = aKeys(i)
+      var j = if (same) i + 1 else 0
+      while (j < nB) {
+        if (firstMatchBand(ka, bKeys(j)) == band) {
+          val cos = FastOps.dotExactF(ea, bVecs(j)) / (na * bNorms(j))
+          if (cos >= thr) {
+            val idb = bIds(j)
+            val (lo, hi) = if (ida < idb) (ida, idb) else (idb, ida)
+            out += new GenericInternalRow(Array[Any](lo, hi, cos))
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+/** All LSH band keys of one embedding in a single native pass:
+  * sign-random-projection against a literal plane matrix, `bits` signs
+  * packed per band key. Plain double arithmetic — only the SIGN feeds
+  * the sketch and candidates are exactness-irrelevant (the bucket
+  * kernel re-verifies with the decimal-exact dot). Replaces a
+  * transform(zip_with(aggregate(...))) chain whose interpreted
+  * per-element lambdas were ~100× slower than this loop. */
+case class SignBandKeysExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  // the plane matrix child is a Literal — decode it once, not per row
+  @transient private lazy val planes: Array[Array[Double]] = {
+    val arr = children(1).eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(arr.numElements())(i => arr.getArray(i).toDoubleArray())
+  }
+  @transient private lazy val bits: Int =
+    children(2).eval(null).asInstanceOf[Int]
+
+  override def eval(input: InternalRow): Any = {
+    val emb = children(0).eval(input).asInstanceOf[ArrayData].toFloatArray()
+    val nPlanes = planes.length
+    val bands = nPlanes / bits
+    val keys = new Array[Int](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0
+      var j = 0
+      while (j < bits) {
+        val pl = planes(b * bits + j)
+        var acc = 0.0
+        var i = 0
+        val n = math.min(emb.length, pl.length)
+        while (i < n) { acc += emb(i) * pl(i); i += 1 }
+        key = (key << 1) | (if (acc > 0) 1 else 0)
+        j += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
 object CosineBlock {
   /** cosine_pairs(blockA, blockB, thr, sameBlock) → array<struct<a,b,cosine>> */
   def pairs(a: Column, b: Column, thr: Double, same: Column): Column =
     Bridge.column(CosinePairsExpr(Seq(
       Bridge.expression(a), Bridge.expression(b), Literal(thr),
       Bridge.expression(same))))
+
+  /** cosine_bucket_pairs(blockA, blockB, thr, sameBlock, band) over
+    * (id, embedding, norm, bkeys) structs sharing one LSH bucket. */
+  def bucketPairs(a: Column, b: Column, thr: Double, same: Column, band: Column): Column =
+    Bridge.column(CosineBucketPairsExpr(Seq(
+      Bridge.expression(a), Bridge.expression(b), Literal(thr),
+      Bridge.expression(same), Bridge.expression(band))))
+
+  /** sign_band_keys(embedding, planesLit, bits) → array<int> band keys. */
+  def signBandKeys(emb: Column, planes: Column, bits: Int): Column =
+    Bridge.column(SignBandKeysExpr(Seq(
+      Bridge.expression(emb), Bridge.expression(planes), Literal(bits))))
 }

@@ -529,12 +529,15 @@ object DedupQueries extends QueryPack {
     // Embedding-cosine near-dup — the fifth dedup modality (exact,
     // Jaccard, MinHash, SimHash, and here semantic): vectors whose exact
     // cosine clears the threshold are near-dups regardless of surface
-    // text. Pair discovery reuses the blocked kernel
-    // (SimilarityQueries.cosinePairs — bounded block rows at any corpus
-    // size), components reuse the same distributed label propagation as
-    // the text graph, canonical = smallest vec_id (no text to rank by).
-    // 100 TB shape: the pair graph is candidate-local, the component
-    // loop distributed, the corpus-wide join one left join.
+    // text. Pair discovery is ANN-candidates-first
+    // (SimilarityQueries.cosinePairsAnn — banded sign-LSH bucket
+    // equi-join + exact verify, corpus-linear when buckets are
+    // balanced; the blocked all-pairs kernel remains as the
+    // sim_cosine_pairs ground-truth twin), components reuse the same
+    // distributed label propagation as the text graph, canonical =
+    // smallest vec_id (no text to rank by). 100 TB shape: the pair
+    // graph is candidate-local, the component loop distributed, the
+    // corpus-wide join one left join.
     Q(
       "dedup_embedding_canonical",
       s"""WITH RECURSIVE ${SimilarityQueries.oCosinePairCtes("0.4")},
@@ -556,7 +559,7 @@ object DedupQueries extends QueryPack {
          |FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id
          |ORDER BY e.vec_id""".stripMargin
     ) { (s, dir) =>
-      val pairs = SimilarityQueries.cosinePairs(s, dir, 0.4).select(col("a"), col("b"))
+      val pairs = SimilarityQueries.cosinePairsAnn(s, dir, 0.4).select(col("a"), col("b"))
       val comp = labelPropagation(pairs).withColumnRenamed("id", "vec_id")
       Tables.load(s, dir, "embeddings").select(col("vec_id"))
         .join(comp, Seq("vec_id"), "left")

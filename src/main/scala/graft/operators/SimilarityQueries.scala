@@ -56,7 +56,7 @@ object SimilarityQueries extends QueryPack {
     * embedding-near-dup dedup operator (DedupQueries). Columns
     * (a, b, cosine). See the inline notes at the call site for the
     * block-bound reasoning. */
-  private[operators] def cosinePairs(s: SparkSession, dir: String, thr: Double): DataFrame = {
+  private[graft] def cosinePairs(s: SparkSession, dir: String, thr: Double): DataFrame = {
     val maxPerBlock = 4096L
     // a real (cheap) Spark job: parquet COUNT(*) is answered from the
     // footer row-counts without reading column data, but it does
@@ -73,6 +73,78 @@ object SimilarityQueries extends QueryPack {
       .select(explode(graft.functions.CosineBlock.pairs(
         col("x.blk"), col("y.blk"), thr, col("x.bid") === col("y.bid"))).as("p"))
     pairs.select(col("p.a").as("a"), col("p.b").as("b"), col("p.cosine").as("cosine"))
+  }
+
+  /** ANN-candidate cosine pairs ≥ thr: banded sign-random-projection
+    * candidates + exact decimal verify — the PRODUCT path for embedding
+    * near-dup ([[cosinePairs]]'s blocked all-pairs kernel stays as its
+    * small-scale ground-truth twin). 24 bands × 3 bits from md5-derived
+    * hyperplanes (deterministic across engines and runs); a pair is a
+    * candidate when ANY band key matches, and each candidate is emitted
+    * from its FIRST matching band only — a local filter on the band
+    * equi-join output, so no distinct shuffle is needed. Candidates are
+    * then verified with the same quantized-decimal exact cosine the
+    * oracle computes, so the RESULT is exact; only discovery is
+    * probabilistic.
+    *
+    * Plan shape (the 100 TB story): sketching is one narrow projection
+    * pass over a literal plane matrix — no join, no shuffle; discovery
+    * is a bucket equi-join on (band, key) — hash-partitioned,
+    * corpus-linear when buckets are balanced, never an O(B²)
+    * nested-loop block join. Recall: per-pair miss bound at cos = 0.4
+    * (the fixture's near-random regime, p = 1 − θ/π = 0.631) is
+    * (1 − p³)²⁴ ≈ 1e-3, and empirically every exact pair at
+    * sf0.001/sf0.01 shares a band key; at a production near-dup
+    * threshold (≥ 0.7, p ≥ 0.75) the bound is ~1e-9 while buckets
+    * prune aggressively. */
+  private[graft] def cosinePairsAnn(s: SparkSession, dir: String, thr: Double): DataFrame = {
+    val bits = 3; val bands = 24
+    val dim = 64 // embeddings fixture dimension (TESTDATA.md)
+    def md5hex(x: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    // same component derivation as sim_ann_lsh's planes; 72×64 doubles
+    // built driver-side — parameters, not data
+    val planes: Seq[Seq[Double]] = (0 until bits * bands).map { i =>
+      (1 to dim).map { p =>
+        val h = md5hex(s"${i}_$p").substring(0, 15)
+        ((java.lang.Long.parseLong(h, 16) % 2001) - 1000) / 1000.0
+      }
+    }
+    // all 24 band keys in one native pass (SignBandKeysExpr) — sketching
+    // is sign-only, so plain double math; candidates never touch the
+    // oracle-exact verify below
+    val sk = withNorm(Tables.load(s, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"), col("norm"))
+      .withColumn("bkeys", graft.functions.CosineBlock.signBandKeys(
+        col("embedding"), typedLit(planes), bits))
+    // One row per (vector, band): the vector lands in bucket
+    // (band, bkeys[band]). Buckets larger than maxPerBlock split into
+    // sub-blocks (counts join — a tiny aggregate, broadcast when small)
+    // so a collect_list row stays bounded no matter how hot a bucket
+    // gets; verification is then a bucket-local equi-join of sub-blocks
+    // running the blocked kernel, exactly like cosinePairs but scoped to
+    // a bucket instead of the corpus.
+    val maxPerBlock = 4096L
+    val exploded = sk.select(col("vec_id"), col("embedding"), col("norm"),
+      col("bkeys"), posexplode(col("bkeys")).as(Seq("band", "bkey")))
+    val counts = exploded.groupBy(col("band"), col("bkey"))
+      .agg(ceil(count(lit(1)) / lit(maxPerBlock.toDouble)).cast("int").as("nblk"))
+    val blocks = exploded.join(counts, Seq("band", "bkey"))
+      .withColumn("bid", pmod(col("vec_id"), greatest(col("nblk"), lit(1))).cast("int"))
+      .groupBy(col("band"), col("bkey"), col("bid"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"), col("norm"),
+        col("bkeys"))).as("blk"))
+    // A pair sharing several band keys is verified ONCE: the kernel
+    // computes its first matching band and emits it only there.
+    val x = blocks.select(col("band"), col("bkey"), col("bid").as("bidx"), col("blk").as("blkx"))
+    val y = blocks.select(col("band"), col("bkey"), col("bid").as("bidy"), col("blk").as("blky"))
+    x.join(y, Seq("band", "bkey"))
+      .filter(col("bidx") <= col("bidy"))
+      .select(explode(graft.functions.CosineBlock.bucketPairs(
+        col("blkx"), col("blky"), thr, col("bidx") === col("bidy"), col("band"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.cosine").as("cosine"))
   }
 
   /** DuckDB CTE block computing the same cosine pairs as [[cosinePairs]]

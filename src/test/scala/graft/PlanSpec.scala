@@ -144,13 +144,27 @@ class PlanSpec extends SparkSpec {
     assert(r.getInt(0) == 2 && r.isNullAt(1))
   }
 
-  test("embedding near-dup plans block-bounded join, never a corpus cartesian") {
-    val p = planOf("dedup_embedding_canonical")
-    // the only non-equi join allowed is the B-row block-pair join (a
-    // nested loop over ~B=16 aggregated block rows, bounded by design);
-    // a CartesianProduct would mean the corpus itself is being crossed
-    assert(!p.contains("CartesianProduct"),
-      s"corpus-level cartesian in embedding dedup:\n${p.take(1500)}")
+  test("embedding near-dup discovers pairs via band equi-join, never a nested loop") {
+    // the PRODUCT path: banded sign-LSH candidates + exact verify. The
+    // discovery join must be a hash-partitionable equi-join on
+    // (band, key) — an O(B²) block-pair nested loop or a corpus
+    // cartesian would not survive a 100x corpus.
+    val ann = graft.operators.SimilarityQueries.cosinePairsAnn(spark, sf(), 0.4)
+    val p = ann.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"non-equi pair discovery in embedding dedup:\n${p.take(1500)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected an equi-join on band buckets:\n${p.take(1500)}")
+    val full = planOf("dedup_embedding_canonical")
+    assert(!full.contains("CartesianProduct"),
+      s"corpus-level cartesian in embedding dedup:\n${full.take(1500)}")
+    // exactness: ANN candidates + exact verify reproduce the blocked
+    // all-pairs kernel bit-for-bit (total recall on the fixture)
+    val exact = graft.operators.SimilarityQueries.cosinePairs(spark, sf(), 0.4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ann.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact, s"ANN pairs diverge from exact: missing=${exact -- got} extra=${got -- exact}")
   }
 
   test("spread is gated: no round-robin shuffle when the scan already has ≥cores splits") {
