@@ -98,6 +98,14 @@ object Engine {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // cost-based optimization consumes ANALYZE-collected statistics
+      // (rowCount/ndv) wherever the plan exposes them; join reorder then
+      // picks the cheapest order for the 6-7 table TPC-H shapes instead
+      // of relying on the hand-written order (reference
+      // optimizer/QueryOptimizer.java:150-226 does the same with its
+      // StatisticsCollectorJob output)
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -170,7 +170,22 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     // keeps a concurrent session from matching its own stale tag while
     // this one is mid-rebuild.
     GraftSession.lastRegistrar.set(null)
-    catalog.tables.values.foreach(t => visibleDf(t).createOrReplaceTempView(t.name))
+    catalog.tables.values.foreach { t =>
+      val df = visibleDf(t)
+      // stats→plan feedback: a table whose FRESH ANALYZE stats put it
+      // under the broadcast threshold registers with a broadcast hint,
+      // so joins against it skip the shuffle even when parquet file
+      // sizes (many small part-files) overestimate it. Stale stats
+      // (version moved since ANALYZE) never hint — a wrong broadcast
+      // of a now-large table would be an OOM, not a slowdown.
+      val hinted = statsCache.get(t.name) match {
+        case Some(st) if st.version == t.version &&
+          st.rowCount * (t.visibleColumns.size * 32L) < 10L * 1024 * 1024 =>
+          broadcast(df)
+        case _ => df
+      }
+      hinted.createOrReplaceTempView(t.name)
+    }
     catalog.views.values.foreach { v =>
       if (v.materialized) {
         val dir = catalog.matviewDir(v)
@@ -257,6 +272,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     // GUC list at protocol level; here the real Spark conf).
     spark.conf.getAll.toSeq.map { case (k, vl) => (k, vl) }
       .toDF("name", "setting").createOrReplaceTempView("pg_settings")
+    registerPgStats()
 
     // pg_constraint: PK / UNIQUE / FK rows synthesized from the same
     // metadata the engine enforces (reference kv/PgCatalogManager.java:
@@ -480,6 +496,203 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       ok("ROLLBACK")
   }
 
+  // -------------------------------------- maintenance (VACUUM / ANALYZE)
+
+  /** Min retained snapshot version per table/matview root, recorded by
+    * VACUUM in a `_minver` marker BEFORE any dir is deleted (crash-safe:
+    * re-running VACUUM after a partial delete re-prunes the same set).
+    * Time travel consults it to fail loudly on pruned versions. */
+  private def minVerFile(rootName: String): Path =
+    catalog.root.resolve(rootName).resolve("_minver")
+
+  private def minRetained(rootName: String): Long = {
+    val f = minVerFile(rootName)
+    if (Files.exists(f)) Files.readString(f).trim.toLong else 0L
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (!Files.exists(p)) return
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(f => Files.deleteIfExists(f))
+    finally s.close()
+  }
+
+  /** Snapshot versions pinned by live matview-maintenance checkpoints:
+    * each `_ckpt_<view>/_basever` stamp records the table versions its
+    * held streaming state was built from (MatviewMaintenance
+    * .versionStamp); pruning one would leave a checkpoint referencing
+    * vanished files. Stale stamps self-heal (the next refresh resets the
+    * checkpoint on mismatch), at which point a later VACUUM reclaims. */
+  private def checkpointPinnedVersions(): Set[(String, Long)] = {
+    val b = Set.newBuilder[(String, Long)]
+    val entry = """([\w]+):(\d+)(?::[^,]*)?""".r
+    val s = Files.list(catalog.root)
+    try s.forEach { d =>
+      if (d.getFileName.toString.startsWith("_ckpt_")) {
+        val marker = d.resolve("_basever")
+        if (Files.exists(marker))
+          entry.findAllMatchIn(Files.readString(marker)).foreach { m =>
+            if (m.group(1) != "sql") b += ((m.group(1), m.group(2).toLong))
+          }
+      }
+    } finally s.close()
+    b.result()
+  }
+
+  /** `VACUUM [FULL|VERBOSE|ANALYZE]* [table]` — snapshot retention
+    * (reference kv/jobs/VacuumJob.java; SchemaManager's lazy drop).
+    * Every UPDATE/DELETE/TRUNCATE publishes a new `v<N>` dir and nothing
+    * else ever deletes the superseded ones, so a long-lived warehouse
+    * grows without bound. VACUUM prunes every version below the current
+    * one — except versions pinned by live matview checkpoints — for the
+    * named table or all tables, plus superseded matview snapshot dirs.
+    * Runs refuse a transaction block: ROLLBACK restores pre-BEGIN
+    * version pointers, which must still resolve to files. */
+  private def vacuum(stmt: String): DataFrame = {
+    if (activeTxn.isDefined)
+      throw new IllegalStateException("VACUUM cannot run inside a transaction block")
+    val words = stmt.trim.stripSuffix(";").split("\\s+").drop(1)
+      .filterNot(w => Set("FULL", "FREEZE", "VERBOSE", "ANALYZE").contains(w.toUpperCase))
+    val withAnalyze = stmt.trim.toUpperCase.split("\\s+").contains("ANALYZE")
+    val targets = words.headOption match {
+      case Some(w) => Seq(requireTable(w.replaceAll("\"", "")))
+      case None => catalog.tables.values.toSeq
+    }
+    val pinned = checkpointPinnedVersions()
+    var removed = 0L
+    val vdir = """v(\d+)""".r
+    def prune(rootName: String, current: Long, pinKey: String): Unit = {
+      val tblRoot = catalog.root.resolve(rootName)
+      if (!Files.exists(tblRoot)) return
+      val all = {
+        val s = Files.list(tblRoot)
+        try {
+          val b = Seq.newBuilder[(Path, Long)]
+          s.forEach(d => d.getFileName.toString match {
+            case vdir(k) => b += ((d, k.toLong))
+            case _ =>
+          })
+          b.result()
+        } finally s.close()
+      }
+      val victims = all.filter { case (_, k) =>
+        k < current && !pinned((pinKey, k)) }
+      if (victims.nonEmpty) {
+        // marker first: a crash mid-delete leaves versions that are
+        // already declared pruned, never readable-but-half-deleted.
+        // Oldest retained = the smallest version dir surviving this
+        // prune (a checkpoint-pinned old version stays readable).
+        val victimVs = victims.map(_._2).toSet
+        val newMin = (all.map(_._2).filterNot(victimVs) :+ current).min
+        Files.writeString(minVerFile(rootName),
+          math.max(newMin, minRetained(rootName)).toString)
+        victims.foreach { case (d, _) => deleteRecursively(d); removed += 1 }
+      }
+    }
+    targets.foreach(t => prune(t.name, t.version, t.name))
+    // superseded matview snapshots (each refresh batch publishes v<N+1>)
+    if (words.isEmpty)
+      catalog.views.values.filter(_.materialized).foreach { v =>
+        prune("_mv_" + v.name, v.version, v.name)
+      }
+    if (withAnalyze) targets.foreach(t => analyzeTable(t))
+    ok("VACUUM", removed)
+  }
+
+  /** Per-table statistics sidecar (reference
+    * kv/jobs/StatisticsCollectorJob.java): rowCount + per-column
+    * ndv/nullCount collected by ANALYZE in ONE distributed aggregate,
+    * persisted to `_stats.json`, surfaced through `pg_stats`, and fed
+    * back into planning (registerAll broadcast-hints tables whose fresh
+    * stats put them under the broadcast threshold — the same
+    * stats→plan loop Spark's CBO runs from its own catalog, which temp
+    * views over snapshot dirs don't populate). */
+  private final case class TableStats(version: Long, rowCount: Long,
+      cols: Seq[(String, Long, Long)]) // (name, ndv, nullCount)
+
+  private val statsFile = warehouse.resolve("_stats.json")
+  @volatile private var statsCache: Map[String, TableStats] = loadStats()
+
+  private def loadStats(): Map[String, TableStats] =
+    if (!Files.exists(statsFile)) Map.empty
+    else graft.catalog.Json.parse(Files.readString(statsFile))
+      .asInstanceOf[Map[String, Any]].map { case (name, v) =>
+        val m = v.asInstanceOf[Map[String, Any]]
+        name -> TableStats(
+          m("version").asInstanceOf[Number].longValue(),
+          m("rowCount").asInstanceOf[Number].longValue(),
+          m("cols").asInstanceOf[Seq[Any]].map { c =>
+            val cm = c.asInstanceOf[Map[String, Any]]
+            (cm("name").asInstanceOf[String],
+              cm("ndv").asInstanceOf[Number].longValue(),
+              cm("nulls").asInstanceOf[Number].longValue())
+          })
+      }
+
+  private def saveStats(): Unit = {
+    def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val body = statsCache.map { case (name, st) =>
+      val cols = st.cols.map { case (c, ndv, nulls) =>
+        s"{${js("name")}:${js(c)},${js("ndv")}:$ndv,${js("nulls")}:$nulls}"
+      }.mkString("[", ",", "]")
+      s"${js(name)}:{${js("version")}:${st.version},${js("rowCount")}:${st.rowCount},${js("cols")}:$cols}"
+    }.mkString("{", ",", "}")
+    val tmp = warehouse.resolve("_stats.json.tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, statsFile, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Stats for one table, or None if never ANALYZEd. Freshness is the
+    * caller's concern (version field vs the table's current version). */
+  def tableStats(name: String): Option[(Long, Long)] =
+    statsCache.get(name.toLowerCase).map(st => (st.version, st.rowCount))
+
+  private def analyzeTable(t: TableDef): Unit = {
+    val df = visibleDf(t)
+    val aggs = count(lit(1)).as("__rc") +:
+      t.visibleColumns.flatMap(c => Seq(
+        approx_count_distinct(col(c.name)).as("__ndv_" + c.name),
+        sum(when(col(c.name).isNull, 1L).otherwise(0L)).as("__nulls_" + c.name)))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val cols = t.visibleColumns.map(c => (c.name,
+      row.getAs[Long]("__ndv_" + c.name),
+      Option(row.getAs[Long]("__nulls_" + c.name)).getOrElse(0L)))
+    statsCache += t.name -> TableStats(t.version, row.getAs[Long]("__rc"), cols)
+    saveStats()
+  }
+
+  /** `ANALYZE [VERBOSE] [table]` → real statistics collection (PG
+    * semantics: bare ANALYZE covers every table). */
+  private def analyze(stmt: String): DataFrame = {
+    val words = stmt.trim.stripSuffix(";").split("\\s+").drop(1)
+      .filterNot(_.equalsIgnoreCase("VERBOSE"))
+    val targets = words.headOption match {
+      case Some(w) => Seq(requireTable(w.replaceAll("\"", "")))
+      case None => catalog.tables.values.toSeq
+    }
+    targets.foreach(analyzeTable)
+    registerPgStats()
+    // force re-registration so fresh stats can broadcast-hint the views
+    dataGen += 1
+    ok("ANALYZE", targets.size.toLong)
+  }
+
+  /** pg_stats-lite: one row per ANALYZEd column (reference
+    * kv/PgCatalogManager emulation scope; PG exposes the same numbers
+    * through pg_stats/pg_class.reltuples). */
+  private def registerPgStats(): Unit = {
+    import spark.implicits._
+    statsCache.toSeq.flatMap { case (tn, st) =>
+      st.cols.map { case (c, ndv, nulls) =>
+        (tn, c, st.rowCount, ndv,
+          if (st.rowCount == 0) 0.0 else nulls.toDouble / st.rowCount)
+      }
+    }.toDF("tablename", "attname", "reltuples", "n_distinct", "null_frac")
+      .createOrReplaceTempView("pg_stats")
+  }
+
   private def execOne(stmt: String): DataFrame =
     if (stmt.trim.startsWith("\\")) metaCommand(stmt) else execKeyword(stmt)
 
@@ -510,7 +723,9 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     case "BEGIN" | "START" => beginTxn()
     case "COMMIT" | "END" => commitTxn()
     case "ROLLBACK" | "ABORT" => rollbackTxn()
-    case "VACUUM" | "ANALYZE" | "SET" | "DO" =>
+    case "VACUUM" => vacuum(stmt)
+    case "ANALYZE" => analyze(stmt)
+    case "SET" | "DO" =>
       ok(kw(stmt)) // no-ops (reference kv/KvQueryExecutor.java:2837-2864)
     case "SHOW" => showTables() // psql \dt analogue (reference meta-commands,
                                 // postgres/PostgresConnectionHandler.java:372-396)
@@ -1178,6 +1393,9 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   def tableVersion(name: String, version: Long): DataFrame = {
     val t = requireTable(name)
     require(version <= t.version, s"version $version > current ${t.version}")
+    val minV = minRetained(t.name)
+    if (version < minV) throw new IllegalStateException(
+      s"version $version of ${t.name} was pruned by VACUUM (oldest retained: $minV)")
     val asOf = t.copy(version = version)
     val dir = catalog.tableDir(asOf)
     val schema = StructType(t.columns.map(c =>

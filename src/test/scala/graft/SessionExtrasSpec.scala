@@ -310,4 +310,51 @@ class SessionExtrasSpec extends SparkSpec {
     assert(s.tableVersion("t", 2).collect().map(_.getInt(1)).sorted.toSeq == Seq(200))
     assertThrows[IllegalArgumentException](s.tableVersion("t", 99))
   }
+
+  test("VACUUM prunes superseded snapshot versions; retained versions still read") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    s.sql("INSERT INTO t VALUES (1, 10), (2, 20)")   // version 0
+    s.sql("UPDATE t SET v = v + 1 WHERE id = 1")      // version 1
+    s.sql("UPDATE t SET v = v + 1 WHERE id = 2")      // version 2
+    s.sql("UPDATE t SET v = v + 1 WHERE id = 1")      // version 3 (current)
+    val r = s.sql("VACUUM t").collect()(0)
+    assert(r.getString(0) == "VACUUM" && r.getLong(1) == 3L) // v0..v2 pruned
+    // pruned versions fail loudly, not silently-empty
+    val e = intercept[IllegalStateException](s.tableVersion("t", 1))
+    assert(e.getMessage.contains("pruned by VACUUM"))
+    // the current version still reads, and current-table queries work
+    assert(s.tableVersion("t", 3).collect().map(_.getInt(1)).sorted.toSeq == Seq(12, 21))
+    assert(s.sql("SELECT count(*) AS c FROM t").collect()(0).getLong(0) == 2L)
+    // idempotent: nothing left to prune
+    assert(s.sql("VACUUM t").collect()(0).getLong(1) == 0L)
+    // refused inside a transaction: ROLLBACK must still find old versions
+    s.sql("BEGIN")
+    assertThrows[IllegalStateException](s.sql("VACUUM"))
+    s.sql("ROLLBACK")
+  }
+
+  test("ANALYZE collects real statistics and surfaces them in pg_stats") {
+    val s = fresh()
+    s.sql("CREATE TABLE stats_t (id INT PRIMARY KEY, grp TEXT, v INT)")
+    s.sql("INSERT INTO stats_t VALUES (1,'a',10), (2,'a',NULL), (3,'b',30), (4,'b',40)")
+    s.sql("ANALYZE stats_t")
+    assert(s.tableStats("stats_t").exists(_._2 == 4L), "rowCount stat missing")
+    val rows = s.sql(
+      "SELECT attname, reltuples, n_distinct, null_frac FROM pg_stats " +
+        "WHERE tablename = 'stats_t' ORDER BY attname").collect()
+    val byCol = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(byCol("id")._1 == 4L)
+    assert(byCol("grp")._2 == 2L)               // two distinct groups
+    assert(math.abs(byCol("v")._3 - 0.25) < 1e-9) // one NULL in four rows
+    // stats survive a session reopen (persisted sidecar)
+    val dir = s.catalog.root
+    val s2 = new GraftSession(spark, dir)
+    assert(s2.tableStats("stats_t").exists(_._2 == 4L))
+    // a fresh-stats small table registers with a broadcast hint
+    val plan = s.sql("SELECT t.id FROM stats_t t JOIN stats_t u ON t.id = u.id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast hint:\n$plan")
+  }
 }
