@@ -26,7 +26,7 @@ object DedupQueries extends QueryPack {
   /** Distinct word-trigram shingles per document, computed arrays-first
     * (transform over sequence — no self-joins; one row per doc until the
     * final explode). */
-  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shingleSets(s: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.load(s, dir, "documents"))
       .select(col("doc_id"),
         graft.functions.VectorFunctions.shingles(col("text"), 3).as("shingles"))
@@ -71,9 +71,16 @@ object DedupQueries extends QueryPack {
     * and the per-doc set size `n` comes from the ARRAY (size(shingles))
     * instead of a second window, removing one corpus-wide exchange per
     * subtree instance. */
-  private def jaccardPairsBuild(ss: DataFrame, thr: Double): (DataFrame, DataFrame) = {
+  private[graft] def jaccardPairsBuild(ss: DataFrame, thr: Double): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    require(thr == 0.8, "prefix length below is derived for thr = 0.8")
+    require(thr > 0.0 && thr <= 1.0, s"jaccard threshold must be in (0, 1]: $thr")
+    // Prefix bound n - floor(thr·n) + 1 for ANY threshold — a superset
+    // of the canonical n - ceil(thr·n) + 1, so no pair can be missed.
+    // floor is computed in EXACT integer arithmetic over the threshold
+    // as a 6-decimal rational: a double `ceil(n * thr)` that lands a
+    // hair above an integer boundary would silently TIGHTEN the prefix
+    // and drop pairs (thr = 0.7, n = 10 → 7.000000000000001).
+    val thrNum = math.round(thr * 1e6)
     val sh = ss.select(col("doc_id"), size(col("shingles")).as("n"),
       explode(col("shingles")).as("sh"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
@@ -91,7 +98,7 @@ object DedupQueries extends QueryPack {
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("df") >= 2)
       .withColumn("pos", row_number().over(w))
-      .filter(col("pos") <= col("n") - expr("(8 * n) div 10") + 1)
+      .filter(col("pos") <= col("n") - expr(s"($thrNum * n) div 1000000") + 1)
       .select(col("doc_id"), col("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = prefix.as("x").join(prefix.as("y"),
@@ -601,7 +608,11 @@ object DedupQueries extends QueryPack {
         .select(col("doc_id").as("e_id"), col("sh"))
       val trainSh = tagged.filter(col("source") =!= col("msrc"))
         .select(col("doc_id").as("t_id"), col("sh"))
-      evalSh.join(trainSh, "sh")
+      // the eval set is tiny BY DEFINITION of decontamination (a few
+      // benchmark suites vs a corpus) — pin it as the broadcast side so
+      // the plan is eval-broadcast × train-index at any corpus size,
+      // never a corpus-wide shuffle on shingle
+      broadcast(evalSh).join(trainSh, "sh")
         .groupBy(col("e_id").as("doc_id"))
         .agg(countDistinct(col("t_id")).as("contaminating_docs"),
           countDistinct(col("sh")).as("shared_shingles"))

@@ -58,12 +58,14 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast probe join:\n${p.take(1500)}")
   }
 
-  test("decontamination joins the shingle inverted index once (hash join, no cartesian)") {
+  test("decontamination broadcasts the tiny eval side against the train index") {
     val p = planOf("dedup_contamination")
     assert(!p.contains("CartesianProduct"),
       s"decontamination must not plan a cartesian:\n${p.take(1500)}")
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
-      p.contains("BroadcastHashJoin"), s"expected equi-join on shingle:\n${p.take(1500)}")
+    // the eval-shingle side is pinned as a broadcast: at 100 TB the
+    // train index never shuffles on shingle for this join
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected eval-broadcast hash join on shingle:\n${p.take(1500)}")
   }
 
   test("fused SimHash signature aggregates partially (map-side) per document") {

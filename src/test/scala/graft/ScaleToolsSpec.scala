@@ -89,4 +89,38 @@ class ScaleToolsSpec extends SparkSpec {
     val lo = df.filter(col("o_totalprice") <= p50).count().toDouble / df.count()
     assert(lo > 0.45 && lo < 0.55, s"median quantile off: $lo")
   }
+
+  test("Jaccard prefix filtering equals the naive inverted-index join at any threshold") {
+    import graft.operators.DedupQueries
+    val ss = DedupQueries.shingleSets(spark, sf()).persist()
+    // naive ground truth: FULL inverted index (no prefix), same verify
+    def naive(thr: Double): Set[(Long, Long)] = {
+      val sh = ss.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      val cand = sh.as("x").join(sh.as("y"),
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      val inter = size(array_intersect(col("sa"), col("sb")))
+      cand
+        .join(ss.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
+        .join(ss.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
+        .filter((inter.cast("double") /
+          (size(col("sa")) + size(col("sb")) - inter)) >= thr)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // boundary-hostile thresholds: exact integer products (thr·n integral
+    // for common n), a repeating decimal, and the degenerate 1.0
+    for (thr <- Seq(0.3, 0.5, 2.0 / 3.0, 0.7, 0.8, 0.95, 1.0)) {
+      val (pairs, prefixIdx) = DedupQueries.jaccardPairsBuild(ss, thr)
+      val got = pairs.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      prefixIdx.unpersist()
+      val want = naive(thr)
+      assert(got == want,
+        s"thr=$thr: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+    ss.unpersist()
+    // out-of-range thresholds are rejected loudly
+    assertThrows[IllegalArgumentException](DedupQueries.jaccardPairsBuild(ss, 0.0))
+    assertThrows[IllegalArgumentException](DedupQueries.jaccardPairsBuild(ss, 1.5))
+  }
 }

@@ -334,6 +334,51 @@ class SessionExtrasSpec extends SparkSpec {
     s.sql("ROLLBACK")
   }
 
+  test("HTTP entry point round-trips a script and reports errors as JSON") {
+    import graft.sqlfront.SqlHttp
+    val s = fresh()
+    val server = SqlHttp.start(s, port = 0)
+    try {
+      val port = server.getAddress.getPort
+      def post(body: String): (Int, String) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port/sql")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+        val text = new String(in.readAllBytes(), "UTF-8")
+        (code, text)
+      }
+      // a multi-statement script: DDL + DML + query in one POST
+      val (c1, b1) = post(
+        """CREATE TABLE ht (id INT PRIMARY KEY, name TEXT);
+          |INSERT INTO ht VALUES (1, 'a'), (2, 'b');
+          |SELECT id, name FROM ht ORDER BY id""".stripMargin)
+      assert(c1 == 200, b1)
+      val m1 = graft.catalog.Json.parse(b1).asInstanceOf[Map[String, Any]]
+      assert(m1("columns") == Seq("id", "name"))
+      assert(m1("rows") == Seq(Seq(1L, "a"), Seq(2L, "b")))
+      assert(m1("rowCount") == 2L)
+      // the JSON body form
+      val (c2, b2) = post("""{"sql": "SELECT count(*) AS c FROM ht"}""")
+      assert(c2 == 200 && b2.contains("\"rows\":[[2]]"), b2)
+      // a constraint violation surfaces as a structured 4xx error body
+      val (c3, b3) = post("INSERT INTO ht VALUES (1, 'dup')")
+      assert(c3 == 400, b3)
+      val err = graft.catalog.Json.parse(b3).asInstanceOf[Map[String, Any]]("error").toString
+      assert(err.toUpperCase.contains("UNIQUE") || err.toUpperCase.contains("PRIMARY"), err)
+      // the violation did not land
+      val (_, b4) = post("SELECT count(*) AS c FROM ht")
+      assert(b4.contains("\"rows\":[[2]]"), b4)
+      // non-POST is rejected
+      val connGet = new java.net.URL(s"http://127.0.0.1:$port/sql")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(connGet.getResponseCode == 405)
+    } finally server.stop(0)
+  }
+
   test("ANALYZE collects real statistics and surfaces them in pg_stats") {
     val s = fresh()
     s.sql("CREATE TABLE stats_t (id INT PRIMARY KEY, grp TEXT, v INT)")
