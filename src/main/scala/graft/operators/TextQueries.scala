@@ -248,6 +248,101 @@ object TextQueries extends QueryPack {
             .cast("long") % 4 =!= 3)
         .select(col("doc_id"), col("source"), col("n_tokens"), col("quality"))
         .orderBy(col("doc_id"))
+    },
+
+    // TF-IDF top terms — the classic relevance/keyword-extraction score a
+    // curation pipeline uses for topic balancing. tf is per (doc, term),
+    // df is one vocabulary-sized aggregate over the corpus, the doc count
+    // is a broadcast scalar — so the whole thing is one corpus-linear
+    // token explode plus a vocab-sized shuffle, never per-doc passes.
+    // Scores are FLOOR(·×1e6)-quantized BIGINTs (the established
+    // transcendental-function determinism contract, expr_math_*) and the
+    // rank orders by the QUANTIZED value so both engines tie-break
+    // identically.
+    Q(
+      "text_tfidf_top_terms",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+        |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.w AS term,
+        |         CAST(FLOOR(CAST(tf AS DOUBLE) * LN(CAST(n_docs AS DOUBLE) / df) * 1000000) AS BIGINT) AS tfidf_q
+        |  FROM tf JOIN dfreq ON tf.w = dfreq.w CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf_q,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                            ORDER BY tfidf_q DESC, term) AS rnk
+        |  FROM scored WHERE doc_id < 100)
+        |SELECT doc_id, term, tfidf_q, rnk FROM ranked WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.spread(Tables.load(s, dir, "documents"))
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      // tf is already distinct per (doc, term): df is a count over it
+      val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "w").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("w").as("term"),
+          floor(col("tf").cast("double") *
+            log(col("n_docs").cast("double") / col("df")) * 1e6)
+            .cast("long").as("tfidf_q"))
+      val wWin = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf_q").desc, col("term"))
+      scored.filter(col("doc_id") < 100)
+        .withColumn("rnk", row_number().over(wWin))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+
+    // Sequence packing — the pretraining prep step after curation: the
+    // per-source token stream (docs in doc_id order) is split at fixed
+    // 512-token block boundaries, GPT-style concatenate-then-chunk; the
+    // manifest reports, per (source, bin), how many docs start there,
+    // their token mass, and how many straddle into the next block.
+    // Integer-exact window cumsums, no transcendental math. Scale shape:
+    // packing PARTITIONS BY source (in production: by shard), so the
+    // running sums parallelize across shards instead of one global
+    // ordered window — the difference between a single-task sort and a
+    // corpus-linear job.
+    Q(
+      "pipeline_pack_sequences",
+      """WITH sized AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |pos AS (
+        |  SELECT source, doc_id, n_tokens,
+        |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+        |  FROM sized)
+        |SELECT source, start_tok // 512 AS bin,
+        |       count(*) AS n_docs, SUM(n_tokens) AS bin_tokens,
+        |       SUM(CASE WHEN (start_tok + n_tokens - 1) // 512 > start_tok // 512
+        |                THEN 1 ELSE 0 END) AS straddlers
+        |FROM pos
+        |GROUP BY source, start_tok // 512
+        |ORDER BY source, bin""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sized = Tables.spread(Tables.load(s, dir, "documents"))
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pos = sized.withColumn("start_tok",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      pos
+        .withColumn("bin", expr("start_tok div 512"))
+        .withColumn("last_bin", expr("(start_tok + n_tokens - 1) div 512"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("bin_tokens"),
+          sum(when(col("last_bin") > col("bin"), 1L).otherwise(0L)).as("straddlers"))
+        .orderBy(col("source"), col("bin"))
     }
   )
 }
