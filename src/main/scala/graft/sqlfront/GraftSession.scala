@@ -1778,13 +1778,18 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     import org.apache.spark.sql.expressions.Window
     var undecided = batch.localCheckpoint()
     var accepted: DataFrame = null
-    // No round cap: each round provably accepts at least the earliest
-    // undecided row, so rounds are bounded by the batch size. The
-    // strict-progress check below guards the loop against a logic
-    // regression instead of an arbitrary depth limit that a large
-    // skewed INSERT…SELECT could legitimately exceed.
-    var remaining = undecided.count()
-    while (remaining > 0) {
+    // Round bound = the batch size, not an arbitrary depth limit a large
+    // skewed INSERT…SELECT could legitimately exceed: each round provably
+    // accepts at least the earliest undecided row, so rounds can never
+    // exceed the initial row count. ONE count up front (cheap, already
+    // checkpointed) instead of a per-round progress count — the loop
+    // guard stays the early-exiting limit(1).
+    val bound = undecided.count()
+    var rounds = 0L
+    while (undecided.limit(1).count() > 0) {
+      rounds += 1
+      require(rounds <= bound,
+        "ON CONFLICT batch resolution made no progress — internal error")
       var d = undecided
       val flags = keySets.indices.map("__first" + _)
       keySets.zipWithIndex.foreach { case (k, i) =>
@@ -1801,10 +1806,6 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       }
       accepted = if (accepted == null) acc else accepted.unionByName(acc)
       undecided = rest.localCheckpoint()
-      val next = undecided.count()
-      require(next < remaining,
-        "ON CONFLICT batch resolution made no progress — internal error")
-      remaining = next
     }
     if (accepted == null) batch.limit(0) else accepted
   }
