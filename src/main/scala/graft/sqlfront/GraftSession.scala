@@ -699,7 +699,9 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   private def execKeyword(stmt: String): DataFrame = kw(stmt) match {
     case "CREATE" =>
       val up = stmt.trim.toUpperCase
-      if (up.startsWith("CREATE TABLE")) createTable(stmt)
+      if (up.matches("""(?s)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?[\w"]+\s+AS\s+.*"""))
+        createTableAs(stmt)
+      else if (up.startsWith("CREATE TABLE")) createTable(stmt)
       else if (up.matches("(?s)CREATE\\s+(OR\\s+REPLACE\\s+)?(MATERIALIZED\\s+)?VIEW.*")) createView(stmt)
       else if (up.startsWith("CREATE SEQUENCE")) createSequence(stmt)
       else if (up.startsWith("CREATE TYPE")) createType(stmt)
@@ -819,6 +821,44 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         uniqueKeys = uniqueKeys))
       ok("CREATE TABLE")
     case _ => throw new IllegalArgumentException(s"cannot parse CREATE TABLE: $stmt")
+  }
+
+  /** `CREATE TABLE [IF NOT EXISTS] t AS <select>` — CTAS (PG surface the
+    * reference parses via Calcite's SqlCreateTable with a query body).
+    * The declared column types come from the SELECT's resolved Spark
+    * schema (TypeMap.toSql reverse mapping); like PG, the new table has
+    * no constraints and no PK, so it gets the hidden rowid. The data
+    * path reuses insertRows end-to-end (one evaluation of the source,
+    * rowid assignment from a reserved sequence block, append publish). */
+  private def createTableAs(stmt: String): DataFrame = {
+    val ctasRe =
+      """(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w"]+)\s+AS\s+((?:SELECT|WITH|VALUES|TABLE)\b.*)""".r
+    stmt.trim.stripSuffix(";") match {
+      case ctasRe(ifNot, rawName, sel) =>
+        val name = rawName.replaceAll("\"", "").toLowerCase
+        if (catalog.getTable(name).isDefined) {
+          if (ifNot != null) return ok("CREATE TABLE (exists)")
+          throw new IllegalArgumentException(s"table exists: $name")
+        }
+        registerAll()
+        val src = spark.sql(PgRewrite.rewrite(sel))
+        val colNames = src.schema.fields.map(_.name.toLowerCase).toSeq
+        require(colNames.distinct.size == colNames.size,
+          s"CREATE TABLE AS: duplicate column names in query result: " +
+            colNames.diff(colNames.distinct).distinct.mkString(", "))
+        require(!colNames.contains(TableDef.RowId),
+          s"CREATE TABLE AS: reserved column name ${TableDef.RowId}")
+        val dataCols = src.schema.fields.toSeq.map(f =>
+          ColumnDef(f.name.toLowerCase, TypeMap.toSql(f.dataType)))
+        val cols = ColumnDef(TableDef.RowId, "BIGINT", notNull = true,
+          serial = true) +: dataCols
+        catalog.putSequence(SequenceDef(s"${name}_${TableDef.RowId}_seq"))
+        val t = TableDef(name, cols, Seq.empty, version = 0L, hasRowId = true)
+        catalog.putTable(t)
+        insertRows(t, Some(colNames.mkString(",")), src)
+        ok("CREATE TABLE AS")
+      case _ => throw new IllegalArgumentException(s"cannot parse CREATE TABLE AS: $stmt")
+    }
   }
 
   // inline-PK bookkeeping between parseColumnDef and createTable

@@ -359,6 +359,24 @@ object TypeMap {
     }
   }
 
+  /** Reverse mapping for schema inference (CTAS: declared types from a
+    * SELECT's resolved Spark schema). Total — anything unmapped degrades
+    * to TEXT, mirroring [[toSpark]]'s default branch. */
+  def toSql(dt: DataType): String = dt match {
+    case ShortType => "SMALLINT"
+    case IntegerType => "INT"
+    case LongType => "BIGINT"
+    case FloatType => "REAL"
+    case DoubleType => "DOUBLE PRECISION"
+    case BooleanType => "BOOLEAN"
+    case DateType => "DATE"
+    case TimestampType => "TIMESTAMP"
+    case d: DecimalType => s"NUMERIC(${d.precision},${d.scale})"
+    case BinaryType => "BYTEA"
+    case ArrayType(e, _) => toSql(e) + "[]"
+    case _ => "TEXT"
+  }
+
   def isSerial(t: String): Boolean = {
     val u = t.trim.toUpperCase
     u == "SERIAL" || u == "BIGSERIAL" || u == "SMALLSERIAL"

@@ -692,6 +692,33 @@ class DdlDmlSpec extends SparkSpec {
     assert(s.sql("SELECT count(*) AS c FROM kw_dst").collect()(0).getLong(0) == 4L)
   }
 
+  test("CREATE TABLE AS SELECT infers schema and loads the query result") {
+    val s = fresh()
+    s.sql("CREATE TABLE base (id INT PRIMARY KEY, grp TEXT, amt DOUBLE)")
+    s.sql("INSERT INTO base VALUES (1,'a',1.5), (2,'a',2.5), (3,'b',4.0)")
+    s.sql("""CREATE TABLE summary AS
+            |SELECT grp, count(*) AS n, CAST(sum(amt) AS DOUBLE) AS total
+            |FROM base GROUP BY grp""".stripMargin)
+    val rows = s.sql("SELECT grp, n, total FROM summary ORDER BY grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq(("a", 2L, 4.0), ("b", 1L, 4.0)))
+    // inferred declared types round-trip through DESCRIBE
+    val d = s.sql("DESCRIBE summary").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d("grp") == "TEXT" && d("n") == "BIGINT" && d("total") == "DOUBLE PRECISION")
+    // the CTAS table is a normal table: DML works, further CTAS works
+    s.sql("INSERT INTO summary VALUES ('c', 9, 9.9)")
+    assert(s.sql("SELECT count(*) AS c FROM summary").collect()(0).getLong(0) == 3L)
+    s.sql("CREATE TABLE IF NOT EXISTS summary AS SELECT 1 AS x") // no-op
+    assert(s.sql("SELECT count(*) AS c FROM summary").collect()(0).getLong(0) == 3L)
+    assertThrows[IllegalArgumentException](
+      s.sql("CREATE TABLE summary AS SELECT 1 AS x"))
+    // WITH-headed source and rowid invisibility
+    s.sql("CREATE TABLE viaw AS WITH t AS (SELECT 7 AS v) SELECT v FROM t")
+    val star = s.sql("SELECT * FROM viaw").collect()
+    assert(star.length == 1 && star(0).schema.fieldNames.toSeq == Seq("v"))
+  }
+
   test("double-quoted identifiers in query position are identifiers, not literals") {
     val s = fresh()
     s.sql("CREATE TABLE kw_src2 (conflict INT, \"returning\" TEXT)")
