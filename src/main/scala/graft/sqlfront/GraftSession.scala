@@ -1911,13 +1911,16 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     ret.getOrElse(ok("INSERT", nUp + nIns))
   }
 
-  /** Split `body` at the first top-level WHERE keyword — outside string
-    * literals and parens, so `SET note = 'a where b'` parses correctly. */
-  private def splitTopLevelWhere(body: String): (String, Option[String]) = {
+  /** Split `body` at the first top-level occurrence of keyword `kw` —
+    * outside string literals, quoted identifiers, comments and parens,
+    * so `SET note = 'a where b'` and `extract(month FROM d)` parse
+    * correctly. */
+  private def splitTopLevelKeyword(body: String, kw: String): (String, Option[String]) = {
     // same opacity classes as StatementSplitter: quoted literals, quoted
     // identifiers (a column named "where"), -- and /* */ comments
     var i = 0; var inS = false; var inD = false
     var inLine = false; var inBlock = false; var depth = 0
+    val k = kw.length
     while (i < body.length) {
       val c = body.charAt(i)
       val next = if (i + 1 < body.length) body.charAt(i + 1) else ' '
@@ -1932,11 +1935,11 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         case '"' => inD = true
         case '(' => depth += 1
         case ')' => depth -= 1
-        case 'w' | 'W' if depth == 0 &&
-            body.regionMatches(true, i, "WHERE", 0, 5) &&
+        case ch if depth == 0 && ch.toUpper == kw.charAt(0) &&
+            body.regionMatches(true, i, kw, 0, k) &&
             (i == 0 || body.charAt(i - 1).isWhitespace) &&
-            (i + 5 >= body.length || !body.charAt(i + 5).isLetterOrDigit) =>
-          return (body.substring(0, i).trim, Some(body.substring(i + 5).trim))
+            (i + k >= body.length || !body.charAt(i + k).isLetterOrDigit) =>
+          return (body.substring(0, i).trim, Some(body.substring(i + k).trim))
         case _ =>
       }
       i += 1
@@ -1944,12 +1947,24 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     (body.trim, None)
   }
 
+  private def splitTopLevelWhere(body: String): (String, Option[String]) =
+    splitTopLevelKeyword(body, "WHERE")
+
+  /** The identifying key of a physical row: the hidden rowid when the
+    * table has one (no PK), the primary key otherwise — exactly one of
+    * the two exists by construction. */
+  private def rowKey(t: TableDef): Seq[String] =
+    if (t.hasRowId) Seq(TableDef.RowId) else t.primaryKey
+
   private def update(stmt: String): DataFrame = {
-    val re = """(?is)UPDATE\s+([\w"]+)\s+SET\s+(.*)""".r
+    val re = """(?is)UPDATE\s+([\w"]+)(?:\s+(?:AS\s+)?(?!SET\b)([a-zA-Z_]\w*))?\s+SET\s+(.*)""".r
     val (noRet, returning) = splitReturning(stmt.trim.stripSuffix(";"))
     noRet match {
-      case re(rawT, body) =>
+      case re(rawT, aliasOpt, body) =>
         val t = requireTable(rawT)
+        val (preFrom, fromOpt) = splitTopLevelKeyword(body, "FROM")
+        if (fromOpt.isDefined)
+          return updateFrom(t, Option(aliasOpt), preFrom, fromOpt.get, returning)
         val (setS, whereOpt) = splitTopLevelWhere(body)
         val pred = whereOpt.map(w => expr(PgRewrite.rewrite(w))).getOrElse(lit(true))
         val cur = tableDf(t)
@@ -1991,12 +2006,98 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     }
   }
 
+  /** `UPDATE t [AS a] SET … FROM <from-list> [WHERE …]` — PG's join
+    * UPDATE (reference parses it through Calcite's SqlUpdate source
+    * list). The SET expressions and WHERE evaluate in the joined scope
+    * (target alias + from-list), delegated wholesale to spark.sql so
+    * qualified names, subqueries and join syntax all resolve exactly as
+    * in a SELECT. One divergence from PG, deliberate: a target row
+    * matching MORE THAN ONE source row fails loudly instead of taking
+    * an arbitrary source row — a deterministic engine must not publish
+    * whichever row a shuffle happened to order first. */
+  private def updateFrom(t: TableDef, alias: Option[String], setS: String,
+      fromRest: String, returning: Option[String]): DataFrame = {
+    val (fromS, whereOpt) = splitTopLevelWhere(fromRest)
+    val key = rowKey(t)
+    val assignExprs: Seq[(String, String)] = topSplit(setS).map { as =>
+      val Array(c, e) = as.split("=", 2).map(_.trim)
+      val cn = c.replaceAll("\"", "").toLowerCase
+      require(t.column(cn).isDefined, s"no column $cn in ${t.name}")
+      cn -> e
+    }
+    require(assignExprs.map(_._1).distinct.size == assignExprs.size,
+      s"multiple assignments to the same column in UPDATE: $setS")
+    registerAll()
+    // the target registers under a private view INCLUDING the hidden
+    // rowid (the public temp view hides it), aliased back to the
+    // statement's name so user-qualified references resolve
+    val tv = "__graft_upd_target"
+    tableDf(t).createOrReplaceTempView(tv)
+    val tAlias = alias.getOrElse(t.name)
+    val keySel = key.map(k => s"$tAlias.$k AS __key_$k").mkString(", ")
+    val setSel = assignExprs.map { case (cn, e) => s"($e) AS __new_$cn" }.mkString(", ")
+    val whereSql = whereOpt.map(w => s" WHERE $w").getOrElse("")
+    val changed = spark.sql(PgRewrite.rewrite(
+      s"SELECT $keySel, $setSel FROM $tv AS $tAlias, $fromS$whereSql"))
+      .localCheckpoint()
+    val keyCols = key.map(k => col("__key_" + k))
+    if (changed.groupBy(keyCols: _*).count()
+        .filter(col("count") > 1).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        "UPDATE … FROM: a target row matches more than one source row")
+    val nChanged = changed.count()
+    val cur = tableDf(t)
+    val joinCond = key.map(k => col(k) === col("__key_" + k)).reduce(_ && _)
+    val matched = col("__key_" + key.head).isNotNull
+    val assign = assignExprs.toMap
+    val next = cur.join(changed, joinCond, "left")
+      .select(t.columns.map { c =>
+        val base = col(c.name)
+        (if (assign.contains(c.name))
+          when(matched, col("__new_" + c.name).cast(TypeMap.toSpark(c.sqlType)))
+            .otherwise(base)
+        else base).as(c.name)
+      }: _*)
+    validate(t, next)
+    val keys = t.columns.filter(_.unique).map(c => Seq(c.name)) ++ t.uniqueKeys ++
+      (if (t.primaryKey.nonEmpty) Seq(t.primaryKey) else Nil)
+    keys.distinct.foreach { k =>
+      val allSet = k.map(col(_).isNotNull).reduce(_ && _)
+      if (next.filter(allSet).groupBy(k.map(col): _*).count()
+          .filter(col("count") > 1).limit(1).count() > 0)
+        throw new IllegalArgumentException(s"UNIQUE violation after UPDATE: ${k.mkString(",")}")
+    }
+    val ret = returning.map { r =>
+      val post = cur.join(changed, joinCond, "inner")
+        .select(t.columns.map { c =>
+          (if (assign.contains(c.name))
+            col("__new_" + c.name).cast(TypeMap.toSpark(c.sqlType))
+          else col(c.name)).as(c.name)
+        }: _*)
+      returningDf(t, post, r)
+    }
+    publish(t, next)
+    spark.catalog.dropTempView(tv)
+    ret.getOrElse(ok("UPDATE", nChanged))
+  }
+
   private def delete(stmt: String): DataFrame = {
-    val re = """(?is)DELETE\s+FROM\s+([\w"]+)(?:\s+WHERE\s+(.*))?""".r
+    val re = """(?is)DELETE\s+FROM\s+([\w"]+)(?:\s+(?:AS\s+)?(?!WHERE\b|USING\b)([a-zA-Z_]\w*))?(\s.*)?""".r
     val (noRet, returning) = splitReturning(stmt.trim.stripSuffix(";"))
     noRet match {
-      case re(rawT, whereS) =>
+      case re(rawT, aliasOpt, restOpt) =>
         val t = requireTable(rawT)
+        val rest = Option(restOpt).map(_.trim).getOrElse("")
+        val (preUsing, usingOpt) = splitTopLevelKeyword(rest, "USING")
+        if (usingOpt.isDefined) {
+          require(preUsing.isEmpty, s"cannot parse DELETE: $stmt")
+          return deleteUsing(t, Option(aliasOpt), usingOpt.get, returning)
+        }
+        val whereS: String = splitTopLevelWhere(rest) match {
+          case ("", Some(w)) => w
+          case ("", None) => null
+          case _ => throw new IllegalArgumentException(s"cannot parse DELETE: $stmt")
+        }
         val cur = tableDf(t)
         val pred = Option(whereS).map(w => expr(PgRewrite.rewrite(w))).getOrElse(lit(true))
         val keep = cur.filter(!pred || pred.isNull) // SQL: delete rows where pred is TRUE
@@ -2007,6 +2108,36 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         ret.getOrElse(ok("DELETE", nDel))
       case _ => throw new IllegalArgumentException(s"cannot parse DELETE: $stmt")
     }
+  }
+
+  /** `DELETE FROM t [AS a] USING <from-list> [WHERE …]` — PG's join
+    * DELETE: a target row is deleted when ANY using-list row satisfies
+    * the condition, i.e. semi-join semantics, which is what the EXISTS
+    * rewrite delegates to spark.sql (no multi-match ambiguity — unlike
+    * UPDATE … FROM, deleting a row twice is idempotent). */
+  private def deleteUsing(t: TableDef, alias: Option[String], usingRest: String,
+      returning: Option[String]): DataFrame = {
+    val (usingS, whereOpt) = splitTopLevelWhere(usingRest)
+    require(usingS.nonEmpty, "DELETE USING: empty using-list")
+    val key = rowKey(t)
+    registerAll()
+    val tv = "__graft_del_target"
+    tableDf(t).createOrReplaceTempView(tv)
+    val tAlias = alias.getOrElse(t.name)
+    val keySel = key.map(k => s"$tAlias.$k AS __key_$k").mkString(", ")
+    val cond = whereOpt.getOrElse("TRUE")
+    val victims = spark.sql(PgRewrite.rewrite(
+      s"SELECT $keySel FROM $tv AS $tAlias " +
+        s"WHERE EXISTS (SELECT 1 FROM $usingS WHERE $cond)"))
+      .localCheckpoint()
+    val nDel = victims.count()
+    val cur = tableDf(t)
+    val joinCond = key.map(k => col(k) === col("__key_" + k)).reduce(_ && _)
+    val ret = returning.map(r =>
+      returningDf(t, cur.join(victims, joinCond, "left_semi"), r))
+    publish(t, cur.join(victims, joinCond, "left_anti"))
+    spark.catalog.dropTempView(tv)
+    ret.getOrElse(ok("DELETE", nDel))
   }
 
   /** Publish a new copy-on-write snapshot and bump the version pointer.

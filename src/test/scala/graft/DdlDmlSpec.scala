@@ -692,6 +692,45 @@ class DdlDmlSpec extends SparkSpec {
     assert(s.sql("SELECT count(*) AS c FROM kw_dst").collect()(0).getLong(0) == 4L)
   }
 
+  test("UPDATE ... FROM and DELETE ... USING join the source relation") {
+    val s = fresh()
+    s.sql("CREATE TABLE acc (id INT PRIMARY KEY, bal INT, seg TEXT)")
+    s.sql("INSERT INTO acc VALUES (1, 10, 'x'), (2, 20, 'y'), (3, 30, 'y')")
+    s.sql("CREATE TABLE adj (id INT PRIMARY KEY, delta INT)")
+    s.sql("INSERT INTO adj VALUES (1, 5), (3, -10)")
+    def bals() = s.sql("SELECT id, bal FROM acc ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    // join UPDATE: SET references the source, WHERE is the join condition
+    val r1 = s.sql("UPDATE acc SET bal = bal + adj.delta FROM adj WHERE acc.id = adj.id")
+    assert(r1.collect()(0).getLong(1) == 2L)
+    assert(bals() == Seq((1, 15), (2, 20), (3, 20)))
+    // target alias + derived-table source
+    s.sql("""UPDATE acc a SET bal = a.bal + d.delta
+            |FROM (SELECT id, delta * 2 AS delta FROM adj) d
+            |WHERE a.id = d.id""".stripMargin)
+    assert(bals() == Seq((1, 25), (2, 20), (3, 0)))
+    // RETURNING yields the post-image of the joined rows
+    val ret = s.sql("""UPDATE acc SET bal = adj.delta FROM adj
+                      |WHERE acc.id = adj.id RETURNING id, bal""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    assert(ret == Seq((1, 5), (3, -10)))
+    // a target row matching two source rows fails loudly (deterministic
+    // engine; PG would pick an arbitrary one)
+    s.sql("CREATE TABLE dup (k INT PRIMARY KEY, tgt INT)")
+    s.sql("INSERT INTO dup VALUES (1, 2), (2, 2)")
+    assertThrows[IllegalArgumentException](
+      s.sql("UPDATE acc SET bal = 0 FROM dup WHERE acc.id = dup.tgt"))
+    // join DELETE: semi-join semantics
+    val d1 = s.sql("DELETE FROM acc USING adj WHERE acc.id = adj.id")
+    assert(d1.collect()(0).getLong(1) == 2L)
+    assert(bals() == Seq((2, 20)))
+    // plain UPDATE/DELETE still parse (no FROM/USING regression)
+    s.sql("UPDATE acc SET bal = 1 WHERE id = 2")
+    assert(bals() == Seq((2, 1)))
+    s.sql("DELETE FROM acc WHERE id = 2")
+    assert(bals().isEmpty)
+  }
+
   test("CREATE TABLE AS SELECT infers schema and loads the query result") {
     val s = fresh()
     s.sql("CREATE TABLE base (id INT PRIMARY KEY, grp TEXT, amt DOUBLE)")
