@@ -169,6 +169,25 @@ class PlanSpec extends SparkSpec {
     assert(got == exact, s"ANN pairs diverge from exact: missing=${exact -- got} extra=${got -- exact}")
   }
 
+  test("TF-IDF plans top-k window group limits and broadcasts the vocab df join") {
+    val p = planOf("text_tfidf_top_terms")
+    // rnk<=3 pushes into the window as a group limit (no full per-doc sort
+    // materialization), the df side broadcasts, and the doc_id filter
+    // reaches the tf branch's scan while df still covers the full corpus
+    assert(p.contains("WindowGroupLimit"), s"top-k not pushed into window:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"), s"df join lost its broadcast:\n${p.take(1500)}")
+    assert(p.contains("LessThan(doc_id,100)"), s"doc filter not pushed:\n${p.take(1500)}")
+  }
+
+  test("sequence packing windows per source partition, never a single global sort") {
+    val p = planOf("pipeline_pack_sequences")
+    assert(p.contains("windowspecdefinition(source"),
+      s"cumsum window must partition by source:\n${p.take(1500)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"packing must not funnel through one partition:\n${p.take(1500)}")
+    assert(p.contains("partial_sum"), s"bin aggregate not map-side partial:\n${p.take(1500)}")
+  }
+
   test("spread is gated: no round-robin shuffle when the scan already has ≥cores splits") {
     val cores = spark.sparkContext.defaultParallelism
     // a source that already saturates the cluster must pass through untouched
