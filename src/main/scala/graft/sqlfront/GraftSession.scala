@@ -209,7 +209,10 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   private def registerPgCatalog(): Unit = {
     val tag = (this: AnyRef, catalog.generation)
     if (GraftSession.lastPgRegistrar.get() == tag) return
-    GraftSession.lastPgRegistrar.set(tag)
+    // same invalidate→build→CAS-claim discipline as registerAll: a
+    // failure mid-build leaves the tag unset (next call re-registers),
+    // and a session that lost a concurrent race does not claim currency
+    GraftSession.lastPgRegistrar.set(null)
     import spark.implicits._
     (catalog.tables.values.map(t => (relOid(t.name), t.name, NsPublic, "r")).toSeq ++
       catalog.views.values.map(v =>
@@ -321,6 +324,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     conRows.filter(_._4 == "f").map(r => (r._1, r._6, "n"))
       .toDF("objid", "refobjid", "deptype").createOrReplaceTempView("pg_depend")
     registerStaticPgCatalog()
+    GraftSession.lastPgRegistrar.compareAndSet(null, tag)
   }
 
   /** attnum: 1-based position among VISIBLE columns, matching
@@ -734,6 +738,18 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     case "DESCRIBE" | "DESC" => describe(lastWord(stmt))
     case "COPY" => copy(stmt)
     case "SELECT" | "WITH" | "VALUES" | "TABLE" =>
+      // `SELECT … INTO t FROM …` (PG's CTAS spelling; INTO is reserved
+      // in the select list so a top-level match is the clause)
+      if (kw(stmt) == "SELECT") {
+        val (pre, intoOpt) = splitTopLevelKeyword(stmt.trim.stripSuffix(";"), "INTO")
+        intoOpt match {
+          case Some(rest) =>
+            val parts = rest.trim.split("\\s+", 2)
+            val tail = if (parts.length > 1) " " + parts(1) else ""
+            return createTableAs(s"CREATE TABLE ${parts(0)} AS $pre$tail")
+          case None =>
+        }
+      }
       registerAll()
       spark.sql(PgRewrite.rewrite(stmt))
     case other => throw new IllegalArgumentException(s"unsupported statement: $other")
@@ -1632,6 +1648,16 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       case Some(m) => (noRet.substring(0, m.start).trim,
         Some(parseOnConflict(noRet.substring(m.start).trim)))
       case None => (noRet, None)
+    }
+    // `INSERT INTO t DEFAULT VALUES` (PG): one row, every column from
+    // its DEFAULT / serial / null — a zero-column single-row source
+    // makes insertRows' missing-column fill do all the work.
+    val defRe = """(?is)INSERT\s+INTO\s+([\w"]+)\s+DEFAULT\s+VALUES\s*""".r
+    core match {
+      case defRe(rawT) =>
+        return insertRows(requireTable(rawT), None, spark.range(1).select(),
+          conflict, returning)
+      case _ =>
     }
     core match {
       case valRe(rawT, _, colsS, valuesS) =>

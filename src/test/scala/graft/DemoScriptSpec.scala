@@ -66,5 +66,36 @@ class DemoScriptSpec extends SparkSpec {
     val kinds = s.sql("SHOW TABLES").collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(kinds("users") == "table" && kinds("five_star") == "view" &&
       kinds("cat_stats") == "matview" && kinds("status") == "enum")
+
+    // --- round-7 surfaces, same session -------------------------------
+    // CTAS + SELECT INTO
+    s.sql("CREATE TABLE price_report AS " +
+      "SELECT category, CAST(avg(price) AS DOUBLE) AS avg_price FROM products GROUP BY category")
+    assert(s.sql("SELECT count(*) AS c FROM price_report").collect()(0).getLong(0) == 3L)
+    s.sql("SELECT name, price INTO expensive FROM products WHERE price > 100")
+    assert(s.sql("SELECT name FROM expensive").collect().map(_.getString(0)).toSeq == Seq("mon"))
+    // INSERT ... DEFAULT VALUES: serial id, enum default
+    s.sql("INSERT INTO users (email) VALUES ('d@x.com')")
+    s.sql("CREATE TABLE counters (id SERIAL PRIMARY KEY, n INT DEFAULT 7)")
+    s.sql("INSERT INTO counters DEFAULT VALUES; INSERT INTO counters DEFAULT VALUES")
+    val cs = s.sql("SELECT id, n FROM counters ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(cs == Seq((1, 7), (2, 7)))
+    // join DML: price adjustment driven by a source table
+    s.sql("CREATE TABLE adj (category TEXT PRIMARY KEY, factor DOUBLE)")
+    s.sql("INSERT INTO adj VALUES ('video', 0.5)")
+    s.sql("UPDATE products SET price = price * adj.factor FROM adj " +
+      "WHERE products.category = adj.category")
+    assert(s.sql("SELECT CAST(price AS DOUBLE) AS p FROM products WHERE name = 'cam'")
+      .collect()(0).getDouble(0) == 44.5)
+    s.sql("DELETE FROM reviews USING products " +
+      "WHERE reviews.product_id = products.product_id AND products.category = 'display'")
+    assert(s.sql("SELECT count(*) AS c FROM reviews").collect()(0).getLong(0) == 2L)
+    // statistics + retention maintenance
+    s.sql("ANALYZE products")
+    assert(s.tableStats("products").exists(_._2 == 4L))
+    val vac = s.sql("VACUUM products").collect()(0)
+    assert(vac.getString(0) == "VACUUM" && vac.getLong(1) >= 1L) // superseded versions pruned
+    assert(s.sql("SELECT count(*) AS c FROM products").collect()(0).getLong(0) == 4L)
   }
 }
