@@ -99,7 +99,12 @@ object SimilarityQueries extends QueryPack {
     * prune aggressively. */
   private[graft] def cosinePairsAnn(s: SparkSession, dir: String, thr: Double): DataFrame = {
     val bits = 3; val bands = 24
-    val dim = 64 // embeddings fixture dimension (TESTDATA.md)
+    // plane dimensionality from the data, not a constant: a 768-dim
+    // corpus with 64-dim planes would sketch only a prefix of every
+    // vector — still correct (verify is exact) but far less selective.
+    // One parquet-footer-cheap first() against the narrow column.
+    val dim = Tables.load(s, dir, "embeddings")
+      .select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
     def md5hex(x: String): String = {
       val d = java.security.MessageDigest.getInstance("MD5")
       d.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
