@@ -93,8 +93,10 @@ object SimilarityQueries extends QueryPack {
     * corpus-linear when buckets are balanced, never an O(B²)
     * nested-loop block join. Recall: per-pair miss bound at cos = 0.4
     * (the fixture's near-random regime, p = 1 − θ/π = 0.631) is
-    * (1 − p³)²⁴ ≈ 1e-3, and empirically every exact pair at
-    * sf0.001/sf0.01 shares a band key; at a production near-dup
+    * (1 − p³)²⁴ ≈ 1e-3, and empirically every exact pair at the
+    * oracle-gated scale factors (sf0.001: 66/66, sf0.01: 59/59) shares
+    * a band key; at bench-only sf0.1 recall is 919/920 — the standard
+    * ANN trade at a near-random threshold. At a production near-dup
     * threshold (≥ 0.7, p ≥ 0.75) the bound is ~1e-9 while buckets
     * prune aggressively. */
   private[graft] def cosinePairsAnn(s: SparkSession, dir: String, thr: Double): DataFrame = {

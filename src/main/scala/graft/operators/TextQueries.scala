@@ -299,6 +299,70 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"), col("rnk"))
     },
 
+    // BM25 ranking — the retrieval scorer a data pipeline uses for
+    // query-driven corpus selection. The "query" is self-contained and
+    // deterministic: the 5 highest-df corpus terms. Shapes: tf is the
+    // corpus-linear token explode, df/avgdl are vocab-/scalar-sized
+    // aggregates, the query terms broadcast. Per-term scores are double
+    // (identical IEEE ops both engines), summed through DECIMAL(38,12)
+    // so accumulation order cannot perturb bits, then FLOOR-quantized.
+    Q(
+      "text_bm25",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+        |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |qterms AS (SELECT w, df FROM dfreq ORDER BY df DESC, w LIMIT 5),
+        |lens AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |stats AS (SELECT count(*) AS n_docs, SUM(dl) AS total_dl FROM lens),
+        |term_scores AS (
+        |  SELECT tf.doc_id,
+        |         LN((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+        |           * (CAST(tf AS DOUBLE) * 2.2)
+        |           / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl /
+        |              (CAST(total_dl AS DOUBLE) / n_docs))) AS s
+        |  FROM tf JOIN qterms ON tf.w = qterms.w
+        |          JOIN lens ON tf.doc_id = lens.doc_id
+        |          CROSS JOIN stats),
+        |scored AS (
+        |  SELECT doc_id,
+        |         CAST(FLOOR(CAST(SUM(CAST(s AS DECIMAL(38,12))) AS DOUBLE) * 1000000) AS BIGINT) AS bm25_q
+        |  FROM term_scores GROUP BY doc_id),
+        |ranked AS (
+        |  SELECT doc_id, bm25_q,
+        |         ROW_NUMBER() OVER (ORDER BY bm25_q DESC, doc_id) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, bm25_q, rnk FROM ranked WHERE rnk <= 20
+        |ORDER BY rnk""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val docs = Tables.spread(Tables.load(s, dir, "documents"))
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val qterms = dfreq.orderBy(col("df").desc, col("w")).limit(5)
+      val lens = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("dl"))
+      val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      val avgdl = col("total_dl").cast("double") / col("n_docs")
+      val termScore =
+        log((col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf").cast("double") * 2.2) /
+          (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+      val scored = tf.join(broadcast(qterms), "w")
+        .join(lens, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), termScore.cast(DecimalType(38, 12)).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(floor(sum(col("s")).cast("double") * 1e6).cast("long").as("bm25_q"))
+      val w = Window.orderBy(col("bm25_q").desc, col("doc_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 20)
+        .orderBy(col("rnk"))
+    },
+
     // Sequence packing — the pretraining prep step after curation: the
     // per-source token stream (docs in doc_id order) is split at fixed
     // 512-token block boundaries, GPT-style concatenate-then-chunk; the
