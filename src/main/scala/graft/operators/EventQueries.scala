@@ -135,6 +135,44 @@ object EventQueries extends QueryPack {
           (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
             .as("gap_s"))
         .orderBy(col("user_id"), col("seq"))
+    },
+
+    // Cohort retention — the product-analytics staple: users cohorted by
+    // first-active epoch day, retention = share of the cohort active
+    // N days later. Days are epoch-day integers (floor division — no
+    // tz-dependent date math). Shapes: one corpus-linear distinct on
+    // (user, day), a per-user min, and two small joins — the cohort
+    // and size relations are user-/day-cardinality, broadcastable at
+    // any event volume.
+    Q(
+      "evt_cohort_retention",
+      s"""WITH days AS (
+         |  SELECT DISTINCT user_id, $oEs // 86400 AS day FROM events),
+         |cohorts AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id),
+         |sizes AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM cohorts GROUP BY cohort_day),
+         |act AS (
+         |  SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+         |         COUNT(DISTINCT d.user_id) AS active_users
+         |  FROM days d JOIN cohorts c ON d.user_id = c.user_id
+         |  GROUP BY 1, 2)
+         |SELECT a.cohort_day, a.day_offset, a.active_users, s.cohort_size,
+         |       CAST(a.active_users AS DOUBLE) / s.cohort_size AS retention
+         |FROM act a JOIN sizes s ON a.cohort_day = s.cohort_day
+         |ORDER BY a.cohort_day, a.day_offset""".stripMargin
+    ) { (s, dir) =>
+      val days = Tables.load(s, dir, "events")
+        .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+        .distinct()
+      val cohorts = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      val sizes = cohorts.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_size"))
+      days.join(cohorts, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .join(broadcast(sizes), "cohort_day")
+        .select(col("cohort_day"), col("day_offset"), col("active_users"),
+          col("cohort_size"),
+          (col("active_users").cast("double") / col("cohort_size")).as("retention"))
+        .orderBy(col("cohort_day"), col("day_offset"))
     }
   )
 }
