@@ -379,6 +379,28 @@ class SessionExtrasSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("VACUUM retains versions pinned by a live matview checkpoint") {
+    val s = fresh()
+    s.sql("CREATE TABLE base2 (id INT PRIMARY KEY, v INT)")
+    s.sql("INSERT INTO base2 VALUES (1, 10), (2, 20)")
+    s.sql("CREATE MATERIALIZED VIEW m2 AS SELECT count(*) AS n FROM base2")
+    // incremental refresh writes a checkpoint whose stamp records the
+    // CURRENT version of every table (base2:v0)
+    graft.streaming.MatviewMaintenance.refreshOnce(s, "m2")
+    s.sql("UPDATE base2 SET v = v + 1 WHERE id = 1") // v1
+    s.sql("UPDATE base2 SET v = v + 1 WHERE id = 2") // v2 (current)
+    s.sql("VACUUM base2")
+    // v0 is pinned by the checkpoint stamp and must still read; the
+    // checkpoint can rebuild from it instead of finding vanished files
+    assert(s.tableVersion("base2", 0).collect().map(_.getInt(1)).sorted.toSeq == Seq(10, 20))
+    assert(s.tableVersion("base2", 2).collect().map(_.getInt(1)).sorted.toSeq == Seq(11, 21))
+    // after the checkpoint resets (redefinition drops it), VACUUM reclaims v0
+    s.sql("DROP MATERIALIZED VIEW m2")
+    s.sql("VACUUM base2")
+    val e = intercept[IllegalStateException](s.tableVersion("base2", 0))
+    assert(e.getMessage.contains("pruned by VACUUM"))
+  }
+
   test("ANALYZE collects real statistics and surfaces them in pg_stats") {
     val s = fresh()
     s.sql("CREATE TABLE stats_t (id INT PRIMARY KEY, grp TEXT, v INT)")
