@@ -958,7 +958,117 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     ok("TRUNCATE")
   }
 
+  /** `ALTER TABLE t RENAME TO t2` — catalog + storage-dir move. The
+    * dir move cannot be undone by a catalog-snapshot rollback, so the
+    * statement refuses a transaction block. Serial-owned sequences are
+    * renamed to keep the `<table>_<col>_seq` derivation valid (PG keeps
+    * the old sequence name; divergence documented), FK metadata in
+    * referencing tables follows, and stored view SQL gets a
+    * word-boundary rewrite (PG tracks renames through stored parse
+    * trees; the textual rewrite is the string-SQL approximation). Live
+    * matview checkpoints self-heal: their stamps name the old table, so
+    * the next refresh sees a mismatch and rebuilds. */
+  private def renameTable(t: TableDef, rawNew: String): DataFrame = {
+    if (activeTxn.isDefined)
+      throw new IllegalStateException(
+        "ALTER TABLE RENAME cannot run inside a transaction block (storage move)")
+    val newName = rawNew.replaceAll("\"", "").toLowerCase
+    require(catalog.getTable(newName).isEmpty && !catalog.views.contains(newName),
+      s"relation exists: $newName")
+    val oldDir = catalog.root.resolve(t.name)
+    if (Files.exists(oldDir)) Files.move(oldDir, catalog.root.resolve(newName))
+    t.columns.filter(_.serial).foreach { c =>
+      val oldSeq = s"${t.name}_${c.name}_seq"
+      catalog.sequences.get(oldSeq).foreach { sq =>
+        catalog.dropSequence(oldSeq)
+        catalog.putSequence(sq.copy(name = s"${newName}_${c.name}_seq"))
+      }
+    }
+    catalog.tables.values.filter(_.name != t.name).foreach { o =>
+      if (o.columns.exists(_.references.exists(_._1 == t.name)))
+        catalog.putTable(o.copy(columns = o.columns.map(c =>
+          c.copy(references = c.references.map {
+            case (rt, rc) if rt == t.name => (newName, rc)
+            case r => r
+          }))))
+    }
+    val wordRe = ("(?i)(?<![\\w\"])" + java.util.regex.Pattern.quote(t.name) + "(?![\\w\"])").r
+    catalog.views.values.foreach { v =>
+      val rewritten = wordRe.replaceAllIn(v.sql, newName)
+      if (rewritten != v.sql) catalog.putView(v.copy(sql = rewritten))
+    }
+    statsCache.get(t.name).foreach { st =>
+      statsCache = statsCache - t.name + (newName -> st); saveStats()
+    }
+    catalog.dropTable(t.name)
+    catalog.putTable(t.copy(name = newName))
+    spark.catalog.dropTempView(t.name)
+    ok("ALTER TABLE RENAME")
+  }
+
+  /** `ALTER TABLE t RENAME COLUMN a TO b` — parquet files store column
+    * names, so a metadata-only rename would make every existing file's
+    * column read as null under the catalog schema. The rename therefore
+    * publishes a copy-on-write snapshot with the column renamed — the
+    * same rewrite discipline as UPDATE (at warehouse scale a
+    * name-mapping layer like Iceberg's field-ids would make this
+    * metadata-only; out of scope here). Constraint metadata (PK,
+    * composite uniques, FKs from other tables) and the serial sequence
+    * derivation follow the new name. */
+  private def renameColumn(t: TableDef, rawOld: String, rawNew: String): DataFrame = {
+    val oldC = rawOld.replaceAll("\"", "").toLowerCase
+    val newC = rawNew.replaceAll("\"", "").toLowerCase
+    require(oldC != TableDef.RowId, "cannot rename the hidden rowid")
+    val cd = t.column(oldC).getOrElse(
+      throw new IllegalArgumentException(s"no column $oldC in ${t.name}"))
+    require(t.column(newC).isEmpty, s"column exists: $newC")
+    // a view whose SQL references this table and names the old column
+    // would silently break at next registration: PG rewrites its stored
+    // parse tree; with string SQL the honest behavior is to refuse
+    // (RESTRICT) and tell the user which view to recreate
+    def words(sql: String, w: String): Boolean =
+      ("(?i)(?<![\\w\"])" + java.util.regex.Pattern.quote(w) + "(?![\\w\"])").r
+        .findFirstIn(sql).isDefined
+    catalog.views.values.find(v => words(v.sql, t.name) && words(v.sql, oldC))
+      .foreach(v => throw new IllegalArgumentException(
+        s"cannot rename ${t.name}.$oldC: referenced by view ${v.name} — " +
+          "drop and recreate the view first"))
+    val renamed = tableDf(t).withColumnRenamed(oldC, newC)
+    val nt = t.copy(
+      columns = t.columns.map(c => if (c.name == oldC) c.copy(name = newC) else c),
+      primaryKey = t.primaryKey.map(k => if (k == oldC) newC else k),
+      uniqueKeys = t.uniqueKeys.map(_.map(k => if (k == oldC) newC else k)),
+      version = t.version + 1)
+    renamed.write.mode("overwrite").parquet(catalog.tableDir(nt).toString)
+    if (cd.serial) {
+      val oldSeq = s"${t.name}_${oldC}_seq"
+      catalog.sequences.get(oldSeq).foreach { sq =>
+        catalog.dropSequence(oldSeq)
+        catalog.putSequence(sq.copy(name = s"${t.name}_${newC}_seq"))
+      }
+    }
+    catalog.tables.values.filter(_.name != t.name).foreach { o =>
+      if (o.columns.exists(_.references.exists(r => r._1 == t.name && r._2 == oldC)))
+        catalog.putTable(o.copy(columns = o.columns.map(c =>
+          c.copy(references = c.references.map {
+            case (rt, rc) if rt == t.name && rc == oldC => (rt, newC)
+            case r => r
+          }))))
+    }
+    catalog.putTable(nt)
+    graft.streaming.MatviewMaintenance.onSnapshotChange(catalog.root.toString)
+    ok("ALTER TABLE RENAME COLUMN")
+  }
+
   private def alterTable(stmt: String): DataFrame = {
+    val renTblRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+RENAME\s+TO\s+([\w"]+)\s*""".r
+    val renColRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+RENAME\s+(?:COLUMN\s+)?([\w"]+)\s+TO\s+([\w"]+)\s*""".r
+    stmt.trim.stripSuffix(";") match {
+      case renTblRe(rawT, rawNew) => return renameTable(requireTable(rawT), rawNew)
+      case renColRe(rawT, rawOld, rawNew) =>
+        return renameColumn(requireTable(rawT), rawOld, rawNew)
+      case _ =>
+    }
     val addRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+ADD\s+(?:COLUMN\s+)?(.*)""".r
     val dropRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+DROP\s+(?:COLUMN\s+)?([\w"]+)\s*""".r
     val pkRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+ADD\s+(?:CONSTRAINT\s+[\w"]+\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)\s*""".r

@@ -731,6 +731,42 @@ class DdlDmlSpec extends SparkSpec {
     assert(bals().isEmpty)
   }
 
+  test("ALTER TABLE RENAME TO and RENAME COLUMN carry data, constraints and views") {
+    val s = fresh()
+    s.sql("CREATE TABLE src_t (id SERIAL PRIMARY KEY, v INT UNIQUE)")
+    s.sql("CREATE TABLE child (cid INT PRIMARY KEY, pid INT REFERENCES src_t(id))")
+    s.sql("INSERT INTO src_t (v) VALUES (10), (20)")
+    s.sql("CREATE VIEW v_over AS SELECT v FROM src_t")
+    s.sql("ALTER TABLE src_t RENAME TO base_t")
+    assert(s.sql("SELECT count(*) AS c FROM base_t").collect()(0).getLong(0) == 2L)
+    // the serial sequence derivation follows: numbering continues
+    s.sql("INSERT INTO base_t (v) VALUES (30)")
+    assert(s.sql("SELECT max(id) AS m FROM base_t").collect()(0).getInt(0) == 3)
+    // stored view SQL follows the rename
+    assert(s.sql("SELECT count(*) AS c FROM v_over").collect()(0).getLong(0) == 3L)
+    // FK metadata in the referencing table follows
+    assertThrows[IllegalArgumentException](s.sql("INSERT INTO child VALUES (1, 99)"))
+    s.sql("INSERT INTO child VALUES (1, 1)")
+    // the old name is gone
+    assertThrows[Exception](s.sql("SELECT count(*) AS c FROM src_t"))
+    // a dependent view blocks the column rename (RESTRICT), then the
+    // rename proceeds once the view is dropped
+    val ve = intercept[IllegalArgumentException](
+      s.sql("ALTER TABLE base_t RENAME COLUMN v TO val"))
+    assert(ve.getMessage.contains("v_over"))
+    s.sql("DROP VIEW v_over")
+    // column rename: data rewritten under the new name, UNIQUE follows
+    s.sql("ALTER TABLE base_t RENAME COLUMN v TO val")
+    assert(s.sql("SELECT val FROM base_t ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(10, 20, 30))
+    assertThrows[IllegalArgumentException](
+      s.sql("INSERT INTO base_t (val) VALUES (10)"))
+    // table rename refuses a transaction block (storage move)
+    s.sql("BEGIN")
+    assertThrows[IllegalStateException](s.sql("ALTER TABLE base_t RENAME TO zzz"))
+    s.sql("ROLLBACK")
+  }
+
   test("CREATE TABLE AS SELECT infers schema and loads the query result") {
     val s = fresh()
     s.sql("CREATE TABLE base (id INT PRIMARY KEY, grp TEXT, amt DOUBLE)")
