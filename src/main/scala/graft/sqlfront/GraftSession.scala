@@ -1060,13 +1060,98 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     ok("ALTER TABLE RENAME COLUMN")
   }
 
+  /** `ALTER TABLE t ALTER COLUMN c TYPE type [USING expr]` — like the
+    * column rename, parquet is physical: the conversion publishes a
+    * copy-on-write snapshot with the column cast (or computed by the
+    * USING expression). PG errors when a value does not convert;
+    * Spark's non-ANSI cast nulls instead — so a conversion that turns
+    * any non-null value into null fails loudly before publishing. */
+  private def alterColumnType(t: TableDef, rawC: String, newType: String,
+      usingOpt: Option[String]): DataFrame = {
+    val cn = rawC.replaceAll("\"", "").toLowerCase
+    require(cn != TableDef.RowId, "cannot alter the hidden rowid")
+    require(t.column(cn).isDefined, s"no column $cn in ${t.name}")
+    val newSql = newType.trim
+    val spk = TypeMap.toSpark(newSql)
+    val cur = tableDf(t)
+    val newVal = usingOpt.map(u => expr(PgRewrite.rewrite(u)))
+      .getOrElse(col(cn)).cast(spk)
+    val next = cur.withColumn(cn, newVal)
+    val nt = t.copy(columns = t.columns.map(c =>
+      if (c.name == cn) c.copy(sqlType = newSql) else c), version = t.version + 1)
+    // conversion failures: under ANSI (Spark 4 default) a bad cast
+    // throws mid-job — rewrapped as the engine's error (note
+    // SparkNumberFormatException IS-A IllegalArgumentException, so the
+    // wrap must not be guarded by exception type); under try_cast /
+    // non-ANSI USING expressions the null-count delta catches silent
+    // value loss. Either way nothing publishes.
+    def wrap[A](f: => A): A =
+      try f catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"ALTER COLUMN TYPE: values of ${t.name}.$cn do not convert to $newSql: " +
+            s"${Option(e.getCause).getOrElse(e).getMessage}", e)
+      }
+    val lost = wrap(cur.filter(col(cn).isNotNull).count() -
+      next.filter(col(cn).isNotNull).count())
+    if (lost > 0) throw new IllegalArgumentException(
+      s"ALTER COLUMN TYPE: $lost value(s) of ${t.name}.$cn do not convert to $newSql" +
+        usingOpt.fold(" (add a USING expression)")(_ => ""))
+    wrap(next.write.mode("overwrite").parquet(catalog.tableDir(nt).toString))
+    catalog.putTable(nt)
+    graft.streaming.MatviewMaintenance.onSnapshotChange(catalog.root.toString)
+    ok("ALTER TABLE")
+  }
+
   private def alterTable(stmt: String): DataFrame = {
     val renTblRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+RENAME\s+TO\s+([\w"]+)\s*""".r
     val renColRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+RENAME\s+(?:COLUMN\s+)?([\w"]+)\s+TO\s+([\w"]+)\s*""".r
+    val typeRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+ALTER\s+(?:COLUMN\s+)?([\w"]+)\s+(?:SET\s+DATA\s+)?TYPE\s+([\w]+(?:\s+PRECISION)?(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?(?:\[\])?)\s*(?:USING\s+(.*))?""".r
+    val setDefRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+ALTER\s+(?:COLUMN\s+)?([\w"]+)\s+SET\s+DEFAULT\s+(.*)""".r
+    val dropDefRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+ALTER\s+(?:COLUMN\s+)?([\w"]+)\s+DROP\s+DEFAULT\s*""".r
+    val setNNRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+ALTER\s+(?:COLUMN\s+)?([\w"]+)\s+SET\s+NOT\s+NULL\s*""".r
+    val dropNNRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+ALTER\s+(?:COLUMN\s+)?([\w"]+)\s+DROP\s+NOT\s+NULL\s*""".r
+    def colOf(t: TableDef, rawC: String): String = {
+      val cn = rawC.replaceAll("\"", "").toLowerCase
+      require(t.column(cn).isDefined, s"no column $cn in ${t.name}")
+      cn
+    }
     stmt.trim.stripSuffix(";") match {
       case renTblRe(rawT, rawNew) => return renameTable(requireTable(rawT), rawNew)
       case renColRe(rawT, rawOld, rawNew) =>
         return renameColumn(requireTable(rawT), rawOld, rawNew)
+      case typeRe(rawT, rawC, newType, usingS) =>
+        return alterColumnType(requireTable(rawT), rawC, newType, Option(usingS))
+      case setDefRe(rawT, rawC, defExpr) =>
+        val t = requireTable(rawT)
+        val cn = colOf(t, rawC)
+        catalog.putTable(t.copy(columns = t.columns.map(c =>
+          if (c.name == cn) c.copy(default = Some(defExpr.trim)) else c)))
+        return ok("ALTER TABLE")
+      case dropDefRe(rawT, rawC) =>
+        val t = requireTable(rawT)
+        val cn = colOf(t, rawC)
+        catalog.putTable(t.copy(columns = t.columns.map(c =>
+          if (c.name == cn) c.copy(default = None) else c)))
+        return ok("ALTER TABLE")
+      case setNNRe(rawT, rawC) =>
+        val t = requireTable(rawT)
+        val cn = colOf(t, rawC)
+        // the constraint must hold on existing rows before it can be
+        // declared (same discipline as ADD PRIMARY KEY)
+        if (tableDf(t).filter(col(cn).isNull).limit(1).count() > 0)
+          throw new IllegalArgumentException(
+            s"cannot SET NOT NULL: NULLs present in ${t.name}.$cn")
+        catalog.putTable(t.copy(columns = t.columns.map(c =>
+          if (c.name == cn) c.copy(notNull = true) else c)))
+        return ok("ALTER TABLE")
+      case dropNNRe(rawT, rawC) =>
+        val t = requireTable(rawT)
+        val cn = colOf(t, rawC)
+        require(!t.primaryKey.contains(cn),
+          s"cannot DROP NOT NULL: $cn is part of the primary key")
+        catalog.putTable(t.copy(columns = t.columns.map(c =>
+          if (c.name == cn) c.copy(notNull = false) else c)))
+        return ok("ALTER TABLE")
       case _ =>
     }
     val addRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+ADD\s+(?:COLUMN\s+)?(.*)""".r

@@ -767,6 +767,45 @@ class DdlDmlSpec extends SparkSpec {
     s.sql("ROLLBACK")
   }
 
+  test("ALTER COLUMN TYPE / DEFAULT / NOT NULL") {
+    val s = fresh()
+    s.sql("CREATE TABLE tt (id INT PRIMARY KEY, v TEXT, n INT)")
+    s.sql("INSERT INTO tt VALUES (1, '10', NULL), (2, '20', 5)")
+    // type conversion rewrites the snapshot under the new declared type
+    s.sql("ALTER TABLE tt ALTER COLUMN v TYPE INT USING CAST(v AS INT)")
+    assert(s.sql("SELECT sum(v) AS t FROM tt").collect()(0).getLong(0) == 30L)
+    val d = s.sql("DESCRIBE tt").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d("v") == "INT")
+    // a conversion that would null out values fails loudly (PG errors;
+    // Spark's silent cast-to-null must not leak through)
+    s.sql("INSERT INTO tt VALUES (3, 7, 1)")
+    s.sql("ALTER TABLE tt ALTER COLUMN v TYPE TEXT")
+    s.sql("UPDATE tt SET v = 'oops' WHERE id = 3")
+    val e = intercept[IllegalArgumentException](
+      s.sql("ALTER TABLE tt ALTER COLUMN v TYPE INT"))
+    assert(e.getMessage.contains("do not convert"))
+    // SET DEFAULT applies to later inserts; DROP DEFAULT reverts to null
+    s.sql("ALTER TABLE tt ALTER COLUMN n SET DEFAULT 42")
+    s.sql("INSERT INTO tt (id, v) VALUES (4, 'x')")
+    assert(s.sql("SELECT n FROM tt WHERE id = 4").collect()(0).getInt(0) == 42)
+    s.sql("ALTER TABLE tt ALTER COLUMN n DROP DEFAULT")
+    s.sql("INSERT INTO tt (id, v) VALUES (5, 'y')")
+    assert(s.sql("SELECT n FROM tt WHERE id = 5").collect()(0).isNullAt(0))
+    // SET NOT NULL requires the constraint to hold first
+    assertThrows[IllegalArgumentException](
+      s.sql("ALTER TABLE tt ALTER COLUMN n SET NOT NULL"))
+    s.sql("UPDATE tt SET n = 0 WHERE n IS NULL")
+    s.sql("ALTER TABLE tt ALTER COLUMN n SET NOT NULL")
+    assertThrows[IllegalArgumentException](
+      s.sql("INSERT INTO tt VALUES (6, 'z', NULL)"))
+    s.sql("ALTER TABLE tt ALTER COLUMN n DROP NOT NULL")
+    s.sql("INSERT INTO tt VALUES (6, 'z', NULL)")
+    assert(s.sql("SELECT count(*) AS c FROM tt").collect()(0).getLong(0) == 6L)
+    // the PK's implicit NOT NULL cannot be dropped
+    assertThrows[IllegalArgumentException](
+      s.sql("ALTER TABLE tt ALTER COLUMN id DROP NOT NULL"))
+  }
+
   test("CREATE TABLE AS SELECT infers schema and loads the query result") {
     val s = fresh()
     s.sql("CREATE TABLE base (id INT PRIMARY KEY, grp TEXT, amt DOUBLE)")
