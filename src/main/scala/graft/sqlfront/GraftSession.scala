@@ -733,6 +733,11 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     case "ANALYZE" => analyze(stmt)
     case "SET" | "DO" =>
       ok(kw(stmt)) // no-ops (reference kv/KvQueryExecutor.java:2837-2864)
+    // pg_dump restore tolerance: dumps carry privilege/ownership/comment
+    // statements that have no analytic meaning here — accepted as no-ops
+    // so a reference user's dump restores without editing
+    case "COMMENT" | "GRANT" | "REVOKE" =>
+      ok(kw(stmt))
     case "SHOW" => showTables() // psql \dt analogue (reference meta-commands,
                                 // postgres/PostgresConnectionHandler.java:372-396)
     case "DESCRIBE" | "DESC" => describe(lastWord(stmt))
@@ -1110,6 +1115,8 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     val dropDefRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+ALTER\s+(?:COLUMN\s+)?([\w"]+)\s+DROP\s+DEFAULT\s*""".r
     val setNNRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+ALTER\s+(?:COLUMN\s+)?([\w"]+)\s+SET\s+NOT\s+NULL\s*""".r
     val dropNNRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+ALTER\s+(?:COLUMN\s+)?([\w"]+)\s+DROP\s+NOT\s+NULL\s*""".r
+    // pg_dump emits OWNER TO for every object — accepted + ignored
+    val ownerRe = """(?is)ALTER\s+TABLE\s+(?:ONLY\s+)?([\w"]+)\s+OWNER\s+TO\s+.*""".r
     def colOf(t: TableDef, rawC: String): String = {
       val cn = rawC.replaceAll("\"", "").toLowerCase
       require(t.column(cn).isDefined, s"no column $cn in ${t.name}")
@@ -1151,6 +1158,9 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
           s"cannot DROP NOT NULL: $cn is part of the primary key")
         catalog.putTable(t.copy(columns = t.columns.map(c =>
           if (c.name == cn) c.copy(notNull = false) else c)))
+        return ok("ALTER TABLE")
+      case ownerRe(rawT) =>
+        requireTable(rawT)
         return ok("ALTER TABLE")
       case _ =>
     }

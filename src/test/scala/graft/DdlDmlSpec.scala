@@ -767,6 +767,22 @@ class DdlDmlSpec extends SparkSpec {
     s.sql("ROLLBACK")
   }
 
+  test("pg_dump privilege/ownership/comment statements restore as no-ops") {
+    val s = fresh()
+    // a representative pg_dump fragment around a real table
+    s.sql("""CREATE TABLE dump_t (id INT PRIMARY KEY, v TEXT);
+            |ALTER TABLE dump_t OWNER TO app_user;
+            |COMMENT ON TABLE dump_t IS 'imported';
+            |COMMENT ON COLUMN dump_t.v IS 'value; with semicolon in literal';
+            |GRANT SELECT ON dump_t TO analyst;
+            |REVOKE ALL ON dump_t FROM PUBLIC;
+            |INSERT INTO dump_t VALUES (1, 'x')""".stripMargin)
+    assert(s.sql("SELECT count(*) AS c FROM dump_t").collect()(0).getLong(0) == 1L)
+    // OWNER TO still validates the table exists
+    assertThrows[IllegalArgumentException](
+      s.sql("ALTER TABLE missing_t OWNER TO app_user"))
+  }
+
   test("ALTER COLUMN TYPE / DEFAULT / NOT NULL") {
     val s = fresh()
     s.sql("CREATE TABLE tt (id INT PRIMARY KEY, v TEXT, n INT)")
