@@ -299,6 +299,50 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"), col("rnk"))
     },
 
+    // Unigram-LM surprise (perplexity-filter) scoring — the CCNet-style
+    // quality gate: score each document by the mean negative log
+    // probability of its tokens under the corpus unigram model; high
+    // surprise = noise/gibberish, low = boilerplate. Corpus-linear token
+    // explode + vocab-sized model + broadcast total; per-token surprise
+    // is double (identical IEEE ops), the per-doc mean accumulates
+    // through DECIMAL(38,12) before FLOOR-quantization so token order
+    // cannot perturb bits.
+    Q(
+      "text_lm_surprise",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |freq AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+        |total AS (SELECT count(*) AS n_tok FROM toks),
+        |per_tok AS (
+        |  SELECT t.doc_id, -LN(CAST(cnt AS DOUBLE) / n_tok) AS surprise
+        |  FROM toks t JOIN freq ON t.w = freq.w CROSS JOIN total),
+        |per_doc AS (
+        |  SELECT doc_id,
+        |         count(*) AS n_tokens,
+        |         CAST(FLOOR(CAST(SUM(CAST(surprise AS DECIMAL(38,12))) AS DOUBLE)
+        |                    / count(*) * 1000000) AS BIGINT) AS surprise_q
+        |  FROM per_tok GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, surprise_q,
+        |       surprise_q BETWEEN 2000000 AND 8000000 AS keep
+        |FROM per_doc
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val toks = Tables.spread(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val total = toks.agg(count(lit(1)).as("n_tok"))
+      val perTok = toks.join(freq, "w").crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          (-log(col("cnt").cast("double") / col("n_tok"))).as("surprise"))
+      perTok.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          floor(sum(col("surprise").cast(DecimalType(38, 12))).cast("double") /
+            count(lit(1)) * 1e6).cast("long").as("surprise_q"))
+        .withColumn("keep", col("surprise_q").between(2000000L, 8000000L))
+        .orderBy(col("doc_id"))
+    },
+
     // BM25 ranking — the retrieval scorer a data pipeline uses for
     // query-driven corpus selection. The "query" is self-contained and
     // deterministic: the 5 highest-df corpus terms. Shapes: tf is the
