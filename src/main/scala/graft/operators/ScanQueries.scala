@@ -75,6 +75,22 @@ object ScanQueries extends QueryPack {
         .orderBy(col("p_partkey"))
     },
 
+    // ILIKE — PG's case-insensitive LIKE (beyond the reference grammar;
+    // both Spark ≥3.3 and DuckDB parse it natively). The fixture's part
+    // names are lowercase, so the uppercase pattern matches ONLY through
+    // ILIKE's case folding — plain LIKE '%WIDGET%' matches zero rows.
+    Q(
+      "filter_ilike",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_name ILIKE '%WIDGET%' AND p_name NOT ILIKE 'BLUE%'
+        |ORDER BY p_partkey""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "part")
+        .filter(col("p_name").ilike("%WIDGET%") && !col("p_name").ilike("BLUE%"))
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))
+    },
+
     // IN / NOT IN value lists (reference kv/CalciteSqlParser.java:310-341).
     Q(
       "filter_in",

@@ -18,6 +18,17 @@ object SqlSurfaceQueries extends QueryPack {
 
   private def same(name: String, text: String): Q = make(name, text, text)
 
+  /** PG-only spellings (DISTINCT ON, FETCH FIRST, generate_series) route
+    * through the GraftSession front — the same path a reference client's
+    * statement takes (PgRewrite, then spark.sql) — while DuckDB parses
+    * the identical text natively, so one string is both query and oracle. */
+  private def pg(name: String, text: String): Q =
+    Q(name, text) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      new graft.sqlfront.GraftSession(
+        s, java.nio.file.Files.createTempDirectory("graft_sql")).sql(text)
+    }
+
   val qs: Seq[Q] = Seq(
     // Recursive CTE (absent from the reference; CTEs not implemented at
     // all there, SURVEY §2.8).
@@ -52,6 +63,35 @@ object SqlSurfaceQueries extends QueryPack {
         |       COUNT(*) FILTER (o_orderstatus = 'F') AS f,
         |       COUNT(*) FILTER (o_orderstatus = 'P') AS p
         |FROM orders GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin)
+        |ORDER BY o_orderpriority""".stripMargin),
+
+    // PG DISTINCT ON — the latest-per-key idiom (top customer balance per
+    // nation). PgRewrite turns it into a row_number window; DuckDB parses
+    // the PG form natively, so the oracle is the same text.
+    pg(
+      "sql_distinct_on",
+      """SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, c_acctbal
+        |FROM customer
+        |ORDER BY c_nationkey, c_acctbal DESC, c_custkey""".stripMargin),
+
+    // ANSI/PG row-limit spelling: OFFSET n ROWS FETCH FIRST m ROWS ONLY
+    // → LIMIT m OFFSET n (PgRewrite swaps the clauses for Spark's
+    // grammar; DuckDB parses the standard form natively).
+    pg(
+      "sql_fetch_first",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |OFFSET 5 ROWS FETCH FIRST 10 ROWS ONLY""".stripMargin),
+
+    // PG set-returning generate_series in FROM → explode(sequence());
+    // joined against a fact table (orderkey mod-7 histogram) so the
+    // rewrite proves out as a real relation, not just a SELECT source.
+    pg(
+      "sql_generate_series",
+      """SELECT CAST(g.n AS BIGINT) AS n, count(o.o_orderkey) AS cnt
+        |FROM generate_series(1, 7) AS g(n)
+        |LEFT JOIN orders o ON o.o_orderkey % 7 + 1 = g.n
+        |GROUP BY g.n
+        |ORDER BY n""".stripMargin)
   )
 }

@@ -244,6 +244,195 @@ object PgRewrite {
     }
   }
 
+  /** ANSI/PG row-limit spellings Spark's parser lacks (the reference
+    * grammar has LIMIT/OFFSET only — sql/parser/SqlParser.java — but PG
+    * clients and ORMs emit the standard form):
+    *   OFFSET n [ROW[S]] FETCH {FIRST|NEXT} [m] ROW[S] ONLY → LIMIT m OFFSET n
+    *   FETCH {FIRST|NEXT} [m] ROW[S] ONLY                   → LIMIT m  (m defaults to 1)
+    *   OFFSET n ROW[S]                                      → OFFSET n
+    * Spark's grammar requires LIMIT before OFFSET, so the combined form
+    * swaps the clauses. FETCH … WITH TIES has no LIMIT twin and is
+    * rejected loudly rather than silently dropping the tie rows. */
+  private def rewriteFetchFirst(sql: String): String = {
+    val u = sql.toUpperCase
+    if (!u.contains("FETCH") && !u.contains("OFFSET")) return sql
+    def gate(re: scala.util.matching.Regex, s: String)(
+        repl: scala.util.matching.Regex.Match => String): String = {
+      val spans = literalSpans(s)
+      re.replaceSomeIn(s, m => if (inLiteral(spans, m.start)) None
+        else Some(java.util.regex.Matcher.quoteReplacement(repl(m))))
+    }
+    val ties = """(?i)\bFETCH\s+(?:FIRST|NEXT)\s+(?:\d+\s+)?ROWS?\s+WITH\s+TIES""".r
+    val spans0 = literalSpans(sql)
+    ties.findFirstMatchIn(sql).foreach { m =>
+      if (!inLiteral(spans0, m.start)) throw new IllegalArgumentException(
+        "FETCH ... WITH TIES is not supported; filter on a rank() window instead")
+    }
+    var s = gate("""(?i)\bOFFSET\s+(\d+)\s+(?:ROWS?\s+)?FETCH\s+(?:FIRST|NEXT)\s+(?:(\d+)\s+)?ROWS?\s+ONLY""".r, sql)(
+      m => s"LIMIT ${Option(m.group(2)).getOrElse("1")} OFFSET ${m.group(1)}")
+    s = gate("""(?i)\bFETCH\s+(?:FIRST|NEXT)\s+(?:(\d+)\s+)?ROWS?\s+ONLY""".r, s)(
+      m => s"LIMIT ${Option(m.group(1)).getOrElse("1")}")
+    gate("""(?i)\b(OFFSET\s+\d+)\s+ROWS?\b""".r, s)(m => m.group(1))
+  }
+
+  /** PG set-returning `generate_series(a, b[, step])` in FROM position →
+    * Spark's `explode(sequence(a, b[, step]))` table-valued function
+    * (integer series; both ends inclusive on both engines). Alias
+    * semantics follow PG: `AS t(n)` exposes column n; a bare alias `g`
+    * names BOTH the relation and the column; no alias exposes a column
+    * named generate_series. Only FROM-clause positions rewrite — after
+    * FROM/JOIN, or a FROM-list comma at top paren depth (an
+    * argument-position call is always inside at least one paren and is
+    * left untouched). */
+  private def rewriteGenerateSeries(sql: String): String = {
+    if (!sql.toLowerCase.contains("generate_series")) return sql
+    val re = """(?i)(\bFROM|\bJOIN|,)(\s*)generate_series\s*\(""".r
+    val kw = Set("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "OFFSET",
+      "FETCH", "UNION", "INTERSECT", "EXCEPT", "JOIN", "ON", "USING",
+      "CROSS", "INNER", "LEFT", "RIGHT", "FULL", "NATURAL", "WINDOW",
+      "QUALIFY", "RETURNING")
+    var out = sql
+    var progress = true
+    while (progress) {
+      progress = false
+      val spans = literalSpans(out)
+      val next = re.findAllMatchIn(out).find { mm =>
+        if (inLiteral(spans, mm.start)) false
+        else if (mm.group(1) != ",") true
+        else { // a FROM-list comma sits at paren depth 0; args commas don't
+          var d = 0; var i = 0
+          while (i < mm.start) {
+            if (!inLiteral(spans, i)) {
+              val c = out.charAt(i)
+              if (c == '(') d += 1 else if (c == ')') d -= 1
+            }
+            i += 1
+          }
+          d == 0
+        }
+      }
+      next.foreach { mm =>
+        val open = mm.end - 1
+        var d = 0; var j = open; var close = -1
+        while (j < out.length && close < 0) {
+          val span = spans.find { case (a, b) => j >= a && j < b }
+          if (span.isDefined) j = span.get._2
+          else {
+            out.charAt(j) match {
+              case '(' => d += 1
+              case ')' => d -= 1; if (d == 0) close = j
+              case _ =>
+            }
+            if (close < 0) j += 1
+          }
+        }
+        if (close < 0) throw new IllegalArgumentException(
+          s"unbalanced parens in generate_series call: $out")
+        val args = out.substring(open + 1, close)
+        val tail = out.substring(close + 1)
+        val aliasRe = """(?is)^\s*(?:AS\s+)?([A-Za-z_]\w*)(\s*\(\s*([A-Za-z_]\w*)\s*\))?""".r
+        val (alias, consumed) = aliasRe.findFirstMatchIn(tail) match {
+          case Some(am) if !kw.contains(am.group(1).toUpperCase) =>
+            val rel = am.group(1)
+            (s" AS $rel(${Option(am.group(3)).getOrElse(rel)})", am.end)
+          case _ => (" AS generate_series(generate_series)", 0)
+        }
+        out = out.substring(0, mm.start) + mm.group(1) + mm.group(2) +
+          s"explode(sequence($args))" + alias + tail.substring(consumed)
+        progress = true
+      }
+    }
+    out
+  }
+
+  /** PG `SELECT DISTINCT ON (k1, …) sel FROM body ORDER BY k1, …, tie` —
+    * keep the FIRST row of each key group in ORDER BY order, the
+    * latest-per-key idiom (the reference grammar has plain DISTINCT only;
+    * SURVEY §2.4). Rewritten to the Spark-native window equivalent:
+    *   SELECT sel FROM (SELECT *, row_number() OVER (PARTITION BY k1, …
+    *     ORDER BY obys) AS __graft_don FROM body) __graft_d
+    *   WHERE __graft_don = 1 ORDER BY obys [limit-tail]
+    * Scope — violations are rejected loudly, never silently wrong:
+    * the DISTINCT ON SELECT must sit at paren depth 0 (a CTE prefix is
+    * fine — CTE bodies close their parens before the main SELECT), must
+    * carry an ORDER BY (PG's ORDER-BY-less form returns arbitrary rows —
+    * nondeterminism this engine refuses), and the body must have no
+    * top-level GROUP BY (`SELECT *` under the window would change the
+    * aggregate's shape). The window and outer ORDER BY see base/output
+    * columns exactly as PG resolves them. */
+  private def rewriteDistinctOn(sql: String): String = {
+    val re = """(?i)\bSELECT\s+DISTINCT\s+ON\s*\(""".r
+    val spans = literalSpans(sql)
+    val m = re.findAllMatchIn(sql).find(mm => !inLiteral(spans, mm.start))
+      .getOrElse(return sql)
+    // paren depth at the match — CTE prefixes close to 0, subqueries don't
+    var depth = 0; var i = 0
+    while (i < m.start) {
+      if (!inLiteral(spans, i)) {
+        val c = sql.charAt(i)
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+      }
+      i += 1
+    }
+    if (depth != 0) throw new IllegalArgumentException(
+      "DISTINCT ON in a subquery is not supported; hoist it into a CTE")
+    // balanced key list
+    val open = m.end - 1
+    var d = 0; var j = open; var close = -1
+    while (j < sql.length && close < 0) {
+      val span = spans.find { case (a, b) => j >= a && j < b }
+      if (span.isDefined) j = span.get._2
+      else {
+        sql.charAt(j) match {
+          case '(' => d += 1
+          case ')' => d -= 1; if (d == 0) close = j
+          case _ =>
+        }
+        if (close < 0) j += 1
+      }
+    }
+    if (close < 0) throw new IllegalArgumentException(
+      s"unbalanced parens in DISTINCT ON: $sql")
+    val keys = sql.substring(open + 1, close)
+    // top-level keyword scan relative to this SELECT's depth
+    def topLevel(from: Int, re2: scala.util.matching.Regex): Option[Int] =
+      re2.findAllMatchIn(sql).filter(x => x.start >= from && !inLiteral(spans, x.start))
+        .find { x =>
+          var dd = 0; var k = close + 1
+          while (k < x.start) {
+            if (!inLiteral(spans, k)) {
+              val c = sql.charAt(k)
+              if (c == '(') dd += 1 else if (c == ')') dd -= 1
+            }
+            k += 1
+          }
+          dd == 0
+        }.map(_.start)
+    val fromPos = topLevel(close + 1, """(?i)\bFROM\b""".r).getOrElse(
+      throw new IllegalArgumentException("DISTINCT ON requires a FROM clause"))
+    val orderPos = topLevel(fromPos, """(?i)\bORDER\s+BY\b""".r).getOrElse(
+      throw new IllegalArgumentException(
+        "DISTINCT ON without ORDER BY returns arbitrary rows; add an ORDER BY " +
+          "leading with the DISTINCT ON expressions"))
+    if (topLevel(fromPos, """(?i)\bGROUP\s+BY\b""".r).exists(_ < orderPos))
+      throw new IllegalArgumentException(
+        "DISTINCT ON over a grouped query is not supported; aggregate in a CTE first")
+    val sel = sql.substring(close + 1, fromPos).trim
+    val body = sql.substring(fromPos + 4, orderPos).trim
+    val afterOrder = sql.substring(orderPos).replaceFirst("""(?is)^ORDER\s+BY""", "")
+    val limPos = topLevel(orderPos, """(?i)\b(?:LIMIT|OFFSET|FETCH)\b""".r)
+    val (obys, tail) = limPos match {
+      case Some(p) =>
+        (sql.substring(orderPos, p).replaceFirst("""(?is)^ORDER\s+BY""", "").trim,
+          sql.substring(p))
+      case None => (afterOrder.trim, "")
+    }
+    sql.substring(0, m.start) +
+      s"SELECT $sel FROM (SELECT *, row_number() OVER (PARTITION BY $keys " +
+      s"ORDER BY $obys) AS __graft_don FROM $body) __graft_d " +
+      s"WHERE __graft_don = 1 ORDER BY $obys" + (if (tail.isEmpty) "" else s" $tail")
+  }
+
   /** PG double-quoted identifiers → Spark backticks: `"returning"` →
     * `` `returning` ``. Without this, qualified `a."kw"` is a Spark
     * PARSE_SYNTAX_ERROR and a bare `"kw"` parses as a STRING LITERAL in
@@ -320,6 +509,9 @@ object PgRewrite {
     })
     s = rewriteCasts(s)
     s = rewriteAggOrderBy(s)
+    s = rewriteFetchFirst(s)
+    s = rewriteGenerateSeries(s)
+    s = rewriteDistinctOn(s)
     // PG system functions the reference serves at protocol level
     // (postgres/PostgresConnectionHandler.java:202-213,296-371)
     s = s.replaceAll("(?i)\\bVERSION\\s*\\(\\)", "'graft (Spark " +

@@ -214,6 +214,79 @@ class DdlDmlSpec extends SparkSpec {
       PgRewrite.rewrite("SELECT array_agg(v ORDER BY k1 ASC, k2 DESC) FROM t"))
   }
 
+  test("ANSI FETCH FIRST / OFFSET ROWS rewrite to LIMIT/OFFSET") {
+    assert(PgRewrite.rewrite(
+      "SELECT * FROM t ORDER BY a OFFSET 5 ROWS FETCH FIRST 10 ROWS ONLY") ==
+      "SELECT * FROM t ORDER BY a LIMIT 10 OFFSET 5")
+    assert(PgRewrite.rewrite("SELECT * FROM t FETCH FIRST ROW ONLY") ==
+      "SELECT * FROM t LIMIT 1")
+    assert(PgRewrite.rewrite("SELECT * FROM t FETCH NEXT 3 ROWS ONLY") ==
+      "SELECT * FROM t LIMIT 3")
+    assert(PgRewrite.rewrite("SELECT * FROM t ORDER BY a OFFSET 4 ROWS") ==
+      "SELECT * FROM t ORDER BY a OFFSET 4")
+    // operator text inside a literal is content, not syntax
+    assert(PgRewrite.rewrite("SELECT 'OFFSET 4 ROWS' FROM t") ==
+      "SELECT 'OFFSET 4 ROWS' FROM t")
+    // WITH TIES has no LIMIT twin — loud rejection, not dropped ties
+    assertThrows[IllegalArgumentException](PgRewrite.rewrite(
+      "SELECT * FROM t ORDER BY a FETCH FIRST 3 ROWS WITH TIES"))
+  }
+
+  test("generate_series in FROM rewrites to explode(sequence())") {
+    assert(PgRewrite.rewrite("SELECT n FROM generate_series(1, 5) AS t(n)") ==
+      "SELECT n FROM explode(sequence(1, 5)) AS t(n)")
+    // PG: a bare alias names both the relation and the column
+    assert(PgRewrite.rewrite("SELECT g FROM generate_series(1, 5) g") ==
+      "SELECT g FROM explode(sequence(1, 5)) AS g(g)")
+    // no alias: PG exposes a column named generate_series
+    assert(PgRewrite.rewrite("SELECT * FROM generate_series(1, 10, 2)") ==
+      "SELECT * FROM explode(sequence(1, 10, 2)) AS generate_series(generate_series)")
+    // alias lookahead must not eat a following keyword
+    assert(PgRewrite.rewrite("SELECT * FROM generate_series(1, 3) WHERE generate_series > 1") ==
+      "SELECT * FROM explode(sequence(1, 3)) AS generate_series(generate_series) WHERE generate_series > 1")
+    // argument position (inside parens) is untouched
+    assert(PgRewrite.rewrite("SELECT coalesce(x, generate_series(1, 2)) FROM t") ==
+      "SELECT coalesce(x, generate_series(1, 2)) FROM t")
+    // FROM-list comma position rewrites (cross join source)
+    assert(PgRewrite.rewrite("SELECT * FROM t, generate_series(1, 3) s") ==
+      "SELECT * FROM t, explode(sequence(1, 3)) AS s(s)")
+  }
+
+  test("DISTINCT ON rewrites to a row_number window") {
+    assert(PgRewrite.rewrite(
+      "SELECT DISTINCT ON (k) k, v FROM m ORDER BY k, o DESC LIMIT 5") ==
+      "SELECT k, v FROM (SELECT *, row_number() OVER (PARTITION BY k " +
+        "ORDER BY k, o DESC) AS __graft_don FROM m) __graft_d " +
+        "WHERE __graft_don = 1 ORDER BY k, o DESC LIMIT 5")
+    // ORDER-BY-less DISTINCT ON returns arbitrary rows in PG — refused
+    assertThrows[IllegalArgumentException](
+      PgRewrite.rewrite("SELECT DISTINCT ON (k) k, v FROM m"))
+    // subquery position — refused loudly, never silently wrong
+    assertThrows[IllegalArgumentException](PgRewrite.rewrite(
+      "SELECT * FROM (SELECT DISTINCT ON (k) k FROM m ORDER BY k) z"))
+    // grouped body under SELECT * would change the aggregate's shape
+    assertThrows[IllegalArgumentException](PgRewrite.rewrite(
+      "SELECT DISTINCT ON (k) k FROM m GROUP BY k ORDER BY k"))
+  }
+
+  test("DISTINCT ON / FETCH FIRST / generate_series end-to-end") {
+    val s = fresh()
+    s.sql("CREATE TABLE don (k INT, v TEXT, o INT)")
+    s.sql("INSERT INTO don VALUES (1,'a',1),(1,'b',2),(2,'c',1),(2,'d',0)")
+    val top = s.sql("SELECT DISTINCT ON (k) k, v FROM don ORDER BY k, o DESC")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(top == Seq((1, "b"), (2, "c")))
+    // ordered by (o, v): (0,d) (1,a) (1,c) (2,b) → skip 1, take 2
+    val page = s.sql(
+      "SELECT v FROM don ORDER BY o, v OFFSET 1 ROWS FETCH FIRST 2 ROWS ONLY")
+      .collect().map(_.getString(0)).toSeq
+    assert(page == Seq("a", "c"))
+    val series = s.sql(
+      "SELECT n, n * 2 AS dbl FROM generate_series(1, 4) AS t(n) ORDER BY n")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(series == Seq((1, 2), (2, 4), (3, 6), (4, 8)))
+  }
+
   test("PG JSON operator end-to-end through the session") {
     val s = fresh()
     s.sql("CREATE TABLE e (id INT PRIMARY KEY, props JSON)")
