@@ -375,6 +375,49 @@ object SimilarityQueries extends QueryPack {
       scored.withColumn("rnk", row_number().over(wq))
         .filter(col("rnk") <= 10)
         .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // Semantic decontamination — the embedding-space twin of the n-gram
+    // eval/train overlap check (dedup_contamination): flag every train
+    // vector whose cosine to ANY benchmark vector clears the threshold
+    // (paraphrased eval leakage that n-gram overlap misses). Eval sets
+    // are tiny by definition, so the plan is broadcast(eval) × one
+    // corpus scan with a codegen'd exact dot per pair — corpus-linear
+    // at any scale, no shuffle until the final per-vector aggregate;
+    // the same decimal-exact kernel as the oracle, so values match
+    // bit-for-bit.
+    Q(
+      "dedup_semantic_decontam",
+      s"""WITH u AS ($oVecs),
+         |n AS ($oNorms),
+         |e AS (SELECT vec_id FROM embeddings WHERE vec_id < 20),
+         |dots AS (
+         |  SELECT t.vec_id AS t_id, q.vec_id AS e_id,
+         |         CAST(SUM(CAST(CAST(t.x AS DOUBLE) * CAST(q.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         |  FROM u t JOIN u q ON t.p = q.p
+         |  WHERE q.vec_id IN (SELECT vec_id FROM e) AND t.vec_id >= 20
+         |  GROUP BY t.vec_id, q.vec_id),
+         |scored AS (
+         |  SELECT t_id, e_id, dot / (nt.norm * ne.norm) AS cosine
+         |  FROM dots JOIN n nt ON t_id = nt.vec_id JOIN n ne ON e_id = ne.vec_id)
+         |SELECT t_id AS vec_id, count(*) AS n_hits, MAX(cosine) AS max_cos
+         |FROM scored WHERE cosine >= 0.35
+         |GROUP BY t_id
+         |ORDER BY vec_id""".stripMargin
+    ) { (s, dir) =>
+      val vecs = withNorm(Tables.load(s, dir, "embeddings"))
+      val evalSet = vecs.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("e_id"), col("embedding").as("ee"),
+          col("norm").as("enorm"))
+      vecs.filter(col("vec_id") >= 20)
+        .crossJoin(broadcast(evalSet))
+        .select(col("vec_id"),
+          (dotExact(col("embedding"), col("ee")) / (col("norm") * col("enorm")))
+            .as("cosine"))
+        .filter(col("cosine") >= 0.35)
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_hits"), max(col("cosine")).as("max_cos"))
+        .orderBy(col("vec_id"))
     }
   )
 }

@@ -451,6 +451,151 @@ object TextQueries extends QueryPack {
           sum(col("n_tokens")).as("bin_tokens"),
           sum(when(col("last_bin") > col("bin"), 1L).otherwise(0L)).as("straddlers"))
         .orderBy(col("source"), col("bin"))
+    },
+
+    // Repetition signals — the Gopher/MassiveText quality heuristics for
+    // catching degenerate machine-generated text: per-document fraction
+    // of bigram occurrences belonging to the single most common bigram
+    // (top2_frac) and fraction that are repeats of an earlier occurrence
+    // (dup2_frac). One explode + two hash aggregations, all codegen'd;
+    // at 100 TB this is corpus-linear with doc_id-local keys (no global
+    // state — each doc's signals depend only on its own bigrams).
+    Q(
+      "text_repetition_signals",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |grams AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM toks),
+        |counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+        |SELECT doc_id,
+        |       CAST(MAX(c) AS DOUBLE) / SUM(c) AS top2_frac,
+        |       CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c) AS dup2_frac
+        |FROM counts GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val withT = Tables.spread(Tables.load(s, dir, "documents"))
+        .filter(size(toks) >= 2)
+        .select(col("doc_id"), toks.as("t"))
+      val grams = withT.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        .as("g"))
+      grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg((max(col("c")).cast("double") / sum(col("c"))).as("top2_frac"),
+          ((sum(col("c")) - count(lit(1))).cast("double") / sum(col("c"))).as("dup2_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    // PII redaction — the scrubbing pass every published pretraining
+    // pipeline runs before training: a chain of codegen'd regexp_replace
+    // (emails, then digit runs), with a per-row redaction count for audit
+    // sampling. The fixture's props JSON carries digit runs, so the
+    // number pattern fires on every row; the email pattern's firing is
+    // proven on synthetic PII in TextPipelineSpec (fixture text has
+    // none — by design, it is synthetic). Row-local → trivially
+    // corpus-linear at any scale.
+    Q(
+      "text_pii_redact",
+      """SELECT event_id,
+        |  regexp_replace(regexp_replace(props,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_num
+        |FROM events WHERE event_id < 500
+        |ORDER BY event_id""".stripMargin
+    ) { (s, dir) =>
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      Tables.load(s, dir, "events")
+        .filter(col("event_id") < 500)
+        .select(col("event_id"),
+          regexp_replace(regexp_replace(col("props"), email, "<EMAIL>"),
+            "[0-9]+", "<NUM>").as("redacted"),
+          regexp_count(col("props"), lit("[0-9]+")).cast("long").as("n_num"))
+        .orderBy(col("event_id"))
+    },
+
+    // Deterministic train/val/test split — assignment must be a pure
+    // function of the stable doc key (never rand(): reruns, retries and
+    // engine migrations must land every doc in the same split). Bucket =
+    // first 6 hex digits of md5(doc_id) mod 100 → 80/10/10. The gate
+    // compares per-(split, source) counts and a doc_id checksum, so a
+    // single reassigned document fails it. Row-local hash → no shuffle
+    // beyond the final tiny aggregate.
+    Q(
+      "sample_split_hash",
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER) % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |       source, count(*) AS n_docs, SUM(doc_id) AS id_sum
+        |FROM h GROUP BY 1, 2
+        |ORDER BY split, source""".stripMargin
+    ) { (s, dir) =>
+      val bucket = expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT) % 100")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), bucket.as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("split"), col("source"))
+    },
+
+    // Quality-weighted source mixing — the data-mixture step: each
+    // source's acceptance rate is (quality / best-quality)², so the best
+    // source keeps everything and weaker sources downsample, and the
+    // accept decision is the same deterministic md5 bucket as the split
+    // operator (reproducible mixtures). Quality is the decimal-exact mean
+    // uniqueness ratio, so both engines derive bit-identical thresholds.
+    // Scale shape: the per-source table is tiny → broadcast back onto
+    // the corpus scan; one narrow pass + one small aggregate.
+    Q(
+      "pipeline_mix_weighted",
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10000 AS bucket,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS uniq_ratio
+        |  FROM documents),
+        |w AS (
+        |  SELECT source,
+        |         CAST(SUM(CAST(uniq_ratio AS DECIMAL(28,6))) AS DOUBLE) / COUNT(uniq_ratio) AS qual
+        |  FROM q GROUP BY source),
+        |r AS (
+        |  SELECT source,
+        |         CAST(FLOOR((qual / MAX(qual) OVER ()) * (qual / MAX(qual) OVER ()) * 10000) AS BIGINT) AS thr
+        |  FROM w)
+        |SELECT q.source, count(*) AS n_in,
+        |       SUM(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS n_kept
+        |FROM q JOIN r ON q.source = r.source
+        |GROUP BY q.source
+        |ORDER BY q.source""".stripMargin
+    ) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val q = Tables.load(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 10000")
+          .as("bucket"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("uniq_ratio"))
+      val w = q.groupBy(col("source")).agg(graft.Exact.davg(col("uniq_ratio")).as("qual"))
+      val maxq = w.agg(max(col("qual")).as("maxq"))
+      val r = w.crossJoin(broadcast(maxq))
+        .select(col("source"),
+          floor((col("qual") / col("maxq")) * (col("qual") / col("maxq")) * 10000)
+            .cast("long").as("thr"))
+      q.join(broadcast(r), "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_in"),
+          sum(when(col("bucket") < col("thr"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("source"))
     }
   )
 }

@@ -58,6 +58,17 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast probe join:\n${p.take(1500)}")
   }
 
+  test("semantic decontamination broadcasts the eval vectors over one corpus scan") {
+    val p = planOf("dedup_semantic_decontam")
+    // eval × corpus must be a broadcast nested loop over the 20-row eval
+    // side (the pair compute is row-local after broadcast) — never a
+    // shuffle of the corpus or a partition-less cartesian
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected eval-side broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      s"must not plan a cartesian:\n${p.take(1500)}")
+  }
+
   test("decontamination broadcasts the tiny eval side against the train index") {
     val p = planOf("dedup_contamination")
     assert(!p.contains("CartesianProduct"),

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Value-level checks for the text-pipeline operators the fixture can't
+  * exercise directly (its synthetic word-soup contains no PII — by
+  * design), plus the determinism/shape properties the hash-split and
+  * weighted-mix operators promise. The DuckDB oracle gate covers their
+  * exact values; these specs cover the SEMANTICS the gate can't see. */
+class TextPipelineSpec extends SparkSpec {
+
+  test("PII redaction fires on emails and digit runs") {
+    import spark.implicits._
+    // the same pattern chain text_pii_redact applies to the fixture
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val df = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or call 555 123456"),
+      (2L, "no pii here"),
+      (3L, "a@b.io and c.d@e-f.org")).toDF("id", "t")
+    val out = df.select(col("id"),
+      regexp_replace(regexp_replace(col("t"), email, "<EMAIL>"),
+        "[0-9]+", "<NUM>").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "contact <EMAIL> or call <NUM> <NUM>")
+    assert(out(2L) == "no pii here")
+    assert(out(3L) == "<EMAIL> and <EMAIL>")
+  }
+
+  test("hash split is pure, stable, and majority-train") {
+    val out = SparkEntry.queries("sample_split_hash")(spark, sf())
+    val rows = out.collect()
+    val bySplit = rows.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") + bySplit("test"),
+      s"80/10/10 split should be majority-train: $bySplit")
+    // a rerun is bit-identical — assignment is a pure function of doc_id
+    val again = SparkEntry.queries("sample_split_hash")(spark, sf()).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("weighted mix keeps at most n_in per source and keeps the corpus nonempty") {
+    val rows = SparkEntry.queries("pipeline_mix_weighted")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, nIn, nKept) => nKept <= nIn })
+    assert(rows.map(_._3).sum > 0)
+  }
+
+  test("repetition signals are valid fractions and catch repetitive docs") {
+    val rows = SparkEntry.queries("text_repetition_signals")(spark, sf()).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (top, dup) =>
+      top > 0.0 && top <= 1.0 && dup >= 0.0 && dup < 1.0 })
+    // the word-soup fixture draws from a tiny vocabulary, so repeated
+    // bigrams must exist somewhere in the corpus
+    assert(rows.exists { case (_, dup) => dup > 0.0 })
+  }
+}
