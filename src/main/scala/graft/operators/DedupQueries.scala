@@ -677,6 +677,77 @@ object DedupQueries extends QueryPack {
         .select(col("a"), col("b"), expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
         .filter(col("hamming") <= 3)
         .orderBy(col("a"), col("b"))
+    },
+
+    // Exact substring dedup (Lee et al., "Deduplicating Training Data
+    // Makes Language Models Better"): remove from every document each
+    // 10-token span that already occurs in an earlier document (min
+    // doc_id keeps its copy), then reassemble the survivors. The
+    // distributed-friendly k-gram formulation of the paper's
+    // suffix-array pass: positional 10-grams → first-owner per gram
+    // (one window min — df-as-window, no groupBy+join) → duplicated
+    // instances explode to their 10 covered token positions → tokens
+    // anti-joined on (doc, position) → ordered reassembly. Every stage
+    // is corpus-linear (the explode is a constant ×10) and keys are
+    // hash-partitioned — no all-pairs anything; the 100 TB shape is one
+    // shuffle on gram + doc-local everything else. The gate hashes the
+    // reconstructed text, so one mis-kept token anywhere fails it.
+    Q(
+      "dedup_substring_exact",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS j FROM toks),
+        |g0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 8),
+        |           i -> struct_pack(i := i, g := array_to_string(t[i:i+9], ' ')))) AS ig
+        |  FROM toks WHERE len(t) >= 10),
+        |grams AS (SELECT doc_id, ig.i AS i, ig.g AS g FROM g0),
+        |owned AS (
+        |  SELECT doc_id, i, MIN(doc_id) OVER (PARTITION BY g) AS first_doc
+        |  FROM grams),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, unnest(range(i, i + 10)) AS j
+        |  FROM owned WHERE doc_id > first_doc),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.w, tok.j FROM tok
+        |  ANTI JOIN covered ON tok.doc_id = covered.doc_id AND tok.j = covered.j)
+        |SELECT toks.doc_id,
+        |       CAST(len(t) AS BIGINT) AS n_tokens,
+        |       CAST(len(t) - count(kept.j) AS BIGINT) AS n_removed,
+        |       md5(coalesce(array_to_string(list(kept.w ORDER BY kept.j), ' '), '')) AS clean_md5
+        |FROM toks LEFT JOIN kept ON toks.doc_id = kept.doc_id
+        |GROUP BY toks.doc_id, len(t)
+        |ORDER BY toks.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val K = 10
+      val toks = Tables.spread(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val tok = toks.select(col("doc_id"),
+        posexplode(col("t")).as(Seq("p0", "w")))
+        .select(col("doc_id"), col("w"), (col("p0") + 1).as("j"))
+      val grams = toks.filter(size(col("t")) >= K)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(t) - ${K - 1}), " +
+            s"i -> struct(i AS i, array_join(slice(t, i, $K), ' ') AS g))")).as("ig"))
+        .select(col("doc_id"), col("ig.i").as("i"), col("ig.g").as("g"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      val owned = grams.withColumn("first_doc", min(col("doc_id")).over(w))
+      val covered = owned.filter(col("doc_id") > col("first_doc"))
+        .select(col("doc_id"), explode(sequence(col("i"), col("i") + K - 1)).as("j"))
+        .distinct()
+      val kept = tok.join(covered, Seq("doc_id", "j"), "left_anti")
+      val lens = toks.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      lens.join(
+          kept.groupBy(col("doc_id")).agg(
+            count(lit(1)).as("n_kept"),
+            md5(array_join(expr("transform(array_sort(collect_list(struct(j, w))), s -> s.w)"),
+              " ")).as("clean_md5")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+        .orderBy(col("doc_id"))
     }
   )
 }

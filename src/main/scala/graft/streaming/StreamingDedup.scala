@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Continuous near-duplicate detection over a document ingest stream —
+  * the streaming twin of the batch `dedup_incremental` operator (SURVEY
+  * §2.11 extension; the reference has no streaming surface at all, its
+  * closest analogue being the scheduled background jobs in kv/jobs/).
+  *
+  * Shape: the stateless prefix (shingle → one-pass MinHash signature →
+  * band keys) is the exact batch pipeline and runs narrow on the stream;
+  * the stateful core keys by LSH bucket `(band, bkey)` and keeps, per
+  * bucket, the signatures of every document that ever landed there.
+  * A new arrival compares against only its bucket's residents —
+  * candidates emit in the micro-batch they become detectable, never a
+  * corpus re-pairing (the property that makes daily-crawl dedup viable
+  * at 100 TB: per-batch cost is proportional to the increment × bucket
+  * occupancy, not the corpus).
+  *
+  * State growth: a bucket's resident list grows with its occupancy —
+  * the same skew exposure as the batch band join. Production bounds it
+  * with `GroupStateTimeout` eviction (stale buckets expire) or a
+  * per-bucket cap; the operator keeps `NoTimeout` so the test surface
+  * is deterministic, and the cap decision is the caller's policy.
+  *
+  * A pair sharing several band keys emits once per matching bucket;
+  * dedupe downstream (`dropDuplicates("a","b")` — streaming-safe in
+  * append mode) exactly as the batch LSH pipeline `distinct()`s its
+  * candidate set.
+  */
+object StreamingDedup {
+
+  /** One document landing in one LSH bucket. */
+  case class DocSig(docId: Long, band: Int, bkey: String, sig: Seq[Long])
+
+  /** Bucket residents: (docId, signature) of every doc seen. */
+  case class BucketDocs(docs: Seq[(Long, Seq[Long])])
+
+  /** Candidate pair with its estimated Jaccard (matching MinHash
+    * component fraction); a < b always. */
+  case class DupCandidate(a: Long, b: Long, est: Double)
+
+  /** Stateless prefix — identical math to the batch LSH operator
+    * (DedupQueries `dedup_minhash_lsh`): 5-shingles, `bands × rows`
+    * MinHash components in one native pass, one row per band with the
+    * band's component slice as the bucket key. */
+  def bandRows(docs: DataFrame, bands: Int, rows: Int): Dataset[DocSig] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.minHash(
+          array_distinct(graft.functions.VectorFunctions.shingles(col("text"), 5)),
+          bands * rows).as("mh"))
+      .select(col("doc_id").as("docId"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("mh"))
+      .select(col("docId"), col("band"),
+        concat_ws(",",
+          transform(slice(col("mh"), col("band") * rows + 1, lit(rows)),
+            _.cast("string"))).as("bkey"),
+        col("mh").as("sig"))
+      .as[DocSig]
+  }
+
+  /** Stateful core: per-bucket resident comparison. Works on a streaming
+    * OR batch `Dataset[DocSig]` (Spark runs `flatMapGroupsWithState`
+    * one-shot in batch mode) — the same one-definition/two-modes
+    * property as [[EventStreams]]. */
+  def candidates(rows: Dataset[DocSig], thr: Double): Dataset[DupCandidate] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(r => (r.band, r.bkey))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, String), it: Iterator[DocSig], state: GroupState[BucketDocs]) => {
+          var residents = state.getOption.map(_.docs).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[DupCandidate]
+          // arrival order within a micro-batch is nondeterministic, so
+          // order by docId for a deterministic emit set (same-batch
+          // pairs are emitted exactly once, smaller id first)
+          for (d <- it.toSeq.sortBy(_.docId)) {
+            if (!residents.exists(_._1 == d.docId)) {
+              for ((oid, osig) <- residents) {
+                val matching = osig.zip(d.sig).count { case (x, y) => x == y }
+                val est = matching.toDouble / d.sig.length
+                if (est >= thr)
+                  out += DupCandidate(math.min(oid, d.docId), math.max(oid, d.docId), est)
+              }
+              residents = residents :+ (d.docId -> d.sig)
+            }
+          }
+          state.update(BucketDocs(residents))
+          out.result().iterator
+        })
+  }
+
+  /** End-to-end: documents stream in, candidate near-dup pairs stream
+    * out (once per matching band — see class doc for dedupe). */
+  def nearDupStream(docs: DataFrame, bands: Int = 4, rows: Int = 3,
+      thr: Double = 0.7): Dataset[DupCandidate] =
+    candidates(bandRows(docs, bands, rows), thr)
+}

@@ -8,6 +8,8 @@ import graft.streaming.EventStreams
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
+case class DocText(doc_id: Long, text: String)
+
 /** Structured Streaming behaviors (SURVEY §2.11): incremental windowed
   * aggregation, watermark-based late-data dropping, session merging, and
   * foreachBatch materialized-view maintenance — the Spark-native version
@@ -284,6 +286,43 @@ class StreamingSpec extends SparkSpec {
       val m = spark.sql("SELECT tier, n FROM dim_sink").collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(m == Map("gold" -> 2L, "basic" -> 1L))
+    } finally q.stop()
+  }
+
+  test("streaming LSH dedup emits candidate pairs as the corpus accretes") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+      "home tonight while birds sing softly in the old oak tree near the river bank"
+    val other = "completely different content about spark engines and catalyst " +
+      "optimizer rules running distributed queries over parquet at scale"
+    val in = MemoryStream[DocText]
+    val q = graft.streaming.StreamingDedup.nearDupStream(in.toDF(), thr = 0.5)
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(DocText(1, base), DocText(2, other))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM dedup_sink").collect().isEmpty,
+        "dissimilar docs must not pair")
+      // a copy of doc 1 arrives in a later micro-batch: every band
+      // bucket of doc 1 now holds a second resident → pair emits
+      in.addData(DocText(3, base))
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT DISTINCT a, b, est FROM dedup_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pairs == Set((1L, 3L, 1.0)), s"expected exact-copy pair, got $pairs")
+      // replaying an already-resident doc id adds no new pairs
+      in.addData(DocText(3, base))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT DISTINCT a, b FROM dedup_sink").collect().length == 1)
+      // two same-batch copies pair exactly once (in-batch ordering)
+      val fresh = "nine green bottles standing quietly on the high stone wall " +
+        "until one falls down and then eight remain counting slowly backwards"
+      in.addData(DocText(10, fresh), DocText(11, fresh))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT DISTINCT a, b FROM dedup_sink ORDER BY a, b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(all == Set((1L, 3L), (10L, 11L)), s"got $all")
     } finally q.stop()
   }
 
