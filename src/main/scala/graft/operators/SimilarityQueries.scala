@@ -418,6 +418,103 @@ object SimilarityQueries extends QueryPack {
         .groupBy(col("vec_id"))
         .agg(count(lit(1)).as("n_hits"), max(col("cosine")).as("max_cos"))
         .orderBy(col("vec_id"))
+    },
+
+    // Distributed k-means (Lloyd's) — TRAINS the centroids the IVF
+    // operator probes (sim_ann_ivf seeds its lists from raw vectors; a
+    // production index trains them). k=8, deterministic init (vec_id<8),
+    // two update rounds + final assignment. Every arithmetic step is the
+    // repo's decimal-exact contract — dot products and component means
+    // accumulate in DECIMAL(38,12) then cast to double — so assignment,
+    // tie-breaks (dist, then cid) and the trained centroids are
+    // bit-identical across engines and runs, making a value-level oracle
+    // possible for an iterative ML fit. Scale shape per round: centroids
+    // are PARAMETERS (k×dim doubles) — broadcast as literals into one
+    // narrow scan (argmin over k scores per row, no join, no shuffle);
+    // the update is one (cluster, dim)-keyed partial aggregate. The k×dim
+    // driver collect is the MLlib pattern: parameters come back to the
+    // driver, data never does.
+    Q(
+      "sim_kmeans_train",
+      {
+        val k = 8
+        def iterCtes(i: Int, prev: String): String =
+          s"""cu$i AS (SELECT cid, CAST(unnest(ce) AS DOUBLE) AS y,
+             |            generate_subscripts(ce, 1) AS p FROM $prev),
+             |c2_$i AS (SELECT cid, CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS c2
+             |          FROM cu$i GROUP BY cid),
+             |d$i AS (SELECT u.vec_id, cu$i.cid,
+             |          CAST(SUM(CAST(CAST(u.x AS DOUBLE) * cu$i.y AS DECIMAL(38,12))) AS DOUBLE) AS dot
+             |        FROM u JOIN cu$i ON u.p = cu$i.p GROUP BY u.vec_id, cu$i.cid),
+             |s$i AS (SELECT d$i.vec_id, d$i.cid, c2_$i.c2 - 2 * d$i.dot AS s
+             |        FROM d$i JOIN c2_$i ON d$i.cid = c2_$i.cid),
+             |a$i AS (SELECT vec_id, cid,
+             |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cid) AS r
+             |        FROM s$i)""".stripMargin
+        def updateCtes(i: Int, prev: String): String =
+          s"""mm$i AS (SELECT a.cid, u.p,
+             |           CAST(SUM(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+             |             / COUNT(*) AS m
+             |         FROM (SELECT vec_id, cid FROM a$i WHERE r = 1) a
+             |         JOIN u USING (vec_id) GROUP BY a.cid, u.p),
+             |cn$i AS (SELECT cid, list(m ORDER BY p) AS ce FROM mm$i GROUP BY cid),
+             |c$i AS (SELECT p.cid, COALESCE(cn$i.ce, p.ce) AS ce
+             |        FROM $prev p LEFT JOIN cn$i ON p.cid = cn$i.cid)""".stripMargin
+        s"""WITH u AS ($oVecs),
+           |c0 AS (SELECT vec_id AS cid, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS ce
+           |       FROM embeddings WHERE vec_id < $k),
+           |${iterCtes(1, "c0")},
+           |${updateCtes(1, "c0")},
+           |${iterCtes(2, "c1")},
+           |${updateCtes(2, "c1")},
+           |${iterCtes(3, "c2")}
+           |SELECT vec_id, CAST(cid AS INT) AS cluster FROM a3 WHERE r = 1
+           |ORDER BY vec_id""".stripMargin
+      }
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DataTypes
+      val k = 8
+      // scale 12 = the oracle's DECIMAL(38,12) rounding; precision 30
+      // leaves addition headroom below Spark's 38 cap (a (38,12)+(38,12)
+      // add would shrink to scale 11 and break bit-exactness). The
+      // re-cast in the merge lambda is value-preserving: magnitudes here
+      // are ≤ 10^3, far inside 18 integer digits.
+      val dec = DataTypes.createDecimalType(30, 12)
+      val vecs = Tables.spread(Tables.load(s, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      // decimal-exact dot against a literal (broadcast-as-parameter) array
+      def dotLit(e: Column, c: Seq[Double]): Column =
+        aggregate(
+          zip_with(e, typedlit(c), (x, y) => (x.cast("double") * y).cast(dec)),
+          lit(BigDecimal(0)).cast(dec), (a, b) => (a + b).cast(dec)).cast("double")
+      def assign(cents: Seq[Seq[Double]]): DataFrame = {
+        val scores = array(cents.zipWithIndex.map { case (c, j) =>
+          // |c|^2 via the same decimal kernel (constant subtree), minus
+          // 2*x·c — |x|^2 is rank-invariant and dropped
+          struct((dotLit(typedlit(c), c) - lit(2.0) * dotLit(col("embedding"), c)).as("s"),
+            lit(j).as("cid"))
+        }: _*)
+        vecs.select(col("vec_id"), col("embedding"),
+          array_min(scores).getField("cid").as("cluster"))
+      }
+      var cents: Seq[Seq[Double]] = vecs.filter(col("vec_id") < k)
+        .orderBy(col("vec_id")).collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      for (_ <- 1 to 2) {
+        val members = assign(cents)
+        val means = members
+          .select(col("cluster"), posexplode(col("embedding")).as(Seq("p", "x")))
+          .groupBy(col("cluster"), col("p"))
+          .agg((sum(col("x").cast("double").cast(dec)).cast("double") / count(lit(1))).as("m"))
+          .collect()
+        val byCluster = means.groupBy(_.getInt(0)).map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+        cents = cents.indices.map(j => byCluster.getOrElse(j, cents(j)))
+      }
+      assign(cents)
+        .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+        .orderBy(col("vec_id"))
     }
   )
 }

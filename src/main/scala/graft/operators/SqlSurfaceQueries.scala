@@ -86,6 +86,17 @@ object SqlSurfaceQueries extends QueryPack {
     // PG set-returning generate_series in FROM → explode(sequence());
     // joined against a fact table (orderkey mod-7 histogram) so the
     // rewrite proves out as a real relation, not just a SELECT source.
+    // PG quantified comparisons + ARRAY constructor — the JDBC setArray
+    // idiom (`x = ANY(?)`) over an array literal AND a subquery in one
+    // predicate; PgRewrite maps them to array_contains / IN. DuckDB
+    // parses the PG forms natively.
+    pg(
+      "sql_any_quantifier",
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_mktsegment = ANY(ARRAY['BUILDING', 'MACHINERY'])
+        |  AND c_custkey = ANY(SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin),
+
     pg(
       "sql_generate_series",
       """SELECT CAST(g.n AS BIGINT) AS n, count(o.o_orderkey) AS cnt

@@ -1766,27 +1766,51 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   private def topLevelMatch(s: String, re: Regex): Option[scala.util.matching.Regex.Match] =
     topLevelMatches(s, re).headOption
 
-  /** `ON CONFLICT [(cols)] DO NOTHING | DO UPDATE SET … [WHERE …]`.
-    * `action` None = DO NOTHING; Some((setClause, where)) = DO UPDATE. */
+  /** `ON CONFLICT [(cols) | ON CONSTRAINT name] DO NOTHING | DO UPDATE
+    * SET … [WHERE …]`. `action` None = DO NOTHING; Some((setClause,
+    * where)) = DO UPDATE. `byConstraint` carries PG's named-constraint
+    * target, resolved to columns at the consumption site (needs the
+    * TableDef). */
   private case class OnConflictClause(
-      target: Seq[String], action: Option[(String, Option[String])])
+      target: Seq[String], byConstraint: Option[String],
+      action: Option[(String, Option[String])])
 
   private def parseOnConflict(s: String): OnConflictClause = {
-    val re = """(?is)ON\s+CONFLICT\s*(?:\(([^)]*)\))?\s*DO\s+(NOTHING|UPDATE\s+SET\s+.*)""".r
+    val re = ("""(?is)ON\s+CONFLICT\s*(?:\(([^)]*)\)|""" +
+      """ON\s+CONSTRAINT\s+("?[\w]+"?))?\s*DO\s+(NOTHING|UPDATE\s+SET\s+.*)""").r
     s.trim match {
-      case re(cols, act) =>
+      case re(cols, conName, act) =>
         val target = Option(cols).toSeq.flatMap(
           _.split(",").map(_.trim.replaceAll("\"", "").toLowerCase).filter(_.nonEmpty))
-        if (act.trim.equalsIgnoreCase("NOTHING")) OnConflictClause(target, None)
+        val byCon = Option(conName).map(_.replaceAll("\"", "").toLowerCase)
+        if (act.trim.equalsIgnoreCase("NOTHING")) OnConflictClause(target, byCon, None)
         else {
-          require(target.nonEmpty,
+          require(target.nonEmpty || byCon.nonEmpty,
             "ON CONFLICT DO UPDATE requires a conflict target (PG semantics)")
           val body = act.trim.replaceFirst("(?is)^UPDATE\\s+SET\\s+", "")
           val (setS, whereOpt) = splitTopLevelWhere(body)
-          OnConflictClause(target, Some((setS, whereOpt)))
+          OnConflictClause(target, byCon, Some((setS, whereOpt)))
         }
       case _ => throw new IllegalArgumentException(s"cannot parse ON CONFLICT clause: $s")
     }
+  }
+
+  /** Resolve PG's `ON CONFLICT ON CONSTRAINT <name>` against the
+    * engine's deterministic constraint-name synthesis — the same names
+    * pg_constraint publishes, which are also PG's own auto-generated
+    * names: `<t>_pkey`, `<t>_<col>_key`, `<t>_uq<i>_key` (reference
+    * kv/PgCatalogTable.java:235-272 shape). An unknown name fails with
+    * the known-name list, never a silent fallthrough. */
+  private def constraintColumns(t: TableDef, name: String): Seq[String] = {
+    val known: Seq[(String, Seq[String])] =
+      (if (t.primaryKey.nonEmpty) Seq(s"${t.name}_pkey" -> t.primaryKey) else Nil) ++
+        t.columns.filter(_.unique).map(c => s"${t.name}_${c.name}_key" -> Seq(c.name)) ++
+        t.uniqueKeys.zipWithIndex.map { case (k, i) => s"${t.name}_uq${i + 1}_key" -> k }
+    known.collectFirst { case (n, cols) if n.equalsIgnoreCase(name) =>
+      cols.map(_.toLowerCase) }
+      .getOrElse(throw new IllegalArgumentException(
+        s"ON CONFLICT ON CONSTRAINT $name: no such constraint on ${t.name}" +
+          (if (known.isEmpty) "" else s"; known: ${known.map(_._1).mkString(", ")}")))
   }
 
   /** Peel `RETURNING <exprs>` off the end of a DML statement. */
@@ -1817,20 +1841,16 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     // it; a match followed by DO with an unparsable action still throws.
     val conflictMatches = topLevelMatches(noRet, """(?i)\bON\s+CONFLICT\b""".r)
     val conflictAt = conflictMatches.find { m =>
-      noRet.substring(m.start).trim.matches("""(?is)ON\s+CONFLICT\s*(\([^)]*\))?\s*DO\b.*""")
+      noRet.substring(m.start).trim.matches(
+        """(?is)ON\s+CONFLICT\s*(\([^)]*\)|ON\s+CONSTRAINT\s+[\w"]+)?\s*DO\b.*""")
     }
     // A real-looking clause the DO-lookahead could NOT parse (expression
-    // target with nested parens like `(lower(email))`, or PG's `ON
-    // CONSTRAINT name` form) must fail loudly here — falling through
-    // would leak the clause into the VALUES/SELECT source and surface as
-    // an opaque Spark parse error.
+    // target with nested parens like `(lower(email))`) must fail loudly
+    // here — falling through would leak the clause into the VALUES/SELECT
+    // source and surface as an opaque Spark parse error.
     if (conflictAt.isEmpty) conflictMatches.foreach { m =>
       val rest = noRet.substring(m.start)
         .replaceFirst("""(?is)^ON\s+CONFLICT\s*""", "")
-      if (rest.matches("(?is)^ON\\s+CONSTRAINT\\b.*"))
-        throw new IllegalArgumentException(
-          "ON CONFLICT ON CONSTRAINT <name> is not supported; name the " +
-            "constraint's columns instead: ON CONFLICT (col, ...)")
       if (rest.startsWith("(")) {
         // balanced-paren scan: a nested-paren target followed by DO is a
         // genuine (unsupported) clause; anything else is not a clause
@@ -1979,10 +1999,12 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
           aligned.write.mode("append").parquet(dir.toString)
           dataGen += 1 // append is invisible to the catalog generation
           returning.map(r => returningDf(t, aligned, r)).getOrElse(ok("INSERT", n))
-        case Some(OnConflictClause(target, None)) =>
-          insertDoNothing(t, aligned, target, returning)
-        case Some(OnConflictClause(target, Some((setS, whereOpt)))) =>
-          upsertDoUpdate(t, aligned, target, setS, whereOpt, returning)
+        case Some(OnConflictClause(target, byCon, None)) =>
+          val resolved = byCon.map(constraintColumns(t, _)).getOrElse(target)
+          insertDoNothing(t, aligned, resolved, returning)
+        case Some(OnConflictClause(target, byCon, Some((setS, whereOpt)))) =>
+          val resolved = byCon.map(constraintColumns(t, _)).getOrElse(target)
+          upsertDoUpdate(t, aligned, resolved, setS, whereOpt, returning)
       }
     } finally {
       if (cached != null) cached.unpersist()
@@ -2049,18 +2071,24 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     import org.apache.spark.sql.expressions.Window
     var undecided = batch.localCheckpoint()
     var accepted: DataFrame = null
-    // Round bound = the batch size, not an arbitrary depth limit a large
-    // skewed INSERT…SELECT could legitimately exceed: each round provably
-    // accepts at least the earliest undecided row, so rounds can never
-    // exceed the initial row count. ONE count up front (cheap, already
-    // checkpointed) instead of a per-round progress count — the loop
-    // guard stays the early-exiting limit(1).
-    val bound = undecided.count()
+    // Termination guard without taxing the fast path: each round provably
+    // accepts at least the earliest undecided row, so a batch of N rows
+    // resolves in ≤ N rounds — but counting N up front costs a Spark job
+    // on EVERY ON CONFLICT statement, and typical batches resolve in one
+    // round. Instead, assert progress lazily: every 64 rounds the
+    // undecided count must have shrunk by at least the 64 rounds run
+    // (each accepted ≥1 row), else the loop is stuck — loud failure, no
+    // unbounded spin, and zero extra jobs on the common path.
     var rounds = 0L
+    var lastCheck = Long.MaxValue
     while (undecided.limit(1).count() > 0) {
       rounds += 1
-      require(rounds <= bound,
-        "ON CONFLICT batch resolution made no progress — internal error")
+      if (rounds % 64 == 0) {
+        val c = undecided.count()
+        require(c <= lastCheck - 64,
+          "ON CONFLICT batch resolution made no progress — internal error")
+        lastCheck = c
+      }
       var d = undecided
       val flags = keySets.indices.map("__first" + _)
       keySets.zipWithIndex.foreach { case (k, i) =>

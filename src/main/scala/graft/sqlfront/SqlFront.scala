@@ -345,6 +345,102 @@ object PgRewrite {
     out
   }
 
+  /** PG `ARRAY[e1, e2, …]` constructor → Spark `array(e1, e2, …)`
+    * (reference sql/parser has no array syntax at all; SURVEY §2.9 maps
+    * `type[]` columns through TypeMap). Balanced-bracket scan so nested
+    * constructors (`ARRAY[ARRAY[1],ARRAY[2]]`) and bracketed content
+    * resolve inside-out across loop iterations; subscript brackets
+    * (`arr[1]`) never match because they don't follow the ARRAY keyword. */
+  private def rewriteArrayLiteral(sql: String): String = {
+    if (!sql.toUpperCase.contains("ARRAY")) return sql
+    val re = """(?i)\bARRAY\s*\[""".r
+    var out = sql
+    var progress = true
+    while (progress) {
+      progress = false
+      val spans = literalSpans(out)
+      re.findAllMatchIn(out).find(mm => !inLiteral(spans, mm.start)).foreach { mm =>
+        val open = mm.end - 1
+        var d = 0; var j = open; var close = -1
+        while (j < out.length && close < 0) {
+          val span = spans.find { case (a, b) => j >= a && j < b }
+          if (span.isDefined) j = span.get._2
+          else {
+            out.charAt(j) match {
+              case '[' => d += 1
+              case ']' => d -= 1; if (d == 0) close = j
+              case _ =>
+            }
+            if (close < 0) j += 1
+          }
+        }
+        if (close < 0) throw new IllegalArgumentException(
+          s"unbalanced brackets in ARRAY[...] constructor: $out")
+        out = out.substring(0, mm.start) +
+          s"array(${out.substring(open + 1, close)})" + out.substring(close + 1)
+        progress = true
+      }
+    }
+    out
+  }
+
+  /** PG quantified comparisons (reference grammar: none; PG clients emit
+    * them constantly, e.g. JDBC's `setArray` idiom `x = ANY(?)`):
+    *   lhs =  ANY(SELECT …)  → lhs IN (SELECT …)
+    *   lhs <> ALL(SELECT …)  → lhs NOT IN (SELECT …)
+    *   lhs =  ANY(array-expr) → array_contains(array-expr, lhs)
+    *   lhs <> ALL(array-expr) → NOT array_contains(array-expr, lhs)
+    * The subquery/array split keys on the content's leading keyword.
+    * `= ALL` / `<> ANY` have no IN/array_contains twin and are rejected
+    * loudly rather than silently inverted. */
+  private def rewriteAnyAll(sql: String): String = {
+    val u = sql.toUpperCase
+    if (!u.contains("ANY") && !u.contains("ALL")) return sql
+    val re = ("""([\w\.]+|'(?:[^']|'')*')\s*(=|<>|!=)\s*""" +
+      """((?i:ANY)|(?i:ALL))\s*\(""").r
+    var out = sql
+    var progress = true
+    while (progress) {
+      progress = false
+      val spans = literalSpans(out)
+      re.findAllMatchIn(out).find(mm => !inLiteral(spans, mm.end(2) - 1)).foreach { mm =>
+        val open = mm.end - 1
+        var d = 0; var j = open; var close = -1
+        while (j < out.length && close < 0) {
+          val span = spans.find { case (a, b) => j >= a && j < b }
+          if (span.isDefined) j = span.get._2
+          else {
+            out.charAt(j) match {
+              case '(' => d += 1
+              case ')' => d -= 1; if (d == 0) close = j
+              case _ =>
+            }
+            if (close < 0) j += 1
+          }
+        }
+        if (close < 0) throw new IllegalArgumentException(
+          s"unbalanced parens in ANY/ALL: $out")
+        val lhs = mm.group(1)
+        val op = mm.group(2)
+        val quant = mm.group(3).toUpperCase
+        val content = out.substring(open + 1, close).trim
+        val isSubquery = """(?i)^(SELECT|WITH|VALUES)\b""".r.findFirstIn(content).isDefined
+        val repl = (op, quant) match {
+          case ("=", "ANY") if isSubquery => s"$lhs IN ($content)"
+          case ("<>" | "!=", "ALL") if isSubquery => s"$lhs NOT IN ($content)"
+          case ("=", "ANY") => s"array_contains($content, $lhs)"
+          case ("<>" | "!=", "ALL") => s"NOT array_contains($content, $lhs)"
+          case _ => throw new IllegalArgumentException(
+            s"$op $quant(...) has no IN/array_contains equivalent; " +
+              "rewrite with EXISTS or an aggregate")
+        }
+        out = out.substring(0, mm.start) + repl + out.substring(close + 1)
+        progress = true
+      }
+    }
+    out
+  }
+
   /** PG `SELECT DISTINCT ON (k1, …) sel FROM body ORDER BY k1, …, tie` —
     * keep the FIRST row of each key group in ORDER BY order, the
     * latest-per-key idiom (the reference grammar has plain DISTINCT only;
@@ -511,6 +607,8 @@ object PgRewrite {
     s = rewriteAggOrderBy(s)
     s = rewriteFetchFirst(s)
     s = rewriteGenerateSeries(s)
+    s = rewriteArrayLiteral(s)
+    s = rewriteAnyAll(s)
     s = rewriteDistinctOn(s)
     // PG system functions the reference serves at protocol level
     // (postgres/PostgresConnectionHandler.java:202-213,296-371)

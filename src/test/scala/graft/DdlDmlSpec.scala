@@ -269,6 +269,60 @@ class DdlDmlSpec extends SparkSpec {
       "SELECT DISTINCT ON (k) k FROM m GROUP BY k ORDER BY k"))
   }
 
+  test("ON CONFLICT ON CONSTRAINT resolves synthesized constraint names") {
+    val s = fresh()
+    s.sql("CREATE TABLE oc3 (id INT PRIMARY KEY, u TEXT UNIQUE, v INT)")
+    s.sql("INSERT INTO oc3 VALUES (1, 'a', 10), (2, 'b', 20)")
+    // the auto-generated pkey name (PG generates the same one)
+    s.sql("INSERT INTO oc3 VALUES (1, 'z', 99) ON CONFLICT ON CONSTRAINT oc3_pkey DO NOTHING")
+    assert(s.sql("SELECT v FROM oc3 WHERE id = 1").collect()(0).getInt(0) == 10)
+    // a single-column UNIQUE's name, with the DO UPDATE arm
+    s.sql("INSERT INTO oc3 VALUES (3, 'a', 30) " +
+      "ON CONFLICT ON CONSTRAINT oc3_u_key DO UPDATE SET v = EXCLUDED.v")
+    assert(s.sql("SELECT v FROM oc3 WHERE u = 'a'").collect()(0).getInt(0) == 30)
+    assert(s.sql("SELECT count(*) AS c FROM oc3").collect()(0).getLong(0) == 2L)
+    // an unknown name fails loudly with the candidate list
+    val err = intercept[IllegalArgumentException](
+      s.sql("INSERT INTO oc3 VALUES (9, 'q', 1) ON CONFLICT ON CONSTRAINT nope DO NOTHING"))
+    assert(err.getMessage.contains("oc3_pkey"))
+  }
+
+  test("ARRAY[...] constructor and ANY/ALL quantifiers rewrite") {
+    assert(PgRewrite.rewrite("SELECT ARRAY[1, 2, 3]") == "SELECT array(1, 2, 3)")
+    assert(PgRewrite.rewrite("SELECT ARRAY[ARRAY[1], ARRAY[2]]") ==
+      "SELECT array(array(1), array(2))")
+    // subscript brackets don't match (no ARRAY keyword)
+    assert(PgRewrite.rewrite("SELECT arr[1] FROM t") == "SELECT arr[1] FROM t")
+    assert(PgRewrite.rewrite("SELECT * FROM t WHERE x = ANY(SELECT y FROM u)") ==
+      "SELECT * FROM t WHERE x IN (SELECT y FROM u)")
+    assert(PgRewrite.rewrite("SELECT * FROM t WHERE x <> ALL(SELECT y FROM u)") ==
+      "SELECT * FROM t WHERE x NOT IN (SELECT y FROM u)")
+    assert(PgRewrite.rewrite("SELECT * FROM t WHERE x = ANY(ARRAY['a', 'b'])") ==
+      "SELECT * FROM t WHERE array_contains(array('a', 'b'), x)")
+    assert(PgRewrite.rewrite("SELECT * FROM t WHERE x <> ALL(tags)") ==
+      "SELECT * FROM t WHERE NOT array_contains(tags, x)")
+    // = ALL / <> ANY have no IN twin — rejected, not silently inverted
+    assertThrows[IllegalArgumentException](
+      PgRewrite.rewrite("SELECT * FROM t WHERE x = ALL(SELECT y FROM u)"))
+    assertThrows[IllegalArgumentException](
+      PgRewrite.rewrite("SELECT * FROM t WHERE x <> ANY(tags)"))
+    // quantifier text inside a literal is content
+    assert(PgRewrite.rewrite("SELECT 'x = ANY(y)' FROM t") ==
+      "SELECT 'x = ANY(y)' FROM t")
+  }
+
+  test("ARRAY / ANY end-to-end through the session") {
+    val s = fresh()
+    s.sql("CREATE TABLE qa (id INT PRIMARY KEY, seg TEXT)")
+    s.sql("INSERT INTO qa VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val hit = s.sql("SELECT id FROM qa WHERE seg = ANY(ARRAY['a', 'c']) ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq
+    assert(hit == Seq(1, 3))
+    val sub = s.sql("SELECT id FROM qa WHERE id = ANY(SELECT id FROM qa WHERE seg <> 'b') ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq
+    assert(sub == Seq(1, 3))
+  }
+
   test("DISTINCT ON / FETCH FIRST / generate_series end-to-end") {
     val s = fresh()
     s.sql("CREATE TABLE don (k INT, v TEXT, o INT)")
