@@ -336,6 +336,22 @@ object AggQueries extends QueryPack {
           |  bool_and(o_totalprice > 1000) AS all_over_1k,
           |  bool_or(o_totalprice > 400000) AS any_over_400k
           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // GROUPING() — distinguishes a rollup's summary row from a genuine
+    // NULL group key (the reference's GROUP BY cannot express either;
+    // SURVEY §2.4 cube/rollup family).
+    Q(
+      "agg_grouping_fn",
+      """SELECT o_orderpriority, CAST(GROUPING(o_orderpriority) AS INT) AS g, count(*) AS cnt
+        |FROM orders GROUP BY ROLLUP(o_orderpriority)
+        |ORDER BY g, o_orderpriority""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .rollup(col("o_orderpriority"))
+        .agg(grouping(col("o_orderpriority")).cast("int").as("g"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("g"), col("o_orderpriority"))
     }
   )
 }

@@ -290,6 +290,24 @@ object ExprQueries extends QueryPack {
       "SELECT 1 AS one, 'x' AS s, 1 + 1 AS two, CAST(2.5 AS DOUBLE) AS d, TRUE AS b"
     ) { (s, _) =>
       s.sql("SELECT 1 AS one, 'x' AS s, 1 + 1 AS two, CAST(2.5 AS DOUBLE) AS d, TRUE AS b")
+    },
+
+    // IS DISTINCT FROM — null-safe inequality (PG/ANSI; the reference's
+    // comparison model treats NULL as absent, SURVEY §2.2). NULL rows
+    // produced by nullif MUST survive the predicate (plain <> would drop
+    // them) — that asymmetry is what the gate checks.
+    Q(
+      "expr_distinct_from",
+      """SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st
+        |FROM orders
+        |WHERE nullif(o_orderstatus, 'P') IS DISTINCT FROM 'O' AND o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, dir) =>
+      val st = expr("nullif(o_orderstatus, 'P')")
+      Tables.load(s, dir, "orders")
+        .filter(!(st <=> lit("O")) && col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), st.as("st"))
+        .orderBy(col("o_orderkey"))
     }
   )
 }

@@ -91,6 +91,23 @@ object ScanQueries extends QueryPack {
         .orderBy(col("p_partkey"))
     },
 
+    // Explicit NULLS FIRST/LAST placement — engine defaults differ
+    // (Spark DESC puts nulls last only by convention, DuckDB is
+    // configurable), so portable plans must spell it; the gate pins the
+    // explicit form to identical output on both engines.
+    Q(
+      "sort_nulls_ordering",
+      """SELECT o_orderkey, nullif(o_orderstatus, 'F') AS st FROM orders
+        |WHERE o_orderkey < 300
+        |ORDER BY st DESC NULLS LAST, o_orderkey""".stripMargin
+    ) { (s, dir) =>
+      val st = expr("nullif(o_orderstatus, 'F')")
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey"), st.as("st"))
+        .orderBy(col("st").desc_nulls_last, col("o_orderkey"))
+    },
+
     // IN / NOT IN value lists (reference kv/CalciteSqlParser.java:310-341).
     Q(
       "filter_in",

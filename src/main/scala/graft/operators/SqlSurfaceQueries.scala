@@ -22,11 +22,15 @@ object SqlSurfaceQueries extends QueryPack {
     * through the GraftSession front — the same path a reference client's
     * statement takes (PgRewrite, then spark.sql) — while DuckDB parses
     * the identical text natively, so one string is both query and oracle. */
-  private def pg(name: String, text: String): Q =
-    Q(name, text) { (s, dir) =>
+  private def pg(name: String, text: String): Q = pg2(name, text, text)
+
+  /** PG spelling through the session front, distinct DuckDB oracle text
+    * (for forms where DuckDB's syntax or semantics differ from PG's). */
+  private def pg2(name: String, pgSql: String, oracleSql: String): Q =
+    Q(name, oracleSql) { (s, dir) =>
       Tables.registerAll(s, dir)
       new graft.sqlfront.GraftSession(
-        s, java.nio.file.Files.createTempDirectory("graft_sql")).sql(text)
+        s, java.nio.file.Files.createTempDirectory("graft_sql")).sql(pgSql)
     }
 
   val qs: Seq[Q] = Seq(
@@ -82,6 +86,18 @@ object SqlSurfaceQueries extends QueryPack {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |OFFSET 5 ROWS FETCH FIRST 10 ROWS ONLY""".stripMargin),
+
+    // PG SIMILAR TO (SQL-regex) — rewritten to anchored RLIKE. DuckDB's
+    // SIMILAR TO is plain-regex (not PG semantics), so the oracle spells
+    // the equivalent regexp_full_match directly.
+    pg2(
+      "sql_similar_to",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_name SIMILAR TO '%(gear|bolt)'
+        |ORDER BY p_partkey""".stripMargin,
+      """SELECT p_partkey, p_name FROM part
+        |WHERE regexp_full_match(p_name, '.*(gear|bolt)')
+        |ORDER BY p_partkey""".stripMargin),
 
     // PG set-returning generate_series in FROM → explode(sequence());
     // joined against a fact table (orderkey mod-7 histogram) so the

@@ -345,6 +345,43 @@ object PgRewrite {
     out
   }
 
+  /** PG `expr [NOT] SIMILAR TO 'pattern'` → anchored RLIKE. SQL-regex →
+    * Java-regex conversion: `%` → `.*`, `_` → `.`, literal `.` escaped;
+    * regex operators that SIMILAR TO shares with POSIX (`| * + ? () []
+    * {}`) pass through unchanged. Spark has no SIMILAR TO at all;
+    * literal patterns only (a computed pattern stays untouched and fails
+    * loudly in Spark's parser rather than silently matching wrong). */
+  private def rewriteSimilarTo(sql: String): String = {
+    if (!sql.toUpperCase.contains("SIMILAR")) return sql
+    val re = """([\w\.]+)\s+(NOT\s+)?(?i:SIMILAR)\s+(?i:TO)\s+('(?:[^']|'')*')""".r
+    val spans = literalSpans(sql)
+    re.replaceSomeIn(sql, m => {
+      val opPos = m.start(0) + m.group(1).length
+      if (inLiteral(spans, opPos)) None
+      else {
+        val body = m.group(3).drop(1).dropRight(1)
+        val conv = new StringBuilder("^(?:")
+        var i = 0
+        while (i < body.length) {
+          body.charAt(i) match {
+            case '\\' if i + 1 < body.length => // escaped char passes through
+              conv += '\\' += body.charAt(i + 1); i += 1
+            case '%' => conv ++= ".*"
+            case '_' => conv += '.'
+            case '.' => conv ++= "\\."
+            case c => conv += c
+          }
+          i += 1
+        }
+        conv ++= ")$"
+        val neg = m.group(2) != null
+        val e = s"${m.group(1)} RLIKE '${conv.toString}'"
+        Some(java.util.regex.Matcher.quoteReplacement(
+          if (neg) s"NOT ($e)" else e))
+      }
+    })
+  }
+
   /** PG `ARRAY[e1, e2, …]` constructor → Spark `array(e1, e2, …)`
     * (reference sql/parser has no array syntax at all; SURVEY §2.9 maps
     * `type[]` columns through TypeMap). Balanced-bracket scan so nested
@@ -609,6 +646,7 @@ object PgRewrite {
     s = rewriteGenerateSeries(s)
     s = rewriteArrayLiteral(s)
     s = rewriteAnyAll(s)
+    s = rewriteSimilarTo(s)
     s = rewriteDistinctOn(s)
     // PG system functions the reference serves at protocol level
     // (postgres/PostgresConnectionHandler.java:202-213,296-371)

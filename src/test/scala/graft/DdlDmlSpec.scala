@@ -269,6 +269,16 @@ class DdlDmlSpec extends SparkSpec {
       "SELECT DISTINCT ON (k) k FROM m GROUP BY k ORDER BY k"))
   }
 
+  test("SIMILAR TO rewrites to anchored RLIKE with SQL-regex conversion") {
+    assert(PgRewrite.rewrite("SELECT * FROM t WHERE x SIMILAR TO 'a%'") ==
+      "SELECT * FROM t WHERE x RLIKE '^(?:a.*)$'")
+    assert(PgRewrite.rewrite("SELECT * FROM t WHERE x NOT SIMILAR TO '_b|c.d'") ==
+      "SELECT * FROM t WHERE NOT (x RLIKE '^(?:.b|c\\.d)$')")
+    // pattern text inside an unrelated literal is content
+    assert(PgRewrite.rewrite("SELECT 'x SIMILAR TO y' FROM t") ==
+      "SELECT 'x SIMILAR TO y' FROM t")
+  }
+
   test("ON CONFLICT ON CONSTRAINT resolves synthesized constraint names") {
     val s = fresh()
     s.sql("CREATE TABLE oc3 (id INT PRIMARY KEY, u TEXT UNIQUE, v INT)")

@@ -58,6 +58,15 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast probe join:\n${p.take(1500)}")
   }
 
+  test("substring dedup plans anti-join coverage removal, no all-pairs work") {
+    val p = planOf("dedup_substring_exact")
+    // token removal must be a hash anti-join on (doc_id, position) —
+    // corpus-linear — and nothing in the pipeline may plan a cartesian
+    assert(p.toLowerCase.contains("leftanti"), s"expected anti join:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      s"must not plan a cartesian:\n${p.take(1500)}")
+  }
+
   test("semantic decontamination broadcasts the eval vectors over one corpus scan") {
     val p = planOf("dedup_semantic_decontam")
     // eval × corpus must be a broadcast nested loop over the 20-row eval
