@@ -24,13 +24,20 @@ object SqlSurfaceQueries extends QueryPack {
     * the identical text natively, so one string is both query and oracle. */
   private def pg(name: String, text: String): Q = pg2(name, text, text)
 
+  // One read-only session per SparkSession: these queries only SELECT
+  // over the fixture temp views, so the (catalog-init) construction cost
+  // is paid once, not once per gate query.
+  private val sessions =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
+      graft.sqlfront.GraftSession]()
+
   /** PG spelling through the session front, distinct DuckDB oracle text
     * (for forms where DuckDB's syntax or semantics differ from PG's). */
   private def pg2(name: String, pgSql: String, oracleSql: String): Q =
     Q(name, oracleSql) { (s, dir) =>
       Tables.registerAll(s, dir)
-      new graft.sqlfront.GraftSession(
-        s, java.nio.file.Files.createTempDirectory("graft_sql")).sql(pgSql)
+      sessions.computeIfAbsent(s, k => new graft.sqlfront.GraftSession(
+        k, java.nio.file.Files.createTempDirectory("graft_sql"))).sql(pgSql)
     }
 
   val qs: Seq[Q] = Seq(

@@ -558,11 +558,36 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       throw new IllegalStateException("VACUUM cannot run inside a transaction block")
     val words = stmt.trim.stripSuffix(";").split("\\s+").drop(1)
       .filterNot(w => Set("FULL", "FREEZE", "VERBOSE", "ANALYZE").contains(w.toUpperCase))
-    val withAnalyze = stmt.trim.toUpperCase.split("\\s+").contains("ANALYZE")
-    val targets = words.headOption match {
+    val upWords = stmt.trim.toUpperCase.split("\\s+")
+    val withAnalyze = upWords.contains("ANALYZE")
+    def resolveTargets(): Seq[TableDef] = words.headOption match {
       case Some(w) => Seq(requireTable(w.replaceAll("\"", "")))
       case None => catalog.tables.values.toSeq
     }
+    // VACUUM FULL — PG's rewrite-the-table form, which for a parquet
+    // snapshot store means SMALL-FILE COMPACTION: every INSERT/COPY batch
+    // appends its own part-files, so a long-lived table fragments and
+    // scan cost becomes file-open-bound (the dominant failure mode of
+    // append-heavy tables at scale). Rewrite the current snapshot into
+    // ~128 MB-target files as a NEW version (same crash-safe COW publish
+    // as UPDATE), then let the retention pass below prune the fragmented
+    // predecessors.
+    if (upWords.contains("FULL")) resolveTargets().foreach { t =>
+      val dir = catalog.tableDir(t)
+      val bytes =
+        if (!Files.exists(dir)) 0L
+        else {
+          val s = Files.walk(dir)
+          try s.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum
+          finally s.close()
+        }
+      val nFiles = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
+      // tableDf carries ALL physical columns (incl. the hidden rowid);
+      // localCheckpoint pins the rows before their source dir is
+      // superseded and later pruned
+      publish(t, tableDf(t).localCheckpoint().coalesce(nFiles))
+    }
+    val targets = resolveTargets()
     val pinned = checkpointPinnedVersions()
     var removed = 0L
     val vdir = """v(\d+)""".r
@@ -1543,15 +1568,58 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     }
   }
 
-  /** COPY t FROM 'file' [WITH] (FORMAT CSV[, HEADER]) — bulk load through
-    * the same validation+append path as INSERT (reference COPY FROM STDIN,
+  /** COPY t FROM 'file' [WITH] (FORMAT CSV[, HEADER] | JSON | PARQUET) —
+    * bulk load through the same validation+append path as INSERT
+    * (reference COPY FROM STDIN,
     * postgres/PostgresConnectionHandler.java:1310; file-based here).
-    * COPY t TO 'file' exports the visible projection as CSV. */
+    * COPY t TO 'file' / COPY (query) TO 'file' export as CSV (default),
+    * JSON, or PARQUET — parquet being the columnar interchange format a
+    * 100 TB pipeline actually moves data in. */
   private def copy(stmt: String): DataFrame = {
     val fromRe = """(?is)COPY\s+([\w"]+)\s+FROM\s+'([^']+)'(.*)""".r
     val toRe = """(?is)COPY\s+([\w"]+)\s+TO\s+'([^']+)'(.*)""".r
     val toStdoutRe = """(?is)COPY\s+([\w"]+)\s+TO\s+STDOUT(.*)""".r
-    stmt.trim.stripSuffix(";") match {
+    // PG's query-export form: COPY (SELECT …) TO 'file' | STDOUT. The
+    // subquery is extracted with a balanced-paren scan (it may contain
+    // parens/literals), run through the standard rewrite+Catalyst path,
+    // then exported like the table form.
+    val trimmed = stmt.trim.stripSuffix(";")
+    val qMatch = """(?is)^COPY\s*\(""".r.findPrefixMatchOf(trimmed)
+    if (qMatch.isDefined) {
+      val open = qMatch.get.end - 1
+      var depth = 0; var j = open; var close = -1
+      while (j < trimmed.length && close < 0) {
+        trimmed.charAt(j) match {
+          case '\'' => // skip literal
+            j += 1
+            while (j < trimmed.length && trimmed.charAt(j) != '\'') j += 1
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = j
+          case _ =>
+        }
+        if (close < 0) j += 1
+      }
+      require(close > 0, s"unbalanced parens in COPY (query): $stmt")
+      val sel = trimmed.substring(open + 1, close)
+      val tail = trimmed.substring(close + 1).trim
+      registerAll()
+      val df = spark.sql(PgRewrite.rewrite(sel))
+      val toFile = """(?is)^TO\s+'([^']+)'(.*)""".r
+      val toOut = """(?is)^TO\s+STDOUT(.*)""".r
+      tail match {
+        case toFile(path, opts) =>
+          writeExport(df, path, opts)
+          ok("COPY TO")
+        case toOut(opts) =>
+          val cols = df.columns.map(col)
+          val line =
+            if (opts.toUpperCase.contains("CSV")) to_csv(struct(cols.toSeq: _*))
+            else concat_ws("\t",
+              cols.toSeq.map(c => coalesce(c.cast("string"), lit("\\N"))): _*)
+          df.select(line.as("line"))
+        case _ => throw new IllegalArgumentException(s"cannot parse COPY: $stmt")
+      }
+    } else trimmed match {
       case toStdoutRe(rawT, opts) =>
         // the result-set form of the reference's CopyData-out stream:
         // every visible row serialized to one line. Default PG text mode
@@ -1580,16 +1648,30 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         val schema = StructType(vis.map(c =>
           StructField(c.name, TypeMap.toSpark(c.sqlType), nullable = true)))
         val src =
-          if (up.contains("JSON")) spark.read.schema(schema).json(path)
+          if (up.contains("PARQUET"))
+            // parquet carries its own schema; project+cast to the
+            // table's visible columns so validation sees declared types
+            spark.read.parquet(path).select(vis.map(c =>
+              col(c.name).cast(TypeMap.toSpark(c.sqlType)).as(c.name)): _*)
+          else if (up.contains("JSON")) spark.read.schema(schema).json(path)
           else spark.read.option("header", up.contains("HEADER")).schema(schema).csv(path)
         insertRows(t, Some(vis.map(_.name).mkString(",")), src)
       case toRe(rawT, path, opts) =>
-        val t = requireTable(rawT)
-        val header = opts.toUpperCase.contains("HEADER")
-        visibleDf(t).write.option("header", header).mode("overwrite").csv(path)
+        writeExport(visibleDf(requireTable(rawT)), path, opts)
         ok("COPY TO")
       case _ => throw new IllegalArgumentException(s"cannot parse COPY: $stmt")
     }
+  }
+
+  /** COPY … TO 'file' export writer: (FORMAT PARQUET | JSON | CSV
+    * [, HEADER]) — parquet is the native interchange format at scale
+    * (columnar, schema-carrying, splittable); CSV stays the PG-compatible
+    * default. */
+  private def writeExport(df: DataFrame, path: String, opts: String): Unit = {
+    val up = opts.toUpperCase
+    if (up.contains("PARQUET")) df.write.mode("overwrite").parquet(path)
+    else if (up.contains("JSON")) df.write.mode("overwrite").json(path)
+    else df.write.option("header", up.contains("HEADER")).mode("overwrite").csv(path)
   }
 
   /** COPY t FROM STDIN with pg_dump-style inline data: the statement text

@@ -269,6 +269,60 @@ class DdlDmlSpec extends SparkSpec {
       "SELECT DISTINCT ON (k) k FROM m GROUP BY k ORDER BY k"))
   }
 
+  test("VACUUM FULL compacts a fragmented snapshot into few files") {
+    val s = fresh()
+    s.sql("CREATE TABLE frag (id INT PRIMARY KEY, v TEXT)")
+    // each INSERT appends its own part-file(s) — a fragmented table
+    (1 to 12).foreach(i => s.sql(s"INSERT INTO frag VALUES ($i, 'v$i')"))
+    def partFiles(): Int = {
+      val t = s.catalog.getTable("frag").get
+      val dir = s.catalog.tableDir(t)
+      val st = java.nio.file.Files.list(dir)
+      try st.filter(_.getFileName.toString.startsWith("part-")).count().toInt
+      finally st.close()
+    }
+    val before = partFiles()
+    assert(before >= 12, s"expected >=12 fragment files, got $before")
+    val vBefore = s.catalog.getTable("frag").get.version
+    s.sql("VACUUM FULL frag")
+    assert(partFiles() == 1, "12 tiny inserts must compact to one file")
+    assert(s.catalog.getTable("frag").get.version == vBefore + 1)
+    // contents identical after the rewrite
+    val rows = s.sql("SELECT id, v FROM frag ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == (1 to 12).map(i => (i, s"v$i")))
+    // and DML keeps working against the compacted snapshot
+    s.sql("UPDATE frag SET v = 'x' WHERE id = 1")
+    assert(s.sql("SELECT v FROM frag WHERE id = 1").collect()(0).getString(0) == "x")
+  }
+
+  test("COPY supports parquet export/import and the (query) TO form") {
+    val s = fresh()
+    s.sql("CREATE TABLE exp (id INT PRIMARY KEY, v TEXT)")
+    s.sql("INSERT INTO exp VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val dir = java.nio.file.Files.createTempDirectory("graft_copy")
+    // table export as parquet, reimport into a fresh table
+    s.sql(s"COPY exp TO '$dir/t.parquet' (FORMAT PARQUET)")
+    s.sql("CREATE TABLE imp (id INT PRIMARY KEY, v TEXT)")
+    s.sql(s"COPY imp FROM '$dir/t.parquet' (FORMAT PARQUET)")
+    assert(s.sql("SELECT count(*) AS c FROM imp").collect()(0).getLong(0) == 3L)
+    // query-form export: transformation + parquet in one statement
+    s.sql(s"COPY (SELECT id * 10 AS id10, upper(v) AS vu FROM exp WHERE id < 3) " +
+      s"TO '$dir/q.parquet' (FORMAT PARQUET)")
+    val q = spark.read.parquet(s"$dir/q.parquet")
+      .collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    assert(q == Seq((10, "A"), (20, "B")))
+    // query-form to STDOUT: rows come back as lines
+    val lines = s.sql("COPY (SELECT id, v FROM exp ORDER BY id) TO STDOUT")
+      .collect().map(_.getString(0)).toSeq
+    assert(lines == Seq("1\ta", "2\tb", "3\tc"))
+    // parquet import validates constraints like any INSERT
+    s.sql("CREATE TABLE impdup (id INT PRIMARY KEY, v TEXT)")
+    s.sql("INSERT INTO impdup VALUES (1, 'x')")
+    assertThrows[IllegalArgumentException](
+      s.sql(s"COPY impdup FROM '$dir/t.parquet' (FORMAT PARQUET)"))
+  }
+
   test("SIMILAR TO rewrites to anchored RLIKE with SQL-regex conversion") {
     assert(PgRewrite.rewrite("SELECT * FROM t WHERE x SIMILAR TO 'a%'") ==
       "SELECT * FROM t WHERE x RLIKE '^(?:a.*)$'")

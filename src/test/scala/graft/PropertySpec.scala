@@ -46,6 +46,18 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("PgRewrite never alters rewrite-trigger text stored inside literals") {
+    // every rewrite keyword/operator this front handles, embedded in a
+    // string literal — the literal must survive every pass verbatim
+    val triggers = Gen.oneOf(
+      "x = ANY(y)", "ARRAY[1,2]", "FETCH FIRST 3 ROWS ONLY",
+      "OFFSET 4 ROWS", "a SIMILAR TO b", "DISTINCT ON (k)",
+      "generate_series(1,9)", "a::int", "p->>k", "v ~ w")
+    val gen = for { a <- ident; t <- triggers; b <- ident } yield
+      s"SELECT '$t' AS $a FROM $b"
+    check(Prop.forAll(gen) { sql => PgRewrite.rewrite(sql) == sql })
+  }
+
   test("PgRewrite handles parenthesized casts without corrupting SQL") {
     check(Prop.forAll(ident, ident) { (a, b) =>
       PgRewrite.rewrite(s"SELECT ($a + $b)::int FROM t") ==
