@@ -515,6 +515,131 @@ object SimilarityQueries extends QueryPack {
       assign(cents)
         .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
         .orderBy(col("vec_id"))
+    },
+
+    // Hard-negative mining — the contrastive-training shape (DPR /
+    // Contriever): for each query vector, the top-k most-similar corpus
+    // vectors with a DIFFERENT label are its hard negatives (similar in
+    // embedding space, wrong class — the examples that actually move a
+    // contrastive loss). Plan = the brute-force top-k shape with a
+    // label-mismatch predicate fused into the broadcast join: queries are
+    // tiny by definition (a training batch), so this is broadcast(batch)
+    // × one corpus scan — corpus-linear, no shuffle before the per-query
+    // top-k window. At 100 TB the corpus side would first be pruned by an
+    // ANN index (sim_ann_lsh / sim_ann_ivf above); the verify-and-rank
+    // tail is this exact plan.
+    Q(
+      "sim_hard_negatives",
+      s"""WITH u AS ($oVecs),
+         |n AS ($oNorms),
+         |q AS (SELECT e.vec_id, e.label, u.x, u.p
+         |      FROM embeddings e JOIN u ON e.vec_id = u.vec_id
+         |      WHERE e.vec_id IN (0, 1, 2, 3, 4)),
+         |dots AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neg_id,
+         |         CAST(SUM(CAST(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         |  FROM q
+         |  JOIN (SELECT e.vec_id, e.label, u.x, u.p
+         |        FROM embeddings e JOIN u ON e.vec_id = u.vec_id) c
+         |    ON q.p = c.p AND q.label <> c.label
+         |  GROUP BY q.vec_id, c.vec_id),
+         |scored AS (
+         |  SELECT query_id, neg_id, dot / (nq.norm * nc.norm) AS cosine
+         |  FROM dots JOIN n nq ON query_id = nq.vec_id
+         |            JOIN n nc ON neg_id = nc.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neg_id, cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cosine DESC, neg_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neg_id, cosine, rnk FROM ranked WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin
+    ) { (s, dir) =>
+      val vecs = withNorm(Tables.load(s, dir, "embeddings"))
+      val queries = vecs.filter(col("vec_id").isin(0, 1, 2, 3, 4))
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("embedding").as("qe"), col("norm").as("qnorm"))
+      val scored = vecs.join(broadcast(queries), col("label") =!= col("qlabel"))
+        .select(col("query_id"), col("vec_id").as("neg_id"),
+          (dotExact(col("qe"), col("embedding")) / (col("qnorm") * col("norm")))
+            .as("cosine"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neg_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    // clustering — assign every embedding to its nearest coarse centroid,
+    // then compare pairs ONLY within a cluster; a vector is pruned when it
+    // is ≥ thr cosine-similar to any lower-id vector of the same cluster.
+    // The clustering bounds the pair work: k is chosen so clusters stay
+    // ~constant-size (k grows with the corpus — the paper uses k≈100k for
+    // LAION-scale), making discovery corpus-linear instead of quadratic;
+    // cross-cluster pairs are never formed (the equi-join on cid is the
+    // whole point). Assignment reuses the IVF coarse quantizer (16
+    // deterministic seed centroids, broadcast); the same trained-centroid
+    // path as sim_kmeans_train would slot in unchanged.
+    Q(
+      "dedup_semdedup",
+      s"""WITH u AS ($oVecs),
+         |n AS ($oNorms),
+         |cents AS (SELECT vec_id AS cid, x, p FROM u WHERE vec_id < 16),
+         |adots AS (
+         |  SELECT u.vec_id, c.cid,
+         |         CAST(SUM(CAST(CAST(u.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         |  FROM u JOIN cents c ON u.p = c.p
+         |  GROUP BY u.vec_id, c.cid),
+         |acos AS (
+         |  SELECT a.vec_id, a.cid, a.dot / (nv.norm * nc.norm) AS cos
+         |  FROM adots a JOIN n nv ON a.vec_id = nv.vec_id JOIN n nc ON a.cid = nc.vec_id),
+         |lists AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
+         |    FROM acos) WHERE rnk = 1),
+         |cand AS (
+         |  SELECT la.vec_id AS a, lb.vec_id AS b
+         |  FROM lists la JOIN lists lb ON la.cid = lb.cid AND la.vec_id < lb.vec_id),
+         |dots AS (
+         |  SELECT c.a, c.b,
+         |         CAST(SUM(CAST(CAST(ua.x AS DOUBLE) * CAST(ub.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         |  FROM cand c JOIN u ua ON ua.vec_id = c.a
+         |              JOIN u ub ON ub.vec_id = c.b AND ua.p = ub.p
+         |  GROUP BY c.a, c.b),
+         |removed AS (
+         |  SELECT DISTINCT d.b
+         |  FROM dots d JOIN n na ON d.a = na.vec_id JOIN n nb ON d.b = nb.vec_id
+         |  WHERE d.dot / (na.norm * nb.norm) >= 0.4)
+         |SELECT l.vec_id, CAST(l.cid AS INT) AS cluster, (r.b IS NULL) AS keep
+         |FROM lists l LEFT JOIN removed r ON l.vec_id = r.b
+         |ORDER BY l.vec_id""".stripMargin
+    ) { (s, dir) =>
+      val vecs = withNorm(Tables.load(s, dir, "embeddings"))
+      val cents = vecs.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("norm").as("cnorm"))
+      // coarse assignment: one narrow pass against 16 broadcast centroids
+      val assigned = vecs.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("norm"), col("cid"),
+          (dotExact(col("embedding"), col("ce")) / (col("norm") * col("cnorm"))).as("cos"))
+      val wA = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
+      val lists = assigned.withColumn("rnk", row_number().over(wA))
+        .filter(col("rnk") === 1)
+        .select(col("vec_id"), col("embedding"), col("norm"), col("cid"))
+      // intra-cluster pairs only: equi-join on cid (hash-partitioned by
+      // cluster at scale), never a corpus-wide cross product
+      val right = lists.select(col("cid"), col("vec_id").as("b_id"),
+        col("embedding").as("eb"), col("norm").as("nb"))
+      val removed = lists.join(right, Seq("cid"))
+        .filter(col("vec_id") < col("b_id"))
+        .filter((dotExact(col("embedding"), col("eb")) / (col("norm") * col("nb"))) >= 0.4)
+        .select(col("b_id").as("vec_id")).distinct()
+        .withColumn("rm", lit(true))
+      lists.select(col("vec_id"), col("cid").cast("int").as("cluster"))
+        .join(removed, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"), col("rm").isNull.as("keep"))
+        .orderBy(col("vec_id"))
     }
   )
 }

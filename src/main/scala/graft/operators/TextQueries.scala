@@ -596,6 +596,65 @@ object TextQueries extends QueryPack {
         .agg(count(lit(1)).as("n_in"),
           sum(when(col("bucket") < col("thr"), 1L).otherwise(0L)).as("n_kept"))
         .orderBy(col("source"))
+    },
+
+    // Hashed linear quality classifier — fastText-style inference: each
+    // token hashes into one of 1024 feature buckets (collisions are the
+    // point — the feature space is fixed no matter the vocabulary), each
+    // bucket carries a fixed weight (here derived from md5 of the bucket
+    // id, standing in for trained parameters the way the LSH planes stand
+    // in for learned projections), and a document's score is the mean
+    // bucket weight of its tokens. This is the inference shape of the
+    // model-based quality filters in GPT-3/LLaMA-style pipelines
+    // (classifier trained offline, applied corpus-wide). Plan: the whole
+    // score is ONE higher-order-function expression per row — hash,
+    // weight lookup and decimal-exact accumulation all inside
+    // transform/aggregate — so scoring is a narrow codegen-adjacent map
+    // with NO explode, NO join against a weight table (weights are a pure
+    // function of the bucket) and no shuffle before the final ORDER BY.
+    // Corpus-linear at any scale; the oracle replays the identical hash
+    // and decimal arithmetic by explode-and-aggregate.
+    Q(
+      "text_hashed_classifier",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |feats AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) % 1024 AS bkt
+        |  FROM toks),
+        |weighted AS (
+        |  SELECT doc_id,
+        |         (CAST(('0x' || substring(md5(CAST(bkt AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000)
+        |           / 1000.0 AS w
+        |  FROM feats),
+        |s AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE) AS sw,
+        |         COUNT(*) AS n_tokens
+        |  FROM weighted GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, sw / n_tokens AS score, sw >= 0 AS accept
+        |FROM s ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      // bucket → weight is deterministic arithmetic on md5, identical to
+      // the oracle's: 8 hex digits of md5(token) pick the bucket, 15 hex
+      // digits of md5(bucket) pick a weight in [-1, 1] at 1/1000 steps
+      val sw = expr(
+        """CAST(aggregate(
+          |  transform(split(text, ' '), t ->
+          |    CAST((CAST(conv(substring(md5(CAST(
+          |           CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % 1024
+          |         AS STRING)), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000) / 1000.0
+          |      AS DECIMAL(28,12))),
+          |  CAST(0 AS DECIMAL(28,12)),
+          |  (acc, x) -> CAST(acc + x AS DECIMAL(28,12))) AS DOUBLE)""".stripMargin)
+      Tables.spread(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          sw.as("sw"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("sw") / col("n_tokens")).as("score"),
+          (col("sw") >= 0).as("accept"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -243,4 +243,36 @@ class PlanSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.shuffle.partitions").toInt <= 32)
     assert(spark.conf.get("spark.sql.adaptive.enabled").toBoolean)
   }
+
+  test("hard-negative mining broadcasts the query batch over one corpus scan") {
+    // the query batch (training examples) is tiny by definition; the
+    // corpus must never shuffle for the label-mismatch pair join
+    val p = planOf("sim_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected query-side broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      s"must not plan a cartesian:\n${p.take(1500)}")
+  }
+
+  test("SemDeDup compares pairs only within a cluster (equi-join on cid)") {
+    val p = planOf("dedup_semdedup")
+    // the intra-cluster pair join must be a hash join keyed on the
+    // cluster id — cross-cluster pairs are never formed, which is what
+    // makes discovery corpus-linear when k tracks corpus size
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected cid equi-join:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      s"must not plan a cartesian pair join:\n${p.take(1500)}")
+  }
+
+  test("hashed classifier scores per row: no explode, no weight-table join") {
+    val df = SparkEntry.queries("text_hashed_classifier")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    // the whole score is one higher-order-function expression — scoring
+    // must plan zero joins and zero generators (the oracle explodes;
+    // the product path must not)
+    assert(!p.contains("Generate"), s"unexpected explode in:\n${p.take(1500)}")
+    assert(!p.toLowerCase.contains("join"), s"unexpected join in:\n${p.take(1500)}")
+  }
 }
