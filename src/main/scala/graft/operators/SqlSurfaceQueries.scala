@@ -126,6 +126,89 @@ object SqlSurfaceQueries extends QueryPack {
         |FROM generate_series(1, 7) AS g(n)
         |LEFT JOIN orders o ON o.o_orderkey % 7 + 1 = g.n
         |GROUP BY g.n
-        |ORDER BY n""".stripMargin)
+        |ORDER BY n""".stripMargin),
+
+    // Named WINDOW clause — Spark and DuckDB both parse the standard
+    // form natively (the reference grammar has no windows at all), so
+    // one text serves both; two windows share partitioning work.
+    same(
+      "sql_window_clause",
+      """SELECT c_custkey,
+        |       row_number() OVER wn AS rn,
+        |       count(*) OVER wnat AS nat_cnt
+        |FROM customer
+        |WHERE c_custkey < 500
+        |WINDOW wn AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+        |       wnat AS (PARTITION BY c_nationkey)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // PG set-returning unnest in SELECT position over string_to_array —
+    // the tokenize-and-flatten idiom; PgRewrite maps to explode(split).
+    // Duplicate (doc_id, tok) rows are identical values, so the total
+    // ORDER BY yields a deterministic row sequence.
+    pg2(
+      "sql_unnest_tokens",
+      """SELECT doc_id, unnest(string_to_array(text, ' ')) AS tok
+        |FROM documents WHERE doc_id < 5
+        |ORDER BY doc_id, tok""".stripMargin,
+      """SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |FROM documents WHERE doc_id < 5
+        |ORDER BY doc_id, tok""".stripMargin),
+
+    // unnest WITH ORDINALITY (FROM position) → posexplode subquery with
+    // a 1-based ordinal; DuckDB has no ORDINALITY, so the oracle pairs
+    // unnest with generate_subscripts.
+    pg2(
+      "sql_unnest_ordinality",
+      """SELECT t.v, t.o
+        |FROM unnest(string_to_array('gamma alpha beta', ' '))
+        |     WITH ORDINALITY AS t(v, o)
+        |ORDER BY t.o""".stripMargin,
+      """SELECT v, CAST(o AS INT) AS o
+        |FROM (SELECT unnest(string_split('gamma alpha beta', ' ')) AS v,
+        |             generate_subscripts(string_split('gamma alpha beta', ' '), 1) AS o)
+        |ORDER BY o""".stripMargin),
+
+    // PG string-function forms: POSITION(x IN y) / substring FROM-FOR /
+    // TRIM(BOTH … FROM …) are Spark-native; the regex substring and
+    // strpos go through PgRewrite. DuckDB lacks the regex-substring
+    // form, so the oracle spells regexp_extract directly.
+    pg2(
+      "sql_pg_string_fns",
+      """SELECT doc_id,
+        |       CAST(position('table' IN text) AS INT) AS pos_tbl,
+        |       substring(text FROM 1 FOR 10) AS head10,
+        |       substring(text FROM '[a-z]+') AS first_word,
+        |       CAST(strpos(text, 'agg') AS INT) AS pos_agg,
+        |       split_part(text, ' ', 3) AS tok3,
+        |       trim(BOTH 'ke' FROM split_part(text, ' ', 1)) AS trimmed
+        |FROM documents WHERE doc_id < 50
+        |ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id,
+        |       CAST(position('table' IN text) AS INT) AS pos_tbl,
+        |       substring(text FROM 1 FOR 10) AS head10,
+        |       regexp_extract(text, '[a-z]+', 0) AS first_word,
+        |       CAST(strpos(text, 'agg') AS INT) AS pos_agg,
+        |       split_part(text, ' ', 3) AS tok3,
+        |       trim(BOTH 'ke' FROM split_part(text, ' ', 1)) AS trimmed
+        |FROM documents WHERE doc_id < 50
+        |ORDER BY doc_id""".stripMargin),
+
+    // PG to_char datetime formatting + epoch extraction over events —
+    // PgRewrite maps to date_format / unix_micros; DuckDB spells them
+    // strftime / epoch. (events.ts is registered micros-precise on the
+    // Spark side; the oracle casts the raw nanos column the same way.)
+    pg2(
+      "sql_to_char_epoch",
+      """SELECT event_id,
+        |       to_char(ts, 'YYYY-MM-DD HH24:MI:SS') AS fmt,
+        |       extract(epoch FROM ts) AS ep
+        |FROM events WHERE event_id < 200
+        |ORDER BY event_id""".stripMargin,
+      """SELECT event_id,
+        |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS fmt,
+        |       extract(epoch FROM CAST(ts AS TIMESTAMP)) AS ep
+        |FROM events WHERE event_id < 200
+        |ORDER BY event_id""".stripMargin)
   )
 }

@@ -566,6 +566,263 @@ object PgRewrite {
       s"WHERE __graft_don = 1 ORDER BY $obys" + (if (tail.isEmpty) "" else s" $tail")
   }
 
+  /** Balanced close-paren scan from the '(' at `open`, stepping over
+    * string literals. Returns the index of the matching ')' or -1. */
+  private def balancedClose(s: String, open: Int): Int = {
+    val spans = literalSpans(s)
+    var d = 0; var j = open; var close = -1
+    while (j < s.length && close < 0) {
+      val span = spans.find { case (a, b) => j >= a && j < b }
+      if (span.isDefined) j = span.get._2
+      else {
+        s.charAt(j) match {
+          case '(' => d += 1
+          case ')' => d -= 1; if (d == 0) close = j
+          case _ =>
+        }
+        if (close < 0) j += 1
+      }
+    }
+    close
+  }
+
+  /** Split an argument list on top-level commas (nested parens and string
+    * literals are opaque). */
+  private def topSplitArgs(args: String): Seq[String] = {
+    val spans = literalSpans(args)
+    val out = Seq.newBuilder[String]; val cur = new StringBuilder
+    var d = 0; var i = 0
+    while (i < args.length) {
+      val span = spans.find { case (a, b) => i >= a && i < b }
+      if (span.isDefined) { cur ++= args.substring(span.get._1, span.get._2); i = span.get._2 }
+      else {
+        val c = args.charAt(i)
+        if (c == '(') d += 1 else if (c == ')') d -= 1
+        if (c == ',' && d == 0) { out += cur.toString.trim; cur.clear() }
+        else cur += c
+        i += 1
+      }
+    }
+    out += cur.toString.trim
+    out.result()
+  }
+
+  /** Rewrite every non-literal call of `fname` whose args `repl` accepts.
+    * `repl` gets the top-level-split args and returns the replacement
+    * expression, or None to leave that call unchanged (e.g. a form Spark
+    * parses natively). The scan restarts after each rewrite so nested
+    * calls resolve; replacements must not re-introduce a qualifying
+    * call of the same name. */
+  private def rewriteCalls(sql: String, fname: String)(
+      repl: Seq[String] => Option[String]): String = {
+    if (!sql.toLowerCase.contains(fname.toLowerCase)) return sql
+    val re = ("""(?i)\b""" + fname + """\s*\(""").r
+    var out = sql
+    var progress = true
+    val skipped = scala.collection.mutable.Set[Int]()
+    while (progress) {
+      progress = false
+      val spans = literalSpans(out)
+      re.findAllMatchIn(out)
+        .find(mm => !inLiteral(spans, mm.start) && !skipped.contains(mm.start))
+        .foreach { mm =>
+          val open = mm.end - 1
+          val close = balancedClose(out, open)
+          if (close < 0) throw new IllegalArgumentException(
+            s"unbalanced parens in $fname call: $out")
+          repl(topSplitArgs(out.substring(open + 1, close))) match {
+            case Some(r) =>
+              out = out.substring(0, mm.start) + r + out.substring(close + 1)
+              skipped.clear() // positions shifted; re-scan from scratch
+              progress = true
+            case None =>
+              skipped += mm.start // native form: leave it, look past it
+              progress = true
+          }
+        }
+    }
+    out
+  }
+
+  /** A string literal as a Java-regex that matches it literally, spelled
+    * as a Spark SQL literal: 'a.b' → '\\Qa.b\\E' (backslash doubled
+    * because Spark string literals are escape-processed). */
+  private def literalAsRegex(lit: String): String = {
+    require(lit.length >= 2 && lit.head == '\'' && lit.last == '\'',
+      s"expected a string literal delimiter, got: $lit")
+    val body = lit.drop(1).dropRight(1)
+    require(!body.contains("\\Q") && !body.contains("\\E"),
+      s"delimiter containing \\Q/\\E is not supported: $lit")
+    "'\\\\Q" + body + "\\\\E'"
+  }
+
+  private def isStringLiteral(s: String): Boolean =
+    s.length >= 2 && s.head == '\'' && s.last == '\'' &&
+      literalSpans(s).exists { case (a, b) => a == 0 && b == s.length }
+
+  /** PG → Spark format-pattern translation for to_char (longest token
+    * first; unknown alphabetic tokens fail loudly rather than silently
+    * formatting wrong — Java pattern letters and PG pattern letters
+    * overlap with different meanings). */
+  private def translatePgDateFormat(fmt: String): String = {
+    val tokens = Seq(
+      "HH24" -> "HH", "HH12" -> "hh", "YYYY" -> "yyyy", "US" -> "SSSSSS",
+      "MS" -> "SSS", "YY" -> "yy", "MM" -> "MM", "DD" -> "dd",
+      "HH" -> "hh", "MI" -> "mm", "SS" -> "ss", "AM" -> "a", "PM" -> "a")
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c.isLetter) {
+        tokens.find { case (pg, _) => fmt.regionMatches(true, i, pg, 0, pg.length) } match {
+          case Some((pg, spark)) => out ++= spark; i += pg.length
+          case None => throw new IllegalArgumentException(
+            s"unsupported to_char pattern token at '${fmt.substring(i)}' in '$fmt'")
+        }
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  /** PG set-returning and string-function spellings Spark lacks
+    * (reference grammar has none of these; PG clients emit them —
+    * SURVEY §2.9):
+    *   unnest(e) WITH ORDINALITY AS t(v, o) → (SELECT col AS v, pos+1 AS o
+    *     FROM posexplode(e)) AS t          [non-correlated FROM position]
+    *   unnest(e)                  → explode(e)
+    *   string_to_array(x, 'd')    → split(x, '\\Qd\\E', -1)
+    *   string_to_table(x, 'd')    → explode(split(x, '\\Qd\\E', -1))
+    *   regexp_split_to_array/table(x, p) → split(x, p, -1) [/ explode(…)]
+    *   strpos(s, sub)             → instr(s, sub)
+    *   substring(x FROM 'regex')  → regexp_extract(x, 'regex', 0|1)
+    *     (group 1 when the pattern has a capture group, PG's rule;
+    *     numeric FROM/FOR forms are Spark-native and pass through)
+    *   to_char(e, 'YYYY…')        → date_format(e, translated pattern)
+    *     (numeric to_char masks are Spark-native and pass through)
+    *   extract(epoch FROM e) / date_part('epoch', e)
+    *     → (CAST(unix_micros(CAST(e AS TIMESTAMP)) AS DOUBLE) / 1000000)
+    *     (other fields are Spark-native) */
+  private def rewritePgFunctions(sql: String): String = {
+    var s = sql
+    // unnest … WITH ORDINALITY first (consumes the unnest call); the
+    // plain-name map below would otherwise strand the ordinality tail
+    if (s.toLowerCase.contains("ordinality")) {
+      val re = """(?i)\bunnest\s*\(""".r
+      var progress = true
+      while (progress) {
+        progress = false
+        val spans = literalSpans(s)
+        re.findAllMatchIn(s).find { mm =>
+          !inLiteral(spans, mm.start) && {
+            val close = balancedClose(s, mm.end - 1)
+            close > 0 && s.substring(close + 1).matches("""(?is)\s*WITH\s+ORDINALITY\b.*""")
+          }
+        }.foreach { mm =>
+          val close = balancedClose(s, mm.end - 1)
+          val e = s.substring(mm.end, close)
+          val tail = s.substring(close + 1)
+          val aliasRe =
+            """(?is)^\s*WITH\s+ORDINALITY\s+(?:AS\s+)?(\w+)\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)""".r
+          aliasRe.findFirstMatchIn(tail) match {
+            case Some(am) =>
+              s = s.substring(0, mm.start) +
+                s"(SELECT col AS ${am.group(2)}, pos + 1 AS ${am.group(3)} " +
+                s"FROM posexplode($e)) AS ${am.group(1)}" +
+                tail.substring(am.end)
+              progress = true
+            case None => throw new IllegalArgumentException(
+              "unnest(...) WITH ORDINALITY requires an alias with a column " +
+                "list: AS t(value, ordinality)")
+          }
+        }
+      }
+    }
+    s = rewriteCalls(s, "unnest")(args => Some(s"explode(${args.mkString(", ")})"))
+    s = rewriteCalls(s, "string_to_array") {
+      case Seq(x, d) if isStringLiteral(d) => Some(s"split($x, ${literalAsRegex(d)}, -1)")
+      case args => throw new IllegalArgumentException(
+        s"string_to_array supports (expr, 'literal-delimiter') only, got ${args.size} arg(s)")
+    }
+    s = rewriteCalls(s, "string_to_table") {
+      case Seq(x, d) if isStringLiteral(d) =>
+        Some(s"explode(split($x, ${literalAsRegex(d)}, -1))")
+      case args => throw new IllegalArgumentException(
+        s"string_to_table supports (expr, 'literal-delimiter') only, got ${args.size} arg(s)")
+    }
+    s = rewriteCalls(s, "regexp_split_to_array") {
+      case Seq(x, p) => Some(s"split($x, $p, -1)")
+      case args => throw new IllegalArgumentException(
+        s"regexp_split_to_array takes (expr, pattern), got ${args.size} arg(s)")
+    }
+    s = rewriteCalls(s, "regexp_split_to_table") {
+      case Seq(x, p) => Some(s"explode(split($x, $p, -1))")
+      case args => throw new IllegalArgumentException(
+        s"regexp_split_to_table takes (expr, pattern), got ${args.size} arg(s)")
+    }
+    s = rewriteCalls(s, "strpos") {
+      case Seq(a, b) => Some(s"instr($a, $b)")
+      case args => throw new IllegalArgumentException(
+        s"strpos takes (string, substring), got ${args.size} arg(s)")
+    }
+    // substring(x FROM 'regex') — single arg after top-split (FROM is not
+    // a comma); numeric FROM/FOR and comma forms pass through untouched
+    s = rewriteCalls(s, "substring") {
+      case Seq(one) =>
+        val m = """(?is)^(.*\S)\s+FROM\s+('(?:[^']|'')*')$""".r.findFirstMatchIn(one)
+        m.flatMap { mm =>
+          val pat = mm.group(2)
+          // PG: the whole match unless the pattern has a capture group
+          val body = pat.drop(1).dropRight(1)
+          val hasGroup = {
+            var i = 0; var found = false
+            while (i < body.length && !found) {
+              if (body.charAt(i) == '\\') i += 2
+              else {
+                if (body.charAt(i) == '(' &&
+                  !body.startsWith("(?:", i) && !body.startsWith("(?=", i) &&
+                  !body.startsWith("(?!", i)) found = true
+                i += 1
+              }
+            }
+            found
+          }
+          Some(s"regexp_extract(${mm.group(1)}, $pat, ${if (hasGroup) 1 else 0})")
+        }
+      case _ => None
+    }
+    s = rewriteCalls(s, "to_char") {
+      case Seq(e, f) if isStringLiteral(f) &&
+        """(?i)(YYYY|YY|HH24|HH12|MI|SS|DD|AM|PM)""".r
+          .findFirstIn(f.drop(1).dropRight(1)).isDefined =>
+        Some(s"date_format($e, '${translatePgDateFormat(f.drop(1).dropRight(1))}')")
+      case _ => None // numeric masks: Spark-native to_char
+    }
+    // extract(epoch FROM e): Spark's EXTRACT lacks the epoch field
+    val epochRe = """(?i)\bextract\s*\(\s*epoch\s+from\b""".r
+    var progress = true
+    while (progress) {
+      progress = false
+      val spans = literalSpans(s)
+      epochRe.findAllMatchIn(s).find(mm => !inLiteral(spans, mm.start)).foreach { mm =>
+        val open = s.indexOf('(', mm.start)
+        val close = balancedClose(s, open)
+        if (close < 0) throw new IllegalArgumentException(
+          s"unbalanced parens in extract(epoch FROM …): $s")
+        val inner = s.substring(mm.end, close).trim
+        s = s.substring(0, mm.start) +
+          s"(CAST(unix_micros(CAST(($inner) AS TIMESTAMP)) AS DOUBLE) / 1000000)" +
+          s.substring(close + 1)
+        progress = true
+      }
+    }
+    s = rewriteCalls(s, "date_part") {
+      case Seq(f, e) if f.equalsIgnoreCase("'epoch'") =>
+        Some(s"(CAST(unix_micros(CAST(($e) AS TIMESTAMP)) AS DOUBLE) / 1000000)")
+      case _ => None // every other field is Spark-native date_part
+    }
+    s
+  }
+
   /** PG double-quoted identifiers → Spark backticks: `"returning"` →
     * `` `returning` ``. Without this, qualified `a."kw"` is a Spark
     * PARSE_SYNTAX_ERROR and a bare `"kw"` parses as a STRING LITERAL in
@@ -644,6 +901,7 @@ object PgRewrite {
     s = rewriteAggOrderBy(s)
     s = rewriteFetchFirst(s)
     s = rewriteGenerateSeries(s)
+    s = rewritePgFunctions(s)
     s = rewriteArrayLiteral(s)
     s = rewriteAnyAll(s)
     s = rewriteSimilarTo(s)

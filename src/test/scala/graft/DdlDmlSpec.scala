@@ -214,6 +214,77 @@ class DdlDmlSpec extends SparkSpec {
       PgRewrite.rewrite("SELECT array_agg(v ORDER BY k1 ASC, k2 DESC) FROM t"))
   }
 
+  test("PG set-returning and string functions rewrite to Spark spellings") {
+    assert(PgRewrite.rewrite("SELECT unnest(arr) FROM t") ==
+      "SELECT explode(arr) FROM t")
+    assert(PgRewrite.rewrite("SELECT string_to_array(x, ' ') FROM t") ==
+      "SELECT split(x, '\\\\Q \\\\E', -1) FROM t")
+    assert(PgRewrite.rewrite("SELECT string_to_table(x, ',') FROM t") ==
+      "SELECT explode(split(x, '\\\\Q,\\\\E', -1)) FROM t")
+    assert(PgRewrite.rewrite("SELECT regexp_split_to_table(x, '[ ,]+') FROM t") ==
+      "SELECT explode(split(x, '[ ,]+', -1)) FROM t")
+    assert(PgRewrite.rewrite("SELECT strpos(x, 'ab') FROM t") ==
+      "SELECT instr(x, 'ab') FROM t")
+    // nested: unnest over string_to_array resolves inside-out
+    assert(PgRewrite.rewrite("SELECT unnest(string_to_array(x, ' ')) FROM t") ==
+      "SELECT explode(split(x, '\\\\Q \\\\E', -1)) FROM t")
+    // WITH ORDINALITY → posexplode subquery (1-based ordinal)
+    assert(PgRewrite.rewrite(
+      "SELECT t.v, t.o FROM unnest(a) WITH ORDINALITY AS t(v, o)") ==
+      "SELECT t.v, t.o FROM (SELECT col AS v, pos + 1 AS o FROM posexplode(a)) AS t")
+    assertThrows[IllegalArgumentException](
+      PgRewrite.rewrite("SELECT * FROM unnest(a) WITH ORDINALITY"))
+    // substring: regex form rewrites (group 0 / capture group 1);
+    // numeric FROM/FOR is Spark-native and passes through
+    assert(PgRewrite.rewrite("SELECT substring(x FROM '[0-9]+') FROM t") ==
+      "SELECT regexp_extract(x, '[0-9]+', 0) FROM t")
+    assert(PgRewrite.rewrite("SELECT substring(x FROM 'v=([0-9]+)') FROM t") ==
+      "SELECT regexp_extract(x, 'v=([0-9]+)', 1) FROM t")
+    assert(PgRewrite.rewrite("SELECT substring(x FROM 2 FOR 3) FROM t") ==
+      "SELECT substring(x FROM 2 FOR 3) FROM t")
+    // to_char: datetime patterns translate; numeric masks pass through
+    assert(PgRewrite.rewrite("SELECT to_char(ts, 'YYYY-MM-DD HH24:MI:SS') FROM t") ==
+      "SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss') FROM t")
+    assert(PgRewrite.rewrite("SELECT to_char(n, '999,999') FROM t") ==
+      "SELECT to_char(n, '999,999') FROM t")
+    assertThrows[IllegalArgumentException](
+      PgRewrite.rewrite("SELECT to_char(ts, 'YYYY-Q') FROM t"))
+    // epoch extraction (Spark EXTRACT has no epoch field)
+    assert(PgRewrite.rewrite("SELECT extract(epoch FROM ts) FROM t") ==
+      "SELECT (CAST(unix_micros(CAST((ts) AS TIMESTAMP)) AS DOUBLE) / 1000000) FROM t")
+    assert(PgRewrite.rewrite("SELECT date_part('epoch', ts) FROM t") ==
+      "SELECT (CAST(unix_micros(CAST((ts) AS TIMESTAMP)) AS DOUBLE) / 1000000) FROM t")
+    assert(PgRewrite.rewrite("SELECT date_part('year', ts) FROM t") ==
+      "SELECT date_part('year', ts) FROM t")
+    // function names inside string literals are content, not calls
+    assert(PgRewrite.rewrite("SELECT 'unnest(a) strpos(b)' FROM t") ==
+      "SELECT 'unnest(a) strpos(b)' FROM t")
+  }
+
+  test("PG set-returning and string functions run end-to-end via the session") {
+    val s = fresh()
+    s.sql("CREATE TABLE strf (id INT PRIMARY KEY, txt TEXT, ts TIMESTAMP)")
+    s.sql("INSERT INTO strf VALUES (1, 'alpha beta v=42', TIMESTAMP '2024-03-04 05:06:07')")
+    val r = s.sql(
+      """SELECT strpos(txt, 'beta') AS p,
+        |       substring(txt FROM 'v=([0-9]+)') AS v,
+        |       to_char(ts, 'YYYY-MM-DD HH24:MI') AS fmt,
+        |       extract(epoch FROM ts) AS ep
+        |FROM strf""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 7)
+    assert(r.getString(1) == "42")
+    assert(r.getString(2) == "2024-03-04 05:06")
+    assert(r.getDouble(3) == 1.709528767e9)
+    val toks = s.sql("SELECT unnest(string_to_array(txt, ' ')) AS tok FROM strf")
+      .collect().map(_.getString(0)).toSeq
+    assert(toks == Seq("alpha", "beta", "v=42"))
+    val ord = s.sql(
+      """SELECT t.v, t.o FROM unnest(string_to_array('c a b', ' '))
+        |WITH ORDINALITY AS t(v, o) ORDER BY t.o""".stripMargin)
+      .collect().map(r2 => (r2.getString(0), r2.getInt(1))).toSeq
+    assert(ord == Seq(("c", 1), ("a", 2), ("b", 3)))
+  }
+
   test("ANSI FETCH FIRST / OFFSET ROWS rewrite to LIMIT/OFFSET") {
     assert(PgRewrite.rewrite(
       "SELECT * FROM t ORDER BY a OFFSET 5 ROWS FETCH FIRST 10 ROWS ONLY") ==
