@@ -209,6 +209,23 @@ object SqlSurfaceQueries extends QueryPack {
         |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS fmt,
         |       extract(epoch FROM CAST(ts AS TIMESTAMP)) AS ep
         |FROM events WHERE event_id < 200
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin),
+
+    // PG FILTER on a window aggregate (Spark lacks it; PgRewrite folds
+    // the predicate into a CASE inside the aggregate) + a locking clause
+    // peeled as a no-op. DuckDB parses both PG forms natively.
+    pg2(
+      "sql_window_filter",
+      """SELECT o_orderkey, o_custkey,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F')
+        |         OVER (PARTITION BY o_custkey) AS n_finished
+        |FROM orders WHERE o_orderkey < 600
+        |ORDER BY o_orderkey
+        |FOR UPDATE""".stripMargin,
+      """SELECT o_orderkey, o_custkey,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F')
+        |         OVER (PARTITION BY o_custkey) AS n_finished
+        |FROM orders WHERE o_orderkey < 600
+        |ORDER BY o_orderkey""".stripMargin)
   )
 }

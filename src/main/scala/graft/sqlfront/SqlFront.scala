@@ -823,6 +823,111 @@ object PgRewrite {
     s
   }
 
+  /** PG `agg(args) FILTER (WHERE cond) OVER …` → the CASE-inside-the-
+    * aggregate equivalent: Spark supports FILTER on plain aggregates but
+    * not on window functions ("Window aggregate function with filter
+    * predicate is not supported yet"). sum/avg/min/max/count ignore the
+    * CASE's NULLs exactly as FILTER excludes the rows; `count(*)` counts
+    * a CASE over 1. Only a FILTER followed by OVER rewrites — the plain
+    * aggregate form stays on Spark's native (codegen'd) path. (Edge: an
+    * array_agg of NULL values on filter-matching rows would drop them —
+    * Spark's collect_list skips NULLs; documented divergence.) */
+  private def rewriteWindowFilter(sql: String): String = {
+    if (!sql.toUpperCase.contains("FILTER")) return sql
+    val re = """(?i)\bFILTER\s*\(\s*WHERE\b""".r
+    var out = sql
+    var progress = true
+    while (progress) {
+      progress = false
+      val spans = literalSpans(out)
+      re.findAllMatchIn(out).find { mm =>
+        if (inLiteral(spans, mm.start)) false
+        else {
+          val filterClose = balancedClose(out, out.indexOf('(', mm.start))
+          filterClose > 0 &&
+            out.substring(filterClose + 1).matches("""(?is)\s*OVER\b.*""")
+        }
+      }.foreach { mm =>
+        val filterOpen = out.indexOf('(', mm.start)
+        val filterClose = balancedClose(out, filterOpen)
+        val whereEnd = {
+          val wm = """(?is)^\s*WHERE\b""".r
+            .findFirstMatchIn(out.substring(filterOpen + 1)).get
+          filterOpen + 1 + wm.end
+        }
+        val cond = out.substring(whereEnd, filterClose).trim
+        // backward: the aggregate call ends at the ')' just before FILTER
+        var k = mm.start - 1
+        while (k >= 0 && out.charAt(k).isWhitespace) k -= 1
+        require(k >= 0 && out.charAt(k) == ')',
+          s"FILTER must follow an aggregate call: ${out.substring(0, mm.start)}")
+        var depth = 0; var j = k; var open = -1
+        while (j >= 0 && open < 0) {
+          val span = spans.find { case (a, b) => j >= a && j < b }
+          if (span.isDefined) j = span.get._1 - 1
+          else {
+            out.charAt(j) match {
+              case ')' => depth += 1
+              case '(' => depth -= 1; if (depth == 0) open = j
+              case _ =>
+            }
+            if (open < 0) j -= 1
+          }
+        }
+        require(open > 0, s"unbalanced aggregate call before FILTER: $out")
+        var f = open - 1
+        while (f >= 0 && (out.charAt(f).isLetterOrDigit || out.charAt(f) == '_')) f -= 1
+        val fn = out.substring(f + 1, open)
+        require(fn.nonEmpty, s"FILTER must follow a function call: $out")
+        val args = topSplitArgs(out.substring(open + 1, k))
+        val first = args.head
+        val distinctRe = """(?is)^DISTINCT\s+(.*)$""".r
+        val newFirst =
+          if (fn.equalsIgnoreCase("count") && first == "*")
+            s"CASE WHEN $cond THEN 1 END"
+          else distinctRe.findFirstMatchIn(first) match {
+            case Some(dm) => s"DISTINCT CASE WHEN $cond THEN ${dm.group(1)} END"
+            case None => s"CASE WHEN $cond THEN $first END"
+          }
+        val newCall = s"$fn(${(newFirst +: args.tail).mkString(", ")})"
+        out = out.substring(0, f + 1) + newCall + out.substring(filterClose + 1)
+        progress = true
+      }
+    }
+    out
+  }
+
+  /** PG row-locking clauses — `FOR UPDATE | NO KEY UPDATE | SHARE |
+    * KEY SHARE [OF tbl, …] [NOWAIT | SKIP LOCKED]` — peel to a no-op:
+    * this engine's snapshot copy-on-write model has no row locks to
+    * take (single-writer semantics; the reference holds Percolator
+    * locks here, out of analytic scope per SURVEY §3.1). ORMs emit
+    * these on every SELECT-for-write; parsing must not fail on them.
+    * Only a top-paren-depth clause peels; SKIP LOCKED semantics (skip
+    * contended rows) would silently change results, so it is accepted
+    * as a no-op too — under a single writer no row is ever locked,
+    * which makes skip-nothing exactly correct. */
+  private def rewriteLockingClause(sql: String): String = {
+    if (!sql.toUpperCase.contains("FOR")) return sql
+    val re = ("""(?i)\bFOR\s+(?:UPDATE|NO\s+KEY\s+UPDATE|SHARE|KEY\s+SHARE)""" +
+      """(?:\s+OF\s+[\w"]+(?:\s*,\s*[\w"]+)*)?(?:\s+NOWAIT|\s+SKIP\s+LOCKED)?""").r
+    val spans = literalSpans(sql)
+    re.replaceSomeIn(sql, m => {
+      if (inLiteral(spans, m.start)) None
+      else {
+        var d = 0; var i = 0
+        while (i < m.start) {
+          if (!inLiteral(spans, i)) {
+            val c = sql.charAt(i)
+            if (c == '(') d += 1 else if (c == ')') d -= 1
+          }
+          i += 1
+        }
+        if (d == 0) Some("") else None
+      }
+    })
+  }
+
   /** PG double-quoted identifiers → Spark backticks: `"returning"` →
     * `` `returning` ``. Without this, qualified `a."kw"` is a Spark
     * PARSE_SYNTAX_ERROR and a bare `"kw"` parses as a STRING LITERAL in
@@ -902,6 +1007,8 @@ object PgRewrite {
     s = rewriteFetchFirst(s)
     s = rewriteGenerateSeries(s)
     s = rewritePgFunctions(s)
+    s = rewriteWindowFilter(s)
+    s = rewriteLockingClause(s)
     s = rewriteArrayLiteral(s)
     s = rewriteAnyAll(s)
     s = rewriteSimilarTo(s)

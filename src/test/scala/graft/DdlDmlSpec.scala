@@ -261,6 +261,31 @@ class DdlDmlSpec extends SparkSpec {
       "SELECT 'unnest(a) strpos(b)' FROM t")
   }
 
+  test("window FILTER and locking clauses rewrite for Spark") {
+    // FILTER + OVER → CASE inside the aggregate (Spark lacks window FILTER)
+    assert(PgRewrite.rewrite(
+      "SELECT sum(x) FILTER (WHERE x > 1) OVER (ORDER BY y) FROM t") ==
+      "SELECT sum(CASE WHEN x > 1 THEN x END) OVER (ORDER BY y) FROM t")
+    assert(PgRewrite.rewrite(
+      "SELECT count(*) FILTER (WHERE c = 'a') OVER w FROM t WINDOW w AS (PARTITION BY g)") ==
+      "SELECT count(CASE WHEN c = 'a' THEN 1 END) OVER w FROM t WINDOW w AS (PARTITION BY g)")
+    assert(PgRewrite.rewrite(
+      "SELECT count(DISTINCT v) FILTER (WHERE ok) OVER (PARTITION BY g) FROM t") ==
+      "SELECT count(DISTINCT CASE WHEN ok THEN v END) OVER (PARTITION BY g) FROM t")
+    // plain (non-window) FILTER is Spark-native: untouched
+    assert(PgRewrite.rewrite("SELECT sum(x) FILTER (WHERE x > 1) FROM t") ==
+      "SELECT sum(x) FILTER (WHERE x > 1) FROM t")
+    // locking clauses peel to a no-op at top level only
+    assert(PgRewrite.rewrite("SELECT * FROM t WHERE id = 1 FOR UPDATE").trim ==
+      "SELECT * FROM t WHERE id = 1")
+    assert(PgRewrite.rewrite("SELECT * FROM t FOR NO KEY UPDATE OF t NOWAIT").trim ==
+      "SELECT * FROM t")
+    assert(PgRewrite.rewrite("SELECT * FROM t FOR SHARE SKIP LOCKED").trim ==
+      "SELECT * FROM t")
+    assert(PgRewrite.rewrite("SELECT 'FOR UPDATE' FROM t") ==
+      "SELECT 'FOR UPDATE' FROM t")
+  }
+
   test("PG set-returning and string functions run end-to-end via the session") {
     val s = fresh()
     s.sql("CREATE TABLE strf (id INT PRIMARY KEY, txt TEXT, ts TIMESTAMP)")
