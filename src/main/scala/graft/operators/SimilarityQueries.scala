@@ -517,6 +517,95 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("vec_id"))
     },
 
+    // Product quantization + ADC — the memory-bound half of a production
+    // ANN index (FAISS IVFPQ's PQ stage): the 64-dim corpus compresses to
+    // m=4 one-byte codes (16 codewords per 16-dim subspace, deterministic
+    // codebook = the first 16 corpus vectors' subvectors, the same seeding
+    // rule as sim_ann_ivf's coarse quantizer), and a query scans CODES,
+    // not vectors — per query it computes a 4×16 lookup table once, and
+    // every corpus distance is then 4 table lookups + 3 adds (asymmetric
+    // distance computation). At 100 TB this is the difference between
+    // scanning 256 bytes/vector and 4 bytes/vector. Plan: encoding is a
+    // crossJoin against the 16-row broadcast codebook (one corpus pass);
+    // the LUT is tiny by construction (queries × 64 rows) → broadcast
+    // against the codes scan; ADC sums accumulate through DECIMAL(38,12)
+    // so ranking is bit-identical to the oracle's replay. Squared-L2
+    // distances throughout (PQ's native metric).
+    Q(
+      "sim_pq_adc",
+      s"""WITH u AS ($oVecs),
+         |sub AS (SELECT vec_id, x, p, CAST((p - 1) // 16 AS INT) AS s FROM u),
+         |pairdot AS (
+         |  SELECT v.vec_id, c.vec_id AS cid, v.s,
+         |         CAST(SUM(CAST(CAST(v.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         |  FROM sub v JOIN sub c ON v.p = c.p AND c.vec_id < 16
+         |  GROUP BY v.vec_id, c.vec_id, v.s),
+         |snorm AS (
+         |  SELECT vec_id, s,
+         |         CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS vv
+         |  FROM sub GROUP BY vec_id, s),
+         |dist AS (
+         |  SELECT p.vec_id, p.cid, p.s, a.vv + b.vv - 2 * p.dot AS d
+         |  FROM pairdot p
+         |  JOIN snorm a ON a.vec_id = p.vec_id AND a.s = p.s
+         |  JOIN snorm b ON b.vec_id = p.cid AND b.s = p.s),
+         |codes AS (
+         |  SELECT vec_id, s, cid AS code FROM (
+         |    SELECT vec_id, s, cid,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+         |    FROM dist) WHERE rn = 1),
+         |lut AS (
+         |  SELECT vec_id AS query_id, cid, s, d FROM dist
+         |  WHERE vec_id IN (5, 6, 7, 8, 9)),
+         |adc AS (
+         |  SELECT l.query_id, v.vec_id AS neighbor_id,
+         |         CAST(SUM(CAST(l.d AS DECIMAL(38,12))) AS DOUBLE) AS adc
+         |  FROM codes v JOIN lut l ON l.s = v.s AND l.cid = v.code
+         |  WHERE v.vec_id <> l.query_id
+         |  GROUP BY l.query_id, v.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, adc,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY adc, neighbor_id) AS rnk
+         |  FROM adc)
+         |SELECT query_id, neighbor_id, adc, rnk FROM ranked WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin
+    ) { (s, dir) =>
+      val vecs = Tables.spread(Tables.load(s, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      val cb = vecs.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      // per-subspace squared L2 via three exact dots (vv + cc − 2·vc),
+      // identical quantization to the oracle's DECIMAL(38,12) products
+      def subDist(sp: Int): Column = {
+        val va = slice(col("embedding"), sp * 16 + 1, 16)
+        val vb = slice(col("ce"), sp * 16 + 1, 16)
+        dotExact(va, va) + dotExact(vb, vb) - lit(2) * dotExact(va, vb)
+      }
+      val dists = vecs.crossJoin(broadcast(cb))
+        .select(col("vec_id"), col("cid"),
+          posexplode(array((0 until 4).map(sp => subDist(sp)): _*)).as(Seq("s", "d")))
+      val wCode = Window.partitionBy(col("vec_id"), col("s"))
+        .orderBy(col("d"), col("cid"))
+      val codes = dists.withColumn("rn", row_number().over(wCode))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("s"), col("cid").as("code"))
+      val lut = dists.filter(col("vec_id").isin(5, 6, 7, 8, 9))
+        .select(col("vec_id").as("query_id"), col("cid"), col("s").as("ls"),
+          col("d"))
+      val adc = codes.join(broadcast(lut),
+          col("ls") === col("s") && col("cid") === col("code"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("d").cast(DecimalType(38, 12))).cast("double").as("adc"))
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc"), col("neighbor_id"))
+      adc.select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc"))
+        .withColumn("rnk", row_number().over(wRank))
+        .filter(col("rnk") <= 10)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
     // Hard-negative mining — the contrastive-training shape (DPR /
     // Contriever): for each query vector, the top-k most-similar corpus
     // vectors with a DIFFERENT label are its hard negatives (similar in

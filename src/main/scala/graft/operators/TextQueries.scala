@@ -598,6 +598,68 @@ object TextQueries extends QueryPack {
         .orderBy(col("source"))
     },
 
+    // Bigram-LM surprise — the 2-gram upgrade of text_lm_surprise's
+    // unigram gate: score each document by the mean −ln P(w|prev) of its
+    // adjacent-token bigrams under the corpus bigram model with add-1
+    // smoothing (P = (c(prev,w)+1) / (c(prev)+|V|)). Training IS the
+    // query: two corpus-linear count aggregates (bigram and left-context
+    // tables, hash-partitioned on the gram key) + one tiny vocab scalar;
+    // scoring joins the model back on the same key, so model build and
+    // apply are each one shuffle and the whole thing is the standard
+    // distributed n-gram-LM shape. Per-bigram surprise is IEEE-identical
+    // double math; per-doc means accumulate through DECIMAL(38,12) and
+    // FLOOR-quantize so token order cannot perturb bits.
+    Q(
+      "text_lm_bigram",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |vocab AS (SELECT count(DISTINCT w) AS v FROM toks),
+        |t2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM t2 WHERE len(t) >= 2),
+        |cbg AS (SELECT g, count(*) AS cg FROM grams GROUP BY g),
+        |cprev AS (SELECT split_part(g, ' ', 1) AS prev, count(*) AS cp
+        |          FROM grams GROUP BY 1),
+        |per AS (
+        |  SELECT gr.doc_id, -LN(CAST(cg + 1 AS DOUBLE) / (cp + v)) AS sur
+        |  FROM grams gr
+        |  JOIN cbg ON gr.g = cbg.g
+        |  JOIN cprev ON split_part(gr.g, ' ', 1) = cprev.prev
+        |  CROSS JOIN vocab)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       CAST(FLOOR(CAST(SUM(CAST(sur AS DECIMAL(38,12))) AS DOUBLE)
+        |                  / count(*) * 1000000) AS BIGINT) AS surprise_q
+        |FROM per GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val docs = Tables.spread(Tables.load(s, dir, "documents"))
+      val toksArr = split(col("text"), " ")
+      val toks = docs.select(col("doc_id"), explode(toksArr).as("w"))
+      val vocab = toks.agg(countDistinct(col("w")).as("v"))
+      val grams = docs.filter(size(toksArr) >= 2)
+        .select(col("doc_id"), toksArr.as("t"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+          .as("g"))
+      val cbg = grams.groupBy(col("g")).agg(count(lit(1)).as("cg"))
+      val cprev = grams.select(expr("split_part(g, ' ', 1)").as("prev"))
+        .groupBy(col("prev")).agg(count(lit(1)).as("cp"))
+      grams.withColumn("prev", expr("split_part(g, ' ', 1)"))
+        .join(cbg, "g")
+        .join(cprev, "prev")
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          (-log((col("cg") + 1).cast("double") / (col("cp") + col("v")))).as("sur"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          floor(sum(col("sur").cast(DecimalType(38, 12))).cast("double") /
+            count(lit(1)) * 1e6).cast("long").as("surprise_q"))
+        .orderBy(col("doc_id"))
+    },
+
     // Hashed linear quality classifier — fastText-style inference: each
     // token hashes into one of 1024 feature buckets (collisions are the
     // point — the feature space is fixed no matter the vocabulary), each

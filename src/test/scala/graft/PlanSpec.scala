@@ -266,6 +266,29 @@ class PlanSpec extends SparkSpec {
       s"must not plan a cartesian pair join:\n${p.take(1500)}")
   }
 
+  test("PQ/ADC broadcasts the codebook and the query LUT, never a cartesian") {
+    val p = planOf("sim_pq_adc")
+    // encoding = corpus × 16-row broadcast codebook; scoring = codes ×
+    // broadcast LUT (queries × 64 rows). Neither side may shuffle the
+    // corpus for these joins, and nothing may plan a raw cartesian.
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast codebook:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast LUT equi-join:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      s"must not plan a cartesian:\n${p.take(1500)}")
+  }
+
+  test("bigram LM joins model tables on the gram key with partial aggregates") {
+    val p = planOf("text_lm_bigram")
+    // count tables build with map-side partial aggregation; the model
+    // joins back on gram/prev equi-keys — no cartesian anywhere
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected two-phase count aggregates:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      s"must not plan a cartesian:\n${p.take(1500)}")
+  }
+
   test("hashed classifier scores per row: no explode, no weight-table join") {
     val df = SparkEntry.queries("text_hashed_classifier")(spark, sf())
     val p = df.queryExecution.executedPlan.toString
