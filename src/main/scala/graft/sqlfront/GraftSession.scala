@@ -428,14 +428,10 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     if (activeTxn.isDefined)
       throw new IllegalStateException(
         "BEGIN: a transaction is already in progress (nested transactions are not supported)")
-    val files = catalog.tables.values
-      .map(t => t.name -> listDir(catalog.tableDir(t))).toMap
-    activeTxn = Some(TxnSnapshot(
-      catalog.tables.toSeq,
-      catalog.views.toSeq,
-      catalog.enums.toSeq,
-      catalog.sequences.keySet.toSet,
-      files))
+    val snap = currentSnapshot()
+    val files = snap.files
+    activeTxn = Some(snap)
+    savepoints = Nil
     // crash journal: persist the pre-BEGIN state so a session killed
     // mid-transaction recovers to it on next open. catalog.json IS the
     // serialized pre-txn catalog — snapshot it (save first: a fresh
@@ -466,38 +462,224 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   }
 
   private def commitTxn(): DataFrame = {
-    activeTxn = None; dropTxnJournal(); ok("COMMIT")
+    activeTxn = None; savepoints = Nil; dropTxnJournal(); ok("COMMIT")
+  }
+
+  /** Revert catalog + data files to `snap` (shared by full ROLLBACK and
+    * ROLLBACK TO SAVEPOINT — the savepoint case keeps the transaction
+    * open, the full case clears it at the call site). */
+  private def restoreSnapshot(snap: TxnSnapshot): Unit = {
+    // temp views registered for tables/views created after the snapshot
+    // must not outlive the rollback
+    val keep = (snap.tables.map(_._1) ++ snap.views.map(_._1)).toSet
+    (catalog.tables.keySet ++ catalog.views.keySet)
+      .filterNot(keep).foreach(spark.catalog.dropTempView(_))
+    catalog.restore(snap.tables, snap.views, snap.enums, snap.seqNames)
+    // un-append: INSERT/COPY wrote part-files into snapshot dirs that
+    // predate the snapshot — remove exactly the files it did not see
+    val unAppended = snap.files.flatMap { case (name, had) =>
+      catalog.getTable(name).flatMap { t =>
+        val dir = catalog.tableDir(t)
+        val extra = listDir(dir) -- had
+        extra.foreach(f => Files.deleteIfExists(dir.resolve(f)))
+        if (extra.nonEmpty) Some(name) else None
+      }
+    }.toSet
+    // maintainers may hold state built from rolled-back rows
+    graft.streaming.MatviewMaintenance.onSnapshotChange(catalog.root.toString)
+    // file REMOVAL from a streamed base dir is invisible to the
+    // checkpoint version stamp (the base listing is excluded by
+    // design) — the affected views' checkpoints must be rebuilt, or
+    // the next refresh would republish rolled-back rows from state
+    graft.streaming.MatviewMaintenance.onBaseFilesRemoved(this, unAppended)
   }
 
   private def rollbackTxn(): DataFrame = activeTxn match {
     case None => ok("ROLLBACK") // PG: warning + no-op outside a txn
     case Some(snap) =>
       activeTxn = None
-      // temp views registered for tables/views created inside the txn
-      // must not outlive the rollback
-      val keep = (snap.tables.map(_._1) ++ snap.views.map(_._1)).toSet
-      (catalog.tables.keySet ++ catalog.views.keySet)
-        .filterNot(keep).foreach(spark.catalog.dropTempView(_))
-      catalog.restore(snap.tables, snap.views, snap.enums, snap.seqNames)
-      // un-append: INSERT/COPY wrote part-files into snapshot dirs that
-      // predate the txn — remove exactly the files BEGIN did not see
-      val unAppended = snap.files.flatMap { case (name, had) =>
-        catalog.getTable(name).flatMap { t =>
-          val dir = catalog.tableDir(t)
-          val extra = listDir(dir) -- had
-          extra.foreach(f => Files.deleteIfExists(dir.resolve(f)))
-          if (extra.nonEmpty) Some(name) else None
-        }
-      }.toSet
-      // maintainers may hold state built from rolled-back rows
-      graft.streaming.MatviewMaintenance.onSnapshotChange(catalog.root.toString)
-      // file REMOVAL from a streamed base dir is invisible to the
-      // checkpoint version stamp (the base listing is excluded by
-      // design) — the affected views' checkpoints must be rebuilt, or
-      // the next refresh would republish rolled-back rows from state
-      graft.streaming.MatviewMaintenance.onBaseFilesRemoved(this, unAppended)
+      savepoints = Nil
+      restoreSnapshot(snap)
       dropTxnJournal()
       ok("ROLLBACK")
+  }
+
+  // ---------------------------------------------------------- savepoints
+
+  /** Savepoint stack, most recent first — each is a full TxnSnapshot
+    * (cheap: version pointers + file listings, no data copies; the same
+    * economics that make BEGIN nearly free). Only meaningful inside a
+    * transaction; PG semantics: ROLLBACK TO restores the state AND keeps
+    * the savepoint (one can roll back to it repeatedly), destroying only
+    * later savepoints; RELEASE keeps the changes and destroys the
+    * savepoint and everything after it; a reused name shadows the older
+    * one. Crash recovery stays BEGIN-anchored (the journal records the
+    * pre-BEGIN state — a crash mid-savepoint rolls the whole txn back,
+    * exactly PG's behavior for a lost connection). */
+  private var savepoints: List[(String, TxnSnapshot)] = Nil
+
+  private def currentSnapshot(): TxnSnapshot = TxnSnapshot(
+    catalog.tables.toSeq,
+    catalog.views.toSeq,
+    catalog.enums.toSeq,
+    catalog.sequences.keySet.toSet,
+    catalog.tables.values.map(t => t.name -> listDir(catalog.tableDir(t))).toMap)
+
+  private def savepoint(stmt: String): DataFrame = {
+    require(activeTxn.isDefined, "SAVEPOINT can only be used in transaction blocks")
+    val name = lastWord(stmt).toLowerCase
+    savepoints = (name -> currentSnapshot()) :: savepoints
+    ok("SAVEPOINT")
+  }
+
+  private def rollbackToSavepoint(stmt: String): DataFrame = {
+    require(activeTxn.isDefined,
+      "ROLLBACK TO SAVEPOINT can only be used in transaction blocks")
+    val name = lastWord(stmt).toLowerCase
+    val at = savepoints.indexWhere(_._1 == name)
+    require(at >= 0, s"savepoint \"$name\" does not exist")
+    restoreSnapshot(savepoints(at)._2)
+    savepoints = savepoints.drop(at) // keep the target savepoint itself
+    ok("ROLLBACK")
+  }
+
+  private def releaseSavepoint(stmt: String): DataFrame = {
+    require(activeTxn.isDefined,
+      "RELEASE SAVEPOINT can only be used in transaction blocks")
+    val name = lastWord(stmt).toLowerCase
+    val at = savepoints.indexWhere(_._1 == name)
+    require(at >= 0, s"savepoint \"$name\" does not exist")
+    savepoints = savepoints.drop(at + 1)
+    ok("RELEASE")
+  }
+
+  // ------------------------------------------------- prepared statements
+
+  /** Session-scoped prepared statements — the textual analogue of the
+    * reference's wire-level Parse/Bind/Execute cycle (reference
+    * postgres/PostgresConnectionHandler.java handles these as protocol
+    * messages; the SQL-level PREPARE/EXECUTE forms are what psql and
+    * script replays emit). `$N` placeholders substitute positionally,
+    * string literals are opaque (a '$1' inside text is content), and a
+    * declared parameter type wraps its argument in a CAST — PG's typed
+    * parameter semantics. */
+  private val prepared =
+    scala.collection.mutable.Map[String, (String, Seq[String])]()
+
+  private def prepareStmt(stmt: String): DataFrame = {
+    val re = """(?is)^PREPARE\s+([\w"]+)\s*(?:\(([^)]*)\))?\s*AS\s+(.+)$""".r
+    stmt.trim.stripSuffix(";") match {
+      case re(name, types, body) =>
+        val ts = Option(types).toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        prepared(name.replaceAll("\"", "").toLowerCase) = (body.trim, ts)
+        ok("PREPARE")
+      case _ => throw new IllegalArgumentException(s"cannot parse PREPARE: $stmt")
+    }
+  }
+
+  private def executePrepared(stmt: String): DataFrame = {
+    val re = """(?is)^EXECUTE\s+([\w"]+)\s*(?:\((.*)\))?\s*$""".r
+    stmt.trim.stripSuffix(";") match {
+      case re(name, argsS) =>
+        val key = name.replaceAll("\"", "").toLowerCase
+        val (body, types) = prepared.getOrElse(key,
+          throw new IllegalArgumentException(
+            s"prepared statement \"$key\" does not exist"))
+        val args = Option(argsS).map(topSplit(_).map(_.trim).filter(_.nonEmpty))
+          .getOrElse(Seq.empty)
+        val out = new StringBuilder; var i = 0; var inS = false
+        while (i < body.length) {
+          val c = body.charAt(i)
+          if (inS) { out += c; if (c == '\'') inS = false; i += 1 }
+          else if (c == '\'') { inS = true; out += c; i += 1 }
+          else if (c == '$' && i + 1 < body.length && body.charAt(i + 1).isDigit) {
+            var j = i + 1
+            while (j < body.length && body.charAt(j).isDigit) j += 1
+            val n = body.substring(i + 1, j).toInt
+            require(n >= 1 && n <= args.length,
+              s"there is no parameter $$$n (EXECUTE got ${args.length} argument(s))")
+            // declared PG type → Spark type via TypeMap (TEXT, BIGSERIAL,
+            // DOUBLE PRECISION … are not Spark parser names)
+            val cast = types.lift(n - 1).filterNot(_.equalsIgnoreCase("unknown"))
+            out ++= cast.map(t => s"(CAST(${args(n - 1)} AS ${TypeMap.toSpark(t).sql}))")
+              .getOrElse(s"(${args(n - 1)})")
+            i = j
+          } else { out += c; i += 1 }
+        }
+        execOne(out.toString)
+      case _ => throw new IllegalArgumentException(s"cannot parse EXECUTE: $stmt")
+    }
+  }
+
+  private def deallocate(stmt: String): DataFrame = {
+    val w = stmt.trim.stripSuffix(";").split("\\s+").drop(1)
+      .filterNot(_.equalsIgnoreCase("PREPARE"))
+    require(w.length == 1, s"cannot parse DEALLOCATE: $stmt")
+    val target = w.head.replaceAll("\"", "").toLowerCase
+    if (target == "all") prepared.clear()
+    else require(prepared.remove(target).isDefined,
+      s"prepared statement \"$target\" does not exist")
+    ok("DEALLOCATE")
+  }
+
+  // --------------------------------------------------------------- cursors
+
+  /** Cursors — PG's paging protocol (psql and drivers emit DECLARE/FETCH
+    * for large result sets; reference clients page the same way at wire
+    * level). DECLARE pins the result set ONCE via localCheckpoint —
+    * stable partitions make offset/limit paging deterministic across
+    * FETCHes even without an ORDER BY, exactly a PG cursor's stable scan
+    * — and each FETCH is a distributed offset/limit page over the pinned
+    * plan, never a driver-side materialization of the full set. Held
+    * open across COMMIT (PG's WITH HOLD behavior; the always-holdable
+    * leniency is safe single-session, where no other txn's visibility is
+    * at stake). */
+  private val cursors =
+    scala.collection.mutable.Map[String, (DataFrame, Long)]()
+
+  private def declareCursor(stmt: String): DataFrame = {
+    val re = ("""(?is)^DECLARE\s+([\w"]+)\s+""" +
+      """(?:NO\s+SCROLL\s+|SCROLL\s+|BINARY\s+|INSENSITIVE\s+)*CURSOR\s+""" +
+      """(?:WITH\s+HOLD\s+|WITHOUT\s+HOLD\s+)?FOR\s+(.+)$""").r
+    stmt.trim.stripSuffix(";") match {
+      case re(name, q) =>
+        registerAll()
+        val df = spark.sql(PgRewrite.rewrite(q)).localCheckpoint()
+        cursors(name.replaceAll("\"", "").toLowerCase) = (df, 0L)
+        ok("DECLARE CURSOR")
+      case _ => throw new IllegalArgumentException(s"cannot parse DECLARE: $stmt")
+    }
+  }
+
+  private def fetchCursor(stmt: String): DataFrame = {
+    val re = ("""(?is)^FETCH\s+(?:FORWARD\s+)?(\d+|ALL|NEXT)?\s*""" +
+      """(?:FROM\s+|IN\s+)?([\w"]+)$""").r
+    stmt.trim.stripSuffix(";") match {
+      case re(cnt, name) =>
+        val key = name.replaceAll("\"", "").toLowerCase
+        val (df, pos) = cursors.getOrElse(key,
+          throw new IllegalArgumentException(s"cursor \"$key\" does not exist"))
+        val page = Option(cnt).map(_.toUpperCase) match {
+          case None | Some("NEXT") => df.offset(pos.toInt).limit(1)
+          case Some("ALL") => df.offset(pos.toInt)
+          case Some(d) => df.offset(pos.toInt).limit(d.toInt)
+        }
+        // pin the page so the advance-count and the returned rows are the
+        // same computation
+        val out = page.localCheckpoint()
+        cursors(key) = (df, pos + out.count())
+        out
+      case _ => throw new IllegalArgumentException(s"cannot parse FETCH: $stmt")
+    }
+  }
+
+  private def closeCursor(stmt: String): DataFrame = {
+    val target = lastWord(stmt).toLowerCase
+    if (target == "all") cursors.clear()
+    else require(cursors.remove(target).isDefined,
+      s"cursor \"$target\" does not exist")
+    ok("CLOSE")
   }
 
   // -------------------------------------- maintenance (VACUUM / ANALYZE)
@@ -753,7 +935,20 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     case "EXPLAIN" => explain(stmt)
     case "BEGIN" | "START" => beginTxn()
     case "COMMIT" | "END" => commitTxn()
-    case "ROLLBACK" | "ABORT" => rollbackTxn()
+    case "ROLLBACK" | "ABORT" =>
+      if (stmt.trim.split("\\s+").lift(1).exists(_.equalsIgnoreCase("TO")))
+        rollbackToSavepoint(stmt)
+      else rollbackTxn()
+    case "SAVEPOINT" => savepoint(stmt)
+    case "RELEASE" => releaseSavepoint(stmt)
+    case "PREPARE" => prepareStmt(stmt)
+    case "EXECUTE" => executePrepared(stmt)
+    case "DEALLOCATE" => deallocate(stmt)
+    case "DECLARE" => declareCursor(stmt)
+    case "FETCH" => fetchCursor(stmt)
+    case "CLOSE" => closeCursor(stmt)
+    case "MOVE" => // position-only FETCH (PG MOVE): advance, return no rows
+      fetchCursor(stmt.trim.replaceFirst("(?i)^MOVE\\b", "FETCH")).limit(0)
     case "VACUUM" => vacuum(stmt)
     case "ANALYZE" => analyze(stmt)
     case "SET" | "DO" =>

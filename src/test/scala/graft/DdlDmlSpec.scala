@@ -261,6 +261,82 @@ class DdlDmlSpec extends SparkSpec {
       "SELECT 'unnest(a) strpos(b)' FROM t")
   }
 
+  test("SAVEPOINT / ROLLBACK TO / RELEASE inside a transaction") {
+    val s = fresh()
+    s.sql("CREATE TABLE sv (id INT PRIMARY KEY, v TEXT)")
+    s.sql("BEGIN")
+    s.sql("INSERT INTO sv VALUES (1, 'a')")
+    s.sql("SAVEPOINT p1")
+    s.sql("INSERT INTO sv VALUES (2, 'b')")
+    s.sql("SAVEPOINT p2")
+    s.sql("INSERT INTO sv VALUES (3, 'c')")
+    // roll back past p2 to p1: rows 2,3 vanish, row 1 stays
+    s.sql("ROLLBACK TO SAVEPOINT p1")
+    assert(s.sql("SELECT id FROM sv ORDER BY id").collect().map(_.getInt(0)).toSeq == Seq(1))
+    // p1 survives its own rollback (PG): usable again
+    s.sql("INSERT INTO sv VALUES (4, 'd')")
+    s.sql("ROLLBACK TO p1")
+    assert(s.sql("SELECT id FROM sv ORDER BY id").collect().map(_.getInt(0)).toSeq == Seq(1))
+    // p2 was destroyed by the rollback to p1
+    assertThrows[IllegalArgumentException](s.sql("ROLLBACK TO p2"))
+    // RELEASE keeps changes, destroys the savepoint
+    s.sql("INSERT INTO sv VALUES (5, 'e')")
+    s.sql("RELEASE SAVEPOINT p1")
+    assertThrows[IllegalArgumentException](s.sql("ROLLBACK TO p1"))
+    s.sql("COMMIT")
+    assert(s.sql("SELECT id FROM sv ORDER BY id").collect().map(_.getInt(0)).toSeq == Seq(1, 5))
+    // full-txn rollback still undoes everything since BEGIN incl. savepoint work
+    s.sql("BEGIN; SAVEPOINT q; INSERT INTO sv VALUES (9, 'z'); ROLLBACK")
+    assert(s.sql("SELECT id FROM sv ORDER BY id").collect().map(_.getInt(0)).toSeq == Seq(1, 5))
+    // outside a txn: loud errors
+    assertThrows[IllegalArgumentException](s.sql("SAVEPOINT nope"))
+  }
+
+  test("PREPARE / EXECUTE / DEALLOCATE prepared statements") {
+    val s = fresh()
+    s.sql("CREATE TABLE pp (id INT PRIMARY KEY, v TEXT)")
+    s.sql("INSERT INTO pp VALUES (1, 'a'), (2, 'b'), (3, '$1')")
+    s.sql("PREPARE get_by_id (int) AS SELECT v FROM pp WHERE id = $1")
+    assert(s.sql("EXECUTE get_by_id (2)").collect()(0).getString(0) == "b")
+    assert(s.sql("EXECUTE get_by_id (1 + 1)").collect()(0).getString(0) == "b")
+    // a '$1' inside a string literal is content, not a placeholder
+    s.sql("PREPARE find_dollar AS SELECT id FROM pp WHERE v = '$1'")
+    assert(s.sql("EXECUTE find_dollar").collect()(0).getInt(0) == 3)
+    // typed parameters cast their arguments (PG semantics)
+    s.sql("PREPARE ins (int, text) AS INSERT INTO pp VALUES ($1, $2)")
+    s.sql("EXECUTE ins (4, 'd')")
+    assert(s.sql("SELECT v FROM pp WHERE id = 4").collect()(0).getString(0) == "d")
+    // arity mismatch and unknown names fail loudly
+    assertThrows[IllegalArgumentException](s.sql("EXECUTE get_by_id"))
+    assertThrows[IllegalArgumentException](s.sql("EXECUTE no_such (1)"))
+    s.sql("DEALLOCATE get_by_id")
+    assertThrows[IllegalArgumentException](s.sql("EXECUTE get_by_id (1)"))
+    s.sql("DEALLOCATE ALL")
+    assertThrows[IllegalArgumentException](s.sql("EXECUTE ins (5, 'x')"))
+  }
+
+  test("DECLARE / FETCH / MOVE / CLOSE cursor paging") {
+    val s = fresh()
+    s.sql("CREATE TABLE cu (id INT PRIMARY KEY)")
+    s.sql("INSERT INTO cu VALUES (1), (2), (3), (4), (5), (6), (7)")
+    s.sql("DECLARE c1 CURSOR FOR SELECT id FROM cu ORDER BY id")
+    assert(s.sql("FETCH 3 FROM c1").collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    // bare FETCH = NEXT = one row, position advances across fetches
+    assert(s.sql("FETCH c1").collect().map(_.getInt(0)).toSeq == Seq(4))
+    // MOVE advances without returning rows
+    assert(s.sql("MOVE 2 IN c1").collect().isEmpty)
+    assert(s.sql("FETCH ALL FROM c1").collect().map(_.getInt(0)).toSeq == Seq(7))
+    // exhausted: FETCH returns empty, not an error
+    assert(s.sql("FETCH c1").collect().isEmpty)
+    s.sql("CLOSE c1")
+    assertThrows[IllegalArgumentException](s.sql("FETCH c1"))
+    // the cursor pins its declaration-time snapshot: later DML is invisible
+    s.sql("DECLARE c2 CURSOR FOR SELECT id FROM cu ORDER BY id")
+    s.sql("DELETE FROM cu WHERE id > 1")
+    assert(s.sql("FETCH ALL FROM c2").collect().length == 7)
+    s.sql("CLOSE ALL")
+  }
+
   test("window FILTER and locking clauses rewrite for Spark") {
     // FILTER + OVER → CASE inside the aggregate (Spark lacks window FILTER)
     assert(PgRewrite.rewrite(
