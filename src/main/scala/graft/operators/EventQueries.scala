@@ -173,6 +173,38 @@ object EventQueries extends QueryPack {
           col("cohort_size"),
           (col("active_users").cast("double") / col("cohort_size")).as("retention"))
         .orderBy(col("cohort_day"), col("day_offset"))
+    },
+
+    // Z-score anomaly detection — flag events whose value is > 3 standard
+    // deviations from its event_type's mean. Both moments come from
+    // decimal-exact sums (Σx and Σx² accumulate order-independently, so
+    // mean and variance are bit-identical across engines); sd and z are
+    // then plain IEEE ops on identical doubles. Plan: one corpus-linear
+    // two-phase aggregate builds the tiny per-type stats table, which
+    // broadcasts back onto the scan — the standard fit-then-apply shape,
+    // no shuffle of the events themselves.
+    Q(
+      "evt_zscore_anomaly",
+      """WITH stats AS (
+        |  SELECT event_type,
+        |         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value) AS mu,
+        |         CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value) AS ex2
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       (e.value - s.mu) / sqrt(s.ex2 - s.mu * s.mu) AS z
+        |FROM events e JOIN stats s ON e.event_type = s.event_type
+        |WHERE abs((e.value - s.mu) / sqrt(s.ex2 - s.mu * s.mu)) > 3.0
+        |ORDER BY e.event_id""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val stats = ev.groupBy(col("event_type"))
+        .agg(Exact.davg(col("value")).as("mu"),
+          (Exact.dsum(col("value") * col("value")) / count(col("value"))).as("ex2"))
+      val z = (col("value") - col("mu")) / sqrt(col("ex2") - col("mu") * col("mu"))
+      ev.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"), z.as("z"))
+        .filter(abs(col("z")) > 3.0)
+        .orderBy(col("event_id"))
     }
   )
 }

@@ -392,6 +392,56 @@ object TpchQueries extends QueryPack {
               |FROM orders
               |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
               |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    },
+
+    // RFM segmentation — the classic customer-analytics quartile cut
+    // (recency / frequency / monetary), here with fully deterministic
+    // NTILE boundaries: every window orders by (metric, custkey) so tie
+    // placement is engine-independent, and monetary is the decimal-exact
+    // sum. One orders-linear aggregate + a broadcast scalar (corpus max
+    // date) + three windows over the small per-customer table.
+    Q(
+      "rfm_segments",
+      """WITH per AS (
+        |  SELECT o_custkey, MAX(o_orderdate) AS last_o, COUNT(*) AS frequency,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+        |base AS (
+        |  SELECT o_custkey, datediff('day', last_o, maxd) AS recency_days,
+        |         frequency, monetary
+        |  FROM per CROSS JOIN mx),
+        |scored AS (
+        |  SELECT *,
+        |         NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+        |         NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+        |         NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+        |  FROM base)
+        |SELECT o_custkey, recency_days, frequency, monetary,
+        |       r_score, f_score, m_score,
+        |       CAST(r_score AS VARCHAR) || '-' || CAST(f_score AS VARCHAR)
+        |         || '-' || CAST(m_score AS VARCHAR) AS segment
+        |FROM scored ORDER BY o_custkey""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.load(s, dir, "orders")
+      val per = o.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_o"),
+          count(lit(1)).as("frequency"),
+          graft.Exact.dsum(col("o_totalprice")).as("monetary"))
+      val mx = o.agg(max(col("o_orderdate")).as("maxd"))
+      val base = per.crossJoin(broadcast(mx))
+        .select(col("o_custkey"),
+          datediff(col("maxd"), col("last_o")).as("recency_days"),
+          col("frequency"), col("monetary"))
+      val r = ntile(4).over(Window.orderBy(col("recency_days"), col("o_custkey")))
+      val f = ntile(4).over(Window.orderBy(col("frequency").desc, col("o_custkey")))
+      val m = ntile(4).over(Window.orderBy(col("monetary").desc, col("o_custkey")))
+      base.select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("monetary"), r.as("r_score"), f.as("f_score"), m.as("m_score"))
+        .withColumn("segment", concat(col("r_score").cast("string"), lit("-"),
+          col("f_score").cast("string"), lit("-"), col("m_score").cast("string")))
+        .orderBy(col("o_custkey"))
     }
   )
 }
