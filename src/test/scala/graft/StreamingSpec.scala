@@ -326,6 +326,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming z-score anomaly flags outliers against accreted moments") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingAnomaly.{Ev => AEv}
+    val in = MemoryStream[AEv]
+    val q = graft.streaming.StreamingAnomaly.detect(in.toDS(), minN = 10, zThresh = 3.0)
+      .writeStream.format("memory").queryName("anom_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: 12 normal points (values 9..11 alternating) — the 11th+
+      // events are judged but all sit within 3σ; nothing emits
+      in.addData((1L to 12L).map(i => AEv(i, "click", 10.0 + (i % 3) - 1)): _*)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM anom_sink").collect().isEmpty,
+        "normal values must not flag")
+      // batch 2: an extreme outlier plus one normal point — only the
+      // outlier flags, judged against batch-1-informed moments
+      in.addData(AEv(13L, "click", 1000.0), AEv(14L, "click", 10.0))
+      q.processAllAvailable()
+      val hits = spark.sql("SELECT eventId, value FROM anom_sink").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(hits == Set((13L, 1000.0)), s"expected only the outlier, got $hits")
+      // a different event type has its own cold-start state: same value,
+      // no emission (n < minN for that key)
+      in.addData(AEv(15L, "view", 1000.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM anom_sink").collect()(0).getLong(0) == 1)
+    } finally q.stop()
+  }
+
   test("batch and streaming agree on the same transformation") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Seq(
