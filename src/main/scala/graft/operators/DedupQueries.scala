@@ -748,6 +748,71 @@ object DedupQueries extends QueryPack {
           (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
           coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
         .orderBy(col("doc_id"))
+    },
+
+    // Sorted-neighborhood dedup (Hernández & Stolfo 1995) — the
+    // record-linkage classic, a different discovery geometry from LSH
+    // banding: block on a cheap key (first token), sort each block by a
+    // sorting key (full text, doc_id tiebreak), and compare each record
+    // only with its next w−1 neighbors in sort order. Near-identical
+    // documents sort adjacent, so a window of 5 catches them with
+    // corpus×w compares instead of corpus². Plan: one hash partition by
+    // block key, an in-block sort, and w−1 lead() columns — no
+    // self-join at all, and never a global single-partition sort (the
+    // window partitions by block). Verification (exact token Jaccard on
+    // the neighbor pair) is fused into the same window pass.
+    Q(
+      "dedup_sorted_neighborhood",
+      """WITH d AS (
+        |  SELECT doc_id, text, split_part(text, ' ', 1) AS b,
+        |         list_distinct(
+        |           list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        |                          i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS ts
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, ts,
+        |         LEAD(doc_id, 1) OVER win AS n1, LEAD(ts, 1) OVER win AS t1,
+        |         LEAD(doc_id, 2) OVER win AS n2, LEAD(ts, 2) OVER win AS t2,
+        |         LEAD(doc_id, 3) OVER win AS n3, LEAD(ts, 3) OVER win AS t3,
+        |         LEAD(doc_id, 4) OVER win AS n4, LEAD(ts, 4) OVER win AS t4
+        |  FROM d WINDOW win AS (PARTITION BY b ORDER BY text, doc_id)),
+        |cand AS (
+        |  SELECT doc_id, ts, n1 AS nid, t1 AS nts FROM w WHERE n1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, ts, n2, t2 FROM w WHERE n2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, ts, n3, t3 FROM w WHERE n3 IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, ts, n4, t4 FROM w WHERE n4 IS NOT NULL),
+        |scored AS (
+        |  SELECT LEAST(doc_id, nid) AS a, GREATEST(doc_id, nid) AS b,
+        |         CAST(len(list_intersect(ts, nts)) AS DOUBLE)
+        |           / len(list_distinct(list_concat(ts, nts))) AS jac
+        |  FROM cand)
+        |SELECT a, b, jac FROM scored WHERE jac >= 0.8
+        |ORDER BY a, b""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.spread(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"), col("text"),
+          expr("split_part(text, ' ', 1)").as("b"),
+          graft.functions.VectorFunctions.shingles(col("text"), 3).as("ts"))
+      val win = Window.partitionBy(col("b")).orderBy(col("text"), col("doc_id"))
+      // window exprs evaluate in their own projection; the explode runs
+      // over the materialized neighbor structs
+      val withLeads = d.select(col("doc_id"), col("ts"),
+        array((1 to 4).map(k =>
+          struct(lead(col("doc_id"), k).over(win).as("nid"),
+            lead(col("ts"), k).over(win).as("nts"))): _*).as("nbrs"))
+      withLeads.select(col("doc_id"), col("ts"),
+          explode(col("nbrs")).as("p"))
+        .filter(col("p.nid").isNotNull)
+        .select(least(col("doc_id"), col("p.nid")).as("a"),
+          greatest(col("doc_id"), col("p.nid")).as("b"),
+          (size(array_intersect(col("ts"), col("p.nts"))).cast("double") /
+            size(array_union(col("ts"), col("p.nts")))).as("jac"))
+        .filter(col("jac") >= 0.8)
+        .orderBy(col("a"), col("b"))
     }
   )
 }
