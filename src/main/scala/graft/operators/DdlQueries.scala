@@ -38,6 +38,34 @@ object DdlQueries extends QueryPack {
         .select(col("id"), col("name"), col("balance"), col("orders").cast("int").as("orders"))
     },
 
+    // MERGE (PG 15 statement; PG 17 NOT MATCHED BY SOURCE): a full
+    // four-arm sync — conditional DELETE, ordered clause choice, insert
+    // of new keys, stale-marking of rows absent from the source — whose
+    // final state is fully determined, verified as a literal relation.
+    Q(
+      "ddl_merge",
+      """SELECT * FROM (VALUES
+        |  (1, 110, false),
+        |  (3, 30, false),
+        |  (4, 40, true)
+        |) t(id, bal, stale)
+        |ORDER BY id""".stripMargin
+    ) { (s, _) =>
+      val gs = new GraftSession(s, Files.createTempDirectory("graft_gate"))
+      gs.sql("""
+        CREATE TABLE bal (id INT PRIMARY KEY, bal INT, stale BOOLEAN);
+        CREATE TABLE feed (id INT PRIMARY KEY, amt INT);
+        INSERT INTO bal VALUES (1, 100, false), (2, 10, false), (4, 40, false);
+        INSERT INTO feed VALUES (1, 10), (2, -10), (3, 30);
+        MERGE INTO bal b USING feed f ON b.id = f.id
+        WHEN MATCHED AND b.bal + f.amt <= 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET bal = b.bal + f.amt
+        WHEN NOT MATCHED THEN INSERT VALUES (f.id, f.amt, false)
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET stale = true;
+      """)
+      gs.sql("SELECT id, bal, stale FROM bal ORDER BY id")
+    },
+
     // ALTER TABLE ADD CONSTRAINT enforcement (reference
     // kv/KvQueryExecutor.java:2877-3153): FK and UNIQUE added post-hoc
     // must reject violating inserts while accepting valid ones; the final

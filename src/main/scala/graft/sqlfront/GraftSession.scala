@@ -931,6 +931,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     case "INSERT" => insert(stmt)
     case "UPDATE" => update(stmt)
     case "DELETE" => delete(stmt)
+    case "MERGE" => merge(stmt)
     case "REFRESH" => refreshMatview(stmt)
     case "EXPLAIN" => explain(stmt)
     case "BEGIN" | "START" => beginTxn()
@@ -2674,6 +2675,259 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     publish(t, cur.join(victims, joinCond, "left_anti"))
     spark.catalog.dropTempView(tv)
     ret.getOrElse(ok("DELETE", nDel))
+  }
+
+  // ----------------------------------------------------------------- MERGE
+
+  private sealed trait MergeAction
+  private case class MergeUpdate(sets: Seq[(String, String)]) extends MergeAction
+  private case object MergeDelete extends MergeAction
+  private case object MergeKeep extends MergeAction
+  /** `specified` maps column -> value expression (source scope); columns a
+    * clause leaves out take their DEFAULT (serial columns reserve ids). */
+  private case class MergeInsert(specified: Map[String, String]) extends MergeAction
+  /** kind: "matched" | "insert" (NOT MATCHED [BY TARGET]) | "bysource". */
+  private case class MergeWhen(kind: String, cond: Option[String], action: MergeAction)
+
+  /** `MERGE INTO t [AS a] USING src [AS s] ON cond WHEN … THEN …
+    * [RETURNING …]` — PG 15 MERGE incl. PG 17's `NOT MATCHED BY SOURCE`
+    * and RETURNING (post-image for INSERT/UPDATE, old image for DELETE).
+    * The reference leaves MERGE unimplemented (docs/SQL_GRAMMAR.md lists
+    * UPSERT/MERGE among missing statements); PG semantics are the spec.
+    *
+    * Distributed evaluation, no per-row driver loop: ONE inner join
+    * (target × source) scores every matched pair against the WHEN MATCHED
+    * chain — clause order becomes CASE order, so the first satisfied
+    * clause wins exactly as in PG — while each NOT MATCHED direction is
+    * an anti-join (NOT EXISTS) over the same ON condition. New column
+    * values ride the same join projection (`__new_c` per column), so a
+    * DELETE clause's branch carries the OLD row image for RETURNING free
+    * of a second scan. PG's "cannot affect row a second time" rule is a
+    * distributed groupBy-count on the target row key over the acted-on
+    * pairs. Updates/deletes/inserts union into ONE new copy-on-write
+    * snapshot: the statement is atomic at the version pointer, like
+    * UPDATE/DELETE/upsert. */
+  private def merge(stmt: String): DataFrame = {
+    val (noRet, returning) = splitReturning(stmt.trim.stripSuffix(";"))
+    val head =
+      """(?is)MERGE\s+INTO\s+([\w"]+)(?:\s+(?:AS\s+)?(?!USING\b)([a-zA-Z_]\w*))?\s+USING\s+(.*)""".r
+    val (t, tAlias, usingRest) = noRet match {
+      case head(rawT, a, rest) =>
+        val td = requireTable(rawT)
+        (td, Option(a).getOrElse(td.name), rest)
+      case _ => throw new IllegalArgumentException(s"cannot parse MERGE: $stmt")
+    }
+    val (srcText, onRest) = splitTopLevelKeyword(usingRest, "ON")
+    val rest = onRest.getOrElse(
+      throw new IllegalArgumentException(s"MERGE requires ON <condition>: $stmt"))
+    val whenMs = topLevelMatches(rest, """(?i)\bWHEN\b""".r).toVector
+    require(whenMs.nonEmpty, s"MERGE requires at least one WHEN clause: $stmt")
+    val cond = rest.substring(0, whenMs.head.start).trim
+    val segs = whenMs.indices.map { i =>
+      val end = if (i + 1 < whenMs.length) whenMs(i + 1).start else rest.length
+      rest.substring(whenMs(i).start, end).trim
+    }
+    val segRe = """(?is)WHEN\s+(NOT\s+)?MATCHED(?:\s+BY\s+(SOURCE|TARGET))?\b(.*)""".r
+    val insValRe = """(?is)INSERT\s*(?:\(([^)]*)\))?\s*VALUES\s*\((.*)\)\s*""".r
+    val whens: Seq[MergeWhen] = segs.map { seg =>
+      val (notM, by, armRest) = seg match {
+        case segRe(n, b, r) => (n != null, Option(b).map(_.toUpperCase), r)
+        case _ => throw new IllegalArgumentException(s"cannot parse MERGE WHEN clause: $seg")
+      }
+      require(notM || by.isEmpty, s"BY ${by.getOrElse("")} requires NOT MATCHED: $seg")
+      val kind = if (!notM) "matched"
+        else if (by.contains("SOURCE")) "bysource" else "insert"
+      val (pre, thenOpt) = splitTopLevelKeyword(armRest, "THEN")
+      val actS = thenOpt.getOrElse(
+        throw new IllegalArgumentException(s"MERGE WHEN clause missing THEN: $seg")).trim
+      val clauseCond = pre.trim match {
+        case "" => None
+        case p if p.matches("(?is)AND\\b.*") => Some(p.substring(3).trim)
+        case p => throw new IllegalArgumentException(s"cannot parse MERGE WHEN condition: $p")
+      }
+      val action: MergeAction = actS match {
+        case a if a.matches("(?is)UPDATE\\s+SET\\s+.*") =>
+          require(kind != "insert", s"WHEN NOT MATCHED cannot UPDATE: $seg")
+          val sets = topSplit(a.replaceFirst("(?is)^UPDATE\\s+SET\\s+", "")).map { as =>
+            val Array(c, e) = as.split("=", 2).map(_.trim)
+            val cn = c.replaceAll("\"", "").toLowerCase
+            require(t.column(cn).isDefined, s"no column $cn in ${t.name}")
+            cn -> e
+          }
+          require(sets.map(_._1).distinct.size == sets.size,
+            s"multiple assignments to the same column in MERGE UPDATE: $actS")
+          MergeUpdate(sets)
+        case a if a.matches("(?is)DELETE\\s*") =>
+          require(kind != "insert", s"WHEN NOT MATCHED cannot DELETE: $seg")
+          MergeDelete
+        case a if a.matches("(?is)DO\\s+NOTHING\\s*") => MergeKeep
+        case a if a.matches("(?is)INSERT\\s+DEFAULT\\s+VALUES\\s*") =>
+          require(kind == "insert", s"only WHEN NOT MATCHED can INSERT: $seg")
+          MergeInsert(Map.empty)
+        case insValRe(colsS, valuesS) =>
+          require(kind == "insert", s"only WHEN NOT MATCHED can INSERT: $seg")
+          val values = topSplit(valuesS)
+          val vis = t.visibleColumns
+          val names = Option(colsS) match {
+            case Some(cs) => topSplit(cs).map(_.replaceAll("\"", "").toLowerCase)
+            case None =>
+              if (values.length == vis.length) vis.map(_.name)
+              else vis.filterNot(_.serial).map(_.name).take(values.length)
+          }
+          require(names.length == values.length,
+            s"MERGE INSERT arity mismatch: ${names.length} cols vs ${values.length} values")
+          names.foreach(n => require(t.column(n).isDefined, s"no column $n in ${t.name}"))
+          // a VALUES item spelled DEFAULT = leave unspecified (PG)
+          MergeInsert(names.zip(values).filterNot(_._2.equalsIgnoreCase("DEFAULT")).toMap)
+        case a => throw new IllegalArgumentException(s"cannot parse MERGE action: $a")
+      }
+      MergeWhen(kind, clauseCond, action)
+    }
+
+    registerAll()
+    val tv = "__graft_merge_target"
+    tableDf(t).createOrReplaceTempView(tv)
+    val key = rowKey(t)
+    val keySel = key.map(k => s"$tAlias.$k AS __key_$k").mkString(", ")
+    def actionCase(ws: Seq[MergeWhen]): String =
+      "CASE " + ws.map { w =>
+        val tag = w.action match {
+          case MergeUpdate(_) => "update"
+          case MergeDelete => "delete"
+          case _ => "keep"
+        }
+        s"WHEN (${w.cond.getOrElse("TRUE")}) THEN '$tag'"
+      }.mkString(" ") + " ELSE 'keep' END AS __action"
+    // per-column post-value: first-satisfied clause's SET expression, the
+    // pre-image otherwise (so delete/keep branches carry the old row)
+    def newCols(ws: Seq[MergeWhen]): String =
+      t.columns.map { cd =>
+        val branches = ws.map { w =>
+          val v = w.action match {
+            case MergeUpdate(sets) =>
+              sets.toMap.getOrElse(cd.name, s"$tAlias.${cd.name}")
+            case _ => s"$tAlias.${cd.name}"
+          }
+          s"WHEN (${w.cond.getOrElse("TRUE")}) THEN ($v)"
+        }.mkString(" ")
+        s"CASE $branches ELSE $tAlias.${cd.name} END AS __new_${cd.name}"
+      }.mkString(", ")
+
+    val matchedWs = whens.filter(_.kind == "matched")
+    val bySrcWs = whens.filter(_.kind == "bysource")
+    val insWs = whens.filter(_.kind == "insert")
+    val changedParts = Seq.newBuilder[DataFrame]
+    if (matchedWs.nonEmpty)
+      changedParts += spark.sql(PgRewrite.rewrite(
+        s"SELECT $keySel, ${actionCase(matchedWs)}, ${newCols(matchedWs)} " +
+          s"FROM $tv AS $tAlias INNER JOIN $srcText ON $cond"))
+    if (bySrcWs.nonEmpty)
+      changedParts += spark.sql(PgRewrite.rewrite(
+        s"SELECT $keySel, ${actionCase(bySrcWs)}, ${newCols(bySrcWs)} " +
+          s"FROM $tv AS $tAlias WHERE NOT EXISTS (SELECT 1 FROM $srcText WHERE $cond)"))
+    val changed = changedParts.result().reduceOption(_ unionByName _)
+      .map(_.filter(col("__action") =!= "keep").localCheckpoint())
+    changed.foreach { ch =>
+      if (ch.groupBy(key.map(k => col("__key_" + k)): _*).count()
+          .filter(col("count") > 1).limit(1).count() > 0)
+        throw new IllegalArgumentException(
+          "MERGE command cannot affect row a second time: a target row " +
+            "matches more than one source row")
+    }
+
+    var insCache: DataFrame = null
+    val inserted: Option[DataFrame] = if (insWs.isEmpty) None else {
+      val maps = insWs.map {
+        case MergeWhen(_, _, MergeInsert(m)) => m
+        case _ => Map.empty[String, String] // DO NOTHING arm: values unused
+      }
+      val colSel = t.columns.map { cd =>
+        val branches = insWs.zip(maps).map { case (w, m) =>
+          val v = m.get(cd.name)
+            .orElse(if (cd.serial) None else cd.default.map(d => s"($d)"))
+            .getOrElse("NULL")
+          s"WHEN (${w.cond.getOrElse("TRUE")}) THEN ($v)"
+        }.mkString(" ")
+        s"CASE $branches ELSE NULL END AS ${cd.name}"
+      }.mkString(", ")
+      val actCase = "CASE " + insWs.zip(maps).map { case (w, _) =>
+        val tag = w.action match { case MergeKeep => "keep"; case _ => "insert" }
+        s"WHEN (${w.cond.getOrElse("TRUE")}) THEN '$tag'"
+      }.mkString(" ") + " ELSE 'keep' END AS __action"
+      var ins = spark.sql(PgRewrite.rewrite(
+        s"SELECT $actCase, $colSel FROM $srcText " +
+          s"WHERE NOT EXISTS (SELECT 1 FROM $tv AS $tAlias WHERE $cond)"))
+        .filter(col("__action") === "insert").drop("__action")
+      val serialCols = t.columns.filter(_.serial)
+      if (serialCols.exists(c => maps.exists(m => !m.contains(c.name)))) {
+        // same block-reservation discipline as insertRows: dense 0-based
+        // index (per-partition offsets), ONE catalog write per sequence,
+        // cached so checks and the write read the same rows
+        val base = ins.schema
+        val indexed = spark.createDataFrame(
+          ins.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+          StructType(base.fields :+ StructField("__rn", LongType, nullable = false)))
+          .cache()
+        val cnt = indexed.count()
+        ins = indexed
+        insCache = indexed
+        if (cnt > 0) serialCols.foreach { c =>
+          val sq = s"${t.name}_${c.name}_seq"
+          val inc = catalog.sequences(sq.toLowerCase).increment
+          val start = catalog.reserve(sq, cnt)
+          val st = TypeMap.toSpark(c.sqlType)
+          // clause-specified serial values win; unspecified rows take ids
+          // from the reserved block (over-reserving burns ids, like PG)
+          ins = ins.withColumn(c.name,
+            coalesce(col(c.name).cast(st), (lit(start) + col("__rn") * lit(inc)).cast(st)))
+        }
+        ins = ins.drop("__rn")
+      }
+      Some(ins.select(t.columns.map(c =>
+        col(c.name).cast(TypeMap.toSpark(c.sqlType)).as(c.name)): _*).localCheckpoint())
+    }
+
+    val cur = tableDf(t)
+    var nUpd = 0L; var nDel = 0L
+    val afterMatched = changed match {
+      case Some(ch) =>
+        nUpd = ch.filter(col("__action") === "update").count()
+        nDel = ch.filter(col("__action") === "delete").count()
+        val joinCond = key.map(k => col(k) === col("__key_" + k)).reduce(_ && _)
+        cur.join(ch, joinCond, "left")
+          .filter(col("__action").isNull || col("__action") =!= "delete")
+          .select(t.columns.map { c =>
+            when(col("__action") === "update",
+              col("__new_" + c.name).cast(TypeMap.toSpark(c.sqlType)))
+              .otherwise(col(c.name)).as(c.name)
+          }: _*)
+      case None => cur
+    }
+    val nIns = inserted.map(_.count()).getOrElse(0L)
+    val next = inserted.map(afterMatched.unionByName(_)).getOrElse(afterMatched)
+    validate(t, next)
+    // post-merge uniqueness over the whole table (SET expressions or
+    // inserts could collide on any unique key)
+    val keys = t.columns.filter(_.unique).map(c => Seq(c.name)) ++ t.uniqueKeys ++
+      (if (t.primaryKey.nonEmpty) Seq(t.primaryKey) else Nil)
+    keys.distinct.foreach { uk =>
+      val ukSet = uk.map(col(_).isNotNull).reduce(_ && _)
+      if (next.filter(ukSet).groupBy(uk.map(col): _*).count()
+          .filter(col("count") > 1).limit(1).count() > 0)
+        throw new IllegalArgumentException(
+          s"UNIQUE violation after MERGE: ${uk.mkString(",")}")
+    }
+    val ret = returning.map { r =>
+      val acted = Seq(
+        changed.map(_.select(t.columns.map(c =>
+          col("__new_" + c.name).cast(TypeMap.toSpark(c.sqlType)).as(c.name)): _*)),
+        inserted).flatten
+      returningDf(t, acted.reduceOption(_ unionByName _).getOrElse(cur.limit(0)), r)
+    }
+    publish(t, next)
+    spark.catalog.dropTempView(tv)
+    if (insCache != null) insCache.unpersist()
+    ret.getOrElse(ok("MERGE", nUpd + nDel + nIns))
   }
 
   /** Publish a new copy-on-write snapshot and bump the version pointer.

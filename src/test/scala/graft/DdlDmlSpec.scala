@@ -1299,4 +1299,94 @@ class DdlDmlSpec extends SparkSpec {
     // table unchanged after failed update
     assert(s.sql("SELECT id FROM t ORDER BY id").collect().map(_.getInt(0)).toSeq == Seq(1, 2))
   }
+
+  test("MERGE: matched UPDATE + not-matched INSERT sync (PG 15)") {
+    val s = fresh()
+    s.sql("CREATE TABLE tgt (id INT PRIMARY KEY, v TEXT, n INT)")
+    s.sql("CREATE TABLE src (id INT PRIMARY KEY, v TEXT, n INT)")
+    s.sql("INSERT INTO tgt VALUES (1, 'old', 10), (2, 'keep', 20)")
+    s.sql("INSERT INTO src VALUES (1, 'new', 11), (3, 'ins', 30)")
+    val r = s.sql(
+      """MERGE INTO tgt t USING src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v, n = s.n + t.n
+        |WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (s.id, s.v, s.n)""".stripMargin)
+      .collect()(0)
+    assert(r.getString(0) == "MERGE" && r.getLong(1) == 2L)
+    val rows = s.sql("SELECT id, v, n FROM tgt ORDER BY id").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getInt(2))).toSeq
+    assert(rows == Seq((1, "new", 21), (2, "keep", 20), (3, "ins", 30)))
+  }
+
+  test("MERGE: clause order decides — AND conditions, DELETE, DO NOTHING") {
+    val s = fresh()
+    s.sql("CREATE TABLE acct (id INT PRIMARY KEY, bal INT)")
+    s.sql("CREATE TABLE adj (id INT PRIMARY KEY, delta INT)")
+    s.sql("INSERT INTO acct VALUES (1, 100), (2, 5), (3, 50)")
+    s.sql("INSERT INTO adj VALUES (1, -100), (2, 3), (3, 25), (4, 7)")
+    // first satisfied clause wins: a zeroing adjustment deletes, a small
+    // balance is left alone, everything else updates; new ids insert
+    s.sql("""MERGE INTO acct a USING adj d ON a.id = d.id
+        |WHEN MATCHED AND a.bal + d.delta <= 0 THEN DELETE
+        |WHEN MATCHED AND a.bal < 10 THEN DO NOTHING
+        |WHEN MATCHED THEN UPDATE SET bal = a.bal + d.delta
+        |WHEN NOT MATCHED THEN INSERT VALUES (d.id, d.delta)""".stripMargin)
+    val rows = s.sql("SELECT id, bal FROM acct ORDER BY id").collect()
+      .map(x => (x.getInt(0), x.getInt(1))).toSeq
+    assert(rows == Seq((2, 5), (3, 75), (4, 7)))
+  }
+
+  test("MERGE: subquery source, affect-twice rejection, atomicity") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
+    s.sql("INSERT INTO t VALUES (1, 10)")
+    s.sql("CREATE TABLE raw (id INT, v INT)")
+    s.sql("INSERT INTO raw VALUES (1, 1), (1, 2), (2, 20)")
+    // two raw rows hit target id=1 -> PG's cannot-affect-twice error,
+    // and the failed statement publishes nothing
+    assertThrows[IllegalArgumentException](s.sql(
+      """MERGE INTO t USING raw r ON t.id = r.id
+        |WHEN MATCHED THEN UPDATE SET v = r.v""".stripMargin))
+    assert(s.sql("SELECT v FROM t").collect()(0).getInt(0) == 10)
+    // deduplicated subquery source works
+    s.sql("""MERGE INTO t USING
+        |  (SELECT id, max(v) AS v FROM raw GROUP BY id) r ON t.id = r.id
+        |WHEN MATCHED THEN UPDATE SET v = r.v
+        |WHEN NOT MATCHED THEN INSERT VALUES (r.id, r.v)""".stripMargin)
+    val rows = s.sql("SELECT id, v FROM t ORDER BY id").collect()
+      .map(x => (x.getInt(0), x.getInt(1))).toSeq
+    assert(rows == Seq((1, 2), (2, 20)))
+  }
+
+  test("MERGE: NOT MATCHED BY SOURCE prunes rows absent from source (PG 17)") {
+    val s = fresh()
+    s.sql("CREATE TABLE dim (id INT PRIMARY KEY, v TEXT, stale BOOLEAN)")
+    s.sql("CREATE TABLE feed (id INT PRIMARY KEY, v TEXT)")
+    s.sql("INSERT INTO dim VALUES (1, 'a', false), (2, 'b', false), (9, 'gone', false)")
+    s.sql("INSERT INTO feed VALUES (1, 'a2'), (3, 'c')")
+    s.sql("""MERGE INTO dim d USING feed f ON d.id = f.id
+        |WHEN MATCHED THEN UPDATE SET v = f.v
+        |WHEN NOT MATCHED THEN INSERT VALUES (f.id, f.v, false)
+        |WHEN NOT MATCHED BY SOURCE AND d.id > 5 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET stale = true""".stripMargin)
+    val rows = s.sql("SELECT id, v, stale FROM dim ORDER BY id").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getBoolean(2))).toSeq
+    assert(rows == Seq((1, "a2", false), (2, "b", true), (3, "c", false)))
+  }
+
+  test("MERGE: RETURNING and serial/default fill on the insert arm") {
+    val s = fresh()
+    s.sql("CREATE TABLE logt (id SERIAL PRIMARY KEY, k INT UNIQUE, v TEXT DEFAULT 'dflt', hits INT DEFAULT 0)")
+    s.sql("INSERT INTO logt (k, v) VALUES (10, 'x')")
+    val ret = s.sql(
+      """MERGE INTO logt t USING (SELECT 10 AS k UNION ALL SELECT 20) s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET hits = t.hits + 1
+        |WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)
+        |RETURNING k, v, hits""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).sortBy(_._1).toSeq
+    // updated row post-image + inserted row with column defaults applied
+    assert(ret == Seq((10, "x", 1), (20, "dflt", 0)))
+    // the serial id advanced past the seeded row for the merged insert
+    val ids = s.sql("SELECT id FROM logt ORDER BY k").collect().map(_.getInt(0)).toSeq
+    assert(ids.head == 1 && ids(1) > 1)
+  }
 }
