@@ -364,6 +364,57 @@ object TpchQueries extends QueryPack {
         |ORDER BY numwait DESC, s.s_name
         |LIMIT 25""".stripMargin),
 
+    // Q2-shape: minimum-cost supplier per part in a region — the classic
+    // correlated-MIN shape. The fixture has no partsupp, so the bridge is
+    // derived once from lineitem (distinct part×supplier pairs, unit
+    // price as supply cost) in a CTE both engines share. Catalyst
+    // decorrelates the per-part MIN into an aggregate + join; region and
+    // nation broadcast. Per-row division then MIN is order-insensitive,
+    // so double equality is engine-stable.
+    both(
+      "q2_min_cost_supplier",
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS supplycost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type
+        |FROM part p
+        |JOIN ps ON ps.l_partkey = p.p_partkey
+        |JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+        |  AND ps.supplycost = (SELECT MIN(ps2.supplycost) FROM ps ps2
+        |      JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+        |      JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        |      JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        |      WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        |LIMIT 100""".stripMargin),
+
+    // Q20-shape: suppliers with excess stock of promo parts — nested IN
+    // chain with a correlated half-of-shipped threshold. availqty is the
+    // lineitem-derived total per part×supplier (decimal-exact sum). The
+    // inner correlated SUM decorrelates to one aggregate over the
+    // date-filtered fact, joined back on (partkey, suppkey).
+    both(
+      "q20_excess_stock",
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS availqty
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT s.s_name, s.s_nationkey
+        |FROM supplier s
+        |WHERE s.s_nationkey < 3
+        |  AND s.s_suppkey IN (
+        |    SELECT ps.l_suppkey FROM ps
+        |    WHERE ps.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |      AND ps.availqty > (SELECT CAST(0.5 AS DOUBLE) *
+        |            CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+        |          FROM lineitem l
+        |          WHERE l.l_partkey = ps.l_partkey AND l.l_suppkey = ps.l_suppkey
+        |            AND l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'))
+        |ORDER BY s.s_name""".stripMargin),
+
     // Q22-shape: global sales opportunity — above-average balances with
     // no orders (scalar subquery + anti join; nationkey stands in for
     // the phone country code).
