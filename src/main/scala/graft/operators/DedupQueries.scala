@@ -813,6 +813,44 @@ object DedupQueries extends QueryPack {
             size(array_union(col("ts"), col("p.nts")))).as("jac"))
         .filter(col("jac") >= 0.8)
         .orderBy(col("a"), col("b"))
+    },
+
+    // Fuzzy edit-distance dedup — entity-resolution-style near-identical
+    // detection where token methods fail (single-character typos,
+    // OCR noise). Compare key = the doc's 80-char prefix ("title");
+    // blocking = first-4-chars equality + length band |Δlen| ≤ 5 (edit
+    // distance ≤ 8 implies length differs by ≤ 8; the tighter band plus
+    // the prefix block is the declared recall tradeoff, standard in ER).
+    // Verify = exact Levenshtein on candidates only. 100 TB shape: the
+    // block key equi-join keeps candidate generation hash-partitioned
+    // and corpus-linear per block; the O(80²) DP runs candidate-local,
+    // never all-pairs. Both engines compute unit-cost edit distance →
+    // identical integers.
+    Q(
+      "dedup_fuzzy_levenshtein",
+      """WITH k AS (
+        |  SELECT doc_id, substr(text, 1, 80) AS p, substr(text, 1, 4) AS blk,
+        |         length(substr(text, 1, 80)) AS ln
+        |  FROM documents)
+        |SELECT a.doc_id AS a, b.doc_id AS b, levenshtein(a.p, b.p) AS dist
+        |FROM k a JOIN k b
+        |  ON a.blk = b.blk AND a.doc_id < b.doc_id AND abs(a.ln - b.ln) <= 5
+        |WHERE levenshtein(a.p, b.p) <= 8
+        |ORDER BY a, b""".stripMargin
+    ) { (s, dir) =>
+      val k = Tables.spread(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"), substring(col("text"), 1, 80).as("p"),
+          substring(col("text"), 1, 4).as("blk"),
+          length(substring(col("text"), 1, 80)).as("ln"))
+      val a = k.select(col("doc_id").as("a"), col("p").as("pa"),
+        col("blk"), col("ln").as("la"))
+      val b = k.select(col("doc_id").as("b"), col("p").as("pb"),
+        col("blk"), col("ln").as("lb"))
+      a.join(b, Seq("blk"))
+        .filter(col("a") < col("b") && abs(col("la") - col("lb")) <= 5)
+        .select(col("a"), col("b"), levenshtein(col("pa"), col("pb")).as("dist"))
+        .filter(col("dist") <= 8)
+        .orderBy(col("a"), col("b"))
     }
   )
 }

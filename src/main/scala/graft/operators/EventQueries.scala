@@ -205,6 +205,59 @@ object EventQueries extends QueryPack {
         .select(col("event_id"), col("event_type"), col("value"), z.as("z"))
         .filter(abs(col("z")) > 3.0)
         .orderBy(col("event_id"))
+    },
+
+    // Time-series gap fill + LOCF — downsample to hourly buckets, then
+    // densify against a generated spine (every hour × every event_type)
+    // and carry the last observed total forward across gap hours. The
+    // spine is dims × hours — tiny at any corpus size — so it BROADCASTS
+    // against the bucketed aggregate (the corpus-sized side never
+    // reshuffles for the join); LOCF is one window per series key.
+    // Missing-bucket counts fill with 0; is_gap marks synthesized rows.
+    Q(
+      "evt_gapfill_locf",
+      s"""WITH b AS (
+         |  SELECT event_type, ($oEs // 3600) * 3600 AS h,
+         |         COUNT(*) AS events,
+         |         ${Exact.oSum("value")} AS total
+         |  FROM events GROUP BY 1, 2),
+         |ext AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM b),
+         |spine AS (
+         |  SELECT t.event_type, g.h
+         |  FROM (SELECT DISTINCT event_type FROM events) t
+         |  CROSS JOIN (SELECT unnest(generate_series((SELECT mn FROM ext),
+         |                                            (SELECT mx FROM ext), 3600)) AS h) g),
+         |j AS (
+         |  SELECT s.event_type, s.h, COALESCE(b.events, 0) AS events, b.total,
+         |         (b.h IS NULL) AS is_gap
+         |  FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.h = b.h)
+         |SELECT event_type, h AS hour_s, events,
+         |       LAST_VALUE(total IGNORE NULLS) OVER (
+         |         PARTITION BY event_type ORDER BY h
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_total,
+         |       is_gap
+         |FROM j ORDER BY event_type, hour_s""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val b = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          (floor(unix_timestamp(col("ts")) / 3600) * 3600).as("h"))
+        .agg(count(lit(1)).as("events"), Exact.dsum(col("value")).as("total"))
+      val ext = b.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      val hours = ext.select(explode(sequence(col("mn"), col("mx"),
+        lit(3600L))).as("h"))
+      val spine = Tables.load(s, dir, "events").select(col("event_type")).distinct()
+        .crossJoin(hours)
+      val j = broadcast(spine).join(b, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("events"), lit(0L)).as("events"), col("total"),
+          col("events").isNull.as("is_gap"))
+      val locf = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      j.select(col("event_type"), col("h").as("hour_s"), col("events"),
+          last(col("total"), ignoreNulls = true).over(locf).as("filled_total"),
+          col("is_gap"))
+        .orderBy(col("event_type"), col("hour_s"))
     }
   )
 }

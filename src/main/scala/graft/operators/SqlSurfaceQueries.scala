@@ -76,6 +76,24 @@ object SqlSurfaceQueries extends QueryPack {
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin),
 
+    // UNPIVOT: wide metric columns → long (metric, value) rows — the
+    // inverse of PIVOT and the standard shape for feeding per-metric
+    // dashboards from a wide aggregate. Both engines parse the
+    // SQL-standard UNPIVOT clause; decimal-exact sums keep the doubles
+    // bit-identical. Scale shape: one partial-agg groupBy then a
+    // per-row expand (no shuffle beyond the agg).
+    same(
+      "sql_unpivot",
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+        |         CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, val
+        |FROM m UNPIVOT (val FOR metric IN (sum_qty, sum_price, sum_disc))
+        |ORDER BY l_returnflag, metric""".stripMargin),
+
     // PG DISTINCT ON — the latest-per-key idiom (top customer balance per
     // nation). PgRewrite turns it into a row_number window; DuckDB parses
     // the PG form natively, so the oracle is the same text.

@@ -85,6 +85,55 @@ object TemporalQueries extends QueryPack {
         .groupBy(col("band_id"))
         .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("total"))
         .orderBy(col("band_id"))
+    },
+
+    // SCD Type-2 dimension build — the standard warehouse temporal
+    // shape: collapse a change log (orders as per-customer priority
+    // changes over time) into versioned rows with [valid_from, valid_to)
+    // intervals and an is_current flag. Two windows over ONE shuffle on
+    // the dimension key (both partition by o_custkey): LAG detects
+    // change points, LEAD closes each interval. Ties on a date are
+    // ordered by o_orderkey so version boundaries are deterministic.
+    // 100 TB shape: dimension-key-partitioned, corpus-linear, no join.
+    Q(
+      "scd2_dimension",
+      """WITH chg AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+        |         LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |starts AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate AS vf, o_orderkey
+        |  FROM chg WHERE prev IS NULL OR prev <> o_orderpriority),
+        |v AS (
+        |  SELECT o_custkey, o_orderpriority, vf,
+        |         LEAD(vf) OVER (PARTITION BY o_custkey
+        |           ORDER BY vf, o_orderkey) AS vt
+        |  FROM starts)
+        |SELECT o_custkey, o_orderpriority,
+        |       CAST(vf AS DATE) AS valid_from, CAST(vt AS DATE) AS valid_to,
+        |       (vt IS NULL) AS is_current
+        |FROM v ORDER BY o_custkey, valid_from, o_orderpriority""".stripMargin
+    ) { (s, dir) =>
+      val byKey = Window.partitionBy(col("o_custkey"))
+      val chg = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("o_orderpriority"),
+          lag(col("o_orderpriority"), 1).over(
+            byKey.orderBy(col("o_orderdate"), col("o_orderkey"))).as("prev"))
+      val starts = chg
+        .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+        .select(col("o_custkey"), col("o_orderpriority"),
+          col("o_orderdate").as("vf"), col("o_orderkey"))
+      starts
+        .select(col("o_custkey"), col("o_orderpriority"), col("vf"),
+          lead(col("vf"), 1).over(
+            byKey.orderBy(col("vf"), col("o_orderkey"))).as("vt"))
+        .select(col("o_custkey"), col("o_orderpriority"),
+          col("vf").cast("date").as("valid_from"),
+          col("vt").cast("date").as("valid_to"),
+          col("vt").isNull.as("is_current"))
+        .orderBy(col("o_custkey"), col("valid_from"), col("o_orderpriority"))
     }
   )
 }
