@@ -29,7 +29,8 @@ object SparkEntry {
     TpchQueries,
     ArrayQueries,
     TemporalQueries,
-    SqlSurfaceQueries)
+    SqlSurfaceQueries,
+    GraphQueries)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.qs)

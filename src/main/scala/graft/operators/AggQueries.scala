@@ -352,6 +352,77 @@ object AggQueries extends QueryPack {
         .agg(grouping(col("o_orderpriority")).cast("int").as("g"),
           count(lit(1)).as("cnt"))
         .orderBy(col("g"), col("o_orderpriority"))
+    },
+
+    // HLL sketch count-distinct — THE 100 TB cardinality operator: a
+    // fixed-size (2^12 bucket) mergeable sketch crosses the shuffle
+    // instead of the distinct key set, so memory is O(1) per group where
+    // COUNT(DISTINCT) is O(ndv). Sketches are deterministic for a given
+    // input, but not engine-portable — the gate therefore checks the
+    // ESTIMATE against the exact count within the sketch's error bound
+    // (relative standard error 1.04/√2^12 ≈ 1.6%; 2% bound): the exact
+    // column must hash-match, the bound flag must be true on both sides.
+    Q(
+      "agg_hll_distinct_bound",
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_partkey) AS exact_parts,
+        |       true AS within_2pct
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("est"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("est") - col("exact_parts")) <=
+            col("exact_parts") * 0.02).as("within_2pct"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // HLL sketch MERGE — the property that makes sketches work on a
+    // cluster: per-partition (here per-returnflag) sketches union into a
+    // corpus sketch without rescanning, the daily-rollup shape (sketch
+    // per day, union per month). Merged estimate must land within the
+    // same error bound of the exact global count.
+    Q(
+      "agg_hll_merge_bound",
+      """SELECT COUNT(DISTINCT l_partkey) AS exact_parts, true AS merged_within_2pct
+        |FROM lineitem""".stripMargin
+    ) { (s, dir) =>
+      val per = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+      val merged = per.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val exact = Tables.load(s, dir, "lineitem")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      exact.crossJoin(broadcast(merged))
+        .select(col("exact_parts"),
+          (abs(col("est") - col("exact_parts")) <=
+            col("exact_parts") * 0.02).as("merged_within_2pct"))
+    },
+
+    // Approximate percentiles (Greenwald-Khanna) — the other essential
+    // sketch at scale: rank error ε = 1/accuracy, so the approximate
+    // p-quantile must lie within the EXACT [p-ε, p+ε] quantile band.
+    // The gate pins that containment per quantile; the count column
+    // anchors the hash compare.
+    Q(
+      "agg_approx_quantile_bound",
+      """SELECT COUNT(*) AS n, true AS p50_ok, true AS p90_ok, true AS p99_ok
+        |FROM lineitem""".stripMargin
+    ) { (s, dir) =>
+      def ok(p: Double): org.apache.spark.sql.Column = {
+        val eps = 0.001
+        (expr(s"approx_percentile(l_extendedprice, $p, 1000)") >=
+          expr(s"percentile(l_extendedprice, ${p - eps})")) &&
+          (expr(s"approx_percentile(l_extendedprice, $p, 1000)") <=
+            expr(s"percentile(l_extendedprice, ${p + eps})"))
+      }
+      Tables.load(s, dir, "lineitem")
+        .agg(count(lit(1)).as("n"), ok(0.5).as("p50_ok"),
+          ok(0.9).as("p90_ok"), ok(0.99).as("p99_ok"))
     }
   )
 }

@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over the order graph — PageRank-style
+  * link analysis is a first-class training-data operation (web-graph
+  * quality propagation à la CommonCrawl filtering) and the canonical
+  * iterative-join workload. The graph is the customer↔supplier bipartite
+  * graph induced by lineitem⋈orders, made undirected so every node has
+  * out-degree ≥ 1 (no dangling-mass redistribution needed).
+  *
+  * Scale shape: edges materialize ONCE (persist) and every iteration is
+  * the same join-on-src + groupBy-dst — hash-partitioned on the node id,
+  * corpus-linear per iteration, no driver-side graph. The oracle unrolls
+  * the identical three iterations as chained CTEs; per-node contributions
+  * sum through DECIMAL(38,18) so the fold is order-independent and the
+  * resulting doubles are bit-identical on both engines.
+  */
+object GraphQueries extends QueryPack {
+
+  /** Exact, order-independent sum for O(1/n)-scale PageRank mass (the
+    * repo-wide DECIMAL(28,6) pattern loses everything below 1e-6). */
+  private def prSum(c: Column): Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 18))).cast("double")
+  private def oPrSum(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(38,18))) AS DOUBLE)"
+
+  /** Undirected customer↔supplier edge list: c<custkey> — s<suppkey>. */
+  private def edges(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val e0 = o.join(l, col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .distinct()
+    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  private val oEdges =
+    """e0 AS (
+      |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+      |                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      |nn AS (SELECT COUNT(*) AS n FROM deg)""".stripMargin
+
+  /** One oracle PageRank step: p<k> -> p<k+1>. */
+  private def oStep(prev: String, next: String): String =
+    s"""$next AS (
+       |  SELECT e.dst AS id,
+       |         0.15 / (SELECT n FROM nn) +
+       |         0.85 * ${oPrSum(s"p.pr / d.outdeg")} AS pr
+       |  FROM edges e
+       |  JOIN $prev p ON p.id = e.src
+       |  JOIN deg d ON d.src = e.src
+       |  GROUP BY e.dst)""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    // Degree distribution — the graph-shape profile (how skewed is the
+    // join key?) that decides salting/broadcast strategy downstream.
+    // One groupBy for degrees, one for the histogram.
+    Q(
+      "graph_degree_histogram",
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+        |                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src)
+        |SELECT degree, COUNT(*) AS nodes
+        |FROM deg GROUP BY degree
+        |ORDER BY degree""".stripMargin
+    ) { (s, dir) =>
+      edges(s, dir)
+        .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("nodes"))
+        .orderBy(col("degree"))
+    },
+
+    // PageRank, 3 iterations, damping 0.85 — top 50 nodes by rank. The
+    // final projection quantizes pr to 12 decimal digits purely for the
+    // cross-engine hash (the iteration arithmetic itself is exact-summed
+    // doubles, identical on both engines).
+    Q(
+      "graph_pagerank",
+      s"""WITH $oEdges,
+         |p0 AS (SELECT src AS id, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
+         |${oStep("p0", "p1")},
+         |${oStep("p1", "p2")},
+         |${oStep("p2", "p3")}
+         |SELECT id, CAST(CAST(pr AS DECIMAL(20,12)) AS DOUBLE) AS pr
+         |FROM p3
+         |ORDER BY pr DESC, id
+         |LIMIT 50""".stripMargin
+    ) { (s, dir) =>
+      val e = edges(s, dir).persist()
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val nDf = deg.agg(count(lit(1)).as("n"))
+      var pr = deg.select(col("src").as("id")).crossJoin(broadcast(nDf))
+        .select(col("id"), (lit(1.0) / col("n")).as("pr"))
+      for (_ <- 1 to 3) {
+        val contrib = e.join(pr, e("src") === pr("id"))
+          .join(deg, "src")
+          .select(col("dst"), (col("pr") / col("outdeg")).as("c"))
+        pr = contrib.groupBy(col("dst")).agg(prSum(col("c")).as("mass"))
+          .crossJoin(broadcast(nDf))
+          .select(col("dst").as("id"),
+            (lit(0.15) / col("n") + lit(0.85) * col("mass")).as("pr"))
+      }
+      pr.select(col("id"),
+          col("pr").cast("decimal(20,12)").cast("double").as("pr"))
+        .orderBy(col("pr").desc, col("id"))
+        .limit(50)
+    }
+  )
+}
