@@ -423,6 +423,51 @@ object AggQueries extends QueryPack {
       Tables.load(s, dir, "lineitem")
         .agg(count(lit(1)).as("n"), ok(0.5).as("p50_ok"),
           ok(0.9).as("p90_ok"), ok(0.99).as("p99_ok"))
+    },
+
+    // Bivariate statistics: corr / covar_pop / regr_slope per group —
+    // the feature-engineering profile pass. Native corr()/covar_pop()
+    // fold doubles in partition order (non-deterministic across
+    // engines AND runs), so both sides compute the five decimal-exact
+    // moment sums first and derive the statistics from identical
+    // doubles. One partial-agg groupBy, corpus-linear.
+    Q(
+      "agg_corr_regr",
+      s"""WITH m AS (
+         |  SELECT l_returnflag, COUNT(*) AS n,
+         |    ${Exact.oSum("l_quantity")} / COUNT(*) AS mx,
+         |    ${Exact.oSum("l_extendedprice")} / COUNT(*) AS my,
+         |    ${Exact.oSum("l_quantity * l_extendedprice")} / COUNT(*) AS mxy,
+         |    ${Exact.oSum("l_quantity * l_quantity")} / COUNT(*) AS mxx,
+         |    ${Exact.oSum("l_extendedprice * l_extendedprice")} / COUNT(*) AS myy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |  CAST(CAST(mxy - mx * my AS DECIMAL(24,8)) AS DOUBLE) AS covar_pop,
+         |  CAST(CAST((mxy - mx * my) / sqrt((mxx - mx * mx) * (myy - my * my))
+         |       AS DECIMAL(20,12)) AS DOUBLE) AS corr,
+         |  CAST(CAST((mxy - mx * my) / (mxx - mx * mx)
+         |       AS DECIMAL(24,8)) AS DOUBLE) AS regr_slope
+         |FROM m ORDER BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      val nC = count(lit(1))
+      val mx = Exact.dsum(x) / nC; val my = Exact.dsum(y) / nC
+      val mxy = Exact.dsum(x * y) / nC
+      val mxx = Exact.dsum(x * x) / nC; val myy = Exact.dsum(y * y) / nC
+      val cov = mxy - mx * my
+      // outputs quantize through decimal (8/12 frac digits) purely for
+      // the cross-engine hash: the double→decimal cast of the SQUARED
+      // moment sums can differ in the 17th significant digit between
+      // engines, which survives into the last ulp of corr.
+      def q(c: org.apache.spark.sql.Column, t: String) =
+        c.cast(t).cast("double")
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(nC.as("n"), q(cov, "decimal(24,8)").as("covar_pop"),
+          q(cov / sqrt((mxx - mx * mx) * (myy - my * my)),
+            "decimal(20,12)").as("corr"),
+          q(cov / (mxx - mx * mx), "decimal(24,8)").as("regr_slope"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }

@@ -96,14 +96,19 @@ object GraphQueries extends QueryPack {
          |ORDER BY pr DESC, id
          |LIMIT 50""".stripMargin
     ) { (s, dir) =>
-      val e = edges(s, dir).persist()
+      val e = edges(s, dir)
       val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      // out-degree is loop-invariant: attach it to the edge list ONCE so
+      // each iteration is a single join on the node id (edges ⋈ ranks),
+      // not edges ⋈ ranks ⋈ deg. The annotated edge list is the only
+      // corpus-sized operand and it is persisted across iterations.
+      val eDeg = e.join(deg, "src")
+        .select(col("src"), col("dst"), col("outdeg")).persist()
       val nDf = deg.agg(count(lit(1)).as("n"))
       var pr = deg.select(col("src").as("id")).crossJoin(broadcast(nDf))
         .select(col("id"), (lit(1.0) / col("n")).as("pr"))
       for (_ <- 1 to 3) {
-        val contrib = e.join(pr, e("src") === pr("id"))
-          .join(deg, "src")
+        val contrib = eDeg.join(pr, eDeg("src") === pr("id"))
           .select(col("dst"), (col("pr") / col("outdeg")).as("c"))
         pr = contrib.groupBy(col("dst")).agg(prSum(col("c")).as("mass"))
           .crossJoin(broadcast(nDf))

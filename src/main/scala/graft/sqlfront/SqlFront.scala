@@ -275,6 +275,26 @@ object PgRewrite {
     gate("""(?i)\b(OFFSET\s+\d+)\s+ROWS?\b""".r, s)(m => m.group(1))
   }
 
+  /** PG `TABLESAMPLE {BERNOULLI|SYSTEM}(p) [REPEATABLE(seed)]` →
+    * Spark's `TABLESAMPLE (p PERCENT) [REPEATABLE (seed)]`. Both map to
+    * Spark's Bernoulli row sampler: PG's BERNOULLI is row-level (exact
+    * match); PG's SYSTEM is page-level, which has no Spark analogue —
+    * row-level is the closest semantic (a superset of what SYSTEM
+    * guarantees). REPEATABLE keeps PG's contract — determinism across
+    * runs for the same seed on the same data — via Spark's seeded
+    * sampler; without it both engines are free-running random. */
+  private def rewriteTableSample(sql: String): String = {
+    if (!sql.toUpperCase.contains("TABLESAMPLE")) return sql
+    val re = ("""(?i)\bTABLESAMPLE\s+(BERNOULLI|SYSTEM)\s*\(\s*([\d.]+)\s*\)""" +
+      """(?:\s*REPEATABLE\s*\(\s*(\d+)\s*\))?""").r
+    val spans = literalSpans(sql)
+    re.replaceSomeIn(sql, m =>
+      if (inLiteral(spans, m.start)) None
+      else Some(java.util.regex.Matcher.quoteReplacement(
+        s"TABLESAMPLE (${m.group(2)} PERCENT)" +
+          Option(m.group(3)).fold("")(seed => s" REPEATABLE ($seed)"))))
+  }
+
   /** PG set-returning `generate_series(a, b[, step])` in FROM position →
     * Spark's `explode(sequence(a, b[, step]))` table-valued function
     * (integer series; both ends inclusive on both engines). Alias
@@ -1005,6 +1025,7 @@ object PgRewrite {
     s = rewriteCasts(s)
     s = rewriteAggOrderBy(s)
     s = rewriteFetchFirst(s)
+    s = rewriteTableSample(s)
     s = rewriteGenerateSeries(s)
     s = rewritePgFunctions(s)
     s = rewriteWindowFilter(s)

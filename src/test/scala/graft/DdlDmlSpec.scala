@@ -1389,4 +1389,22 @@ class DdlDmlSpec extends SparkSpec {
     val ids = s.sql("SELECT id FROM logt ORDER BY k").collect().map(_.getInt(0)).toSeq
     assert(ids.head == 1 && ids(1) > 1)
   }
+
+  test("TABLESAMPLE BERNOULLI REPEATABLE: deterministic per seed, ballpark fraction") {
+    val s = fresh()
+    s.sql("CREATE TABLE ts_t (id INT PRIMARY KEY)")
+    s.sql("INSERT INTO ts_t VALUES " +
+      (1 to 400).map(i => s"($i)").mkString(", "))
+    def sample(seed: Int): Seq[Int] =
+      s.sql(s"SELECT id FROM ts_t TABLESAMPLE BERNOULLI(25) REPEATABLE($seed) ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq
+    val a = sample(42)
+    // PG's REPEATABLE contract: same seed + same data → same rows
+    assert(a == sample(42))
+    // ballpark: 25% of 400 with generous slack (Bernoulli variance)
+    assert(a.size > 40 && a.size < 200)
+    // SYSTEM maps to the same row sampler; bare (no REPEATABLE) parses
+    val b = s.sql("SELECT id FROM ts_t TABLESAMPLE SYSTEM(50)").collect()
+    assert(b.length > 100 && b.length < 300)
+  }
 }
