@@ -427,10 +427,10 @@ object TextQueries extends QueryPack {
         |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
         |  FROM sized)
-        |SELECT source, start_tok // 512 AS bin,
-        |       count(*) AS n_docs, SUM(n_tokens) AS bin_tokens,
-        |       SUM(CASE WHEN (start_tok + n_tokens - 1) // 512 > start_tok // 512
-        |                THEN 1 ELSE 0 END) AS straddlers
+        |SELECT source, CAST(start_tok // 512 AS BIGINT) AS bin,
+        |       count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+        |       CAST(SUM(CASE WHEN (start_tok + n_tokens - 1) // 512 > start_tok // 512
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS straddlers
         |FROM pos
         |GROUP BY source, start_tok // 512
         |ORDER BY source, bin""".stripMargin
@@ -533,7 +533,7 @@ object TextQueries extends QueryPack {
         |  FROM documents)
         |SELECT CASE WHEN bucket < 80 THEN 'train'
         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
-        |       source, count(*) AS n_docs, SUM(doc_id) AS id_sum
+        |       source, count(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM h GROUP BY 1, 2
         |ORDER BY split, source""".stripMargin
     ) { (s, dir) =>
@@ -574,7 +574,7 @@ object TextQueries extends QueryPack {
         |         CAST(FLOOR((qual / MAX(qual) OVER ()) * (qual / MAX(qual) OVER ()) * 10000) AS BIGINT) AS thr
         |  FROM w)
         |SELECT q.source, count(*) AS n_in,
-        |       SUM(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS n_kept
+        |       CAST(SUM(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM q JOIN r ON q.source = r.source
         |GROUP BY q.source
         |ORDER BY q.source""".stripMargin
