@@ -446,11 +446,18 @@ object TpchQueries extends QueryPack {
     },
 
     // RFM segmentation — the classic customer-analytics quartile cut
-    // (recency / frequency / monetary), here with fully deterministic
-    // NTILE boundaries: every window orders by (metric, custkey) so tie
-    // placement is engine-independent, and monetary is the decimal-exact
-    // sum. One orders-linear aggregate + a broadcast scalar (corpus max
-    // date) + three windows over the small per-customer table.
+    // (recency / frequency / monetary) with THRESHOLD semantics rather
+    // than NTILE: quartile boundaries are computed once as
+    // percentile_disc(0.25/0.50/0.75) over the per-customer aggregate
+    // (identical ordered-set definition in both engines, so boundaries
+    // are bit-equal), broadcast back, and each customer is scored by
+    // row-local comparison. Ties share a score — deterministic with no
+    // tie-break column. Scale shape: NTILE(4) OVER (ORDER BY ...) is a
+    // global single-partition sort — three of them serialized — which is
+    // a scale-killer at billions of customers; the threshold form is one
+    // orders-linear aggregate + a 1-row broadcast + a narrow scan (at
+    // true 100 TB scale, swap percentile_disc for approx_percentile and
+    // keep the identical plan shape). monetary is the decimal-exact sum.
     Q(
       "rfm_segments",
       """WITH per AS (
@@ -462,19 +469,33 @@ object TpchQueries extends QueryPack {
         |  SELECT o_custkey, datediff('day', last_o, maxd) AS recency_days,
         |         frequency, monetary
         |  FROM per CROSS JOIN mx),
+        |thr AS (
+        |  SELECT
+        |    percentile_disc(0.25) WITHIN GROUP (ORDER BY recency_days) AS r1,
+        |    percentile_disc(0.50) WITHIN GROUP (ORDER BY recency_days) AS r2,
+        |    percentile_disc(0.75) WITHIN GROUP (ORDER BY recency_days) AS r3,
+        |    percentile_disc(0.25) WITHIN GROUP (ORDER BY frequency) AS f1,
+        |    percentile_disc(0.50) WITHIN GROUP (ORDER BY frequency) AS f2,
+        |    percentile_disc(0.75) WITHIN GROUP (ORDER BY frequency) AS f3,
+        |    percentile_disc(0.25) WITHIN GROUP (ORDER BY monetary) AS m1,
+        |    percentile_disc(0.50) WITHIN GROUP (ORDER BY monetary) AS m2,
+        |    percentile_disc(0.75) WITHIN GROUP (ORDER BY monetary) AS m3
+        |  FROM base),
         |scored AS (
-        |  SELECT *,
-        |         NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r_score,
-        |         NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
-        |         NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
-        |  FROM base)
+        |  SELECT base.*,
+        |         CASE WHEN recency_days <= r1 THEN 1 WHEN recency_days <= r2 THEN 2
+        |              WHEN recency_days <= r3 THEN 3 ELSE 4 END AS r_score,
+        |         CASE WHEN frequency > f3 THEN 1 WHEN frequency > f2 THEN 2
+        |              WHEN frequency > f1 THEN 3 ELSE 4 END AS f_score,
+        |         CASE WHEN monetary > m3 THEN 1 WHEN monetary > m2 THEN 2
+        |              WHEN monetary > m1 THEN 3 ELSE 4 END AS m_score
+        |  FROM base CROSS JOIN thr)
         |SELECT o_custkey, recency_days, frequency, monetary,
         |       r_score, f_score, m_score,
         |       CAST(r_score AS VARCHAR) || '-' || CAST(f_score AS VARCHAR)
         |         || '-' || CAST(m_score AS VARCHAR) AS segment
         |FROM scored ORDER BY o_custkey""".stripMargin
     ) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val o = Tables.load(s, dir, "orders")
       val per = o.groupBy(col("o_custkey"))
         .agg(max(col("o_orderdate")).as("last_o"),
@@ -485,11 +506,29 @@ object TpchQueries extends QueryPack {
         .select(col("o_custkey"),
           datediff(col("maxd"), col("last_o")).as("recency_days"),
           col("frequency"), col("monetary"))
-      val r = ntile(4).over(Window.orderBy(col("recency_days"), col("o_custkey")))
-      val f = ntile(4).over(Window.orderBy(col("frequency").desc, col("o_custkey")))
-      val m = ntile(4).over(Window.orderBy(col("monetary").desc, col("o_custkey")))
-      base.select(col("o_custkey"), col("recency_days"), col("frequency"),
-          col("monetary"), r.as("r_score"), f.as("f_score"), m.as("m_score"))
+      val thr = base.agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY recency_days)").as("r1"),
+        expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY recency_days)").as("r2"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY recency_days)").as("r3"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY frequency)").as("f1"),
+        expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY frequency)").as("f2"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY frequency)").as("f3"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY monetary)").as("m1"),
+        expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY monetary)").as("m2"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY monetary)").as("m3"))
+      val rScore = when(col("recency_days") <= col("r1"), 1)
+        .when(col("recency_days") <= col("r2"), 2)
+        .when(col("recency_days") <= col("r3"), 3).otherwise(4)
+      val fScore = when(col("frequency") > col("f3"), 1)
+        .when(col("frequency") > col("f2"), 2)
+        .when(col("frequency") > col("f1"), 3).otherwise(4)
+      val mScore = when(col("monetary") > col("m3"), 1)
+        .when(col("monetary") > col("m2"), 2)
+        .when(col("monetary") > col("m1"), 3).otherwise(4)
+      base.crossJoin(broadcast(thr))
+        .select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("monetary"), rScore.as("r_score"), fScore.as("f_score"),
+          mScore.as("m_score"))
         .withColumn("segment", concat(col("r_score").cast("string"), lit("-"),
           col("f_score").cast("string"), lit("-"), col("m_score").cast("string")))
         .orderBy(col("o_custkey"))

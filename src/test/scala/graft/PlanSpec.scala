@@ -199,6 +199,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LessThan(doc_id,100)"), s"doc filter not pushed:\n${p.take(1500)}")
   }
 
+  test("RFM scoring is threshold-based: no window (= no global sort), thresholds broadcast") {
+    val p = planOf("rfm_segments")
+    // the old shape was three un-partitioned NTILE windows — three serial
+    // single-task sorts over every customer. The threshold form has no
+    // Window at all: one aggregate (map-side partial -> 1-row final) whose
+    // result broadcasts back onto the per-customer table.
+    assert(!p.contains("Window"), s"rfm must not plan a window:\n${p.take(1500)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"thresholds must broadcast:\n${p.take(1500)}")
+  }
+
   test("sequence packing windows per source partition, never a single global sort") {
     val p = planOf("pipeline_pack_sequences")
     assert(p.contains("windowspecdefinition(source"),
