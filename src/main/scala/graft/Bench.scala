@@ -35,28 +35,27 @@ object Bench {
           (None, Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"))
         }
       }
-    val results = selected.map { case (name, fn) =>
-      def once(): (Double, Option[String]) = {
-        val t0 = System.nanoTime()
-        val err =
-          try { fn(spark, sfDir).count(); None }
-          catch { case e: Throwable =>
-            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}") }
-        ((System.nanoTime() - t0) / 1e9, err)
-      }
-      // min of two runs: a background compaction or host-load spike on a
-      // single run must not record a phantom 6x regression. Sub-second
-      // queries get a third run (costs almost nothing, and their timings
-      // are the most JIT/noise-sensitive relative to their magnitude).
-      val r1 = once()
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}") }
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+    // Two full end-to-end passes, per-query min ACROSS passes. Back-to-back
+    // repeats of one query share any host-load spike (r08 recorded phantom
+    // 7-37x "regressions" that way); interleaving puts the whole suite
+    // (minutes) between a query's two samples, decorrelating the noise. A
+    // query that fails in pass 1 is a FAILURE and is not retried — the
+    // bench must not flatter a flaky regression.
+    val pass1 = selected.map { case (name, fn) => (name, once(fn)) }
+    val results = selected.zip(pass1).map { case ((name, fn), (_, r1)) =>
       if (r1._2.isDefined) (name, r1._1, r1._2)
       else {
-        val r2 = once()
-        var best = if (r2._2.isEmpty) math.min(r1._1, r2._1) else r1._1
-        if (best < 1.0) {
-          val r3 = once()
-          if (r3._2.isEmpty) best = math.min(best, r3._1)
-        }
+        val r2 = once(fn)
+        val best = if (r2._2.isEmpty) math.min(r1._1, r2._1) else r1._1
         (name, best, None)
       }
     }
