@@ -1038,6 +1038,31 @@ class DdlDmlSpec extends SparkSpec {
     assert(s.sql("SELECT count(*) AS c FROM oc2 WHERE u IS NULL").collect()(0).getLong(0) == 2L)
   }
 
+  test("ON CONFLICT chain deeper than 64 rounds resolves (no hard round cap)") {
+    val s = fresh()
+    s.sql("CREATE TABLE chain (a INT UNIQUE, b INT UNIQUE)")
+    // alternating chain r1(1,1) r2(2,1) r3(2,2) r4(3,2) ...: each round of
+    // the fixpoint accepts exactly one row and rejects its successor, so
+    // 132 rows take 66 rounds — past the 64-round progress checkpoint
+    // (a hard `rounds <= 64` cap would reject this legitimate batch).
+    // PG order inserts exactly the odd rows (k,k).
+    val n = 66
+    val values = (1 to n).flatMap(k => Seq(s"($k, $k)", s"(${k + 1}, $k)"))
+    s.sql(s"INSERT INTO chain VALUES ${values.mkString(", ")} ON CONFLICT DO NOTHING")
+    val got = s.sql("SELECT a, b FROM chain ORDER BY a").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(got == (1 to n).map(k => (k, k)))
+  }
+
+  test("expression conflict target fails loudly, never leaks into the source parser") {
+    val s = fresh()
+    s.sql("CREATE TABLE oc3 (id INT PRIMARY KEY, email TEXT UNIQUE)")
+    val e = intercept[IllegalArgumentException](
+      s.sql("INSERT INTO oc3 VALUES (1, 'A@x.com') ON CONFLICT (lower(email)) DO NOTHING"))
+    assert(e.getMessage.contains("expression conflict targets"),
+      s"expected the explicit unsupported-clause error, got: ${e.getMessage}")
+  }
+
   test("DML clause peeling is not fooled by identifiers named like keywords") {
     val s = fresh()
     s.sql("CREATE TABLE kw_src (conflict INT, \"returning\" TEXT)")
