@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Scale probe (dev tooling, like Verify/Bench): materialize an sf1-class
+  * fixture by replicating sf0.1's heavy tables `factor`x with perturbed
+  * content, then time the dedup/ANN/graph heavyweights once each. The
+  * point is catching super-linear creep — a corpus-linear operator at
+  * 10x data should cost ~10x (modulo fixed overhead), never ~100x.
+  *
+  * Replicas are PERTURBED, not copied: copied docs/vectors would give
+  * every row `factor-1` exact near-duplicates, growing dup-cluster pair
+  * counts quadratically in the replication factor — that measures the
+  * synthetic cluster blowup, not the engine's scaling. Vowel-rotated text
+  * and position-rotated embeddings keep per-row statistics (length, token
+  * count, vector norm) while decorrelating replicas.
+  *
+  *   sbt "runMain graft.ScaleProbe /root/testdata/sf0.1 /tmp/graft_sf1 10"
+  */
+object ScaleProbe {
+  private val keyOffset = 1000000000L
+
+  private def scaleDocuments(spark: SparkSession, base: String, factor: Int): DataFrame = {
+    val d = Tables.load(spark, base, "documents")
+    val rots = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio")
+    (0 until factor).map { i =>
+      d.select(
+        (col("doc_id") + lit(i * keyOffset)).as("doc_id"),
+        (if (i == 0) col("text")
+         else translate(col("text"), "aeiou", rots(i % rots.length))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def scaleEmbeddings(spark: SparkSession, base: String, factor: Int): DataFrame = {
+    val e = Tables.load(spark, base, "embeddings")
+    (0 until factor).map { i =>
+      val off = i % 16
+      val rotated =
+        if (off == 0) col("embedding")
+        else expr(s"concat(slice(embedding, ${off + 1}, size(embedding) - $off), " +
+          s"slice(embedding, 1, $off))")
+      e.select((col("vec_id") + lit(i * keyOffset)).as("vec_id"),
+        rotated.as("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def scaleKeyed(spark: SparkSession, base: String, name: String,
+      keys: Seq[String], factor: Int): DataFrame = {
+    val t = Tables.load(spark, base, name)
+    (0 until factor).map { i =>
+      t.select(t.columns.toSeq.map { c =>
+        if (keys.contains(c)) (col(c) + lit(i * keyOffset)).as(c) else col(c)
+      }: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = Engine.session("graft-scaleprobe")
+
+    if (!Files.exists(Paths.get(s"$out/documents.parquet"))) {
+      Files.createDirectories(Paths.get(out))
+      scaleDocuments(spark, base, factor)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      scaleEmbeddings(spark, base, factor)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      scaleKeyed(spark, base, "orders", Seq("o_orderkey", "o_custkey"), factor)
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      scaleKeyed(spark, base, "lineitem", Seq("l_orderkey", "l_suppkey"), factor)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    }
+
+    def time(label: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val (rows, err) =
+        try (body, None)
+        catch { case e: Throwable =>
+          (-1L, Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")) }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val errS = err.map(m => s""","error":"${m.replaceAll("[\"\\\\\\x00-\\x1f]", " ")}"""").getOrElse("")
+      println(f"""{"probe":"$label","sec":$sec%.2f,"rows":$rows$errS}""")
+    }
+
+    // same shared-pair discipline as Bench: the pair set feeds three
+    // queries and is discovered once, timed under its own label
+    time("shared:dedup_pairs") {
+      graft.operators.DedupQueries.warmSharedPairs(spark, out); 0L
+    }
+    val probes = Seq(
+      "dedup_exact", "dedup_minhash_lsh", "dedup_jaccard_pairs",
+      "dedup_components", "dedup_canonical", "dedup_simhash",
+      "dedup_sorted_neighborhood", "dedup_embedding_canonical",
+      "sim_ann_lsh", "sim_ann_ivf", "sim_pq_adc", "sim_kmeans_train",
+      "graph_pagerank", "graph_degree_histogram",
+      "text_bm25", "pipeline_curate", "pipeline_pack_sequences")
+    probes.foreach { n =>
+      time(n)(SparkEntry.queries(n)(spark, out).count())
+    }
+    graft.operators.DedupQueries.evictSharedPairs(spark)
+    spark.stop()
+  }
+}

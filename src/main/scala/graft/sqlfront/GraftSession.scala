@@ -567,13 +567,36 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     scala.collection.mutable.Map[String, (String, Seq[String])]()
 
   private def prepareStmt(stmt: String): DataFrame = {
-    val re = """(?is)^PREPARE\s+([\w"]+)\s*(?:\(([^)]*)\))?\s*AS\s+(.+)$""".r
+    val head = """(?is)^PREPARE\s+([\w"]+)\s*(.*)$""".r
     stmt.trim.stripSuffix(";") match {
-      case re(name, types, body) =>
-        val ts = Option(types).toSeq
-          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-        prepared(name.replaceAll("\"", "").toLowerCase) = (body.trim, ts)
-        ok("PREPARE")
+      case head(name, afterName) =>
+        var rest = afterName.trim
+        // The type list needs a balanced-paren scan, not a regex: a
+        // parameterized type like numeric(10,2) or varchar(20) nests a
+        // close-paren that a [^)]* group cannot step over.
+        val ts: Seq[String] =
+          if (rest.startsWith("(")) {
+            var d = 0; var j = 0; var close = -1
+            while (j < rest.length && close < 0) {
+              rest.charAt(j) match {
+                case '(' => d += 1
+                case ')' => d -= 1; if (d == 0) close = j
+                case _ =>
+              }
+              j += 1
+            }
+            require(close > 0, s"cannot parse PREPARE type list: $stmt")
+            val inner = rest.substring(1, close)
+            rest = rest.substring(close + 1).trim
+            topSplit(inner).map(_.trim).filter(_.nonEmpty)
+          } else Seq.empty
+        val asRe = """(?is)^AS\s+(.+)$""".r
+        rest match {
+          case asRe(body) =>
+            prepared(name.replaceAll("\"", "").toLowerCase) = (body.trim, ts)
+            ok("PREPARE")
+          case _ => throw new IllegalArgumentException(s"cannot parse PREPARE: $stmt")
+        }
       case _ => throw new IllegalArgumentException(s"cannot parse PREPARE: $stmt")
     }
   }
@@ -1707,6 +1730,11 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     * postgres/PostgresConnectionHandler.java:372-430; protocol-only
     * toggles like \q \timing \x stay out of scope). Patterns accept
     * psql's * wildcard. */
+  // psql client-side display toggles (\x, \timing): state acknowledged so
+  // replayed psql scripts run; rendering itself is the client's job
+  private var expandedDisplay = false
+  private var timingDisplay = false
+
   private def metaCommand(stmt: String): DataFrame = {
     import spark.implicits._
     val parts = stmt.trim.stripSuffix(";").split("\\s+", 2)
@@ -1759,8 +1787,38 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       case "\\du" => Seq(("graft", "Superuser")).toDF("role_name", "attributes")
       case "\\l" | "\\list" =>
         Seq(("graft", "graft", "UTF8")).toDF("name", "owner", "encoding")
+      case "\\df" | "\\df+" =>
+        // function listing from Spark's own registry — what a user can
+        // actually call here (reference serves \df from pg_catalog,
+        // postgres/PostgresConnectionHandler.java:372-396)
+        spark.catalog.listFunctions().collect().toSeq
+          .filter(f => matches(f.name.toLowerCase))
+          .map(f => ("public", f.name.toLowerCase,
+            if (f.isTemporary) "temporary" else "builtin"))
+          .sortBy(_._2).toDF("schema", "name", "kind")
+      case "\\x" =>
+        // expanded display is client-side row FORMATTING; the toggle is
+        // acknowledged so scripts with \x run, output shape is unchanged
+        expandedDisplay = arg.map(_ == "on").getOrElse(!expandedDisplay)
+        Seq(s"Expanded display is ${if (expandedDisplay) "on" else "off"}.")
+          .toDF("status")
+      case "\\timing" =>
+        timingDisplay = arg.map(_ == "on").getOrElse(!timingDisplay)
+        Seq(s"Timing is ${if (timingDisplay) "on" else "off"}.").toDF("status")
+      case "\\c" | "\\connect" =>
+        // single-database engine: \c to the only database succeeds,
+        // anything else is the PG "does not exist" error
+        arg.filterNot(a => a == "graft" || a.startsWith("graft ")).foreach(a =>
+          throw new IllegalArgumentException(
+            s"""database "${a.split("\\s+").head}" does not exist"""))
+        Seq("You are now connected to database \"graft\" as user \"graft\".")
+          .toDF("status")
+      case "\\conninfo" =>
+        Seq("You are connected to database \"graft\" as user \"graft\".")
+          .toDF("status")
       case other => throw new IllegalArgumentException(
-        s"unknown meta-command: $other (supported: \\d \\dt \\dv \\ds \\di \\dn \\du \\l)")
+        s"unknown meta-command: $other (supported: \\d \\dt \\dv \\ds \\di " +
+          "\\dn \\du \\df \\l \\c \\conninfo \\x \\timing)")
     }
   }
 
@@ -2771,6 +2829,12 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
           val names = Option(colsS) match {
             case Some(cs) => topSplit(cs).map(_.replaceAll("\"", "").toLowerCase)
             case None =>
+              // KNOWN DIVERGENCE from PG (shared with the plain-INSERT
+              // path): a short VALUES list with no column list maps to the
+              // first N NON-SERIAL columns, so serials auto-fill; PG maps
+              // positionally to the first N columns INCLUDING serials. A
+              // serial-first table wanting PG's behavior must spell the
+              // column list explicitly.
               if (values.length == vis.length) vis.map(_.name)
               else vis.filterNot(_.serial).map(_.name).take(values.length)
           }
@@ -2787,6 +2851,11 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     registerAll()
     val tv = "__graft_merge_target"
     tableDf(t).createOrReplaceTempView(tv)
+    // the temp view and serial-index cache must not outlive the statement:
+    // validation throws mid-body (affect-twice, UNIQUE violation), so
+    // cleanup runs in finally, never only on the success path
+    var insCache: DataFrame = null
+    try {
     val key = rowKey(t)
     val keySel = key.map(k => s"$tAlias.$k AS __key_$k").mkString(", ")
     def actionCase(ws: Seq[MergeWhen]): String =
@@ -2835,7 +2904,6 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
             "matches more than one source row")
     }
 
-    var insCache: DataFrame = null
     val inserted: Option[DataFrame] = if (insWs.isEmpty) None else {
       val maps = insWs.map {
         case MergeWhen(_, _, MergeInsert(m)) => m
@@ -2925,9 +2993,11 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       returningDf(t, acted.reduceOption(_ unionByName _).getOrElse(cur.limit(0)), r)
     }
     publish(t, next)
-    spark.catalog.dropTempView(tv)
-    if (insCache != null) insCache.unpersist()
     ret.getOrElse(ok("MERGE", nUpd + nDel + nIns))
+    } finally {
+      spark.catalog.dropTempView(tv)
+      if (insCache != null) insCache.unpersist()
+    }
   }
 
   /** Publish a new copy-on-write snapshot and bump the version pointer.

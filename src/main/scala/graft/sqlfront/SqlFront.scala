@@ -76,17 +76,24 @@ object PgRewrite {
   private val castSimple = """((?:\w+\.)*\w+|'(?:[^']|'')*')::(\w+(?:\s+precision)?(?:\(\d+(?:,\d+)?\))?)""".r
   private val castType = """\w+(?:\s+precision)?(?:\(\d+(?:,\d+)?\))?""".r
 
-  /** Spans [start, end) of single-quoted literals ('' escape honored). */
+  /** Spans [start, end) of single-quoted literals ('' escape honored)
+    * AND backtick-quoted identifiers (`` escape honored). The
+    * quoted-identifier pass runs FIRST in the pipeline, so by the time
+    * any later rewrite scans, keyword-like text from a PG double-quoted
+    * identifier (`"FOR UPDATE"`, `"unnest(x)"`) lives between backticks
+    * — both span kinds must be opaque to every rewrite or identifier
+    * content gets rewritten as syntax. */
   private def literalSpans(s: String): Array[(Int, Int)] = {
     val spans = Array.newBuilder[(Int, Int)]
     var i = 0
     while (i < s.length) {
-      if (s.charAt(i) == '\'') {
+      val c = s.charAt(i)
+      if (c == '\'' || c == '`') {
         val start = i; i += 1
         var done = false
         while (i < s.length && !done) {
-          if (s.charAt(i) == '\'') {
-            if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2
+          if (s.charAt(i) == c) {
+            if (i + 1 < s.length && s.charAt(i + 1) == c) i += 2
             else { done = true; i += 1 }
           } else i += 1
         }

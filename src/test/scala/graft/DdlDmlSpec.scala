@@ -313,6 +313,12 @@ class DdlDmlSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](s.sql("EXECUTE get_by_id (1)"))
     s.sql("DEALLOCATE ALL")
     assertThrows[IllegalArgumentException](s.sql("EXECUTE ins (5, 'x')"))
+    // parameterized types nest parens in the type list — a regex that
+    // stops at the first ')' rejects these valid PG statements
+    s.sql("PREPARE typed (numeric(10,2), varchar(20)) AS " +
+      "INSERT INTO pp VALUES (CAST($1 AS INT), $2)")
+    s.sql("EXECUTE typed (7.4, 'g')")
+    assert(s.sql("SELECT v FROM pp WHERE id = 7").collect()(0).getString(0) == "g")
   }
 
   test("DECLARE / FETCH / MOVE / CLOSE cursor paging") {
@@ -360,6 +366,15 @@ class DdlDmlSpec extends SparkSpec {
       "SELECT * FROM t")
     assert(PgRewrite.rewrite("SELECT 'FOR UPDATE' FROM t") ==
       "SELECT 'FOR UPDATE' FROM t")
+    // a double-quoted identifier whose BODY is keyword-like text must stay
+    // identifier content through every later pass: the quoted-ident pass
+    // backticks it first, and backtick spans are opaque to the rewrites
+    assert(PgRewrite.rewrite("""SELECT "FOR UPDATE" FROM t""") ==
+      "SELECT `FOR UPDATE` FROM t")
+    assert(PgRewrite.rewrite("""SELECT "unnest(x)" FROM t""") ==
+      "SELECT `unnest(x)` FROM t")
+    assert(PgRewrite.rewrite("""SELECT "a TABLESAMPLE b", "x FETCH FIRST" FROM t""") ==
+      "SELECT `a TABLESAMPLE b`, `x FETCH FIRST` FROM t")
   }
 
   test("PG set-returning and string functions run end-to-end via the session") {
@@ -1372,6 +1387,10 @@ class DdlDmlSpec extends SparkSpec {
       """MERGE INTO t USING raw r ON t.id = r.id
         |WHEN MATCHED THEN UPDATE SET v = r.v""".stripMargin))
     assert(s.sql("SELECT v FROM t").collect()(0).getInt(0) == 10)
+    // the failed statement must not leak its working temp view — a later
+    // user table of the same name would otherwise be shadowed for the
+    // session's lifetime
+    assert(!s.spark.catalog.tableExists("__graft_merge_target"))
     // deduplicated subquery source works
     s.sql("""MERGE INTO t USING
         |  (SELECT id, max(v) AS v FROM raw GROUP BY id) r ON t.id = r.id

@@ -71,6 +71,17 @@ class SessionExtrasSpec extends SparkSpec {
       Set("public", "pg_catalog", "information_schema"))
     assert(s.sql("\\du").collect().map(_.getString(0)).toSeq == Seq("graft"))
     assert(s.sql("\\l").collect().map(_.getString(0)).toSeq == Seq("graft"))
+    // \df lists callable functions from Spark's registry; pattern filters
+    val fns = s.sql("\\df concat*").collect().map(_.getString(1)).toSet
+    assert(fns.contains("concat") && fns.contains("concat_ws"))
+    // \x and \timing toggle, with explicit on/off accepted
+    assert(s.sql("\\x").collect()(0).getString(0) == "Expanded display is on.")
+    assert(s.sql("\\x").collect()(0).getString(0) == "Expanded display is off.")
+    assert(s.sql("\\timing on").collect()(0).getString(0) == "Timing is on.")
+    // \c to the only database succeeds; an unknown database is PG's error
+    assert(s.sql("\\c graft").collect()(0).getString(0).contains("connected"))
+    assert(s.sql("\\conninfo").collect()(0).getString(0).contains("graft"))
+    assertThrows[IllegalArgumentException](s.sql("\\c nosuchdb"))
     assertThrows[IllegalArgumentException](s.sql("\\copyright"))
   }
 
