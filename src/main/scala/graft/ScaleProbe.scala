@@ -24,7 +24,11 @@ object ScaleProbe {
 
   private def scaleDocuments(spark: SparkSession, base: String, factor: Int): DataFrame = {
     val d = Tables.load(spark, base, "documents")
-    val rots = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio")
+    // 10 DISTINCT vowel permutations: with fewer than `factor` mappings the
+    // cycle repeats and replica pairs (i, i+len) become exact duplicates,
+    // seeding one synthetic dup partner per doc
+    val rots = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
+      "aeiuo", "eiuoa", "iuoae", "uoaei", "oaeiu")
     (0 until factor).map { i =>
       d.select(
         (col("doc_id") + lit(i * keyOffset)).as("doc_id"),
@@ -74,6 +78,13 @@ object ScaleProbe {
       scaleKeyed(spark, base, "lineitem", Seq("l_orderkey", "l_suppkey"), factor)
         .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     }
+
+    // JIT/codegen/file-index warmup, like Bench: without it the first
+    // probes absorb several seconds of first-touch cost, which at the 1x
+    // scale is larger than the queries themselves and skews every ratio
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Seq("documents", "embeddings", "orders", "lineitem")
+      .foreach(n => Tables.load(spark, out, n).count())
 
     def time(label: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()
