@@ -717,6 +717,77 @@ object TextQueries extends QueryPack {
           (col("sw") / col("n_tokens")).as("score"),
           (col("sw") >= 0).as("accept"))
         .orderBy(col("doc_id"))
+    },
+
+    // BPE merge-candidate counting — the inner loop of tokenizer
+    // training: adjacent character-pair frequencies across the corpus,
+    // top 50 merge candidates. Scale shape is the classic BPE trick:
+    // count on the DISTINCT word histogram weighted by word frequency,
+    // not on the raw corpus — the corpus is touched exactly once (one
+    // hash aggregate to the word histogram, linear); everything after is
+    // VOCAB-sized (|V| << corpus at 100 TB), so pair extraction and the
+    // merge-candidate aggregate cost the same whether the corpus is 1 GB
+    // or 100 TB. Pairs come from substring(w, i, 2) — identical
+    // arithmetic in both engines, no char-split edge cases.
+    Q(
+      "pipeline_bpe_merges",
+      """WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, length(w)), i -> substring(w, i, 2))) AS pair,
+        |         cnt
+        |  FROM wc WHERE length(w) >= 2)
+        |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS freq
+        |FROM pairs GROUP BY pair
+        |ORDER BY freq DESC, pair
+        |LIMIT 50""".stripMargin
+    ) { (s, dir) =>
+      val words = Tables.spread(Tables.load(s, dir, "documents"))
+        .select(explode(split(col("text"), " ")).as("w"))
+      val wc = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      wc.filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"),
+          col("cnt"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("pair"))
+        .limit(50)
+    },
+
+    // Length-bucket batching profile — the batch-shape planning step for
+    // training: bucket documents by token length (8 buckets of 16, last
+    // open-ended), and report per bucket the doc count, token mass, the
+    // bucket's max length (= the padded sequence length) and the padding
+    // waste count(*)·max − sum a batcher padding to bucket-max would
+    // burn. One narrow scan + one tiny aggregate — corpus-linear,
+    // row-local bucketing, no shuffle beyond the 8-group aggregate.
+    Q(
+      "pipeline_length_buckets",
+      """WITH sized AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(LEAST(n_tokens // 16, 7) AS BIGINT) AS bucket
+        |  FROM sized)
+        |SELECT bucket, count(*) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+        |       CAST(count(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS padding_waste
+        |FROM b GROUP BY bucket
+        |ORDER BY bucket""".stripMargin
+    ) { (s, dir) =>
+      val sized = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      sized
+        .withColumn("bucket", least(floor(col("n_tokens") / 16), lit(7)).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("sum_tokens"),
+          max(col("n_tokens")).cast("long").as("max_tokens"),
+          (count(lit(1)) * max(col("n_tokens")) - sum(col("n_tokens")))
+            .cast("long").as("padding_waste"))
+        .orderBy(col("bucket"))
     }
   )
 }
