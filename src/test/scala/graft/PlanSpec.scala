@@ -199,6 +199,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LessThan(doc_id,100)"), s"doc filter not pushed:\n${p.take(1500)}")
   }
 
+  test("BPE merge counting aggregates partially and top-50 is TakeOrdered, never a full sort") {
+    val p = planOf("pipeline_bpe_merges")
+    assert("partial_sum|partial_count".r.findFirstIn(p).isDefined,
+      s"pair aggregate not map-side partial:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"LIMIT 50 must plan top-k, not a global sort:\n${p.take(1500)}")
+  }
+
   test("RFM scoring is threshold-based: no window (= no global sort), thresholds broadcast") {
     val p = planOf("rfm_segments")
     // the old shape was three un-partitioned NTILE windows — three serial
