@@ -258,6 +258,44 @@ object EventQueries extends QueryPack {
           last(col("total"), ignoreNulls = true).over(locf).as("filled_total"),
           col("is_gap"))
         .orderBy(col("event_type"), col("hour_s"))
+    },
+
+    // First-order Markov transition matrix over per-user event streams —
+    // the "what do users do next" behavioral model. LEAD partitions by
+    // user (per-user local sort, shuffles on user_id — no global
+    // ordering), and the transition aggregate is event-type² rows, so
+    // the per-source totals for the probability normalization broadcast.
+    Q(
+      "evt_markov_transitions",
+      s"""WITH seq AS (
+         |  SELECT event_type AS src,
+         |         LEAD(event_type) OVER (PARTITION BY user_id
+         |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+         |  FROM events),
+         |t AS (
+         |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+         |  FROM seq WHERE dst IS NOT NULL GROUP BY src, dst),
+         |tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS n_src FROM t GROUP BY src)
+         |SELECT t.src, t.dst, t.n,
+         |       CAST(t.n AS DOUBLE) / tot.n_src AS prob
+         |FROM t JOIN tot ON t.src = tot.src
+         |ORDER BY t.src, t.dst""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val seq = Tables.load(s, dir, "events")
+        .select(col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+      val t = seq.groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val tot = t.groupBy(col("src"))
+        .agg(sum(col("n")).cast("long").as("n_src"))
+      t.join(broadcast(tot), "src")
+        .select(col("src"), col("dst"), col("n"),
+          (col("n").cast("double") / col("n_src")).as("prob"))
+        .orderBy(col("src"), col("dst"))
     }
   )
 }

@@ -788,6 +788,126 @@ object TextQueries extends QueryPack {
           (count(lit(1)) * max(col("n_tokens")) - sum(col("n_tokens")))
             .cast("long").as("padding_waste"))
         .orderBy(col("bucket"))
+    },
+
+    // Source/domain frequency capping — the Common-Crawl-style curation
+    // step that bounds any one domain's share of the corpus: rank docs
+    // WITHIN each source by a quality proxy and keep the top K. The
+    // window partitions by source, so at 100 TB this is a per-domain
+    // local sort (no global ordering anywhere); the per-source rollup
+    // keeps the output domain-sized, not corpus-sized.
+    Q(
+      "pipeline_source_cap",
+      """WITH q AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |           / len(string_split(text, ' ')) AS quality
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, quality,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |                            ORDER BY quality DESC, doc_id) AS rn
+        |  FROM q)
+        |SELECT source,
+        |       count(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       MIN(CASE WHEN rn <= 15 THEN quality END) AS cut_quality
+        |FROM r GROUP BY source
+        |ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = split(col("text"), " ")
+      val q = Tables.load(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("quality"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      q.withColumn("rn", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rn") <= 15, 1L).otherwise(0L)).cast("long").as("n_kept"),
+          min(when(col("rn") <= 15, col("quality"))).as("cut_quality"))
+        .orderBy(col("source"))
+    },
+
+    // Vocabulary coverage curve — how much of the token stream the top-k
+    // vocabulary entries cover (the tokenizer-budget question). The
+    // corpus-sized work is one word-frequency aggregate (map-side
+    // partial); the top-25 cut is a TakeOrdered, and the cumulative
+    // window then runs over 25 rows — bounded by construction, so the
+    // single-partition window is NOT a scale hazard.
+    Q(
+      "text_vocab_coverage",
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |f AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY word),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks),
+        |top AS (SELECT word, freq FROM f ORDER BY freq DESC, word LIMIT 25)
+        |SELECT ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rank,
+        |       word, freq,
+        |       CAST(SUM(freq) OVER (ORDER BY freq DESC, word
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         / (SELECT total FROM tot) AS cum_share
+        |FROM top
+        |ORDER BY rank""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+      val freq = toks.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      val total = toks.agg(count(lit(1)).cast("double").as("total"))
+      val top = freq.orderBy(col("freq").desc, col("word")).limit(25)
+      val ord = Window.orderBy(col("freq").desc, col("word"))
+      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      top.crossJoin(broadcast(total))
+        .select(row_number().over(ord).as("rank"), col("word"), col("freq"),
+          (sum(col("freq")).over(cum).cast("double") / col("total")).as("cum_share"))
+        .orderBy(col("rank"))
+    },
+
+    // Cross-source vocabulary overlap — pairwise Jaccard between each
+    // source's distinct-word set, the "how redundant are my crawl
+    // domains" diagnostic. Pair discovery joins the (source, word)
+    // inverted index on word, so the work per word is bounded by
+    // sources², never corpus² — linear in vocabulary size for a fixed
+    // domain count; set sizes join back via two broadcasts.
+    Q(
+      "text_source_overlap",
+      """WITH sv AS (
+        |  SELECT DISTINCT source, word FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS word
+        |    FROM documents)),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_words FROM sv GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM sv a JOIN sv b ON a.word = b.word AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_common,
+        |       CAST(n_common AS DOUBLE)
+        |         / (za.n_words + zb.n_words - n_common) AS jaccard
+        |FROM inter
+        |JOIN sz za ON za.source = src_a
+        |JOIN sz zb ON zb.source = src_b
+        |WHERE n_common >= 10
+        |ORDER BY src_a, src_b""".stripMargin
+    ) { (s, dir) =>
+      val sv = Tables.load(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .distinct()
+      val sz = sv.groupBy(col("source")).agg(count(lit(1)).cast("long").as("n_words"))
+      val a = sv.select(col("source").as("src_a"), col("word"))
+      val b = sv.select(col("source").as("src_b"), col("word"))
+      val inter = a.join(b, a("word") === b("word") && col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).cast("long").as("n_common"))
+      inter
+        .join(broadcast(sz.select(col("source").as("src_a"), col("n_words").as("za"))), "src_a")
+        .join(broadcast(sz.select(col("source").as("src_b"), col("n_words").as("zb"))), "src_b")
+        .filter(col("n_common") >= 10)
+        .select(col("src_a"), col("src_b"), col("n_common"),
+          (col("n_common").cast("double") / (col("za") + col("zb") - col("n_common")))
+            .as("jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
     }
   )
 }

@@ -532,6 +532,58 @@ object TpchQueries extends QueryPack {
         .withColumn("segment", concat(col("r_score").cast("string"), lit("-"),
           col("f_score").cast("string"), lit("-"), col("m_score").cast("string")))
         .orderBy(col("o_custkey"))
+    },
+
+    // Market-basket co-occurrence: part pairs bought in the same order,
+    // with support and lift. The pair self-join keys on l_orderkey, so
+    // work per order is items-per-order² — TPC-H bounds that at 7, so
+    // the pair space is corpus-LINEAR, never corpus². Item totals join
+    // back on partkey (plain shuffle join — the item-count table is
+    // part-cardinality, too big to assume broadcastable at 100 TB), and
+    // the top-25 cut is a TakeOrdered, not a global sort.
+    Q(
+      "mba_item_pairs",
+      """WITH baskets AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM baskets),
+        |items AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item FROM baskets GROUP BY l_partkey),
+        |pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |         CAST(count(*) AS BIGINT) AS support
+        |  FROM baskets a JOIN baskets b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT part_a, part_b, support,
+        |       CAST(support AS DOUBLE) * (SELECT n_orders FROM n)
+        |         / (ia.n_item * ib.n_item) AS lift
+        |FROM pairs
+        |JOIN items ia ON ia.l_partkey = part_a
+        |JOIN items ib ON ib.l_partkey = part_b
+        |ORDER BY support DESC, part_a, part_b
+        |LIMIT 25""".stripMargin
+    ) { (s, dir) =>
+      val baskets = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val nOrders = baskets.agg(
+        countDistinct(col("l_orderkey")).cast("long").as("n_orders"))
+      val items = baskets.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).cast("long").as("n_item"))
+      val a = baskets.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = baskets.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("part_b"))
+      val pairs = a.join(b,
+          a("l_orderkey") === b("ok_b") && col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).cast("long").as("support"))
+      pairs
+        .join(items.select(col("l_partkey").as("part_a"), col("n_item").as("na")), "part_a")
+        .join(items.select(col("l_partkey").as("part_b"), col("n_item").as("nb")), "part_b")
+        .crossJoin(broadcast(nOrders))
+        .select(col("part_a"), col("part_b"), col("support"),
+          (col("support").cast("double") * col("n_orders") / (col("na") * col("nb")))
+            .as("lift"))
+        .orderBy(col("support").desc, col("part_a"), col("part_b"))
+        .limit(25)
     }
   )
 }

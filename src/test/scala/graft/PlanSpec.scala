@@ -227,6 +227,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"bin aggregate not map-side partial:\n${p.take(1500)}")
   }
 
+  test("source capping windows per source partition, never one global sort") {
+    val p = planOf("pipeline_source_cap")
+    assert(p.contains("windowspecdefinition(source"),
+      s"cap ranking must partition by source:\n${p.take(1500)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"capping must not funnel through one partition:\n${p.take(1500)}")
+  }
+
+  test("vocab coverage bounds its global window with a top-k cut first") {
+    val p = planOf("text_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-25 vocab cut must plan top-k, not a full sort:\n${p.take(1500)}")
+    assert("partial_count|partial_sum".r.findFirstIn(p).isDefined,
+      s"word-frequency aggregate not map-side partial:\n${p.take(1500)}")
+  }
+
+  test("markov transitions window per user and broadcast the normalizer") {
+    val p = planOf("evt_markov_transitions")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"LEAD must partition by user_id:\n${p.take(1500)}")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"per-src totals must broadcast:\n${p.take(1500)}")
+  }
+
+  test("market-basket top pairs plan top-k with map-side partial support counts") {
+    val p = planOf("mba_item_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"LIMIT 25 must plan top-k, not a global sort:\n${p.take(1500)}")
+    assert("partial_count|partial_sum".r.findFirstIn(p).isDefined,
+      s"support aggregate not map-side partial:\n${p.take(1500)}")
+  }
+
   test("spread is gated: no round-robin shuffle when the scan already has ≥cores splits") {
     val cores = spark.sparkContext.defaultParallelism
     // a source that already saturates the cluster must pass through untouched
