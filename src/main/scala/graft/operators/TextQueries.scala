@@ -908,6 +908,110 @@ object TextQueries extends QueryPack {
           (col("n_common").cast("double") / (col("za") + col("zb") - col("n_common")))
             .as("jaccard"))
         .orderBy(col("src_a"), col("src_b"))
+    },
+
+    // Distribution drift (PSI) between two deterministic cohorts of the
+    // corpus (doc_id parity stands in for "yesterday's crawl vs
+    // today's") — the data-quality monitor that catches a source mix
+    // shift. One conditional-sum aggregate per word (no join between
+    // cohorts), scalar totals broadcast; the PSI term is quantized via
+    // the repo's FLOOR(x*1e9) convention so the transcendental LN cannot
+    // hash-split engines. Words seen in only one cohort are excluded
+    // (n0>0 AND n1>0) to keep LN finite.
+    Q(
+      "text_dist_drift",
+      """WITH toks AS (
+        |  SELECT doc_id % 2 AS cohort, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |c AS (
+        |  SELECT word,
+        |         CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |         CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM toks GROUP BY word),
+        |tot AS (
+        |  SELECT CAST(SUM(n0) AS DOUBLE) AS t0, CAST(SUM(n1) AS DOUBLE) AS t1 FROM c)
+        |SELECT word, n0, n1,
+        |       CAST(FLOOR((n0 / t0 - n1 / t1) * LN((n0 / t0) / (n1 / t1))
+        |                  * 1000000000) AS BIGINT) AS psi_q
+        |FROM c CROSS JOIN tot
+        |WHERE n0 > 0 AND n1 > 0
+        |ORDER BY word""".stripMargin
+    ) { (s, dir) =>
+      val toks = Tables.load(s, dir, "documents")
+        .select((col("doc_id") % 2).as("cohort"),
+          explode(split(col("text"), " ")).as("word"))
+      val c = toks.groupBy(col("word"))
+        .agg(sum(when(col("cohort") === 0, 1L).otherwise(0L)).cast("long").as("n0"),
+          sum(when(col("cohort") === 1, 1L).otherwise(0L)).cast("long").as("n1"))
+      val tot = c.agg(sum(col("n0")).cast("double").as("t0"),
+        sum(col("n1")).cast("double").as("t1"))
+      val p = col("n0") / col("t0")
+      val q = col("n1") / col("t1")
+      c.crossJoin(broadcast(tot))
+        .filter(col("n0") > 0 && col("n1") > 0)
+        .select(col("word"), col("n0"), col("n1"),
+          floor((p - q) * log(p / q) * 1000000000L).cast("long").as("psi_q"))
+        .orderBy(col("word"))
+    },
+
+    // Distinctive terms per source — informative-Dirichlet log-odds
+    // (Monroe et al.'s "Fightin' Words" with a flat 0.5 prior): which
+    // words over-index in each domain vs the rest of the corpus. The
+    // corpus-sized work is the (source, word) count aggregate; word
+    // totals join back on word (shuffle join — vocab can be large),
+    // per-source totals broadcast (domain-count sized), and the top-3
+    // cut per source is a PARTITIONED window, never a global sort.
+    Q(
+      "text_distinctive_terms",
+      """WITH sw AS (
+        |  SELECT source, word, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS word
+        |    FROM documents)
+        |  GROUP BY source, word),
+        |st AS (SELECT source, CAST(SUM(n) AS BIGINT) AS t_src FROM sw GROUP BY source),
+        |wt AS (SELECT word, CAST(SUM(n) AS BIGINT) AS t_word FROM sw GROUP BY word),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t_all FROM sw),
+        |scored AS (
+        |  SELECT sw.source, sw.word, sw.n,
+        |         CAST(FLOOR((LN((sw.n + 0.5) / (st.t_src - sw.n + 0.5))
+        |                   - LN((wt.t_word - sw.n + 0.5)
+        |                        / (tot.t_all - st.t_src - wt.t_word + sw.n + 0.5)))
+        |                   * 1000000) AS BIGINT) AS odds_q
+        |  FROM sw JOIN st ON sw.source = st.source
+        |          JOIN wt ON sw.word = wt.word
+        |          CROSS JOIN tot),
+        |ranked AS (
+        |  SELECT source, word, n, odds_q,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |                            ORDER BY odds_q DESC, word) AS rn
+        |  FROM scored)
+        |SELECT source, word, n, odds_q
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY source, odds_q DESC, word""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sw = Tables.load(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val st = sw.groupBy(col("source")).agg(sum(col("n")).cast("long").as("t_src"))
+      val wt = sw.groupBy(col("word")).agg(sum(col("n")).cast("long").as("t_word"))
+      val tot = sw.agg(sum(col("n")).cast("long").as("t_all"))
+      val inSrc = (col("n") + 0.5) / (col("t_src") - col("n") + 0.5)
+      val inRest = (col("t_word") - col("n") + 0.5) /
+        (col("t_all") - col("t_src") - col("t_word") + col("n") + 0.5)
+      val scored = sw
+        .join(broadcast(st), "source")
+        .join(wt, "word")
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("word"), col("n"),
+          floor((log(inSrc) - log(inRest)) * 1000000L).cast("long").as("odds_q"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("odds_q").desc, col("word"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("source"), col("word"), col("n"), col("odds_q"))
+        .orderBy(col("source"), col("odds_q").desc, col("word"))
     }
   )
 }

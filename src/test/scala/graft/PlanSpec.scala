@@ -259,6 +259,24 @@ class PlanSpec extends SparkSpec {
       s"support aggregate not map-side partial:\n${p.take(1500)}")
   }
 
+  test("distribution drift is one conditional-sum aggregate with broadcast totals") {
+    val p = planOf("text_dist_drift")
+    assert("partial_sum|partial_count".r.findFirstIn(p).isDefined,
+      s"cohort counts not map-side partial:\n${p.take(1500)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"scalar totals must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"cohorts must not join — one aggregate computes both:\n${p.take(1500)}")
+  }
+
+  test("distinctive terms rank inside a source-partitioned window") {
+    val p = planOf("text_distinctive_terms")
+    assert(p.contains("windowspecdefinition(source"),
+      s"top-3 cut must partition by source:\n${p.take(1500)}")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"per-source totals must broadcast:\n${p.take(1500)}")
+  }
+
   test("spread is gated: no round-robin shuffle when the scan already has ≥cores splits") {
     val cores = spark.sparkContext.defaultParallelism
     // a source that already saturates the cluster must pass through untouched
