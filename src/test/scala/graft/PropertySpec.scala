@@ -58,6 +58,19 @@ class PropertySpec extends AnyFunSuite {
     check(Prop.forAll(gen) { sql => PgRewrite.rewrite(sql) == sql })
   }
 
+  test("PgRewrite never alters rewrite-trigger text inside double-quoted identifiers") {
+    // the round-8 literalSpans fix class: `"ident"` becomes a backtick
+    // identifier FIRST, and every later pass must treat the backtick
+    // span as opaque — keyword-like content survives verbatim
+    val triggers = Gen.oneOf(
+      "FOR UPDATE", "unnest(x)", "FETCH FIRST 3 ROWS ONLY", "a::int",
+      "x = ANY(y)", "DISTINCT ON (k)", "p->>k", "v ~ w", "TABLESAMPLE")
+    val gen = for { t <- triggers; b <- ident } yield (t, b)
+    check(Prop.forAll(gen) { case (t, b) =>
+      PgRewrite.rewrite(s"""SELECT "$t" FROM $b""") == s"SELECT `$t` FROM $b"
+    })
+  }
+
   test("PgRewrite handles parenthesized casts without corrupting SQL") {
     check(Prop.forAll(ident, ident) { (a, b) =>
       PgRewrite.rewrite(s"SELECT ($a + $b)::int FROM t") ==
