@@ -896,8 +896,8 @@ object TextQueries extends QueryPack {
         .distinct()
       val sz = sv.groupBy(col("source")).agg(count(lit(1)).cast("long").as("n_words"))
       val a = sv.select(col("source").as("src_a"), col("word"))
-      val b = sv.select(col("source").as("src_b"), col("word"))
-      val inter = a.join(b, a("word") === b("word") && col("src_a") < col("src_b"))
+      val b = sv.select(col("source").as("src_b"), col("word").as("word_b"))
+      val inter = a.join(b, col("word") === col("word_b") && col("src_a") < col("src_b"))
         .groupBy(col("src_a"), col("src_b"))
         .agg(count(lit(1)).cast("long").as("n_common"))
       inter
