@@ -403,6 +403,41 @@ object AggQueries extends QueryPack {
             col("exact_parts") * 0.02).as("merged_within_2pct"))
     },
 
+    // Count-min sketch frequency bounds — the third essential sketch at
+    // scale (heavy-hitter counting without a per-key hashmap). One
+    // distributed count_min_sketch aggregate (per-partition sketches
+    // merge commutatively, the cluster shape); the finished sketch is a
+    // single bounded row, read back once and probed driver-side — the
+    // same bounded-collect precedent as the 1-row dim probes. CMS
+    // guarantees est >= exact always and est <= exact + eps*N with the
+    // configured confidence; seed 42 makes both deterministic here.
+    Q(
+      "agg_cms_freq_bound",
+      """SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_cnt,
+        |       true AS ge_ok, true AS le_ok
+        |FROM lineitem WHERE l_partkey <= 5
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
+    ) { (s, dir) =>
+      val eps = 0.0001
+      val li = Tables.load(s, dir, "lineitem")
+      val skRow = li.agg(
+        expr(s"count_min_sketch(l_partkey, ${eps}d, 0.99d, 42)").as("sk")).head()
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]](0)))
+      val slack = math.ceil(eps * cms.totalCount()).toLong
+      import s.implicits._
+      val est = (0L to 5L).map(k => (k, cms.estimateCount(k)))
+        .toDF("l_partkey", "est")
+      li.filter(col("l_partkey") <= 5)
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).cast("long").as("exact_cnt"))
+        .join(broadcast(est), "l_partkey")
+        .select(col("l_partkey"), col("exact_cnt"),
+          (col("est") >= col("exact_cnt")).as("ge_ok"),
+          (col("est") <= col("exact_cnt") + slack).as("le_ok"))
+        .orderBy(col("l_partkey"))
+    },
+
     // Approximate percentiles (Greenwald-Khanna) — the other essential
     // sketch at scale: rank error ε = 1/accuracy, so the approximate
     // p-quantile must lie within the EXACT [p-ε, p+ε] quantile band.
