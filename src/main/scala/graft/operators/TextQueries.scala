@@ -910,6 +910,54 @@ object TextQueries extends QueryPack {
         .orderBy(col("src_a"), col("src_b"))
     },
 
+    // Quality-filter calibration sweep — the kept-volume curve a data
+    // engineer reads before picking the curation threshold. The quality
+    // grade is computed once per doc (corpus-linear); the 5-row
+    // threshold grid broadcasts against it, so the sweep costs one
+    // extra narrow stage, not five corpus passes.
+    Q(
+      "pipeline_filter_sweep",
+      """WITH graded AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |           / len(string_split(text, ' ')))
+        |    + 0.4 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |                                        t -> t IN ('a','the'))) AS DOUBLE)
+        |                   / len(string_split(text, ' ')))
+        |    + CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 90
+        |           THEN 0.2 ELSE 0.0 END AS quality
+        |  FROM documents),
+        |thr AS (SELECT unnest(CAST([0.5, 0.6, 0.7, 0.8, 0.9] AS DOUBLE[])) AS thr)
+        |SELECT thr,
+        |       CAST(SUM(CASE WHEN quality >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(SUM(CASE WHEN quality >= thr THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+        |       CAST(SUM(CASE WHEN quality >= thr THEN n_tokens ELSE 0 END) AS DOUBLE)
+        |         / SUM(n_tokens) AS kept_frac
+        |FROM graded CROSS JOIN thr
+        |GROUP BY thr ORDER BY thr""".stripMargin
+    ) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val graded = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), size(toks).as("n_tokens"),
+          (lit(0.4) * (size(array_distinct(toks)).cast("double") / size(toks)) +
+            lit(0.4) * (lit(1.0) -
+              size(filter(toks, t => t.isin("a", "the"))).cast("double") / size(toks)) +
+            when(size(toks).between(20, 90), 0.2).otherwise(0.0)).as("quality"))
+      val thr = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+      import s.implicits._
+      graded.crossJoin(broadcast(thr.toDF("thr")))
+        .groupBy(col("thr"))
+        .agg(
+          sum(when(col("quality") >= col("thr"), 1L).otherwise(0L))
+            .cast("long").as("n_kept"),
+          sum(when(col("quality") >= col("thr"), col("n_tokens")).otherwise(0L))
+            .cast("long").as("kept_tokens"),
+          (sum(when(col("quality") >= col("thr"), col("n_tokens")).otherwise(0L))
+            .cast("double") / sum(col("n_tokens"))).as("kept_frac"))
+        .orderBy(col("thr"))
+    },
+
     // Distribution drift (PSI) between two deterministic cohorts of the
     // corpus (doc_id parity stands in for "yesterday's crawl vs
     // today's") — the data-quality monitor that catches a source mix
