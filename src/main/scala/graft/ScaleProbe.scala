@@ -78,12 +78,19 @@ object ScaleProbe {
       scaleKeyed(spark, base, "lineitem", Seq("l_orderkey", "l_suppkey"), factor)
         .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     }
+    if (!Files.exists(Paths.get(s"$out/events.parquet"))) {
+      // events.ts round-trips as nanos-since-epoch LONG — the raw fixture
+      // layout Tables.load expects (it divides by 1000 on read)
+      scaleKeyed(spark, base, "events", Seq("event_id", "user_id"), factor)
+        .withColumn("ts", expr("unix_micros(ts)") * 1000L)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
 
     // JIT/codegen/file-index warmup, like Bench: without it the first
     // probes absorb several seconds of first-touch cost, which at the 1x
     // scale is larger than the queries themselves and skews every ratio
     spark.range(1000000).selectExpr("sum(id)").collect()
-    Seq("documents", "embeddings", "orders", "lineitem")
+    Seq("documents", "embeddings", "orders", "lineitem", "events")
       .foreach(n => Tables.load(spark, out, n).count())
 
     def time(label: String)(body: => Long): Unit = {
@@ -108,7 +115,9 @@ object ScaleProbe {
       "dedup_sorted_neighborhood", "dedup_embedding_canonical",
       "sim_ann_lsh", "sim_ann_ivf", "sim_pq_adc", "sim_kmeans_train",
       "graph_pagerank", "graph_degree_histogram",
-      "text_bm25", "pipeline_curate", "pipeline_pack_sequences")
+      "text_bm25", "pipeline_curate", "pipeline_pack_sequences",
+      "mba_item_pairs", "text_distinctive_terms", "text_source_overlap",
+      "evt_markov_transitions", "pipeline_source_cap")
     probes.foreach { n =>
       time(n)(SparkEntry.queries(n)(spark, out).count())
     }
