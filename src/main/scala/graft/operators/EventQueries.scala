@@ -296,6 +296,58 @@ object EventQueries extends QueryPack {
         .select(col("src"), col("dst"), col("n"),
           (col("n").cast("double") / col("n_src")).as("prob"))
         .orderBy(col("src"), col("dst"))
+    },
+
+    // Linear multi-touch attribution — each purchase's value splits
+    // equally across the user's view/click touches in the preceding
+    // 24h. The touch join keys on user_id with a time-range predicate
+    // (per-user work bounded by events-per-user-per-day, like the as-of
+    // join); the per-purchase credit divisor is a purchase-partitioned
+    // window (bounded groups); credit sums go through Exact decimals so
+    // accumulation order cannot perturb the rollup.
+    Q(
+      "evt_attribution_linear",
+      s"""WITH purch AS (
+         |  SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts, value
+         |  FROM events WHERE event_type = 'purchase'),
+         |touch AS (
+         |  SELECT user_id, event_type AS touch_type, CAST(ts AS TIMESTAMP) AS t_ts
+         |  FROM events WHERE event_type IN ('view', 'click')),
+         |joined AS (
+         |  SELECT p.p_id, p.value, t.touch_type
+         |  FROM purch p JOIN touch t
+         |    ON p.user_id = t.user_id
+         |   AND t.t_ts <= p.p_ts
+         |   AND t.t_ts > p.p_ts - INTERVAL 24 HOURS),
+         |credit AS (
+         |  SELECT touch_type,
+         |         value / COUNT(*) OVER (PARTITION BY p_id) AS credit
+         |  FROM joined)
+         |SELECT touch_type,
+         |       CAST(count(*) AS BIGINT) AS n_credits,
+         |       ${Exact.oSum("credit")} AS attributed
+         |FROM credit GROUP BY touch_type
+         |ORDER BY touch_type""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"), col("value"))
+      val touch = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id").as("t_user"), col("event_type").as("touch_type"),
+          col("ts").as("t_ts"))
+      val joined = purch.join(touch,
+        col("user_id") === col("t_user") &&
+          col("t_ts") <= col("p_ts") &&
+          col("t_ts") > col("p_ts") - expr("INTERVAL 24 HOURS"))
+      val perPurchase = Window.partitionBy(col("p_id"))
+      joined
+        .select(col("touch_type"),
+          (col("value") / count(lit(1)).over(perPurchase)).as("credit"))
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).cast("long").as("n_credits"),
+          Exact.dsum(col("credit")).as("attributed"))
+        .orderBy(col("touch_type"))
     }
   )
 }

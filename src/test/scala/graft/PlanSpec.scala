@@ -277,6 +277,14 @@ class PlanSpec extends SparkSpec {
       s"per-source totals must broadcast:\n${p.take(1500)}")
   }
 
+  test("attribution credit divisor windows per purchase, never globally") {
+    val p = planOf("evt_attribution_linear")
+    assert(p.contains("windowspecdefinition(p_id"),
+      s"credit divisor must partition by purchase:\n${p.take(1500)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"attribution must not funnel through one partition:\n${p.take(1500)}")
+  }
+
   test("spread is gated: no round-robin shuffle when the scan already has ≥cores splits") {
     val cores = spark.sparkContext.defaultParallelism
     // a source that already saturates the cluster must pass through untouched
