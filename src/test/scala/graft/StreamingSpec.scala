@@ -356,6 +356,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Markov transitions match the batch LEAD derivation") {
+    import graft.streaming.StreamingTransitions
+    import graft.streaming.StreamingTransitions.{Ev => TEv}
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      TEv(1, ts(0), 1, "view"), TEv(2, ts(5), 1, "click"),
+      TEv(3, ts(9), 1, "purchase"), TEv(4, ts(2), 2, "signup"),
+      TEv(5, ts(6), 2, "view"), TEv(6, ts(11), 2, "view"))
+    val (first, second) = evs.splitAt(4) // user 2's chain spans batches
+    val in = MemoryStream[TEv]
+    val q = StreamingTransitions.transitions(in.toDS())
+      .writeStream.format("memory").queryName("trans_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(first: _*); q.processAllAvailable()
+      in.addData(second: _*); q.processAllAvailable()
+      val stream = spark.sql(
+        "SELECT src, dst, count(*) AS n FROM trans_sink GROUP BY src, dst ORDER BY src, dst")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      // batch twin: LEAD over the full per-user history
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"userId").orderBy($"ts", $"eventId")
+      val batch = evs.toDF()
+        .select($"userId", $"eventType".as("src"), lead($"eventType", 1).over(w).as("dst"))
+        .filter($"dst".isNotNull)
+        .groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+        .orderBy($"src", $"dst")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(stream.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("batch and streaming agree on the same transformation") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Seq(
