@@ -348,6 +348,37 @@ object EventQueries extends QueryPack {
         .agg(count(lit(1)).cast("long").as("n_credits"),
           Exact.dsum(col("credit")).as("attributed"))
         .orderBy(col("touch_type"))
+    },
+
+    // Top user paths — the most common day-leading event-type sequences
+    // (first 5 steps per user-day), the "how do people actually move
+    // through the product" mining query. Per-(user, day) groups are
+    // bounded, the ordered path assembles via an in-group sort (struct
+    // sort_array, no window), path counting is an ordinary aggregate,
+    // and the top-10 cut is a TakeOrdered.
+    Q(
+      "evt_top_paths",
+      s"""WITH seq AS (
+         |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |         array_to_string(list_slice(
+         |           list(event_type ORDER BY CAST(ts AS TIMESTAMP), event_id),
+         |           1, 5), '>') AS path
+         |  FROM events GROUP BY user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE))
+         |SELECT path, CAST(count(*) AS BIGINT) AS n_user_days
+         |FROM seq GROUP BY path
+         |ORDER BY n_user_days DESC, path
+         |LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      val seq = Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+        .select(concat_ws(">",
+          expr("transform(slice(evs, 1, 5), x -> x.event_type)")).as("path"))
+      seq.groupBy(col("path"))
+        .agg(count(lit(1)).cast("long").as("n_user_days"))
+        .orderBy(col("n_user_days").desc, col("path"))
+        .limit(10)
     }
   )
 }

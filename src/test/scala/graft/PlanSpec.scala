@@ -275,6 +275,10 @@ class PlanSpec extends SparkSpec {
       s"top-3 cut must partition by source:\n${p.take(1500)}")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
       s"per-source totals must broadcast:\n${p.take(1500)}")
+    // the rn <= 3 filter must push into the window as a group limit so
+    // each source keeps 3 rows BEFORE the full ranking materializes
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter must plan WindowGroupLimit:\n${p.take(1500)}")
   }
 
   test("attribution credit divisor windows per purchase, never globally") {
