@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, QueryPack, Tables}
+import graft.{Exact, Q, QueryPack, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -729,6 +729,38 @@ object SimilarityQueries extends QueryPack {
         .join(removed, Seq("vec_id"), "left")
         .select(col("vec_id"), col("cluster"), col("rm").isNull.as("keep"))
         .orderBy(col("vec_id"))
+    },
+
+    // Embedding-column profiling — the sanity pass before any similarity
+    // work: per-label vector counts, norm statistics (degenerate
+    // near-zero or exploding norms flag a broken encoder), and the mean
+    // of the leading component (a cheap drift probe). One corpus-linear
+    // aggregate; norm means go through Exact decimals so partition
+    // accumulation order cannot perturb them.
+    Q(
+      "sim_embedding_profile",
+      s"""WITH n AS ($oNorms),
+         |j AS (
+         |  SELECT e.label, n.norm, CAST(e.embedding[1] AS DOUBLE) AS dim1
+         |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id)
+         |SELECT label,
+         |       CAST(count(*) AS BIGINT) AS n_vecs,
+         |       ${Exact.oAvg("norm")} AS mean_norm,
+         |       MIN(norm) AS min_norm,
+         |       MAX(norm) AS max_norm,
+         |       ${Exact.oAvg("dim1")} AS mean_dim1
+         |FROM j GROUP BY label ORDER BY label""".stripMargin
+    ) { (s, dir) =>
+      withNorm(Tables.load(s, dir, "embeddings"))
+        .select(col("label"), col("norm"),
+          col("embedding").getItem(0).cast("double").as("dim1"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).cast("long").as("n_vecs"),
+          Exact.davg(col("norm")).as("mean_norm"),
+          min(col("norm")).as("min_norm"),
+          max(col("norm")).as("max_norm"),
+          Exact.davg(col("dim1")).as("mean_dim1"))
+        .orderBy(col("label"))
     }
   )
 }
