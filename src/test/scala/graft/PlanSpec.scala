@@ -289,6 +289,49 @@ class PlanSpec extends SparkSpec {
       s"attribution must not funnel through one partition:\n${p.take(1500)}")
   }
 
+  test("suite-wide plan hygiene: no cartesian products; single-partition funnels only where bounded") {
+    // An Exchange SinglePartition is a scale hazard ONLY when corpus-sized
+    // rows flow through it. Every entry below is audited bounded-input:
+    //   final    — final step of a global scalar aggregate (one row per
+    //              upstream partition flows, never corpus rows)
+    //   scalar   — a 1-row scalar/threshold table built by such an
+    //              aggregate (then broadcast)
+    //   bounded  — a window/sort whose input is already cut to a bounded
+    //              row count (post-LIMIT / post-TakeOrdered)
+    //   byDef    — distribution window functions (NTILE/PERCENT_RANK/
+    //              CUME_DIST) are global by definition; the gate scopes
+    //              their input
+    // A NEW name appearing here means a query grew a global funnel — fix
+    // it or justify it; a STALE entry means the funnel was fixed — prune.
+    val allowedSinglePartition: Map[String, String] = Map(
+      "agg_global" -> "final", "agg_approx_quantile_bound" -> "final",
+      "agg_hll_merge_bound" -> "final", "q6_forecast_revenue" -> "final",
+      "q14_promo_share" -> "final", "q17_small_qty_revenue" -> "final",
+      "q19_disjunctive_filter" -> "final", "q22_sales_opportunity" -> "scalar",
+      "q11_important_parts" -> "scalar", "q15_top_supplier" -> "scalar",
+      "sub_scalar_where" -> "scalar", "pipeline_mix_weighted" -> "scalar",
+      "dedup_contamination" -> "scalar", "graph_pagerank" -> "scalar",
+      "evt_gapfill_locf" -> "scalar", "mba_item_pairs" -> "scalar",
+      "rfm_segments" -> "scalar", "text_bm25" -> "scalar",
+      "text_tfidf_top_terms" -> "scalar", "text_lm_surprise" -> "scalar",
+      "text_lm_bigram" -> "scalar", "text_dist_drift" -> "scalar",
+      "text_distinctive_terms" -> "scalar",
+      "text_vocab_coverage" -> "bounded", "win_ntile_dist" -> "byDef")
+    val offenders = scala.collection.mutable.Map[String, String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, f) =>
+      val p = f(spark, sf()).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$n plans a cartesian product:\n${p.take(1500)}")
+      if (p.contains("Exchange SinglePartition")) offenders += n -> "sp"
+    }
+    val unexpected = offenders.keySet -- allowedSinglePartition.keySet
+    val stale = allowedSinglePartition.keySet -- offenders.keySet
+    assert(unexpected.isEmpty,
+      s"new single-partition funnel(s) — audit and fix or whitelist: ${unexpected.toSeq.sorted.mkString(", ")}")
+    assert(stale.isEmpty,
+      s"stale whitelist entr(ies) — funnel fixed, prune: ${stale.toSeq.sorted.mkString(", ")}")
+  }
+
   test("spread is gated: no round-robin shuffle when the scan already has ≥cores splits") {
     val cores = spark.sparkContext.defaultParallelism
     // a source that already saturates the cluster must pass through untouched
