@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// graft.Shell reads stdin when no script file is given; forked `run`
+// needs the input channel connected for that interactive mode
+run / connectInput := true
 // Suites share ONE SparkSession (SparkSpec.shared), and temp views are
 // session-global: two suites creating a table with the same name (e.g.
 // `users`) stomp each other's registrations when sbt runs suites
