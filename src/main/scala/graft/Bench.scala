@@ -5,9 +5,19 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session("graft-bench")
     // warm up JVM/codegen/file-index paths so per-query timings measure the
-    // queries, not first-touch JIT + parquet footer reads
+    // queries, not first-touch JIT + parquet footer reads. A table that
+    // fails to load is recorded under "warmup:<table>" in the errors
+    // object — the same record-as-failure contract as queries — so one bad
+    // fixture degrades the bench instead of aborting it with no JSON (the
+    // r9 failure mode: rc=1, zero timings).
     spark.range(1000000).selectExpr("sum(id)").collect()
-    Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    val warmErrs: Seq[(String, String)] = Tables.names.flatMap { n =>
+      try { Tables.load(spark, sfDir, n).count(); None }
+      catch { case e: Throwable =>
+        Some((s"warmup:$n",
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"))
+      }
+    }
     // a failed query is recorded as a FAILURE (errors object + nonzero
     // failed count), never as a (fast) timing — the bench must not flatter
     // a regression
@@ -67,9 +77,11 @@ object Bench {
     val qs = (passed.map { case (k, v, _) => jstr(k) + ":" + v } ++
       sharedSec.map(s => jstr("shared:dedup_pairs") + ":" + s)).mkString("{", ",", "}")
     val errs = (results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) } ++
-      sharedErr.map(e => jstr("shared:dedup_pairs") + ":" + jstr(e))).mkString("{", ",", "}")
+      sharedErr.map(e => jstr("shared:dedup_pairs") + ":" + jstr(e)) ++
+      warmErrs.map { case (k, e) => jstr(k) + ":" + jstr(e) }).mkString("{", ",", "}")
     val total = passed.map(_._2).sum + sharedSec.getOrElse(0.0)
-    val failed = results.size - passed.size + (if (sharedErr.isDefined) 1 else 0)
+    val failed = results.size - passed.size +
+      (if (sharedErr.isDefined) 1 else 0) + warmErrs.size
     // total_s / failed go at the END of the line: the driver's capture
     // keeps the TAIL when the line exceeds its buffer, and the large
     // queries map has truncated the front-loaded totals three rounds

@@ -79,8 +79,9 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     }
     if (!Files.exists(Paths.get(s"$out/events.parquet"))) {
-      // events.ts round-trips as nanos-since-epoch LONG — the raw fixture
-      // layout Tables.load expects (it divides by 1000 on read)
+      // events.ts round-trips as nanos-since-epoch LONG — the nanos-era
+      // fixture layout; Tables.load's schema gate detects the LongType
+      // read and divides by 1000 (micros-era fixtures pass through)
       scaleKeyed(spark, base, "events", Seq("event_id", "user_id"), factor)
         .withColumn("ts", expr("unix_micros(ts)") * 1000L)
         .write.mode("overwrite").parquet(s"$out/events.parquet")

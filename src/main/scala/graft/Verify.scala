@@ -11,6 +11,12 @@ object Verify {
     val only = args.lift(2).map(_.split(",").toSet)
     val spark = Engine.session("graft-verify")
     new java.io.File(outDir).mkdirs()
+    // A throwing query must be VISIBLE to the gate: collect failures and
+    // dump them as _failed.json next to oracle_sql.json, so an absent
+    // result directory reads as "failed with this exception", never as
+    // "query does not exist" (the r9 failure mode: 57 broken queries
+    // silently vanished from CORRECTNESS and 146/146 masqueraded as green).
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -18,6 +24,8 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) =
+          s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(500)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -36,6 +44,12 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failedJson =
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failed.json"), failedJson)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: " +
+        failures.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** A named query over the fixture tables, with an optional DuckDB-dialect
   * oracle SQL string the driver replays for the correctness gate.
@@ -39,15 +39,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark has no type for —
-    * it is read as a nanos-since-epoch long (legacy.parquet.nanosAsLong,
-    * set in [[Engine]]) and converted here. The fixture's values are whole
-    * microseconds, so `div 1000` is lossless and matches DuckDB's
-    * CAST(ts AS TIMESTAMP). */
+  /** events.ts has shipped in two physical layouts, so the normalization is
+    * gated on the READ schema, never assumed:
+    *   - TIMESTAMP(NANOS): Spark has no nanos type, so the column arrives as
+    *     a nanos-since-epoch long (legacy.parquet.nanosAsLong, set in
+    *     [[Engine]]). Values are whole microseconds, so `div 1000` is
+    *     lossless and matches DuckDB's CAST(ts AS TIMESTAMP).
+    *   - TIMESTAMP(MICROS, tz-naive): arrives as TIMESTAMP_NTZ; cast to the
+    *     session-local TimestampType (session TZ is pinned UTC, so wall-clock
+    *     values are unchanged) so every downstream query and oracle sees one
+    *     type regardless of which fixture generation produced the file. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      df.schema("ts").dataType match {
+        case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df // already session-local timestamp
+      }
     else df
   }
 

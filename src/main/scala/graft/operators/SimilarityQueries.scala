@@ -78,29 +78,43 @@ object SimilarityQueries extends QueryPack {
   /** ANN-candidate cosine pairs ≥ thr: banded sign-random-projection
     * candidates + exact decimal verify — the PRODUCT path for embedding
     * near-dup ([[cosinePairs]]'s blocked all-pairs kernel stays as its
-    * small-scale ground-truth twin). 24 bands × 3 bits from md5-derived
-    * hyperplanes (deterministic across engines and runs); a pair is a
-    * candidate when ANY band key matches, and each candidate is emitted
-    * from its FIRST matching band only — a local filter on the band
-    * equi-join output, so no distinct shuffle is needed. Candidates are
-    * then verified with the same quantized-decimal exact cosine the
-    * oracle computes, so the RESULT is exact; only discovery is
-    * probabilistic.
+    * small-scale ground-truth twin). Band geometry is CORPUS-ADAPTIVE
+    * (see below); hyperplane components are md5-derived (deterministic
+    * across engines and runs); a pair is a candidate when ANY band key
+    * matches, and each candidate is emitted from its FIRST matching band
+    * only — a local filter on the band equi-join output, so no distinct
+    * shuffle is needed. Candidates are then verified with the same
+    * quantized-decimal exact cosine the oracle computes, so the RESULT
+    * is exact; only discovery is probabilistic.
     *
     * Plan shape (the 100 TB story): sketching is one narrow projection
     * pass over a literal plane matrix — no join, no shuffle; discovery
     * is a bucket equi-join on (band, key) — hash-partitioned,
     * corpus-linear when buckets are balanced, never an O(B²)
-    * nested-loop block join. Recall: per-pair miss bound at cos = 0.4
-    * (the fixture's near-random regime, p = 1 − θ/π = 0.631) is
-    * (1 − p³)²⁴ ≈ 1e-3, and empirically every exact pair at the
-    * oracle-gated scale factors (sf0.001: 66/66, sf0.01: 59/59) shares
-    * a band key; at bench-only sf0.1 recall is 919/920 — the standard
-    * ANN trade at a near-random threshold. At a production near-dup
-    * threshold (≥ 0.7, p ≥ 0.75) the bound is ~1e-9 while buckets
-    * prune aggressively. */
+    * nested-loop block join.
+    *
+    * Band geometry: with static bits, expected bucket occupancy grows
+    * linearly with the corpus and in-bucket verify work grows with its
+    * SQUARE (the 11.3×-at-10× probe of round 9) — so bits is derived
+    * from corpus size to hold occupancy ~flat (2^bits buckets per band,
+    * bits = log2(n / targetOccupancy)), and bands from the recall
+    * target: per-pair miss at threshold-cosine match probability
+    * p = 1 − θ/π is (1 − p^bits)^bands ≤ δ for
+    * bands = ln(1/δ)/p^bits, δ = 1e-3 (capped — at the fixture's
+    * deliberately near-random thr = 0.4 the exact formula explodes;
+    * production near-dup thresholds ≥ 0.7 sit well inside the cap).
+    * At the oracle-gated scale factors this resolves to the round-8
+    * geometry (bits = 3) where empirically every exact pair shares a
+    * band key (sf0.001: 66/66, sf0.01: 59/59). */
   private[graft] def cosinePairsAnn(s: SparkSession, dir: String, thr: Double): DataFrame = {
-    val bits = 3; val bands = 24
+    // one metadata-cheap count; parameters, not data
+    val n = Tables.load(s, dir, "embeddings").count().max(1L)
+    val targetOccupancy = 1024.0
+    val bits = math.max(3,
+      math.ceil(math.log(n / targetOccupancy) / math.log(2.0)).toInt).min(12)
+    val p = 1.0 - math.acos(thr) / math.Pi
+    val bands = math.min(96,
+      math.max(24, math.ceil(math.log(1000.0) / math.pow(p, bits)).toInt))
     // plane dimensionality from the data, not a constant: a 768-dim
     // corpus with 64-dim planes would sketch only a prefix of every
     // vector — still correct (verify is exact) but far less selective.

@@ -1816,9 +1816,39 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       case "\\conninfo" =>
         Seq("You are connected to database \"graft\" as user \"graft\".")
           .toDF("status")
+      case "\\copy" =>
+        // psql's CLIENT-side COPY: in a single-process engine the session
+        // IS the client, so \copy is COPY plus psql's unquoted-path
+        // convenience. The raw statement is re-split (the shared `arg`
+        // lowercases and strips quotes — wrong for file paths), and for
+        // the \copy (query) TO form only the clause TAIL is rewritten so
+        // the query's own FROM keyword is never misquoted as a path.
+        val rest = stmt.trim.stripSuffix(";").split("\\s+", 2).lift(1)
+          .getOrElse(throw new IllegalArgumentException(
+            "\\copy requires arguments")).trim
+        val (qHead, clauseTail) =
+          if (rest.startsWith("(")) {
+            var d = 0; var i = 0; var close = -1
+            while (i < rest.length && close < 0) {
+              rest.charAt(i) match {
+                case '(' => d += 1
+                case ')' => d -= 1; if (d == 0) close = i
+                case _ =>
+              }
+              i += 1
+            }
+            require(close > 0, s"unbalanced parens in \\copy: $stmt")
+            (rest.substring(0, close + 1), rest.substring(close + 1))
+          } else ("", rest)
+        val unquotedPath =
+          """(?i)\b(FROM|TO)\s+(?!')(?!STDIN\b)(?!STDOUT\b)(\S+)""".r
+        val tail = unquotedPath.replaceAllIn(clauseTail, m =>
+          java.util.regex.Matcher.quoteReplacement(
+            s"${m.group(1)} '${m.group(2)}'"))
+        copy("COPY " + qHead + tail)
       case other => throw new IllegalArgumentException(
         s"unknown meta-command: $other (supported: \\d \\dt \\dv \\ds \\di " +
-          "\\dn \\du \\df \\l \\c \\conninfo \\x \\timing)")
+          "\\dn \\du \\df \\l \\c \\conninfo \\x \\timing \\copy)")
     }
   }
 
@@ -2855,6 +2885,14 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     // validation throws mid-body (affect-twice, UNIQUE violation), so
     // cleanup runs in finally, never only on the success path
     var insCache: DataFrame = null
+    // localCheckpoint pins RDD blocks until the RDD object is GC'd; on
+    // the validation-error path nothing can reference them again, so they
+    // are dropped deterministically in finally (snapshot-diff: only RDDs
+    // THIS statement persisted are released). The success path keeps its
+    // blocks — a RETURNING result handed to the caller still reads them,
+    // and unpersisting a local checkpoint breaks its truncated lineage.
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
+    var completed = false
     try {
     val key = rowKey(t)
     val keySel = key.map(k => s"$tAlias.$k AS __key_$k").mkString(", ")
@@ -2993,10 +3031,16 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       returningDf(t, acted.reduceOption(_ unionByName _).getOrElse(cur.limit(0)), r)
     }
     publish(t, next)
-    ret.getOrElse(ok("MERGE", nUpd + nDel + nIns))
+    val result = ret.getOrElse(ok("MERGE", nUpd + nDel + nIns))
+    completed = true
+    result
     } finally {
       spark.catalog.dropTempView(tv)
       if (insCache != null) insCache.unpersist()
+      if (!completed)
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => rddsBefore.contains(id) }
+          .values.foreach(_.unpersist(blocking = false))
     }
   }
 

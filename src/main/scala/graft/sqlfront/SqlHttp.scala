@@ -21,12 +21,14 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   * design: GraftSession is a single-session engine (its transaction
   * owner model assumes one statement stream), so serializing requests
   * is the correct concurrency model, not a limitation of the shim.
-  * Result sets are collected to the driver — the entry point serves
-  * interactive analytic queries whose results are aggregates; bulk
-  * export goes through COPY TO / the parquet sink instead. */
+  * Result sets are collected to the driver but CAPPED at `maxRows`
+  * (response carries `"truncated":true` past the cap): the entry point
+  * serves interactive analytic queries whose results are aggregates; a
+  * dashboard pointed at a corpus-sized SELECT must not OOM the driver.
+  * Bulk export goes through COPY TO / the parquet sink instead. */
 object SqlHttp {
 
-  def start(gs: GraftSession, port: Int = 0): HttpServer = {
+  def start(gs: GraftSession, port: Int = 0, maxRows: Int = 10000): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/sql", new HttpHandler {
       override def handle(ex: HttpExchange): Unit =
@@ -44,7 +46,12 @@ object SqlHttp {
             else {
               val df = gs.sql(sql)
               val cols = df.columns
-              val rows = df.collect()
+              // limit is pushed into the plan (TakeOrderedAndProject /
+              // CollectLimit), so an unbounded SELECT ships at most
+              // maxRows+1 rows to the driver, never the full corpus
+              val fetched = df.limit(maxRows + 1).collect()
+              val truncated = fetched.length > maxRows
+              val rows = if (truncated) fetched.take(maxRows) else fetched
               val sb = new StringBuilder("{\"columns\":")
               sb.append(cols.map(jstr).mkString("[", ",", "]"))
               sb.append(",\"rows\":[")
@@ -54,7 +61,9 @@ object SqlHttp {
                 first = false
                 sb.append(cols.indices.map(i => jval(r.get(i))).mkString("[", ",", "]"))
               }
-              sb.append("],\"rowCount\":").append(rows.length).append('}')
+              sb.append("],\"rowCount\":").append(rows.length)
+              if (truncated) sb.append(",\"truncated\":true")
+              sb.append('}')
               respond(ex, 200, sb.toString)
             }
           }

@@ -1434,6 +1434,43 @@ class DdlDmlSpec extends SparkSpec {
     assert(ids.head == 1 && ids(1) > 1)
   }
 
+  test("MERGE: documented serial-first divergence — short VALUES skips serials") {
+    // KNOWN DIVERGENCE pin (GraftSession merge/insert VALUES mapping): a
+    // short VALUES list with NO column list maps to the first N NON-SERIAL
+    // columns so the serial auto-fills; PG maps positionally INCLUDING the
+    // serial (and would put 7 into id here). The documented escape hatch —
+    // an explicit column list — must behave identically to PG.
+    val s = fresh()
+    s.sql("CREATE TABLE sf_t (id SERIAL PRIMARY KEY, k INT UNIQUE, v TEXT)")
+    s.sql("""MERGE INTO sf_t t USING (SELECT 7 AS k, 'a' AS v) s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.v)""".stripMargin)
+    val r1 = s.sql("SELECT id, k, v FROM sf_t").collect()(0)
+    assert(r1.getInt(0) == 1 && r1.getInt(1) == 7 && r1.getString(2) == "a")
+    // explicit column list = PG-positional, serials named explicitly
+    s.sql("""MERGE INTO sf_t t USING (SELECT 8 AS k, 'b' AS v) s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT (id, k, v) VALUES (99, s.k, s.v)""".stripMargin)
+    val r2 = s.sql("SELECT id, k, v FROM sf_t WHERE k = 8").collect()(0)
+    assert(r2.getInt(0) == 99 && r2.getString(2) == "b")
+  }
+
+  test("MERGE: failed statement releases its checkpointed working sets") {
+    // a validation abort (affect-twice) must leave behind no persistent
+    // RDD blocks: localCheckpoint pins blocks until GC, so the error path
+    // drops them deterministically (success keeps its blocks — RETURNING
+    // results read them after the statement completes)
+    val s = fresh()
+    s.sql("CREATE TABLE lk_t (id INT PRIMARY KEY, v INT)")
+    s.sql("INSERT INTO lk_t VALUES (1, 10)")
+    s.sql("CREATE TABLE lk_raw (id INT, v INT)")
+    s.sql("INSERT INTO lk_raw VALUES (1, 1), (1, 2)")
+    val before = s.spark.sparkContext.getPersistentRDDs.keySet
+    assertThrows[IllegalArgumentException](s.sql(
+      """MERGE INTO lk_t USING lk_raw r ON lk_t.id = r.id
+        |WHEN MATCHED THEN UPDATE SET v = r.v""".stripMargin))
+    val leaked = s.spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"failed MERGE left persistent RDDs: $leaked")
+  }
+
   test("TABLESAMPLE BERNOULLI REPEATABLE: deterministic per seed, ballpark fraction") {
     val s = fresh()
     s.sql("CREATE TABLE ts_t (id INT PRIMARY KEY)")

@@ -390,6 +390,33 @@ class SessionExtrasSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("HTTP entry point caps result rows and flags truncation") {
+    import graft.sqlfront.SqlHttp
+    val s = fresh()
+    val server = SqlHttp.start(s, port = 0, maxRows = 5)
+    try {
+      val port = server.getAddress.getPort
+      def post(body: String): String = {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port/sql")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      }
+      post("CREATE TABLE big (id INT PRIMARY KEY); INSERT INTO big VALUES " +
+        (1 to 20).map(i => s"($i)").mkString(", "))
+      val over = graft.catalog.Json.parse(post("SELECT id FROM big ORDER BY id"))
+        .asInstanceOf[Map[String, Any]]
+      assert(over("rowCount") == 5L && over("truncated") == true, over)
+      // under the cap: full rows, no truncated flag
+      val under = graft.catalog.Json.parse(
+        post("SELECT id FROM big WHERE id <= 3 ORDER BY id"))
+        .asInstanceOf[Map[String, Any]]
+      assert(under("rowCount") == 3L && !under.contains("truncated"), under)
+    } finally server.stop(0)
+  }
+
   test("VACUUM retains versions pinned by a live matview checkpoint") {
     val s = fresh()
     s.sql("CREATE TABLE base2 (id INT PRIMARY KEY, v INT)")

@@ -33,4 +33,24 @@ class ShellSpec extends SparkSpec {
     val r = Shell.render((1 to 100).toDF("n"), maxRows = 10)
     assert(r.contains("(10 rows) (display truncated at 10)"))
   }
+
+  test("\\copy meta-command: unquoted-path export and round-trip load") {
+    val gs = new GraftSession(spark, Files.createTempDirectory("graft_shell_copy"))
+    val dir = Files.createTempDirectory("graft_shell_copy_io")
+    gs.sql("CREATE TABLE ct (id INT PRIMARY KEY, name TEXT)")
+    gs.sql("INSERT INTO ct VALUES (1, 'ada'), (2, 'grace')")
+    // psql-style unquoted path; table TO form
+    gs.sql(s"\\copy ct TO $dir/ct.csv WITH (FORMAT CSV, HEADER)")
+    // (query) TO form: the query's own FROM keyword must not be quoted
+    gs.sql(s"\\copy (SELECT id FROM ct WHERE id > 1) TO $dir/one.csv WITH (FORMAT CSV)")
+    // round-trip into a second table through the same validation path
+    gs.sql("CREATE TABLE ct2 (id INT PRIMARY KEY, name TEXT)")
+    gs.sql(s"\\copy ct2 FROM $dir/ct.csv WITH (FORMAT CSV, HEADER)")
+    val rows = gs.sql("SELECT id, name FROM ct2 ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((1, "ada"), (2, "grace")))
+    // quoted paths keep working through \copy too
+    gs.sql(s"\\copy ct TO '$dir/ct2.csv' WITH (FORMAT CSV, HEADER)")
+    assert(Files.list(java.nio.file.Paths.get(s"$dir/ct2.csv")).count() > 0)
+  }
 }
