@@ -379,6 +379,62 @@ object EventQueries extends QueryPack {
         .agg(count(lit(1)).cast("long").as("n_user_days"))
         .orderBy(col("n_user_days").desc, col("path"))
         .limit(10)
+    },
+
+    // Session conversion by entry event — which landing action converts:
+    // per 30-min-gap session, the ENTRY event type (first by time) and
+    // whether the session contains a purchase, rolled up to a conversion
+    // rate per entry type. ONE session_window aggregate carries all three
+    // facts (entry via lexicographic struct-min, conversion via
+    // conditional max, size via count) — no second pass over the events,
+    // no per-session window function; the rollup is event-type-bounded.
+    // The oracle rebuilds identical sessions with the same lag-gap
+    // running sum as evt_sessions, taking the entry row by ROW_NUMBER.
+    Q(
+      "evt_session_conversion",
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type, $oEs AS es,
+         |         CASE WHEN $oEs - lag($oEs) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800
+         |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, event_id, event_type, es,
+         |         SUM(brk) OVER (PARTITION BY user_id ORDER BY es, event_id
+         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM e),
+         |r AS (
+         |  SELECT user_id, sid, event_type,
+         |         ROW_NUMBER() OVER (PARTITION BY user_id, sid
+         |                            ORDER BY es, event_id) AS rn
+         |  FROM s),
+         |conv AS (
+         |  SELECT user_id, sid,
+         |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+         |  FROM s GROUP BY user_id, sid)
+         |SELECT e.event_type AS entry_type,
+         |       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         |       CAST(SUM(c.converted) AS BIGINT) AS n_converted,
+         |       CAST(SUM(c.converted) AS DOUBLE) / COUNT(*) AS conversion_rate
+         |FROM r e JOIN conv c ON e.user_id = c.user_id AND e.sid = c.sid
+         |WHERE e.rn = 1
+         |GROUP BY e.event_type
+         |ORDER BY entry_type""".stripMargin
+    ) { (s, dir) =>
+      val perSession = Tables.load(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(
+          min(struct(unix_timestamp(col("ts")).as("es"), col("event_id"),
+            col("event_type"))).getField("event_type").as("entry_type"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("converted"))
+      perSession.groupBy(col("entry_type"))
+        .agg(count(lit(1)).cast("long").as("n_sessions"),
+          sum(col("converted")).cast("long").as("n_converted"))
+        .select(col("entry_type"), col("n_sessions"), col("n_converted"),
+          (col("n_converted").cast("double") / col("n_sessions"))
+            .as("conversion_rate"))
+        .orderBy(col("entry_type"))
     }
   )
 }

@@ -1060,6 +1060,50 @@ object TextQueries extends QueryPack {
         .filter(col("rn") <= 3)
         .select(col("source"), col("word"), col("n"), col("odds_q"))
         .orderBy(col("source"), col("odds_q").desc, col("word"))
+    },
+
+    // Per-document unigram entropy — the information-density quality
+    // signal (low entropy = template/repetition spam, degenerate docs;
+    // pairs with text_repetition_signals' surface n-gram view). One
+    // corpus-linear token explode, per-doc distribution is doc-bounded;
+    // the entropy fold follows the repo's log-determinism discipline:
+    // per-term -p·ln(p) is identical IEEE ops on both engines, the SUM
+    // accumulates through DECIMAL(38,12), and the result is
+    // FLOOR-quantized at 1e6 so a last-ulp wobble cannot flip a bit in
+    // the compare.
+    Q(
+      "text_token_entropy",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+        |tot AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |         CAST(COUNT(*) AS BIGINT) AS n_distinct
+        |  FROM wc GROUP BY doc_id)
+        |SELECT wc.doc_id, t.n_tokens, t.n_distinct,
+        |       CAST(FLOOR(CAST(SUM(CAST(
+        |           -(CAST(c AS DOUBLE) / t.n_tokens)
+        |             * LN(CAST(c AS DOUBLE) / t.n_tokens)
+        |         AS DECIMAL(38,12))) AS DOUBLE) * 1000000) AS BIGINT)
+        |         AS entropy_q
+        |FROM wc JOIN tot t ON wc.doc_id = t.doc_id
+        |GROUP BY wc.doc_id, t.n_tokens, t.n_distinct
+        |ORDER BY wc.doc_id""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val wc = Tables.spread(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      val tot = wc.groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+          count(lit(1)).cast("long").as("n_distinct"))
+      val p = col("c").cast("double") / col("n_tokens")
+      wc.join(tot, "doc_id")
+        .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"))
+        .agg(floor(sum((-p * log(p)).cast(DecimalType(38, 12))).cast("double")
+          * 1e6).cast("long").as("entropy_q"))
+        .orderBy(col("doc_id"))
     }
   )
 }
