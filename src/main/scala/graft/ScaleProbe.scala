@@ -122,6 +122,18 @@ object ScaleProbe {
     probes.foreach { n =>
       time(n)(SparkEntry.queries(n)(spark, out).count())
     }
+    // Decomposition probes for the embedding near-dup path: pair
+    // DISCOVERY alone (no clustering/join tail), at the fixture's
+    // deliberately near-random threshold (0.4 — LSH time exponent
+    // ρ = ln(1/p)/ln 2 ≈ 0.665, so n^1.665 is the theoretical floor)
+    // and at a production near-dup threshold (0.7, ρ ≈ 0.415) where
+    // the adaptive band geometry prunes properly. base-vs-10x pairs
+    // give the scaling ratio per threshold.
+    import graft.operators.SimilarityQueries.cosinePairsAnn
+    time("ann_pairs_thr04_base")(cosinePairsAnn(spark, base, 0.4).count())
+    time("ann_pairs_thr04_10x")(cosinePairsAnn(spark, out, 0.4).count())
+    time("ann_pairs_thr07_base")(cosinePairsAnn(spark, base, 0.7).count())
+    time("ann_pairs_thr07_10x")(cosinePairsAnn(spark, out, 0.7).count())
     graft.operators.DedupQueries.evictSharedPairs(spark)
     spark.stop()
   }

@@ -69,11 +69,17 @@ case class CosinePairsExpr(children: Seq[Expression])
       val ida = aIds(i); val ea = aVecs(i); val na = aNorms(i)
       var j = if (same) i + 1 else 0
       while (j < nB) {
-        val cos = FastOps.dotExactF(ea, bVecs(j)) / (na * bNorms(j))
-        if (cos >= thr) {
-          val idb = bIds(j)
-          val (lo, hi) = if (ida < idb) (ida, idb) else (idb, ida)
-          out += new GenericInternalRow(Array[Any](lo, hi, cos))
+        val den = na * bNorms(j)
+        // cheap double pre-filter: sound per the dotDoubleF error bound
+        // (< 1e-6 of the exact cosine); the exact dot decides, and its
+        // value is what gets emitted — results are bit-identical
+        if (FastOps.dotDoubleF(ea, bVecs(j)) / den >= thr - 1e-6) {
+          val cos = FastOps.dotExactF(ea, bVecs(j)) / den
+          if (cos >= thr) {
+            val idb = bIds(j)
+            val (lo, hi) = if (ida < idb) (ida, idb) else (idb, ida)
+            out += new GenericInternalRow(Array[Any](lo, hi, cos))
+          }
         }
         j += 1
       }
@@ -149,11 +155,18 @@ case class CosineBucketPairsExpr(children: Seq[Expression])
       var j = if (same) i + 1 else 0
       while (j < nB) {
         if (firstMatchBand(ka, bKeys(j)) == band) {
-          val cos = FastOps.dotExactF(ea, bVecs(j)) / (na * bNorms(j))
-          if (cos >= thr) {
-            val idb = bIds(j)
-            val (lo, hi) = if (ida < idb) (ida, idb) else (idb, ida)
-            out += new GenericInternalRow(Array[Any](lo, hi, cos))
+          val den = na * bNorms(j)
+          // double pre-filter before the exact dot (see CosinePairsExpr):
+          // at a near-random threshold ~every candidate fails the cut, so
+          // skipping the quantized loop for provably-below pairs removes
+          // the dominant per-pair cost; emitted cosines stay exact
+          if (FastOps.dotDoubleF(ea, bVecs(j)) / den >= thr - 1e-6) {
+            val cos = FastOps.dotExactF(ea, bVecs(j)) / den
+            if (cos >= thr) {
+              val idb = bIds(j)
+              val (lo, hi) = if (ida < idb) (ida, idb) else (idb, ida)
+              out += new GenericInternalRow(Array[Any](lo, hi, cos))
+            }
           }
         }
         j += 1

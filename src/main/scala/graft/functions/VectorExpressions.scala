@@ -76,6 +76,25 @@ object FastOps {
     new JBigDecimal(java.math.BigInteger.valueOf(acc), 12).doubleValue()
   }
 
+  /** Plain double dot — the cheap PRE-FILTER for the exact kernels: ~20×
+    * faster than the quantized loop (no per-element rounding decision).
+    * Accumulation error is ≤ (n−1)·eps·‖a‖‖b‖ ≈ 1.4e-14·‖a‖‖b‖ at
+    * n = 64, and the quantized dot differs from the true dot by ≤
+    * n·0.5e-12 — so a candidate whose double cosine falls below
+    * thr − 1e-6 can NEVER reach thr under the exact dot. The emitted
+    * cosine always comes from [[dotExactF]]; this only skips pairs that
+    * are provably below threshold. */
+  def dotDoubleF(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
   /** Same quantized-exact dot where the second side is double (e.g. LSH
     * hyperplanes). */
   def dotExactFD(a: ArrayData, b: ArrayData): Double = {

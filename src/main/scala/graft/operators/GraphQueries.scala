@@ -101,9 +101,17 @@ object GraphQueries extends QueryPack {
       // out-degree is loop-invariant: attach it to the edge list ONCE so
       // each iteration is a single join on the node id (edges ⋈ ranks),
       // not edges ⋈ ranks ⋈ deg. The annotated edge list is the only
-      // corpus-sized operand and it is persisted across iterations.
+      // corpus-sized operand; it is hash-partitioned AND sorted on the
+      // join key BEFORE caching, so every iteration's sort-merge join
+      // reuses the cached layout (no per-iteration exchange or sort of
+      // the edges — only the node-sized rank table moves). Broadcasting
+      // the ranks instead would be faster at bench scale but is not the
+      // 100 TB shape: node count grows with the graph, the partitioned
+      // edge list does not move.
       val eDeg = e.join(deg, "src")
-        .select(col("src"), col("dst"), col("outdeg")).persist()
+        .select(col("src"), col("dst"), col("outdeg"))
+        .repartition(col("src")).sortWithinPartitions(col("src"))
+        .persist()
       val nDf = deg.agg(count(lit(1)).as("n"))
       var pr = deg.select(col("src").as("id")).crossJoin(broadcast(nDf))
         .select(col("id"), (lit(1.0) / col("n")).as("pr"))

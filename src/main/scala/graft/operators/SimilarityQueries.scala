@@ -150,21 +150,39 @@ object SimilarityQueries extends QueryPack {
     val maxPerBlock = 4096L
     val exploded = sk.select(col("vec_id"), col("embedding"), col("norm"),
       col("bkeys"), posexplode(col("bkeys")).as(Seq("band", "bkey")))
+    // bucket occupancy table: partial aggregation projects it narrow
+    // before its exchange, and the broadcast join back means the WIDE
+    // (embedding + bkeys) rows are never shuffled for the counts lookup
     val counts = exploded.groupBy(col("band"), col("bkey"))
       .agg(ceil(count(lit(1)) / lit(maxPerBlock.toDouble)).cast("int").as("nblk"))
-    val blocks = exploded.join(counts, Seq("band", "bkey"))
+    val blocks = exploded.join(broadcast(counts), Seq("band", "bkey"))
       .withColumn("bid", pmod(col("vec_id"), greatest(col("nblk"), lit(1))).cast("int"))
       .groupBy(col("band"), col("bkey"), col("bid"))
-      .agg(collect_list(struct(col("vec_id"), col("embedding"), col("norm"),
-        col("bkeys"))).as("blk"))
+      .agg(first(col("nblk")).as("nblk"),
+        collect_list(struct(col("vec_id"), col("embedding"), col("norm"),
+          col("bkeys"))).as("blk"))
     // A pair sharing several band keys is verified ONCE: the kernel
     // computes its first matching band and emits it only there.
-    val x = blocks.select(col("band"), col("bkey"), col("bid").as("bidx"), col("blk").as("blkx"))
-    val y = blocks.select(col("band"), col("bkey"), col("bid").as("bidy"), col("blk").as("blky"))
-    x.join(y, Seq("band", "bkey"))
+    //
+    // With occupancy held at ~targetOccupancy, essentially every bucket
+    // fits ONE sub-block — its pair work is a LOCAL kernel call on the
+    // grouped row, with no self-join and no re-shuffle of the wide block
+    // rows (the probe showed that (band,bkey) re-partition of ~400 KB
+    // block rows dominating wall-clock, not the kernel arithmetic). Only
+    // the rare over-occupied buckets route through the sub-block join;
+    // both branches filter the SAME grouped exchange, so the corpus-wide
+    // collect_list runs once (ReuseExchange).
+    val single = blocks.filter(col("nblk") <= 1)
+      .select(explode(graft.functions.CosineBlock.bucketPairs(
+        col("blk"), col("blk"), thr, lit(true), col("band"))).as("p"))
+    val multiBlocks = blocks.filter(col("nblk") > 1)
+    val x = multiBlocks.select(col("band"), col("bkey"), col("bid").as("bidx"), col("blk").as("blkx"))
+    val y = multiBlocks.select(col("band"), col("bkey"), col("bid").as("bidy"), col("blk").as("blky"))
+    val multi = x.join(y, Seq("band", "bkey"))
       .filter(col("bidx") <= col("bidy"))
       .select(explode(graft.functions.CosineBlock.bucketPairs(
         col("blkx"), col("blky"), thr, col("bidx") === col("bidy"), col("band"))).as("p"))
+    single.unionByName(multi)
       .select(col("p.a").as("a"), col("p.b").as("b"), col("p.cosine").as("cosine"))
   }
 
