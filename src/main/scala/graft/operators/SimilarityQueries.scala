@@ -186,6 +186,52 @@ object SimilarityQueries extends QueryPack {
       .select(col("p.a").as("a"), col("p.b").as("b"), col("p.cosine").as("cosine"))
   }
 
+  /** IVF-Flat top-10 for the fixed query set (5-9): 16 deterministic seed
+    * centroids as the coarse quantizer, 2-probe exact rerank — shared by
+    * the sim_ann_ivf gate query and the recall-eval operator. */
+  private def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+    val vecs = withNorm(Tables.load(s, dir, "embeddings"))
+    val cents = vecs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("norm").as("cnorm"))
+    // assignment: every vector scored against the 16 broadcast centroids
+    val assigned = vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cid"),
+        (dotExact(col("embedding"), col("ce")) / (col("norm") * col("cnorm"))).as("cos"))
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
+    val rankedAssign = assigned.withColumn("rnk", row_number().over(wA))
+    val lists = rankedAssign.filter(col("rnk") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cid"))
+    val probes = rankedAssign.filter(col("rnk") <= 2 && col("vec_id").isin(5, 6, 7, 8, 9))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("norm").as("qnorm"), col("cid"))
+    // probe join: only the 2 probed lists per query are rescanned
+    val scored = lists.join(broadcast(probes), "cid")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dotExact(col("qe"), col("embedding")) / (col("qnorm") * col("norm")))
+          .as("cosine"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") <= 10)
+  }
+
+  /** Exact (brute-force) top-10 for an arbitrary query-id set — the
+    * ground truth the recall eval compares against. */
+  private def bruteTopk(s: SparkSession, dir: String, ids: Seq[Int]): DataFrame = {
+    val vecs = withNorm(Tables.load(s, dir, "embeddings"))
+    val queries = vecs.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("norm").as("qnorm"))
+    val scored = vecs.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dotExact(col("qe"), col("embedding")) / (col("qnorm") * col("norm")))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+  }
+
   /** DuckDB CTE block computing the same cosine pairs as [[cosinePairs]]
     * (names them `cpairs(a, b)`); splice after WITH [RECURSIVE]. */
   private[operators] def oCosinePairCtes(thr: String): String =
@@ -382,31 +428,88 @@ object SimilarityQueries extends QueryPack {
          |SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin
     ) { (s, dir) =>
-      val vecs = withNorm(Tables.load(s, dir, "embeddings"))
-      val cents = vecs.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("norm").as("cnorm"))
-      // assignment: every vector scored against the 16 broadcast centroids
-      val assigned = vecs.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("norm"), col("cid"),
-          (dotExact(col("embedding"), col("ce")) / (col("norm") * col("cnorm"))).as("cos"))
-      val wA = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
-      val rankedAssign = assigned.withColumn("rnk", row_number().over(wA))
-      val lists = rankedAssign.filter(col("rnk") === 1)
-        .select(col("vec_id"), col("embedding"), col("norm"), col("cid"))
-      val probes = rankedAssign.filter(col("rnk") <= 2 && col("vec_id").isin(5, 6, 7, 8, 9))
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          col("norm").as("qnorm"), col("cid"))
-      // probe join: only the 2 probed lists per query are rescanned
-      val scored = lists.join(broadcast(probes), "cid")
-        .filter(col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (dotExact(col("qe"), col("embedding")) / (col("qnorm") * col("norm")))
-            .as("cosine"))
-      val wq = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      scored.withColumn("rnk", row_number().over(wq))
-        .filter(col("rnk") <= 10)
-        .orderBy(col("query_id"), col("rnk"))
+      ivfTopk(s, dir).orderBy(col("query_id"), col("rnk"))
+    },
+
+    // ANN recall evaluation — the operator every approximate index ships
+    // with: recall@10 of the IVF path against the exact brute-force
+    // ground truth, per query. The eval is itself a distributed query
+    // (exact top-k ⋈ ANN top-k on (query, neighbor)), so it runs at any
+    // corpus size the index runs at; the query set stays broadcast-sized
+    // by definition. A recall drop after an index rebuild is the
+    // canonical data-quality alarm for a similarity pipeline.
+    Q(
+      "sim_ann_recall_eval",
+      s"""WITH u AS ($oVecs),
+         |n AS ($oNorms),
+         |cents AS (SELECT vec_id AS cid, x, p FROM u WHERE vec_id < 16),
+         |adots AS (
+         |  SELECT u.vec_id, c.cid,
+         |         CAST(SUM(CAST(CAST(u.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         |  FROM u JOIN cents c ON u.p = c.p
+         |  GROUP BY u.vec_id, c.cid),
+         |acos AS (
+         |  SELECT a.vec_id, a.cid, a.dot / (nv.norm * nc.norm) AS cos
+         |  FROM adots a JOIN n nv ON a.vec_id = nv.vec_id JOIN n nc ON a.cid = nc.vec_id),
+         |ranked_assign AS (
+         |  SELECT vec_id, cid,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
+         |  FROM acos),
+         |lists AS (SELECT vec_id, cid FROM ranked_assign WHERE rnk = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid FROM ranked_assign
+         |  WHERE rnk <= 2 AND vec_id IN (5, 6, 7, 8, 9)),
+         |cand AS (
+         |  SELECT p.query_id, l.vec_id AS neighbor_id
+         |  FROM probes p JOIN lists l ON p.cid = l.cid AND l.vec_id <> p.query_id),
+         |idots AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         CAST(SUM(CAST(CAST(q.x AS DOUBLE) * CAST(v.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         |  FROM cand c JOIN u q ON q.vec_id = c.query_id
+         |              JOIN u v ON v.vec_id = c.neighbor_id AND q.p = v.p
+         |  GROUP BY c.query_id, c.neighbor_id),
+         |iscored AS (
+         |  SELECT query_id, neighbor_id, dot / (nq.norm * nn.norm) AS cosine
+         |  FROM idots JOIN n nq ON query_id = nq.vec_id JOIN n nn ON neighbor_id = nn.vec_id),
+         |ivf AS (
+         |  SELECT query_id, neighbor_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM iscored),
+         |edots AS (
+         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |         CAST(SUM(CAST(CAST(q.x AS DOUBLE) * CAST(v.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         |  FROM u q JOIN u v ON q.p = v.p AND q.vec_id <> v.vec_id
+         |  WHERE q.vec_id IN (5, 6, 7, 8, 9)
+         |  GROUP BY q.vec_id, v.vec_id),
+         |escored AS (
+         |  SELECT query_id, neighbor_id, dot / (nq.norm * nn.norm) AS cosine
+         |  FROM edots JOIN n nq ON query_id = nq.vec_id JOIN n nn ON neighbor_id = nn.vec_id),
+         |exact AS (
+         |  SELECT query_id, neighbor_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM escored)
+         |SELECT e.query_id,
+         |       CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_overlap,
+         |       CAST(COUNT(i.neighbor_id) AS DOUBLE) / 10 AS recall_at_10
+         |FROM exact e
+         |LEFT JOIN ivf i ON e.query_id = i.query_id
+         |                AND e.neighbor_id = i.neighbor_id AND i.rnk <= 10
+         |WHERE e.rnk <= 10
+         |GROUP BY e.query_id
+         |ORDER BY e.query_id""".stripMargin
+    ) { (s, dir) =>
+      val exact = bruteTopk(s, dir, Seq(5, 6, 7, 8, 9))
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = ivfTopk(s, dir)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      exact.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_overlap"))
+        .select(col("query_id"), col("n_overlap"),
+          (col("n_overlap").cast("double") / 10).as("recall_at_10"))
+        .orderBy(col("query_id"))
     },
 
     // Semantic decontamination — the embedding-space twin of the n-gram
