@@ -453,6 +453,75 @@ object TextQueries extends QueryPack {
         .orderBy(col("source"), col("bin"))
     },
 
+    // Token-budget selection — fill a fixed training-token budget with
+    // the best-scoring documents (score: closeness of mean word length
+    // to 5, a cheap fluency proxy; any per-doc quality score slots in).
+    // The naive form is ONE GLOBAL ordered cumsum over the corpus — a
+    // single-partition sort that dies at scale. This is the two-phase
+    // shape instead: (1) per-doc scores quantize into ≤15k buckets
+    // (score range is bounded, so bucket count is bounded by the
+    // QUANTIZATION, not the corpus); the budget cutoff comes from a
+    // cumulative mass window over that bounded bucket table (broadcast
+    // back); (2) only the boundary bucket needs doc-level ordering, and
+    // its cumsum windows PER BUCKET — corpus rows never funnel through
+    // one partition. Selection is identical to the global greedy order
+    // (score desc, doc_id) by construction; the oracle runs the naive
+    // global form and must agree exactly.
+    Q(
+      "pipeline_token_budget",
+      """WITH sized AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |         n_chars
+        |  FROM documents),
+        |scored AS (
+        |  SELECT source, doc_id, n_tokens,
+        |         -CAST(FLOOR(ABS(CAST(n_chars - (n_tokens - 1) AS DOUBLE)
+        |                         / n_tokens - 5.0) * 1000) AS BIGINT) AS score_q
+        |  FROM sized),
+        |pos AS (
+        |  SELECT source, n_tokens,
+        |         SUM(n_tokens) OVER (ORDER BY score_q DESC, doc_id
+        |                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+        |  FROM scored)
+        |SELECT source,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs_selected,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS tokens_selected
+        |FROM pos WHERE start_tok < 5000
+        |GROUP BY source
+        |ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val budget = 5000L
+      val scored = Tables.load(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens"), col("n_chars"))
+        .withColumn("score_q",
+          -floor(abs((col("n_chars") - (col("n_tokens") - 1)).cast("double")
+            / col("n_tokens") - 5.0) * 1000).cast("long"))
+      // phase 1: token mass per score bucket (≤15k rows by quantization),
+      // cumulative mass BEFORE each bucket in score-descending order —
+      // a window over the bounded bucket table, then broadcast back
+      val buckets = scored.groupBy(col("score_q"))
+        .agg(sum(col("n_tokens")).as("bucket_mass"))
+      val wb = Window.orderBy(col("score_q").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bcum = buckets
+        .withColumn("cum_before", sum(col("bucket_mass")).over(wb) - col("bucket_mass"))
+        .select(col("score_q"), col("cum_before"))
+      // phase 2: doc-level start offsets exist only WITHIN a bucket
+      // (bucket-partitioned window), shifted by the bucket's cum_before
+      val wd = Window.partitionBy(col("score_q")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored.join(broadcast(bcum), "score_q")
+        .withColumn("start_tok",
+          col("cum_before") + sum(col("n_tokens")).over(wd) - col("n_tokens"))
+        .filter(col("start_tok") < budget)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs_selected"),
+          sum(col("n_tokens")).cast("long").as("tokens_selected"))
+        .orderBy(col("source"))
+    },
+
     // Repetition signals — the Gopher/MassiveText quality heuristics for
     // catching degenerate machine-generated text: per-document fraction
     // of bigram occurrences belonging to the single most common bigram

@@ -43,4 +43,22 @@ object EventStreams {
       .agg(count(lit(1)).as("events"), sum(col("value")).as("total"))
       .select(col("user_id"), col("s.start").as("s_start"), col("s.end").as("s_end"),
         col("events"), col("total"))
+
+  /** Per-session conversion facts: the ENTRY event type (first by time —
+    * a lexicographic struct-min, so no second pass over the events) and
+    * whether the session converted (contains a purchase), in the same
+    * single session_window aggregate. Per-session granularity is the
+    * streaming-appropriate output (state evicts with the watermark);
+    * the entry-type conversion-rate rollup is one tiny batch aggregate
+    * downstream (EventQueries' evt_session_conversion is the batch twin
+    * with a DuckDB oracle). */
+  def sessionConversion(df: DataFrame, gap: String = "30 minutes"): DataFrame =
+    df.groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("entry_type"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("converted"),
+        count(lit(1)).as("events"))
+      .select(col("user_id"), col("s.start").as("s_start"), col("entry_type"),
+        col("converted"), col("events"))
 }

@@ -316,7 +316,10 @@ class PlanSpec extends SparkSpec {
       "text_tfidf_top_terms" -> "scalar", "text_lm_surprise" -> "scalar",
       "text_lm_bigram" -> "scalar", "text_dist_drift" -> "scalar",
       "text_distinctive_terms" -> "scalar",
-      "text_vocab_coverage" -> "bounded", "win_ntile_dist" -> "byDef")
+      "text_vocab_coverage" -> "bounded", "win_ntile_dist" -> "byDef",
+      // score-bucket cum-mass window: bucket count is bounded by the 1e3
+      // score quantization (≤15k rows), never by the corpus
+      "pipeline_token_budget" -> "bounded")
     val offenders = scala.collection.mutable.Map[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, f) =>
       val p = f(spark, sf()).queryExecution.executedPlan.toString

@@ -86,6 +86,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session conversion attributes purchases to the session's entry type") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.sessionConversion(
+        EventStreams.withLateData(in.toDF(), "2 hours"), "30 minutes")
+      .writeStream.format("memory").queryName("conv_sink")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // user 1 session A: view→click→purchase (entry view, converted);
+      // user 1 session B at +2h: lone click (entry click, no conversion);
+      // user 2: lone purchase (entry purchase, converted)
+      in.addData(
+        Ev(1, ts(0), 1, "view", 1.0), Ev(2, ts(10), 1, "click", 1.0),
+        Ev(3, ts(20), 1, "purchase", 9.0), Ev(4, ts(120), 1, "click", 1.0),
+        Ev(5, ts(5), 2, "purchase", 3.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, entry_type, converted, events FROM conv_sink " +
+          "ORDER BY user_id, s_start").collect()
+      assert(rows.map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3))).toSeq ==
+        Seq((1L, "view", 1, 3L), (1L, "click", 0, 1L), (2L, "purchase", 1, 1L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch maintains a materialized aggregate incrementally") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
