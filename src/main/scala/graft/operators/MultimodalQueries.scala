@@ -114,6 +114,31 @@ object MultimodalQueries extends QueryPack {
           Multimodal.mediaTable(Tables.load(s, dir, "documents")), 64, 64)
         .select(col("doc_id"), col("w"), col("h"), col("resized_bytes"))
         .orderBy(col("doc_id"))
+    },
+
+    // Payload-hash dedup — exact media dedup WITHOUT decoding: md5 over
+    // the raw binary payload, grouped within modality, canonical = the
+    // smallest doc_id. The 100 TB point: byte-identical re-crawls and
+    // re-uploads are caught by one hash-groupBy on the digest (a single
+    // shuffle of 16-byte keys, payloads never move), the same shape as
+    // text dedup_exact — the binary column changes nothing about the
+    // plan. DuckDB hashes the identical bytes (payload = UTF-8 of text).
+    Q(
+      "mm_dedup_payload",
+      """SELECT modality, md5(text) AS payload_md5,
+        |       CAST(COUNT(*) AS BIGINT) AS copies,
+        |       MIN(doc_id) AS canonical_id
+        |FROM (SELECT doc_id, text,
+        |        ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality
+        |      FROM documents) t
+        |GROUP BY modality, md5(text)
+        |ORDER BY modality, payload_md5""".stripMargin
+    ) { (s, dir) =>
+      Multimodal.mediaTable(Tables.load(s, dir, "documents"))
+        .groupBy(col("modality"), md5(col("payload")).as("payload_md5"))
+        .agg(count(lit(1)).cast("long").as("copies"),
+          min(col("doc_id")).as("canonical_id"))
+        .orderBy(col("modality"), col("payload_md5"))
     }
   )
 }

@@ -1,0 +1,427 @@
+package graft.sqlfront
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFException}
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** PostgreSQL wire-protocol (v3) front end over [[GraftSession]] — the
+  * engine's third entry point beside [[graft.Shell]] and [[SqlHttp]],
+  * covering the reference's primary query lifecycle (reference
+  * postgres/PostgresProtocolServer.java binds :5432;
+  * PostgresConnectionHandler.java:98-124 dispatches Query/Parse/Bind/
+  * Execute). Re-expressed from the PUBLISHED protocol specification
+  * (PostgreSQL docs, "Frontend/Backend Protocol"), not the reference's
+  * Netty implementation: a plain blocking socket loop is the right shape
+  * here because GraftSession is single-session by design — requests
+  * serialize exactly as they do for [[SqlHttp]].
+  *
+  * Supported: startup (incl. SSLRequest refusal and CancelRequest
+  * no-op), simple Query with multi-statement scripts, the extended
+  * protocol subset JDBC drives (Parse/Bind/Describe/Execute/Close/
+  * Flush/Sync) with text-format parameters and results, and Terminate.
+  * Every value travels in text format; result columns carry real type
+  * OIDs so clients render numerics/bools natively.
+  */
+final class PgWire(gs: GraftSession, port: Int = 0) {
+
+  private val server = new ServerSocket()
+  server.bind(new InetSocketAddress("127.0.0.1", port))
+  @volatile private var running = true
+
+  def boundPort: Int = server.getLocalPort
+
+  private val acceptThread = new Thread(() => acceptLoop(), "pgwire-accept")
+  acceptThread.setDaemon(true)
+  acceptThread.start()
+
+  def stop(): Unit = { running = false; server.close() }
+
+  private def acceptLoop(): Unit =
+    while (running) {
+      try {
+        val sock = server.accept()
+        try handleConnection(sock)
+        catch { case _: Throwable => () } // connection-scoped failure only
+        finally sock.close()
+      } catch { case _: Throwable => () } // server socket closed on stop()
+    }
+
+  // ------------------------------------------------------------ framing
+
+  private def readN(in: DataInputStream, n: Int): Array[Byte] = {
+    val b = new Array[Byte](n); in.readFully(b); b
+  }
+
+  /** Zero-terminated UTF-8 string starting at `off`; returns (s, next). */
+  private def cstr(b: Array[Byte], off: Int): (String, Int) = {
+    var i = off
+    while (i < b.length && b(i) != 0) i += 1
+    (new String(b, off, i - off, UTF_8), i + 1)
+  }
+
+  private final class Out(raw: DataOutputStream) {
+    def msg(tpe: Char)(body: DataOutputStream => Unit): Unit = {
+      val buf = new ByteArrayOutputStream()
+      body(new DataOutputStream(buf))
+      raw.writeByte(tpe.toByte)
+      raw.writeInt(buf.size + 4)
+      buf.writeTo(raw)
+    }
+    def cstr(o: DataOutputStream, s: String): Unit = {
+      o.write(s.getBytes(UTF_8)); o.writeByte(0)
+    }
+    def flush(): Unit = raw.flush()
+  }
+
+  // ------------------------------------------------- protocol responses
+
+  private def pgTypeOid(dt: DataType): Int = dt match {
+    case BooleanType => 16
+    case ShortType => 21
+    case IntegerType => 23
+    case LongType => 20
+    case FloatType => 700
+    case DoubleType => 701
+    case _: DecimalType => 1700
+    case DateType => 1082
+    case TimestampType | TimestampNTZType => 1114
+    case _ => 25 // text
+  }
+
+  /** PG text rendering: booleans as t/f, arrays as {…}, null handled by
+    * the caller (−1 length). */
+  private def render(v: Any): String = v match {
+    case b: Boolean => if (b) "t" else "f"
+    case s: collection.Seq[_] =>
+      s.map(x => if (x == null) "NULL" else render(x)).mkString("{", ",", "}")
+    case other => other.toString
+  }
+
+  private def rowDescription(out: Out, df: DataFrame): Unit =
+    out.msg('T') { o =>
+      val fields = df.schema.fields
+      o.writeShort(fields.length)
+      fields.foreach { f =>
+        out.cstr(o, f.name)
+        o.writeInt(0); o.writeShort(0)          // table oid / attnum
+        o.writeInt(pgTypeOid(f.dataType))
+        o.writeShort(-1); o.writeInt(-1)        // typlen / typmod
+        o.writeShort(0)                         // text format
+      }
+    }
+
+  /** Streams DataRow messages; returns the row count. Collects through
+    * toLocalIterator so a large result never materializes as one driver
+    * array (the row batch in flight is partition-bounded). */
+  private def dataRows(out: Out, df: DataFrame): Long = {
+    var n = 0L
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      out.msg('D') { o =>
+        o.writeShort(row.length)
+        var i = 0
+        while (i < row.length) {
+          if (row.isNullAt(i)) o.writeInt(-1)
+          else {
+            val bytes = render(row.get(i)).getBytes(UTF_8)
+            o.writeInt(bytes.length); o.write(bytes)
+          }
+          i += 1
+        }
+      }
+      n += 1
+    }
+    n
+  }
+
+  private def commandComplete(out: Out, tag: String): Unit =
+    out.msg('C')(o => out.cstr(o, tag))
+
+  private def readyForQuery(out: Out): Unit =
+    out.msg('Z')(o => o.writeByte('I'))
+
+  private def errorResponse(out: Out, e: Throwable): Unit =
+    out.msg('E') { o =>
+      o.writeByte('S'); out.cstr(o, "ERROR")
+      o.writeByte('V'); out.cstr(o, "ERROR")
+      o.writeByte('C'); out.cstr(o, "XX000")
+      o.writeByte('M')
+      out.cstr(o, Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+      o.writeByte(0)
+    }
+
+  /** True when the statement produces a client-visible result set. */
+  private def returnsRows(stmt: String): Boolean = {
+    val kw = stmt.trim.split("\\s+", 2)(0).toUpperCase
+    Set("SELECT", "VALUES", "WITH", "TABLE", "SHOW", "EXPLAIN", "FETCH",
+      "EXECUTE").contains(kw) || stmt.trim.startsWith("\\") ||
+      stmt.trim.toUpperCase.matches("(?s)COPY\\s.*TO\\s+STDOUT.*")
+  }
+
+  /** PG command tag for a completed statement: DML counts come from the
+    * session's (status, count) result row; SELECT counts from the rows
+    * streamed. */
+  private def tagFor(stmt: String, result: DataFrame, selectRows: Long): String = {
+    val words = stmt.trim.split("\\s+")
+    val kw = words(0).toUpperCase
+    def dmlCount: Long = result.schema.fieldNames.toSeq match {
+      case Seq("status", "count") => result.collect()(0).getLong(1)
+      case _ => 0L
+    }
+    kw match {
+      case "SELECT" | "WITH" | "TABLE" | "VALUES" | "SHOW" | "EXPLAIN" =>
+        s"SELECT $selectRows"
+      case "INSERT" => s"INSERT 0 $dmlCount"
+      case "UPDATE" => s"UPDATE $dmlCount"
+      case "DELETE" => s"DELETE $dmlCount"
+      case "MERGE" => s"MERGE $dmlCount"
+      case "COPY" => s"COPY $dmlCount"
+      case "FETCH" => s"FETCH $selectRows"
+      case "BEGIN" => "BEGIN"
+      case "COMMIT" => "COMMIT"
+      case "ROLLBACK" => "ROLLBACK"
+      case "CREATE" | "DROP" | "ALTER" | "TRUNCATE" if words.length > 1 =>
+        s"$kw ${words(1).toUpperCase.stripSuffix(";")}" match {
+          case t @ ("CREATE TABLE" | "CREATE INDEX" | "CREATE VIEW" |
+                    "CREATE SEQUENCE" | "CREATE TYPE" | "DROP TABLE" |
+                    "DROP INDEX" | "DROP VIEW" | "DROP SEQUENCE" |
+                    "ALTER TABLE" | "TRUNCATE TABLE") => t
+          case _ => kw
+        }
+      case other => other
+    }
+  }
+
+  // -------------------------------------------------------- connection
+
+  private def handleConnection(sock: Socket): Unit = {
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val rawOut = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    val out = new Out(rawOut)
+
+    // startup phase: length-prefixed, untyped messages
+    var startedUp = false
+    while (!startedUp) {
+      val len = in.readInt()
+      val body = readN(in, len - 4)
+      val code = ((body(0) & 0xff) << 24) | ((body(1) & 0xff) << 16) |
+        ((body(2) & 0xff) << 8) | (body(3) & 0xff)
+      code match {
+        case 80877103 => // SSLRequest → not supported, continue cleartext
+          rawOut.writeByte('N'); rawOut.flush()
+        case 80877102 => // CancelRequest: single-session engine — no-op
+          return
+        case 196608 => // protocol 3.0
+          startedUp = true
+        case other =>
+          throw new IllegalArgumentException(s"unsupported protocol code $other")
+      }
+    }
+    out.msg('R')(o => o.writeInt(0)) // AuthenticationOk
+    Seq(
+      "server_version" -> "17.0 (graft)",
+      "server_encoding" -> "UTF8",
+      "client_encoding" -> "UTF8",
+      "DateStyle" -> "ISO, MDY",
+      "integer_datetimes" -> "on",
+      "standard_conforming_strings" -> "on").foreach { case (k, v) =>
+      out.msg('S')(o => { out.cstr(o, k); out.cstr(o, v) })
+    }
+    out.msg('K')(o => { o.writeInt(1); o.writeInt(0) }) // BackendKeyData
+    readyForQuery(out)
+    out.flush()
+
+    // extended-protocol state
+    val preparedWire = scala.collection.mutable.Map[String, (String, Seq[Int])]()
+    val portals = scala.collection.mutable.Map[String, String]()
+    var extendedError = false // error until Sync: skip further extended msgs
+
+    var done = false
+    while (!done) {
+      val tpeOpt =
+        try Some(in.readByte().toChar) catch { case _: EOFException => None }
+      tpeOpt match {
+        case None => done = true // client hung up without Terminate
+        case Some(tpe) =>
+        val len = in.readInt()
+        val body = readN(in, len - 4)
+        tpe match {
+          case 'X' => done = true
+
+          case 'Q' =>
+            val (sqlText, _) = cstr(body, 0)
+            if (sqlText.trim.isEmpty) out.msg('I')(_ => ())
+            else {
+              val stmts = StatementSplitter.split(sqlText)
+              var aborted = false
+              stmts.foreach { stmt =>
+                if (!aborted) {
+                  try {
+                    val df = gs.sql(stmt)
+                    if (returnsRows(stmt)) {
+                      rowDescription(out, df)
+                      val n = dataRows(out, df)
+                      commandComplete(out, tagFor(stmt, df, n))
+                    } else commandComplete(out, tagFor(stmt, df, 0))
+                  } catch {
+                    case e: Throwable =>
+                      // PG aborts the remainder of the query string
+                      errorResponse(out, e); aborted = true
+                  }
+                }
+              }
+            }
+            readyForQuery(out); out.flush()
+
+          case 'P' if !extendedError => // Parse
+            try {
+              var off = 0
+              val (name, o1) = cstr(body, off); off = o1
+              val (query, o2) = cstr(body, off); off = o2
+              val nParams =
+                ((body(off) & 0xff) << 8) | (body(off + 1) & 0xff)
+              off += 2
+              val oids = (0 until nParams).map { i =>
+                val p = off + i * 4
+                ((body(p) & 0xff) << 24) | ((body(p + 1) & 0xff) << 16) |
+                  ((body(p + 2) & 0xff) << 8) | (body(p + 3) & 0xff)
+              }
+              preparedWire(name) = (query, oids)
+              out.msg('1')(_ => ())
+            } catch { case e: Throwable => errorResponse(out, e); extendedError = true }
+
+          case 'B' if !extendedError => // Bind
+            try {
+              var off = 0
+              val (portal, o1) = cstr(body, off); off = o1
+              val (stmtName, o2) = cstr(body, off); off = o2
+              val (query, oids) = preparedWire.getOrElse(stmtName,
+                throw new IllegalArgumentException(s"unknown prepared statement \"$stmtName\""))
+              val nFmts = ((body(off) & 0xff) << 8) | (body(off + 1) & 0xff)
+              off += 2 + nFmts * 2 // formats read but text assumed
+              val nParams = ((body(off) & 0xff) << 8) | (body(off + 1) & 0xff)
+              off += 2
+              val values = (0 until nParams).map { _ =>
+                val vlen = ((body(off) & 0xff) << 24) | ((body(off + 1) & 0xff) << 16) |
+                  ((body(off + 2) & 0xff) << 8) | (body(off + 3) & 0xff)
+                off += 4
+                if (vlen < 0) null
+                else { val s = new String(body, off, vlen, UTF_8); off += vlen; s }
+              }
+              portals(portal) = substituteParams(query, values, oids)
+              out.msg('2')(_ => ())
+            } catch { case e: Throwable => errorResponse(out, e); extendedError = true }
+
+          case 'D' if !extendedError => // Describe
+            try {
+              val kind = body(0).toChar
+              val (name, _) = cstr(body, 1)
+              val sqlText = kind match {
+                case 'P' => portals.getOrElse(name,
+                  throw new IllegalArgumentException(s"unknown portal \"$name\""))
+                case _ => preparedWire.getOrElse(name,
+                  throw new IllegalArgumentException(s"unknown prepared statement \"$name\""))._1
+              }
+              if (kind == 'S')
+                // ParameterDescription: oids as parsed (possibly empty)
+                out.msg('t') { o =>
+                  val oids = preparedWire(name)._2
+                  o.writeShort(oids.length); oids.foreach(o.writeInt)
+                }
+              if (returnsRows(sqlText))
+                // schema-only planning: SELECT has no side effects here
+                rowDescription(out, gs.sql(sqlText).limit(0))
+              else out.msg('n')(_ => ()) // NoData
+            } catch { case e: Throwable => errorResponse(out, e); extendedError = true }
+
+          case 'E' if !extendedError => // Execute
+            try {
+              val (portal, _) = cstr(body, 0)
+              val sqlText = portals.getOrElse(portal,
+                throw new IllegalArgumentException(s"unknown portal \"$portal\""))
+              val df = gs.sql(sqlText)
+              if (returnsRows(sqlText)) {
+                val n = dataRows(out, df)
+                commandComplete(out, tagFor(sqlText, df, n))
+              } else commandComplete(out, tagFor(sqlText, df, 0))
+            } catch { case e: Throwable => errorResponse(out, e); extendedError = true }
+
+          case 'C' if !extendedError => // Close statement/portal
+            val kind = body(0).toChar
+            val (name, _) = cstr(body, 1)
+            if (kind == 'P') portals.remove(name) else preparedWire.remove(name)
+            out.msg('3')(_ => ())
+
+          case 'H' => out.flush() // Flush
+
+          case 'S' => // Sync: clear error state, signal ready
+            extendedError = false
+            readyForQuery(out); out.flush()
+
+          case _ => () // skipped: either unknown or suppressed by error state
+        }
+      }
+    }
+  }
+
+  /** Substitute `$N` placeholders with typed literals. Text-format values
+    * arrive as strings; the Parse-declared OID adds an explicit CAST so
+    * comparisons use the client's intended type. String literals in the
+    * query body are opaque (a '$1' inside text is content — same
+    * discipline as GraftSession's PREPARE). */
+  private def substituteParams(query: String, values: Seq[String], oids: Seq[Int]): String = {
+    def sqlType(oid: Int): Option[String] = oid match {
+      case 16 => Some("boolean")
+      case 21 => Some("smallint")
+      case 23 => Some("int")
+      case 20 => Some("bigint")
+      case 700 | 701 => Some("double precision")
+      case 1700 => Some("numeric")
+      case 1082 => Some("date")
+      case 1114 | 1184 => Some("timestamp")
+      case _ => None
+    }
+    val sb = new StringBuilder
+    var i = 0
+    while (i < query.length) {
+      val c = query.charAt(i)
+      if (c == '\'') { // copy string literal verbatim ('' escape)
+        sb.append(c); i += 1
+        var closed = false
+        while (i < query.length && !closed) {
+          sb.append(query.charAt(i))
+          if (query.charAt(i) == '\'') {
+            if (i + 1 < query.length && query.charAt(i + 1) == '\'') {
+              sb.append('\''); i += 2
+            } else { closed = true; i += 1 }
+          } else i += 1
+        }
+      } else if (c == '$' && i + 1 < query.length && query.charAt(i + 1).isDigit) {
+        var j = i + 1
+        while (j < query.length && query.charAt(j).isDigit) j += 1
+        val idx = query.substring(i + 1, j).toInt - 1
+        if (idx < 0 || idx >= values.length)
+          throw new IllegalArgumentException(s"no parameter $$${idx + 1}")
+        val v = values(idx)
+        val lit =
+          if (v == null) "NULL"
+          else "'" + v.replace("'", "''") + "'"
+        val cast = oids.lift(idx).filter(_ != 0).flatMap(sqlType)
+        sb.append(cast match {
+          case Some(t) if v != null => s"CAST($lit AS $t)"
+          case _ => lit
+        })
+        i = j
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}
+
+object PgWire {
+  def start(gs: GraftSession, port: Int = 0): PgWire = new PgWire(gs, port)
+}

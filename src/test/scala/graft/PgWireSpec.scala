@@ -1,0 +1,188 @@
+package graft
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.file.Files
+
+import graft.sqlfront.{GraftSession, PgWire}
+
+/** The PostgreSQL wire-protocol entry point, exercised by a raw-socket
+  * v3 client (no pg client library exists in this container — the spec
+  * IS the client): startup handshake, simple Query with result sets and
+  * command tags, mid-script abort on error, the extended protocol
+  * (Parse/Bind/Describe/Execute/Sync) with typed parameters, SSLRequest
+  * refusal, and Terminate. */
+class PgWireSpec extends SparkSpec {
+
+  /** Minimal protocol client. */
+  private final class WireClient(port: Int) {
+    val sock = new Socket("127.0.0.1", port)
+    private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+
+    def sslRequest(): Char = {
+      out.writeInt(8); out.writeInt(80877103); out.flush()
+      in.readByte().toChar
+    }
+
+    def startup(): Seq[(Char, Array[Byte])] = {
+      val body = new ByteArrayOutputStream()
+      val d = new DataOutputStream(body)
+      d.writeInt(196608)
+      def c(s: String): Unit = { d.write(s.getBytes("UTF-8")); d.writeByte(0) }
+      c("user"); c("graft"); c("database"); c("graft"); d.writeByte(0)
+      out.writeInt(body.size + 4); body.writeTo(out); out.flush()
+      readUntilReady()
+    }
+
+    def send(tpe: Char, body: Array[Byte]): Unit = {
+      out.writeByte(tpe.toByte); out.writeInt(body.length + 4)
+      out.write(body); out.flush()
+    }
+
+    def readMsg(): (Char, Array[Byte]) = {
+      val t = in.readByte().toChar
+      val len = in.readInt()
+      val b = new Array[Byte](len - 4); in.readFully(b); (t, b)
+    }
+
+    def readUntilReady(): Seq[(Char, Array[Byte])] = {
+      val buf = Seq.newBuilder[(Char, Array[Byte])]
+      var done = false
+      while (!done) {
+        val m = readMsg(); buf += m
+        if (m._1 == 'Z') done = true
+      }
+      buf.result()
+    }
+
+    def query(sql: String): Seq[(Char, Array[Byte])] = {
+      send('Q', sql.getBytes("UTF-8") :+ 0.toByte)
+      readUntilReady()
+    }
+
+    def terminate(): Unit = { send('X', Array.empty); sock.close() }
+
+    def cstrBody(tpe: Char, msgs: Seq[(Char, Array[Byte])]): Seq[String] =
+      msgs.filter(_._1 == tpe).map { case (_, b) =>
+        new String(b.takeWhile(_ != 0), "UTF-8")
+      }
+
+    /** Decode a DataRow body into column strings (null → "∅"). */
+    def row(b: Array[Byte]): Seq[String] = {
+      val in2 = new DataInputStream(new java.io.ByteArrayInputStream(b))
+      val n = in2.readShort()
+      (0 until n).map { _ =>
+        val len = in2.readInt()
+        if (len < 0) "∅"
+        else { val v = new Array[Byte](len); in2.readFully(v); new String(v, "UTF-8") }
+      }
+    }
+  }
+
+  private def freshServer(): (PgWire, WireClient) = {
+    val gs = new GraftSession(spark, Files.createTempDirectory("graft_pgwire"))
+    val srv = PgWire.start(gs)
+    val c = new WireClient(srv.boundPort)
+    (srv, c)
+  }
+
+  test("startup handshake: auth ok, parameters, ready for query") {
+    val (srv, c) = freshServer()
+    try {
+      val msgs = c.startup()
+      assert(msgs.head._1 == 'R', "expected AuthenticationOk first")
+      val params = c.cstrBody('S', msgs)
+      assert(params.contains("server_version") && params.contains("client_encoding"))
+      assert(msgs.exists(_._1 == 'K') && msgs.last._1 == 'Z')
+      c.terminate()
+    } finally srv.stop()
+  }
+
+  test("simple query: DDL + DML tags, result set with types, multi-statement") {
+    val (srv, c) = freshServer()
+    try {
+      c.startup()
+      val ddl = c.query("CREATE TABLE wt (id INT PRIMARY KEY, name TEXT, ok BOOLEAN)")
+      assert(c.cstrBody('C', ddl) == Seq("CREATE TABLE"), c.cstrBody('C', ddl))
+      val ins = c.query("INSERT INTO wt VALUES (1, 'ada', true), (2, 'grace', false)")
+      assert(c.cstrBody('C', ins) == Seq("INSERT 0 2"))
+      val sel = c.query("SELECT id, name, ok FROM wt ORDER BY id")
+      // RowDescription carries 3 fields with real type OIDs
+      val t = sel.find(_._1 == 'T').get._2
+      assert(((t(0) & 0xff) << 8 | (t(1) & 0xff)) == 3)
+      val rows = sel.filter(_._1 == 'D').map(m => c.row(m._2))
+      assert(rows == Seq(Seq("1", "ada", "t"), Seq("2", "grace", "f")))
+      assert(c.cstrBody('C', sel) == Seq("SELECT 2"))
+      // multi-statement script: one tag per statement
+      val multi = c.query("UPDATE wt SET ok = true WHERE id = 2; SELECT count(*) AS n FROM wt WHERE ok")
+      assert(c.cstrBody('C', multi) == Seq("UPDATE 1", "SELECT 1"))
+      c.terminate()
+    } finally srv.stop()
+  }
+
+  test("error aborts the remainder of a simple-query script") {
+    val (srv, c) = freshServer()
+    try {
+      c.startup()
+      c.query("CREATE TABLE et (id INT PRIMARY KEY)")
+      val msgs = c.query(
+        "INSERT INTO et VALUES (1); SELECT nope FROM missing; INSERT INTO et VALUES (2)")
+      assert(c.cstrBody('C', msgs) == Seq("INSERT 0 1"), "first statement lands")
+      assert(msgs.exists(_._1 == 'E'), "error surfaces")
+      assert(msgs.last._1 == 'Z', "ready after error")
+      val after = c.query("SELECT count(*) AS n FROM et")
+      assert(after.filter(_._1 == 'D').map(m => c.row(m._2)) == Seq(Seq("1")),
+        "third statement never ran")
+      c.terminate()
+    } finally srv.stop()
+  }
+
+  test("extended protocol: Parse/Bind/Describe/Execute with a typed parameter") {
+    val (srv, c) = freshServer()
+    try {
+      c.startup()
+      c.query("CREATE TABLE xt (id INT PRIMARY KEY, v TEXT)")
+      c.query("INSERT INTO xt VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+      val body = new ByteArrayOutputStream()
+      val d = new DataOutputStream(body)
+      def c0(s: String): Unit = { d.write(s.getBytes("UTF-8")); d.writeByte(0) }
+      // Parse: unnamed stmt, one int4 param
+      c0(""); c0("SELECT v FROM xt WHERE id >= $1 ORDER BY id"); d.writeShort(1); d.writeInt(23)
+      c.send('P', body.toByteArray)
+      // Bind: unnamed portal, text param "2"
+      body.reset()
+      c0(""); c0("")
+      d.writeShort(0)                    // no format codes
+      d.writeShort(1)                    // one parameter
+      d.writeInt(1); d.write('2')        // "2"
+      d.writeShort(0)                    // no result format codes
+      c.send('B', body.toByteArray)
+      // Describe portal, Execute, Sync
+      body.reset(); d.writeByte('P'); c0("")
+      c.send('D', body.toByteArray)
+      body.reset(); c0(""); d.writeInt(0)
+      c.send('E', body.toByteArray)
+      c.send('S', Array.empty)
+      val msgs = c.readUntilReady()
+      assert(msgs.exists(_._1 == '1') && msgs.exists(_._1 == '2'), "Parse+Bind complete")
+      assert(msgs.exists(_._1 == 'T'), "Describe produced RowDescription")
+      val rows = msgs.filter(_._1 == 'D').map(m => c.row(m._2))
+      assert(rows == Seq(Seq("b"), Seq("c")), s"param filtered rows: $rows")
+      assert(c.cstrBody('C', msgs) == Seq("SELECT 2"))
+      c.terminate()
+    } finally srv.stop()
+  }
+
+  test("SSLRequest is refused in cleartext and the session proceeds") {
+    val (srv, c) = freshServer()
+    try {
+      assert(c.sslRequest() == 'N')
+      val msgs = c.startup()
+      assert(msgs.last._1 == 'Z')
+      val sel = c.query("SELECT 1 AS one")
+      assert(sel.filter(_._1 == 'D').map(m => c.row(m._2)) == Seq(Seq("1")))
+      c.terminate()
+    } finally srv.stop()
+  }
+}
