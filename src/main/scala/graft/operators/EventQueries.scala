@@ -381,6 +381,53 @@ object EventQueries extends QueryPack {
         .limit(10)
     },
 
+    // DAU/MAU stickiness — daily active users over 28-day-trailing
+    // monthly actives, the engagement ratio every product pipeline
+    // tracks. Exact trailing distinct via bounded replication: each
+    // DISTINCT (user, day) observation projects onto the 28 observation
+    // days it supports (a constant 28× of the already-day-deduped
+    // activity set — linear with a fixed constant, never events×28),
+    // then one distinct-count per observation day; the day dimension is
+    // calendar-bounded and broadcast.
+    Q(
+      "evt_dau_mau",
+      s"""WITH d AS (
+         |  SELECT DISTINCT user_id, $oEs // 86400 AS day FROM events),
+         |days AS (SELECT DISTINCT day FROM d),
+         |dau AS (
+         |  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM d GROUP BY day),
+         |expand AS (
+         |  SELECT d.user_id, d.day + k.k AS obs_day
+         |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 27)) AS k) k),
+         |mau AS (
+         |  SELECT e.obs_day AS day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS mau
+         |  FROM expand e JOIN days dd ON e.obs_day = dd.day
+         |  GROUP BY e.obs_day)
+         |SELECT dau.day, dau.dau, mau.mau,
+         |       CAST(dau.dau AS DOUBLE) / mau.mau AS stickiness
+         |FROM dau JOIN mau ON dau.day = mau.day
+         |ORDER BY dau.day""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"))
+        .distinct()
+      val days = d.select(col("day")).distinct()
+      val dau = d.groupBy(col("day"))
+        .agg(count(lit(1)).cast("long").as("dau"))
+      val mau = d
+        .select(col("user_id"),
+          explode(sequence(lit(0L), lit(27L))).as("k"), col("day"))
+        .select(col("user_id"), (col("day") + col("k")).as("obs_day"))
+        .join(broadcast(days.withColumnRenamed("day", "obs_day")), "obs_day")
+        .groupBy(col("obs_day").as("day"))
+        .agg(countDistinct(col("user_id")).cast("long").as("mau"))
+      dau.join(mau, "day")
+        .select(col("day"), col("dau"), col("mau"),
+          (col("dau").cast("double") / col("mau")).as("stickiness"))
+        .orderBy(col("day"))
+    },
+
     // Session conversion by entry event — which landing action converts:
     // per 30-min-gap session, the ENTRY event type (first by time) and
     // whether the session contains a purchase, rolled up to a conversion
