@@ -113,28 +113,27 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
       }
     }
 
+  private def writeDataRow(out: Out, row: org.apache.spark.sql.Row): Unit =
+    out.msg('D') { o =>
+      o.writeShort(row.length)
+      var i = 0
+      while (i < row.length) {
+        if (row.isNullAt(i)) o.writeInt(-1)
+        else {
+          val bytes = render(row.get(i)).getBytes(UTF_8)
+          o.writeInt(bytes.length); o.write(bytes)
+        }
+        i += 1
+      }
+    }
+
   /** Streams DataRow messages; returns the row count. Collects through
     * toLocalIterator so a large result never materializes as one driver
     * array (the row batch in flight is partition-bounded). */
   private def dataRows(out: Out, df: DataFrame): Long = {
     var n = 0L
     val it = df.toLocalIterator()
-    while (it.hasNext) {
-      val row = it.next()
-      out.msg('D') { o =>
-        o.writeShort(row.length)
-        var i = 0
-        while (i < row.length) {
-          if (row.isNullAt(i)) o.writeInt(-1)
-          else {
-            val bytes = render(row.get(i)).getBytes(UTF_8)
-            o.writeInt(bytes.length); o.write(bytes)
-          }
-          i += 1
-        }
-      }
-      n += 1
-    }
+    while (it.hasNext) { writeDataRow(out, it.next()); n += 1 }
     n
   }
 
@@ -238,6 +237,11 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
     // extended-protocol state
     val preparedWire = scala.collection.mutable.Map[String, (String, Seq[Int])]()
     val portals = scala.collection.mutable.Map[String, String]()
+    // open result iterators for suspended portals (JDBC setFetchSize
+    // drives Execute with a row limit; the portal resumes where it left)
+    final class PortalExec(val df: DataFrame,
+        val it: java.util.Iterator[org.apache.spark.sql.Row]) { var total = 0L }
+    val portalIters = scala.collection.mutable.Map[String, PortalExec]()
     var extendedError = false // error until Sync: skip further extended msgs
 
     var done = false
@@ -313,6 +317,7 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
                 else { val s = new String(body, off, vlen, UTF_8); off += vlen; s }
               }
               portals(portal) = substituteParams(query, values, oids)
+              portalIters.remove(portal) // re-bind resets a suspended portal
               out.msg('2')(_ => ())
             } catch { case e: Throwable => errorResponse(out, e); extendedError = true }
 
@@ -338,22 +343,38 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
               else out.msg('n')(_ => ()) // NoData
             } catch { case e: Throwable => errorResponse(out, e); extendedError = true }
 
-          case 'E' if !extendedError => // Execute
+          case 'E' if !extendedError => // Execute [maxRows → portal suspension]
             try {
-              val (portal, _) = cstr(body, 0)
+              val (portal, off) = cstr(body, 0)
+              val maxRows = ((body(off) & 0xff) << 24) | ((body(off + 1) & 0xff) << 16) |
+                ((body(off + 2) & 0xff) << 8) | (body(off + 3) & 0xff)
               val sqlText = portals.getOrElse(portal,
                 throw new IllegalArgumentException(s"unknown portal \"$portal\""))
-              val df = gs.sql(sqlText)
-              if (returnsRows(sqlText)) {
-                val n = dataRows(out, df)
-                commandComplete(out, tagFor(sqlText, df, n))
-              } else commandComplete(out, tagFor(sqlText, df, 0))
+              if (!returnsRows(sqlText)) {
+                val df = gs.sql(sqlText)
+                commandComplete(out, tagFor(sqlText, df, 0))
+              } else {
+                val st = portalIters.getOrElseUpdate(portal, {
+                  val df = gs.sql(sqlText)
+                  new PortalExec(df, df.toLocalIterator())
+                })
+                var sent = 0L
+                while (st.it.hasNext && (maxRows <= 0 || sent < maxRows)) {
+                  writeDataRow(out, st.it.next()); sent += 1; st.total += 1
+                }
+                if (st.it.hasNext) out.msg('s')(_ => ()) // PortalSuspended
+                else {
+                  commandComplete(out, tagFor(sqlText, st.df, st.total))
+                  portalIters.remove(portal)
+                }
+              }
             } catch { case e: Throwable => errorResponse(out, e); extendedError = true }
 
           case 'C' if !extendedError => // Close statement/portal
             val kind = body(0).toChar
             val (name, _) = cstr(body, 1)
-            if (kind == 'P') portals.remove(name) else preparedWire.remove(name)
+            if (kind == 'P') { portals.remove(name); portalIters.remove(name) }
+            else preparedWire.remove(name)
             out.msg('3')(_ => ())
 
           case 'H' => out.flush() // Flush

@@ -174,6 +174,56 @@ class PgWireSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("extended protocol: parameterized DML and portal suspension (fetchSize)") {
+    val (srv, c) = freshServer()
+    try {
+      c.startup()
+      c.query("CREATE TABLE pt (id INT PRIMARY KEY, v TEXT)")
+      val body = new ByteArrayOutputStream()
+      val d = new DataOutputStream(body)
+      def c0(s: String): Unit = { d.write(s.getBytes("UTF-8")); d.writeByte(0) }
+      // parameterized INSERT through Parse/Bind/Execute
+      c0(""); c0("INSERT INTO pt VALUES ($1, $2)"); d.writeShort(2); d.writeInt(23); d.writeInt(25)
+      c.send('P', body.toByteArray)
+      for (i <- 1 to 4) {
+        body.reset()
+        c0(""); c0(""); d.writeShort(0); d.writeShort(2)
+        val idB = i.toString.getBytes("UTF-8")
+        d.writeInt(idB.length); d.write(idB)
+        val vB = s"v$i".getBytes("UTF-8")
+        d.writeInt(vB.length); d.write(vB)
+        d.writeShort(0)
+        c.send('B', body.toByteArray)
+        body.reset(); c0(""); d.writeInt(0)
+        c.send('E', body.toByteArray)
+      }
+      c.send('S', Array.empty)
+      val ins = c.readUntilReady()
+      assert(c.cstrBody('C', ins) == Seq.fill(4)("INSERT 0 1"), c.cstrBody('C', ins))
+      // portal suspension: SELECT with Execute maxRows=2 → 2 rows +
+      // PortalSuspended, next Execute drains and completes
+      body.reset(); c0(""); c0("SELECT id FROM pt ORDER BY id"); d.writeShort(0)
+      c.send('P', body.toByteArray)
+      body.reset(); c0(""); c0(""); d.writeShort(0); d.writeShort(0); d.writeShort(0)
+      c.send('B', body.toByteArray)
+      body.reset(); c0(""); d.writeInt(2)
+      c.send('E', body.toByteArray)
+      c.send('H', Array.empty) // Flush
+      val first = Iterator.continually(c.readMsg())
+        .takeWhile(_._1 != 's').toSeq // up to PortalSuspended
+      assert(first.filter(_._1 == 'D').map(m => c.row(m._2)) == Seq(Seq("1"), Seq("2")),
+        "first Execute returns exactly maxRows rows")
+      body.reset(); c0(""); d.writeInt(0)
+      c.send('E', body.toByteArray)
+      c.send('S', Array.empty)
+      val rest = c.readUntilReady()
+      assert(rest.filter(_._1 == 'D').map(m => c.row(m._2)) == Seq(Seq("3"), Seq("4")),
+        "resumed portal continues where it left off")
+      assert(c.cstrBody('C', rest) == Seq("SELECT 4"), "tag counts ALL portal rows")
+      c.terminate()
+    } finally srv.stop()
+  }
+
   test("SSLRequest is refused in cleartext and the session proceeds") {
     val (srv, c) = freshServer()
     try {
