@@ -118,7 +118,10 @@ object ScaleProbe {
       "graph_pagerank", "graph_degree_histogram",
       "text_bm25", "pipeline_curate", "pipeline_pack_sequences",
       "mba_item_pairs", "text_distinctive_terms", "text_source_overlap",
-      "evt_markov_transitions", "pipeline_source_cap")
+      "evt_markov_transitions", "pipeline_source_cap",
+      // round-10 operators
+      "text_token_entropy", "evt_session_conversion", "evt_dau_mau",
+      "pipeline_token_budget", "mm_dedup_payload", "sim_ann_recall_eval")
     probes.foreach { n =>
       time(n)(SparkEntry.queries(n)(spark, out).count())
     }
