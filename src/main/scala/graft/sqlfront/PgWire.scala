@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   * PostgresConnectionHandler.java:98-124 dispatches Query/Parse/Bind/
   * Execute). Re-expressed from the PUBLISHED protocol specification
   * (PostgreSQL docs, "Frontend/Backend Protocol"), not the reference's
-  * Netty implementation: a plain blocking socket loop is the right shape
-  * here because GraftSession is single-session by design — requests
-  * serialize exactly as they do for [[SqlHttp]].
+  * Netty implementation: plain blocking sockets, one daemon thread per
+  * connection, with STATEMENT execution serialized on the session
+  * monitor — GraftSession is a single-statement-stream engine by
+  * design, so concurrency lives at the connection level (an idle psql
+  * session never blocks another client), not the executor level.
   *
   * Supported: startup (incl. SSLRequest refusal and CancelRequest
   * no-op), simple Query with multi-statement scripts, the extended
@@ -39,15 +41,27 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
 
   def stop(): Unit = { running = false; server.close() }
 
+  /** Connections are CONCURRENT (a psql session left open must not block
+    * the next client's connect); statement EXECUTION serializes on the
+    * session monitor — GraftSession is a single-statement-stream engine,
+    * the same model [[SqlHttp]] uses with its single executor thread. */
   private def acceptLoop(): Unit =
     while (running) {
       try {
         val sock = server.accept()
-        try handleConnection(sock)
-        catch { case _: Throwable => () } // connection-scoped failure only
-        finally sock.close()
+        val t = new Thread(() => {
+          try handleConnection(sock)
+          catch { case _: Throwable => () } // connection-scoped failure only
+          finally sock.close()
+        }, s"pgwire-conn-${sock.getPort}")
+        t.setDaemon(true)
+        t.start()
       } catch { case _: Throwable => () } // server socket closed on stop()
     }
+
+  /** All statement execution funnels through here: one statement at a
+    * time across every open connection. */
+  private def runSql(sql: String): DataFrame = gs.synchronized(gs.sql(sql))
 
   // ------------------------------------------------------------ framing
 
@@ -265,7 +279,7 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
               stmts.foreach { stmt =>
                 if (!aborted) {
                   try {
-                    val df = gs.sql(stmt)
+                    val df = runSql(stmt)
                     if (returnsRows(stmt)) {
                       rowDescription(out, df)
                       val n = dataRows(out, df)
@@ -339,7 +353,7 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
                 }
               if (returnsRows(sqlText))
                 // schema-only planning: SELECT has no side effects here
-                rowDescription(out, gs.sql(sqlText).limit(0))
+                rowDescription(out, runSql(sqlText).limit(0))
               else out.msg('n')(_ => ()) // NoData
             } catch { case e: Throwable => errorResponse(out, e); extendedError = true }
 
@@ -351,11 +365,11 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
               val sqlText = portals.getOrElse(portal,
                 throw new IllegalArgumentException(s"unknown portal \"$portal\""))
               if (!returnsRows(sqlText)) {
-                val df = gs.sql(sqlText)
+                val df = runSql(sqlText)
                 commandComplete(out, tagFor(sqlText, df, 0))
               } else {
                 val st = portalIters.getOrElseUpdate(portal, {
-                  val df = gs.sql(sqlText)
+                  val df = runSql(sqlText)
                   new PortalExec(df, df.toLocalIterator())
                 })
                 var sent = 0L

@@ -224,6 +224,26 @@ class PgWireSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("concurrent connections: an idle session does not block a second client") {
+    val (srv, c1) = freshServer()
+    try {
+      c1.startup()
+      c1.query("CREATE TABLE cc (id INT PRIMARY KEY)")
+      c1.query("INSERT INTO cc VALUES (1)")
+      // c1 stays OPEN and idle; a second client must connect and query
+      val c2 = new WireClient(srv.boundPort)
+      c2.startup()
+      val sel = c2.query("SELECT count(*) AS n FROM cc")
+      assert(sel.filter(_._1 == 'D').map(m => c2.row(m._2)) == Seq(Seq("1")))
+      // both sessions interleave statements against the shared catalog
+      c1.query("INSERT INTO cc VALUES (2)")
+      val sel2 = c2.query("SELECT count(*) AS n FROM cc")
+      assert(sel2.filter(_._1 == 'D').map(m => c2.row(m._2)) == Seq(Seq("2")))
+      c2.terminate()
+      c1.terminate()
+    } finally srv.stop()
+  }
+
   test("SSLRequest is refused in cleartext and the session proceeds") {
     val (srv, c) = freshServer()
     try {
