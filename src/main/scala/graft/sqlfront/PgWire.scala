@@ -167,6 +167,12 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
       o.writeByte(0)
     }
 
+  /** COPY … FROM STDIN with NO inline body (data follows as CopyData
+    * frames); a scripted statement that already carries its body after a
+    * newline fails this full-match and takes the normal path. */
+  private val copyInRe =
+    """(?is)COPY\s+([\w"]+)\s*(?:\(([^)]*)\))?\s*FROM\s+STDIN([^\n]*)""".r
+
   /** True when the statement produces a client-visible result set. */
   private def returnsRows(stmt: String): Boolean = {
     val kw = stmt.trim.split("\\s+", 2)(0).toUpperCase
@@ -279,12 +285,57 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
               stmts.foreach { stmt =>
                 if (!aborted) {
                   try {
-                    val df = runSql(stmt)
-                    if (returnsRows(stmt)) {
-                      rowDescription(out, df)
-                      val n = dataRows(out, df)
-                      commandComplete(out, tagFor(stmt, df, n))
-                    } else commandComplete(out, tagFor(stmt, df, 0))
+                    val bare = stmt.trim.stripSuffix(";")
+                    bare match {
+                      case copyInRe(rawT, colList, _) =>
+                        // COPY … FROM STDIN with no inline body: the data
+                        // arrives as CopyData frames (the pg_dump / psql
+                        // \copy restore path). Collect frames, then feed
+                        // the session's inline-body COPY path verbatim.
+                        val ncols = Option(colList)
+                          .map(_.split(",").length)
+                          .getOrElse(runSql(
+                            s"SELECT * FROM ${rawT.replaceAll("\"", "")} LIMIT 0")
+                            .schema.length)
+                        out.msg('G') { o =>
+                          o.writeByte(0); o.writeShort(ncols)
+                          (0 until ncols).foreach(_ => o.writeShort(0))
+                        }
+                        out.flush()
+                        val data = new ByteArrayOutputStream()
+                        var copyDone = false
+                        var failMsg: Option[String] = None
+                        while (!copyDone) {
+                          val t2 = in.readByte().toChar
+                          val l2 = in.readInt()
+                          val b2 = readN(in, l2 - 4)
+                          t2 match {
+                            case 'd' => data.write(b2)
+                            case 'c' => copyDone = true
+                            case 'f' =>
+                              copyDone = true
+                              failMsg = Some(new String(b2.takeWhile(_ != 0), UTF_8))
+                            case _ => () // Flush/Sync interleaved with copy
+                          }
+                        }
+                        failMsg match {
+                          case Some(m) =>
+                            errorResponse(out,
+                              new IllegalStateException(s"COPY from stdin failed: $m"))
+                            aborted = true
+                          case None =>
+                            val full = bare + "\n" + new String(data.toByteArray, UTF_8)
+                            val df = runSql(full)
+                            commandComplete(out, tagFor(full, df, 0))
+                        }
+                      case _ =>
+                        val df = runSql(stmt)
+                        if (returnsRows(stmt)) {
+                          rowDescription(out, df)
+                          val n = dataRows(out, df)
+                          commandComplete(out, tagFor(stmt, df, n))
+                        } else commandComplete(out, tagFor(stmt, df, 0))
+                    }
                   } catch {
                     case e: Throwable =>
                       // PG aborts the remainder of the query string

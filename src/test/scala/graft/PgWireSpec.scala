@@ -224,6 +224,29 @@ class PgWireSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("COPY FROM STDIN over the wire: CopyInResponse + CopyData frames") {
+    val (srv, c) = freshServer()
+    try {
+      c.startup()
+      c.query("CREATE TABLE ci (id INT PRIMARY KEY, name TEXT)")
+      // statement with no inline body → server must answer CopyInResponse
+      c.send('Q', "COPY ci FROM STDIN WITH (FORMAT CSV)".getBytes("UTF-8") :+ 0.toByte)
+      val g = c.readMsg()
+      assert(g._1 == 'G', s"expected CopyInResponse, got ${g._1}")
+      // data split across two frames, one mid-line — framing must not
+      // imply line boundaries
+      c.send('d', "1,ada\n2,gr".getBytes("UTF-8"))
+      c.send('d', "ace\n".getBytes("UTF-8"))
+      c.send('c', Array.empty)
+      val done = c.readUntilReady()
+      assert(c.cstrBody('C', done) == Seq("COPY 2"), c.cstrBody('C', done))
+      val sel = c.query("SELECT id, name FROM ci ORDER BY id")
+      assert(sel.filter(_._1 == 'D').map(m => c.row(m._2)) ==
+        Seq(Seq("1", "ada"), Seq("2", "grace")))
+      c.terminate()
+    } finally srv.stop()
+  }
+
   test("concurrent connections: an idle session does not block a second client") {
     val (srv, c1) = freshServer()
     try {
