@@ -328,6 +328,23 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
                             val df = runSql(full)
                             commandComplete(out, tagFor(full, df, 0))
                         }
+                      case _ if bare.toUpperCase.matches("(?s)COPY\\s.*TO\\s+STDOUT.*") =>
+                        // COPY … TO STDOUT: copy-out subprotocol — one
+                        // CopyData frame per serialized line (the session
+                        // already renders PG text/CSV lines), then
+                        // CopyDone; psql streams these straight to its
+                        // output file
+                        val df = runSql(bare)
+                        out.msg('H') { o => o.writeByte(0); o.writeShort(1); o.writeShort(0) }
+                        var n = 0L
+                        val it = df.toLocalIterator()
+                        while (it.hasNext) {
+                          val line = it.next().getString(0) + "\n"
+                          out.msg('d')(o => o.write(line.getBytes(UTF_8)))
+                          n += 1
+                        }
+                        out.msg('c')(_ => ())
+                        commandComplete(out, s"COPY $n")
                       case _ =>
                         val df = runSql(stmt)
                         if (returnsRows(stmt)) {

@@ -247,6 +247,23 @@ class PgWireSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("COPY TO STDOUT over the wire: copy-out frames, one per line") {
+    val (srv, c) = freshServer()
+    try {
+      c.startup()
+      c.query("CREATE TABLE co (id INT PRIMARY KEY, name TEXT)")
+      c.query("INSERT INTO co VALUES (1, 'ada'), (2, 'grace')")
+      val msgs = c.query("COPY co TO STDOUT WITH (FORMAT CSV)")
+      assert(msgs.head._1 == 'H', s"expected CopyOutResponse, got ${msgs.head._1}")
+      // COPY emits physical order (unspecified, as in PG) — compare sorted
+      val lines = msgs.filter(_._1 == 'd').map(m => new String(m._2, "UTF-8"))
+      assert(lines.sorted == Seq("1,ada\n", "2,grace\n"), lines)
+      assert(msgs.exists(_._1 == 'c'), "CopyDone")
+      assert(c.cstrBody('C', msgs) == Seq("COPY 2"))
+      c.terminate()
+    } finally srv.stop()
+  }
+
   test("concurrent connections: an idle session does not block a second client") {
     val (srv, c1) = freshServer()
     try {
