@@ -96,27 +96,41 @@ object GraphQueries extends QueryPack {
          |ORDER BY pr DESC, id
          |LIMIT 50""".stripMargin
     ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
       val e = edges(s, dir)
-      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      // out-degree is loop-invariant: attach it to the edge list ONCE so
-      // each iteration is a single join on the node id (edges ⋈ ranks),
-      // not edges ⋈ ranks ⋈ deg. The annotated edge list is the only
-      // corpus-sized operand; it is hash-partitioned AND sorted on the
-      // join key BEFORE caching, so every iteration's sort-merge join
-      // reuses the cached layout (no per-iteration exchange or sort of
-      // the edges — only the node-sized rank table moves). Broadcasting
-      // the ranks instead would be faster at bench scale but is not the
-      // 100 TB shape: node count grows with the graph, the partitioned
-      // edge list does not move.
-      val eDeg = e.join(deg, "src")
-        .select(col("src"), col("dst"), col("outdeg"))
-        .repartition(col("src")).sortWithinPartitions(col("src"))
+      // out-degree is loop-invariant: annotate the edge list ONCE so each
+      // iteration is a single join on the node id (edges ⋈ ranks), not
+      // edges ⋈ ranks ⋈ deg. A partition-wide COUNT window computes it in
+      // the SAME pass as the edge build (a groupBy+self-join formulation
+      // re-executed the o⋈l+distinct subtree once per side), and the
+      // window's own hash-partition + sort on src is exactly the cached
+      // layout the per-iteration sort-merge join wants — no separate
+      // repartition, no per-iteration exchange or sort of the edges.
+      val eDeg = e
+        .withColumn("outdeg", count(lit(1)).over(Window.partitionBy(col("src"))))
         .persist()
-      val nDf = deg.agg(count(lit(1)).as("n"))
-      var pr = deg.select(col("src").as("id")).crossJoin(broadcast(nDf))
+      // Every node-sized relation (degrees, node count, initial ranks)
+      // derives from the CACHED edge list, not from its own copy of the
+      // edge-build subtree — otherwise the expensive o⋈l+distinct scan
+      // re-executes once per derived branch (measured: the edge build,
+      // not the iterations, dominated this query's wall-clock).
+      val degC = eDeg.select(col("src"), col("outdeg")).distinct()
+      // ADAPTIVE rank-side strategy (same shape as dedup_components'
+      // driver/distributed split): while nodes fit a broadcast (~1M ids)
+      // each iteration is a broadcast join — the cached edge list never
+      // re-exchanges and the rank shuffle disappears. Past the threshold
+      // the same loop runs as partitioned sort-merge joins — the
+      // web-graph scale path. The iteration arithmetic is identical
+      // either way, so the oracle match is strategy-independent. The
+      // count also materializes the cache before the loop plans against
+      // it.
+      val broadcastRanks = degC.count() <= 1000000L
+      val nDf = degC.agg(count(lit(1)).as("n"))
+      var pr = degC.select(col("src").as("id")).crossJoin(broadcast(nDf))
         .select(col("id"), (lit(1.0) / col("n")).as("pr"))
       for (_ <- 1 to 3) {
-        val contrib = eDeg.join(pr, eDeg("src") === pr("id"))
+        val prSide = if (broadcastRanks) broadcast(pr) else pr
+        val contrib = eDeg.join(prSide, eDeg("src") === prSide("id"))
           .select(col("dst"), (col("pr") / col("outdeg")).as("c"))
         pr = contrib.groupBy(col("dst")).agg(prSum(col("c")).as("mass"))
           .crossJoin(broadcast(nDf))
