@@ -27,7 +27,11 @@ object GraphQueries extends QueryPack {
   private def oPrSum(e: String): String =
     s"CAST(SUM(CAST($e AS DECIMAL(38,18))) AS DOUBLE)"
 
-  /** Undirected customer↔supplier edge list: c<custkey> — s<suppkey>. */
+  /** Undirected customer↔supplier edge list: c<custkey> — s<suppkey>.
+    * Both directions EXPLODE from one pass over the joined+deduped pair
+    * set — a union of e0 with its swap would execute the o⋈l+distinct
+    * subtree once per branch (the same double-evaluation the dedup
+    * label-propagation edge builder avoids). */
   private def edges(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val l = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
@@ -35,7 +39,10 @@ object GraphQueries extends QueryPack {
       .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
         concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
       .distinct()
-    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    e0.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
   private val oEdges =
