@@ -284,6 +284,52 @@ class PgWireSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("parameter substitution: quote escaping and $N opacity inside literals") {
+    val (srv, c) = freshServer()
+    try {
+      c.startup()
+      c.query("CREATE TABLE qt (id INT PRIMARY KEY, v TEXT)")
+      val body = new ByteArrayOutputStream()
+      val d = new DataOutputStream(body)
+      def c0(s: String): Unit = { d.write(s.getBytes("UTF-8")); d.writeByte(0) }
+      // value containing a single quote must escape; a '$1' INSIDE a
+      // string literal is content, never a placeholder
+      c0(""); c0("INSERT INTO qt VALUES ($1, $2 || ' costs $1')"); d.writeShort(2)
+      d.writeInt(23); d.writeInt(25)
+      c.send('P', body.toByteArray)
+      body.reset()
+      c0(""); c0(""); d.writeShort(0); d.writeShort(2)
+      val p1 = "7".getBytes("UTF-8"); d.writeInt(p1.length); d.write(p1)
+      val p2 = "o'hara".getBytes("UTF-8"); d.writeInt(p2.length); d.write(p2)
+      d.writeShort(0)
+      c.send('B', body.toByteArray)
+      body.reset(); c0(""); d.writeInt(0)
+      c.send('E', body.toByteArray)
+      c.send('S', Array.empty)
+      val msgs = c.readUntilReady()
+      assert(!msgs.exists(_._1 == 'E'), s"unexpected error: ${c.cstrBody('E', msgs)}")
+      val sel = c.query("SELECT v FROM qt WHERE id = 7")
+      assert(sel.filter(_._1 == 'D').map(m => c.row(m._2)) ==
+        Seq(Seq("o'hara costs $1")), "quote escaped, literal $1 untouched")
+      // NULL parameter (length -1) lands as SQL NULL
+      body.reset(); c0("s2"); c0("INSERT INTO qt VALUES ($1, $2)"); d.writeShort(2)
+      d.writeInt(23); d.writeInt(25)
+      c.send('P', body.toByteArray)
+      body.reset(); c0(""); c0("s2"); d.writeShort(0); d.writeShort(2)
+      val p3 = "8".getBytes("UTF-8"); d.writeInt(p3.length); d.write(p3)
+      d.writeInt(-1) // NULL
+      d.writeShort(0)
+      c.send('B', body.toByteArray)
+      body.reset(); c0(""); d.writeInt(0)
+      c.send('E', body.toByteArray)
+      c.send('S', Array.empty)
+      c.readUntilReady()
+      val nulls = c.query("SELECT count(*) AS n FROM qt WHERE id = 8 AND v IS NULL")
+      assert(nulls.filter(_._1 == 'D').map(m => c.row(m._2)) == Seq(Seq("1")))
+      c.terminate()
+    } finally srv.stop()
+  }
+
   test("SSLRequest is refused in cleartext and the session proceeds") {
     val (srv, c) = freshServer()
     try {
