@@ -33,7 +33,8 @@ object Bench {
     // Warm only when a selected query actually consumes the cache, and
     // record a warming failure as a failed entry (same contract as a
     // per-query failure) instead of aborting the bench with no JSON.
-    val pairConsumers = Set("dedup_jaccard_pairs", "dedup_components", "dedup_canonical")
+    val pairConsumers = Set("dedup_jaccard_pairs", "dedup_components",
+      "dedup_canonical", "dedup_cluster_histogram")
     val (sharedSec, sharedErr): (Option[Double], Option[String]) =
       if (!selected.exists(kv => pairConsumers(kv._1))) (None, None)
       else {

@@ -533,6 +533,57 @@ object DedupQueries extends QueryPack {
         .orderBy(col("cluster"))
     },
 
+    // Dedup AUDIT: the cluster-size distribution — how much of the corpus
+    // is duplicated, and in what shape (many pairs vs few large families).
+    // `excess_docs` per bucket = the docs a dedup pass would remove; the
+    // sum over buckets is the corpus-level duplication overhead every
+    // curation report leads with. Shares the verified pair graph and
+    // components with the other dedup_* consumers (one discovery per
+    // run); the histogram itself is two bounded aggregates.
+    Q(
+      "dedup_cluster_histogram",
+      s"""WITH pairs AS (${oJaccardPairs("0.8")}),
+         |edges AS (
+         |  SELECT a AS u, b AS v FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |r AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM r JOIN edges e ON r.v = e.u
+         |),
+         |comp AS (
+         |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
+         |  FROM (SELECT u, v FROM r UNION ALL SELECT u, u FROM edges) t
+         |  GROUP BY u),
+         |alldocs AS (
+         |  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         |sizes AS (
+         |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM alldocs GROUP BY cluster)
+         |SELECT cluster_size,
+         |       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |       CAST(cluster_size * COUNT(*) AS BIGINT) AS docs,
+         |       CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS excess_docs
+         |FROM sizes GROUP BY cluster_size
+         |ORDER BY cluster_size""".stripMargin
+           .replaceFirst("WITH pairs", "WITH RECURSIVE pairs")
+    ) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val comp = labelPropagation(verifiedPairs(s, dir).select(col("a"), col("b")))
+        .withColumnRenamed("id", "doc_id")
+      val sizes = docs.join(comp, Seq("doc_id"), "left")
+        .select(coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).cast("long").as("cluster_size"))
+      sizes.groupBy(col("cluster_size"))
+        .agg(count(lit(1)).cast("long").as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("docs"),
+          ((col("cluster_size") - 1) * col("n_clusters")).as("excess_docs"))
+        .orderBy(col("cluster_size"))
+    },
+
     // Embedding-cosine near-dup — the fifth dedup modality (exact,
     // Jaccard, MinHash, SimHash, and here semantic): vectors whose exact
     // cosine clears the threshold are near-dups regardless of surface
