@@ -132,11 +132,16 @@ object ScaleProbe {
     // and at a production near-dup threshold (0.7, ρ ≈ 0.415) where
     // the adaptive band geometry prunes properly. base-vs-10x pairs
     // give the scaling ratio per threshold.
-    import graft.operators.SimilarityQueries.cosinePairsAnn
+    import graft.operators.SimilarityQueries.{cosinePairsAnn, lshCandidatePairs}
     time("ann_pairs_thr04_base")(cosinePairsAnn(spark, base, 0.4).count())
     time("ann_pairs_thr04_10x")(cosinePairsAnn(spark, out, 0.4).count())
     time("ann_pairs_thr07_base")(cosinePairsAnn(spark, base, 0.7).count())
     time("ann_pairs_thr07_10x")(cosinePairsAnn(spark, out, 0.7).count())
+    // sim_ann_lsh candidate-volume decomposition: with the corpus-derived
+    // sketch width, same-sketch candidate pairs should grow ~linearly
+    // (≤ ~512·n expected), never n²/2^w as a fixed width would
+    time("lsh_candidates_base")(lshCandidatePairs(spark, base).count())
+    time("lsh_candidates_10x")(lshCandidatePairs(spark, out).count())
     graft.operators.DedupQueries.evictSharedPairs(spark)
     spark.stop()
   }

@@ -186,6 +186,53 @@ object SimilarityQueries extends QueryPack {
       .select(col("p.a").as("a"), col("p.b").as("b"), col("p.cosine").as("cosine"))
   }
 
+  /** Corpus-derived sign-LSH sketch width: the smallest b in [3, 12]
+    * with 1024·2^b ≥ n. Integer arithmetic only — the DuckDB oracle
+    * computes the identical quantity from a COUNT(*) scalar, so the two
+    * engines can never disagree by a log2 ULP. Equivalent to
+    * max(3, ceil(log2(n/1024))) capped at 12 ([[cosinePairsAnn]]'s
+    * bucket geometry): expected occupancy stays ≤ ~1024 per bucket and
+    * the same-sketch candidate join stays corpus-linear. */
+  private[graft] def lshSketchWidth(n: Long): Int =
+    (3 to 12).find(b => 1024L * (1L << b) >= n).getOrElse(12)
+
+  /** Same-sketch candidate pairs with exact cosine, the shared core of
+    * the `sim_ann_lsh` gate query: md5-derived hyperplanes (64-dim, the
+    * fixture's embedding width — engine-identical to the oracle's
+    * `planes` CTE), corpus-adaptive sketch width ([[lshSketchWidth]]),
+    * one-long sketch per vector, bucket equi-join, exact decimal verify.
+    * Returned WITHOUT the cosine threshold so ScaleProbe can decompose
+    * candidate volume from the final thresholded result. */
+  private[graft] def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    // one metadata-cheap count; a parameter, not data
+    val n = Tables.load(s, dir, "embeddings").count().max(1L)
+    val bits = lshSketchWidth(n)
+    // Hyperplanes as a broadcast-sized literal-free table: bits × 64
+    // dims, components in [-1, 1] from md5 — engine-identical.
+    val planes = s.range(0, bits).select(col("id").cast("int").as("b"))
+      .crossJoin(s.range(1, 65).select(col("id").cast("int").as("p")))
+      .select(col("b"), col("p"),
+        ((conv(substring(md5(concat(col("b"), lit("_"), col("p"))), 1, 15), 16, 10)
+          .cast("long") % 2001 - 1000) / 1000.0).as("r"))
+    val plArr = planes.groupBy(col("b"))
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("r")))),
+        x => x.getField("r")).as("plane"))
+    val vecs = withNorm(Tables.load(s, dir, "embeddings"))
+    // Sketch: sign bit per plane, assembled into one long.
+    val proj = vecs.crossJoin(broadcast(plArr))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("b"),
+        graft.functions.VectorFunctions.dotExactFD(col("embedding"), col("plane")).as("s"))
+    val sketch = proj.groupBy(col("vec_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L))
+        .as("sk"))
+    val withSk = vecs.join(sketch, "vec_id")
+    val right = withSk.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+      col("norm").as("nb"), col("sk").as("skb"))
+    withSk.join(right, col("sk") === col("skb") && col("vec_id") < col("b_id"))
+      .select(col("vec_id").as("a"), col("b_id").as("b"),
+        (dotExact(col("embedding"), col("eb")) / (col("norm") * col("nb"))).as("cosine"))
+  }
+
   /** IVF-Flat top-10 for the fixed query set (5-9): 16 deterministic seed
     * centroids as the coarse quantizer, 2-probe exact rerank — shared by
     * the sim_ann_ivf gate query and the recall-eval operator. */
@@ -315,20 +362,34 @@ object SimilarityQueries extends QueryPack {
       cosinePairs(s, dir, 0.4).orderBy(col("a"), col("b"))
     },
 
-    // LSH-bucketed ANN: 8-bit sign-random-projection sketch (hyperplane
+    // LSH-bucketed ANN: sign-random-projection sketch (hyperplane
     // components derived from md5, so both engines build identical
     // planes), bucket-join, exact re-rank within buckets. The candidate
     // join touches only same-sketch pairs — corpus-linear when buckets
     // are balanced, vs the quadratic brute force above.
+    //
+    // The sketch WIDTH is corpus-derived, not fixed: with a static w-bit
+    // sketch there are at most 2^w buckets, so expected candidate pairs
+    // grow as n²/2^w — quadratic at any fixed width (the defining
+    // 100×-scale killer; cf. cosinePairsAnn's band geometry). Both
+    // engines compute bits = the smallest b in [3, 12] with
+    // 1024·2^b ≥ n — pure integer arithmetic (equivalent to
+    // max(3, ceil(log2(n/1024))) capped at 12) so a log2 ULP can never
+    // diverge between Spark and DuckDB — which holds expected bucket
+    // occupancy ≤ ~1024 and candidate pairs ≤ ~512·n, corpus-linear.
     Q(
       "sim_ann_lsh",
       s"""WITH u AS ($oVecs),
          |n AS ($oNorms),
+         |bcfg AS (
+         |  SELECT COALESCE(MIN(b), 12) AS bits
+         |  FROM (SELECT unnest(generate_series(3, 12)) AS b)
+         |  WHERE 1024 * (CAST(1 AS BIGINT) << b) >= (SELECT COUNT(*) FROM embeddings)),
          |planes AS (
          |  SELECT b, p,
          |         (CAST(('0x' || substr(md5(b || '_' || p), 1, 15)) AS BIGINT) % 2001 - 1000)
          |           / 1000.0 AS r
-         |  FROM (SELECT unnest(generate_series(0, 7)) AS b)
+         |  FROM (SELECT unnest(generate_series(0, (SELECT bits FROM bcfg) - 1)) AS b)
          |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS p)),
          |proj AS (
          |  SELECT u.vec_id, pl.b,
@@ -352,30 +413,7 @@ object SimilarityQueries extends QueryPack {
          |WHERE dot / (na.norm * nb.norm) >= 0.2
          |ORDER BY a, b""".stripMargin
     ) { (s, dir) =>
-      // Hyperplanes as a broadcast-sized literal-free table: 8 planes × 64
-      // dims, components in [-1, 1] from md5 — engine-identical.
-      val planes = s.range(0, 8).select(col("id").cast("int").as("b"))
-        .crossJoin(s.range(1, 65).select(col("id").cast("int").as("p")))
-        .select(col("b"), col("p"),
-          ((conv(substring(md5(concat(col("b"), lit("_"), col("p"))), 1, 15), 16, 10)
-            .cast("long") % 2001 - 1000) / 1000.0).as("r"))
-      val plArr = planes.groupBy(col("b"))
-        .agg(transform(array_sort(collect_list(struct(col("p"), col("r")))),
-          x => x.getField("r")).as("plane"))
-      val vecs = withNorm(Tables.load(s, dir, "embeddings"))
-      // Sketch: sign bit per plane, assembled into one long.
-      val proj = vecs.crossJoin(broadcast(plArr))
-        .select(col("vec_id"), col("embedding"), col("norm"), col("b"),
-          graft.functions.VectorFunctions.dotExactFD(col("embedding"), col("plane")).as("s"))
-      val sketch = proj.groupBy(col("vec_id"))
-        .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L))
-          .as("sk"))
-      val withSk = vecs.join(sketch, "vec_id")
-      val right = withSk.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
-        col("norm").as("nb"), col("sk").as("skb"))
-      withSk.join(right, col("sk") === col("skb") && col("vec_id") < col("b_id"))
-        .select(col("vec_id").as("a"), col("b_id").as("b"),
-          (dotExact(col("embedding"), col("eb")) / (col("norm") * col("nb"))).as("cosine"))
+      lshCandidatePairs(s, dir)
         .filter(col("cosine") >= 0.2)
         .orderBy(col("a"), col("b"))
     },

@@ -189,6 +189,33 @@ class PlanSpec extends SparkSpec {
     assert(got == exact, s"ANN pairs diverge from exact: missing=${exact -- got} extra=${got -- exact}")
   }
 
+  test("sim_ann_lsh sketch width is corpus-derived, bucket join is an equi-join") {
+    import graft.operators.SimilarityQueries.lshSketchWidth
+    // integer formula ≡ max(3, ceil(log2(n/1024))) capped at 12; pin the
+    // boundaries so a refactor can't silently reintroduce a fixed width
+    assert(lshSketchWidth(1L) == 3 && lshSketchWidth(8192L) == 3)
+    assert(lshSketchWidth(8193L) == 4)
+    assert(lshSketchWidth(1024L * 4096) == 12)
+    assert(lshSketchWidth(Long.MaxValue) == 12)
+    // occupancy invariant behind the linear-candidates claim
+    (Seq(1L, 500L, 5000L, 1000000L, 123456789L) ++
+      (3 to 12).map(b => 1024L * (1L << b))).foreach { n =>
+      val b = lshSketchWidth(n)
+      assert(b >= 3 && b <= 12)
+      if (b < 12) assert(n <= 1024L * (1L << b), s"occupancy >1024 at n=$n")
+      if (b > 3) assert(n > 1024L * (1L << (b - 1)), s"width over-wide at n=$n")
+    }
+    // and the candidate join itself must be a plain equi-join on the
+    // sketch key (the tiny plane-table crossJoin broadcasts — a bounded
+    // parameter table, not the candidate join)
+    val p = planOf("sim_ann_lsh")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in LSH plan:\n${p.take(1500)}")
+    assert(p.contains("Join [sk#") || p.contains("Join [skb#") ||
+      "(SortMergeJoin|ShuffledHashJoin) \\[sk".r.findFirstIn(p).isDefined,
+      s"candidate join not an equi-join on the sketch:\n${p.take(2000)}")
+  }
+
   test("TF-IDF plans top-k window group limits and broadcasts the vocab df join") {
     val p = planOf("text_tfidf_top_terms")
     // rnk<=3 pushes into the window as a group limit (no full per-doc sort
