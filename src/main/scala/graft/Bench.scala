@@ -87,7 +87,16 @@ object Bench {
     // keeps the TAIL when the line exceeds its buffer, and the large
     // queries map has truncated the front-loaded totals three rounds
     // running. "value" stays first for anything parsing the full line.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","failed":$failed,"total_s":$total}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","failed":$failed,"total_s":$total}"""
+    println(line)
+    // the driver's stdout capture keeps only the line's TAIL past its
+    // buffer (r10 kept 59/210 per-query timings); a file copy makes the
+    // full per-query record durable for regression diffing
+    try {
+      val out = java.nio.file.Paths.get("target", "bench_full.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // bench result already on stdout
     graft.operators.DedupQueries.evictSharedPairs(spark)
     spark.stop()
   }

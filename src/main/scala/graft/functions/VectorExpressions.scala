@@ -83,7 +83,16 @@ object FastOps {
     * n·0.5e-12 — so a candidate whose double cosine falls below
     * thr − 1e-6 can NEVER reach thr under the exact dot. The emitted
     * cosine always comes from [[dotExactF]]; this only skips pairs that
-    * are provably below threshold. */
+    * are provably below threshold.
+    *
+    * MINIMUM-NORM ASSUMPTION: the 1e-6 margin is an absolute COSINE
+    * margin, but the quantized dot's absolute error (~n·0.5e-12) divides
+    * by den = ‖a‖·‖b‖ when converted to cosine. The "never lose a true
+    * pair" guarantee therefore requires ‖a‖·‖b‖ ≥ n·0.5e-12 / 1e-6
+    * (≈ 3.2e-5 at n = 64). Real embedding corpora are unit-ish-norm and
+    * clear this by orders of magnitude; a corpus with near-zero vectors
+    * must scale the margin by 1/den (or drop the pre-filter) or risk
+    * silently losing above-threshold pairs. */
   def dotDoubleF(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
     var acc = 0.0

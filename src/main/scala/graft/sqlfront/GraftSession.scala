@@ -413,6 +413,11 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
 
   private var activeTxn: Option[TxnSnapshot] = None
 
+  /** True while an explicit transaction block is open — wire frontends
+    * report it in ReadyForQuery ('T'/'E' vs 'I') so driver-side
+    * transaction tracking stays in sync with the engine. */
+  def inTransaction: Boolean = activeTxn.isDefined
+
   private def listDir(p: Path): Set[String] =
     if (!Files.exists(p)) Set.empty
     else {

@@ -20,18 +20,30 @@ import org.apache.spark.sql.types._
   * design, so concurrency lives at the connection level (an idle psql
   * session never blocks another client), not the executor level.
   *
-  * Supported: startup (incl. SSLRequest refusal and CancelRequest
-  * no-op), simple Query with multi-statement scripts, the extended
-  * protocol subset JDBC drives (Parse/Bind/Describe/Execute/Close/
-  * Flush/Sync) with text-format parameters and results, and Terminate.
-  * Every value travels in text format; result columns carry real type
-  * OIDs so clients render numerics/bools natively.
+  * Supported: startup (incl. SSLRequest refusal and secret-verified
+  * CancelRequest → Spark job-group cancellation), simple Query with
+  * multi-statement scripts, the extended protocol subset JDBC drives
+  * (Parse/Bind/Describe/Execute/Close/Flush/Sync) with text-format
+  * parameters and results, and Terminate. Every value travels in text
+  * format — a Bind declaring binary parameter or result formats is
+  * refused with an ErrorResponse (never silently misread); result
+  * columns carry real type OIDs so clients render numerics/bools
+  * natively. ReadyForQuery reports live transaction status ('I'/'T'/'E').
   */
 final class PgWire(gs: GraftSession, port: Int = 0) {
 
   private val server = new ServerSocket()
   server.bind(new InetSocketAddress("127.0.0.1", port))
   @volatile private var running = true
+
+  // BackendKeyData registry: each connection gets a (pid, secret) pair; a
+  // CancelRequest quoting a live pair cancels that connection's Spark job
+  // group. Statement execution is session-serialized, so cancellation is
+  // exactly the operation a second connection CAN usefully perform — it
+  // frees the engine for the queue instead of waiting out a runaway scan.
+  private val nextPid = new java.util.concurrent.atomic.AtomicInteger(1)
+  private val cancelKeys = new java.util.concurrent.ConcurrentHashMap[Integer, Integer]()
+  private val secretRng = new java.security.SecureRandom()
 
   def boundPort: Int = server.getLocalPort
 
@@ -154,8 +166,12 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
   private def commandComplete(out: Out, tag: String): Unit =
     out.msg('C')(o => out.cstr(o, tag))
 
-  private def readyForQuery(out: Out): Unit =
-    out.msg('Z')(o => o.writeByte('I'))
+  /** ReadyForQuery carries the live transaction status — 'I' idle, 'T'
+    * inside an open transaction block, 'E' open block with a failed
+    * statement — so driver-side transaction tracking (pgjdbc, psql's
+    * prompt) stays in sync with the engine instead of assuming idle. */
+  private def readyForQuery(out: Out, status: Char = 'I'): Unit =
+    out.msg('Z')(o => o.writeByte(status))
 
   private def errorResponse(out: Out, e: Throwable): Unit =
     out.msg('E') { o =>
@@ -232,7 +248,20 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
       code match {
         case 80877103 => // SSLRequest → not supported, continue cleartext
           rawOut.writeByte('N'); rawOut.flush()
-        case 80877102 => // CancelRequest: single-session engine — no-op
+        case 80877102 =>
+          // CancelRequest: quote-verified, then cancel the target
+          // connection's job group. Out-of-band by design (arrives on a
+          // fresh connection, no response, connection closes) — the
+          // cancelled statement surfaces as an ErrorResponse on ITS
+          // connection when Spark aborts its running jobs.
+          if (body.length >= 12) {
+            val pid = ((body(4) & 0xff) << 24) | ((body(5) & 0xff) << 16) |
+              ((body(6) & 0xff) << 8) | (body(7) & 0xff)
+            val secret = ((body(8) & 0xff) << 24) | ((body(9) & 0xff) << 16) |
+              ((body(10) & 0xff) << 8) | (body(11) & 0xff)
+            if (Option(cancelKeys.get(Int.box(pid))).contains(Int.box(secret)))
+              gs.spark.sparkContext.cancelJobGroup(s"pgwire-$pid")
+          }
           return
         case 196608 => // protocol 3.0
           startedUp = true
@@ -250,8 +279,30 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
       "standard_conforming_strings" -> "on").foreach { case (k, v) =>
       out.msg('S')(o => { out.cstr(o, k); out.cstr(o, v) })
     }
-    out.msg('K')(o => { o.writeInt(1); o.writeInt(0) }) // BackendKeyData
-    readyForQuery(out)
+    // real BackendKeyData: unique pid + random secret, registered for
+    // CancelRequest verification; every Spark job this connection thread
+    // triggers (runSql AND result streaming) carries the pid's job group
+    // because job-group properties are thread-local to this handler thread
+    val backendPid = nextPid.getAndIncrement()
+    val backendSecret = secretRng.nextInt()
+    cancelKeys.put(backendPid, backendSecret)
+    gs.spark.sparkContext.setJobGroup(
+      s"pgwire-$backendPid", s"pgwire connection $backendPid", interruptOnCancel = true)
+    out.msg('K')(o => { o.writeInt(backendPid); o.writeInt(backendSecret) })
+
+    // connection-local transaction-status view for ReadyForQuery: 'E'
+    // after a statement fails inside an open transaction block, until the
+    // block closes (GraftSession keeps executing in that state — PG would
+    // refuse — but the reported status lets drivers see the failure)
+    var txnError = false
+    def ready(): Unit = {
+      if (!gs.inTransaction) txnError = false
+      readyForQuery(out,
+        if (gs.inTransaction) { if (txnError) 'E' else 'T' } else 'I')
+    }
+    def noteError(): Unit = if (gs.inTransaction) txnError = true
+
+    ready()
     out.flush()
 
     // extended-protocol state
@@ -265,7 +316,7 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
     var extendedError = false // error until Sync: skip further extended msgs
 
     var done = false
-    while (!done) {
+    try while (!done) {
       val tpeOpt =
         try Some(in.readByte().toChar) catch { case _: EOFException => None }
       tpeOpt match {
@@ -322,7 +373,7 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
                           case Some(m) =>
                             errorResponse(out,
                               new IllegalStateException(s"COPY from stdin failed: $m"))
-                            aborted = true
+                            noteError(); aborted = true
                           case None =>
                             val full = bare + "\n" + new String(data.toByteArray, UTF_8)
                             val df = runSql(full)
@@ -356,12 +407,12 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
                   } catch {
                     case e: Throwable =>
                       // PG aborts the remainder of the query string
-                      errorResponse(out, e); aborted = true
+                      errorResponse(out, e); noteError(); aborted = true
                   }
                 }
               }
             }
-            readyForQuery(out); out.flush()
+            ready(); out.flush()
 
           case 'P' if !extendedError => // Parse
             try {
@@ -378,7 +429,7 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
               }
               preparedWire(name) = (query, oids)
               out.msg('1')(_ => ())
-            } catch { case e: Throwable => errorResponse(out, e); extendedError = true }
+            } catch { case e: Throwable => errorResponse(out, e); noteError(); extendedError = true }
 
           case 'B' if !extendedError => // Bind
             try {
@@ -387,8 +438,21 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
               val (stmtName, o2) = cstr(body, off); off = o2
               val (query, oids) = preparedWire.getOrElse(stmtName,
                 throw new IllegalArgumentException(s"unknown prepared statement \"$stmtName\""))
+              // parameter format codes: only text (0) is decodable here.
+              // A binary-format parameter (pgjdbc flips int4/int8/date/
+              // timestamp to binary past prepareThreshold) MUST be refused
+              // loudly — decoding its raw bytes as UTF-8 text would be
+              // silent data corruption, the worst possible failure mode.
               val nFmts = ((body(off) & 0xff) << 8) | (body(off + 1) & 0xff)
-              off += 2 + nFmts * 2 // formats read but text assumed
+              off += 2
+              val paramFmts = (0 until nFmts).map { i =>
+                ((body(off + i * 2) & 0xff) << 8) | (body(off + i * 2 + 1) & 0xff)
+              }
+              off += nFmts * 2
+              if (paramFmts.exists(_ != 0))
+                throw new IllegalArgumentException(
+                  "binary parameter format not supported (text format only; " +
+                    "disable driver binary transfer, e.g. pgjdbc binaryTransfer=false)")
               val nParams = ((body(off) & 0xff) << 8) | (body(off + 1) & 0xff)
               off += 2
               val values = (0 until nParams).map { _ =>
@@ -398,10 +462,21 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
                 if (vlen < 0) null
                 else { val s = new String(body, off, vlen, UTF_8); off += vlen; s }
               }
+              // result format codes: results always travel as text; a Bind
+              // requesting binary results gets an explicit error rather
+              // than text bytes a binary decoder would misread
+              val nResFmts = ((body(off) & 0xff) << 8) | (body(off + 1) & 0xff)
+              off += 2
+              val resFmts = (0 until nResFmts).map { i =>
+                ((body(off + i * 2) & 0xff) << 8) | (body(off + i * 2 + 1) & 0xff)
+              }
+              if (resFmts.exists(_ != 0))
+                throw new IllegalArgumentException(
+                  "binary result format not supported (text format only)")
               portals(portal) = substituteParams(query, values, oids)
               portalIters.remove(portal) // re-bind resets a suspended portal
               out.msg('2')(_ => ())
-            } catch { case e: Throwable => errorResponse(out, e); extendedError = true }
+            } catch { case e: Throwable => errorResponse(out, e); noteError(); extendedError = true }
 
           case 'D' if !extendedError => // Describe
             try {
@@ -410,8 +485,14 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
               val sqlText = kind match {
                 case 'P' => portals.getOrElse(name,
                   throw new IllegalArgumentException(s"unknown portal \"$name\""))
-                case _ => preparedWire.getOrElse(name,
-                  throw new IllegalArgumentException(s"unknown prepared statement \"$name\""))._1
+                case _ =>
+                  // statement-level Describe arrives BEFORE Bind (the
+                  // PreparedStatement.getMetaData flow), so $N placeholders
+                  // are still unsubstituted — plan with typed NULLs from
+                  // the declared OIDs; the schema is parameter-independent
+                  val (q, os) = preparedWire.getOrElse(name,
+                    throw new IllegalArgumentException(s"unknown prepared statement \"$name\""))
+                  nullPlaceholders(q, os)
               }
               if (kind == 'S')
                 // ParameterDescription: oids as parsed (possibly empty)
@@ -423,7 +504,7 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
                 // schema-only planning: SELECT has no side effects here
                 rowDescription(out, runSql(sqlText).limit(0))
               else out.msg('n')(_ => ()) // NoData
-            } catch { case e: Throwable => errorResponse(out, e); extendedError = true }
+            } catch { case e: Throwable => errorResponse(out, e); noteError(); extendedError = true }
 
           case 'E' if !extendedError => // Execute [maxRows → portal suspension]
             try {
@@ -450,7 +531,7 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
                   portalIters.remove(portal)
                 }
               }
-            } catch { case e: Throwable => errorResponse(out, e); extendedError = true }
+            } catch { case e: Throwable => errorResponse(out, e); noteError(); extendedError = true }
 
           case 'C' if !extendedError => // Close statement/portal
             val kind = body(0).toChar
@@ -463,31 +544,33 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
 
           case 'S' => // Sync: clear error state, signal ready
             extendedError = false
-            readyForQuery(out); out.flush()
+            ready(); out.flush()
 
           case _ => () // skipped: either unknown or suppressed by error state
         }
       }
+    } finally {
+      cancelKeys.remove(Int.box(backendPid))
+      gs.spark.sparkContext.clearJobGroup()
     }
   }
 
-  /** Substitute `$N` placeholders with typed literals. Text-format values
-    * arrive as strings; the Parse-declared OID adds an explicit CAST so
-    * comparisons use the client's intended type. String literals in the
-    * query body are opaque (a '$1' inside text is content — same
-    * discipline as GraftSession's PREPARE). */
-  private def substituteParams(query: String, values: Seq[String], oids: Seq[Int]): String = {
-    def sqlType(oid: Int): Option[String] = oid match {
-      case 16 => Some("boolean")
-      case 21 => Some("smallint")
-      case 23 => Some("int")
-      case 20 => Some("bigint")
-      case 700 | 701 => Some("double precision")
-      case 1700 => Some("numeric")
-      case 1082 => Some("date")
-      case 1114 | 1184 => Some("timestamp")
-      case _ => None
-    }
+  private def sqlType(oid: Int): Option[String] = oid match {
+    case 16 => Some("boolean")
+    case 21 => Some("smallint")
+    case 23 => Some("int")
+    case 20 => Some("bigint")
+    case 700 | 701 => Some("double precision")
+    case 1700 => Some("numeric")
+    case 1082 => Some("date")
+    case 1114 | 1184 => Some("timestamp")
+    case _ => None
+  }
+
+  /** Scan `query`, replacing each `$N` outside string literals with
+    * `lit(N-1)`. String literals are opaque (a '$1' inside text is
+    * content — same discipline as GraftSession's PREPARE). */
+  private def replacePlaceholders(query: String)(lit: Int => String): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < query.length) {
@@ -506,23 +589,38 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
       } else if (c == '$' && i + 1 < query.length && query.charAt(i + 1).isDigit) {
         var j = i + 1
         while (j < query.length && query.charAt(j).isDigit) j += 1
-        val idx = query.substring(i + 1, j).toInt - 1
-        if (idx < 0 || idx >= values.length)
-          throw new IllegalArgumentException(s"no parameter $$${idx + 1}")
-        val v = values(idx)
-        val lit =
-          if (v == null) "NULL"
-          else "'" + v.replace("'", "''") + "'"
-        val cast = oids.lift(idx).filter(_ != 0).flatMap(sqlType)
-        sb.append(cast match {
-          case Some(t) if v != null => s"CAST($lit AS $t)"
-          case _ => lit
-        })
+        sb.append(lit(query.substring(i + 1, j).toInt - 1))
         i = j
       } else { sb.append(c); i += 1 }
     }
     sb.toString
   }
+
+  /** Substitute `$N` placeholders with typed literals. Text-format values
+    * arrive as strings; the Parse-declared OID adds an explicit CAST so
+    * comparisons use the client's intended type. */
+  private def substituteParams(query: String, values: Seq[String], oids: Seq[Int]): String =
+    replacePlaceholders(query) { idx =>
+      if (idx < 0 || idx >= values.length)
+        throw new IllegalArgumentException(s"no parameter $$${idx + 1}")
+      val v = values(idx)
+      val lit =
+        if (v == null) "NULL"
+        else "'" + v.replace("'", "''") + "'"
+      oids.lift(idx).filter(_ != 0).flatMap(sqlType) match {
+        case Some(t) if v != null => s"CAST($lit AS $t)"
+        case _ => lit
+      }
+    }
+
+  /** Substitute every `$N` with a typed NULL (CAST(NULL AS t) when the
+    * Parse message declared an OID, bare NULL otherwise) — schema-only
+    * planning for statement-level Describe, where no Bind has happened. */
+  private def nullPlaceholders(query: String, oids: Seq[Int]): String =
+    replacePlaceholders(query) { idx =>
+      oids.lift(idx).filter(_ != 0).flatMap(sqlType)
+        .map(t => s"CAST(NULL AS $t)").getOrElse("NULL")
+    }
 }
 
 object PgWire {

@@ -30,7 +30,7 @@ object SqlHttp {
 
   def start(gs: GraftSession, port: Int = 0, maxRows: Int = 10000): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    server.createContext("/sql", new HttpHandler {
+    val handler = new HttpHandler {
       override def handle(ex: HttpExchange): Unit =
         try {
           if (ex.getRequestMethod.toUpperCase != "POST") {
@@ -44,12 +44,19 @@ object SqlHttp {
               else body
             if (sql.isEmpty) respond(ex, 400, """{"error":"empty SQL"}""")
             else {
-              val df = gs.sql(sql)
-              val cols = df.columns
-              // limit is pushed into the plan (TakeOrderedAndProject /
-              // CollectLimit), so an unbounded SELECT ships at most
-              // maxRows+1 rows to the driver, never the full corpus
-              val fetched = df.limit(maxRows + 1).collect()
+              // the session monitor is shared with PgWire.runSql: the
+              // engine's transaction/publish model assumes one statement
+              // stream, so an HTTP statement must not interleave with a
+              // concurrently-executing wire statement (execution included —
+              // MERGE's snapshot-diff cleanup would unpersist the other
+              // statement's caches)
+              val (cols, fetched) = gs.synchronized {
+                val df = gs.sql(sql)
+                // limit is pushed into the plan (TakeOrderedAndProject /
+                // CollectLimit), so an unbounded SELECT ships at most
+                // maxRows+1 rows to the driver, never the full corpus
+                (df.columns, df.limit(maxRows + 1).collect())
+              }
               val truncated = fetched.length > maxRows
               val rows = if (truncated) fetched.take(maxRows) else fetched
               val sb = new StringBuilder("{\"columns\":")
@@ -71,7 +78,12 @@ object SqlHttp {
           case e: Exception =>
             respond(ex, 400, s"""{"error":${jstr(errMsg(e))}}""")
         }
-    })
+    }
+    server.createContext("/sql", handler)
+    // exact-path parity with the reference's SQLController route
+    // (reference SQLController.java:20-31: POST /api/sql/execute) so a
+    // client ported from the reference works without reconfiguration
+    server.createContext("/api/sql/execute", handler)
     server.start()
     server
   }

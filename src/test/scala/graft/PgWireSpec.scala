@@ -330,6 +330,132 @@ class PgWireSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("binary Bind format codes are refused with an ErrorResponse, never misread") {
+    val (srv, c) = freshServer()
+    try {
+      c.startup()
+      c.query("CREATE TABLE bf (id INT PRIMARY KEY)")
+      val body = new ByteArrayOutputStream()
+      val d = new DataOutputStream(body)
+      def c0(s: String): Unit = { d.write(s.getBytes("UTF-8")); d.writeByte(0) }
+      c0("bs"); c0("SELECT id FROM bf WHERE id = $1"); d.writeShort(1); d.writeInt(23)
+      c.send('P', body.toByteArray)
+      // Bind with parameter format code 1 (binary): raw int4 bytes MUST
+      // NOT be decoded as text — expect a loud protocol error
+      body.reset()
+      c0(""); c0("bs")
+      d.writeShort(1); d.writeShort(1)   // one format code: binary
+      d.writeShort(1); d.writeInt(4); d.writeInt(7) // int4 binary value 7
+      d.writeShort(0)
+      c.send('B', body.toByteArray)
+      c.send('S', Array.empty)
+      val msgs = c.readUntilReady()
+      val errs = c.cstrBody('E', msgs)
+      assert(msgs.exists(_._1 == 'E'), "binary param format must error")
+      // Bind requesting binary RESULTS: same contract
+      body.reset()
+      c0(""); c0("bs")
+      d.writeShort(0); d.writeShort(1)
+      val v = "7".getBytes("UTF-8"); d.writeInt(v.length); d.write(v)
+      d.writeShort(1); d.writeShort(1)   // one result format code: binary
+      c.send('B', body.toByteArray)
+      c.send('S', Array.empty)
+      val msgs2 = c.readUntilReady()
+      assert(msgs2.exists(_._1 == 'E'), "binary result format must error")
+      // error messages name the unsupported format (field-tagged bodies —
+      // just look for the phrase anywhere in the raw error payloads)
+      val rawErrs = (msgs ++ msgs2).filter(_._1 == 'E')
+        .map(m => new String(m._2, "UTF-8")).mkString
+      assert(rawErrs.contains("binary parameter format") &&
+        rawErrs.contains("binary result format"), s"errs: $errs $rawErrs")
+      // text-format Bind on the same statement still works after Sync
+      body.reset()
+      c0(""); c0("bs"); d.writeShort(0); d.writeShort(1)
+      d.writeInt(v.length); d.write(v); d.writeShort(0)
+      c.send('B', body.toByteArray)
+      body.reset(); c0(""); d.writeInt(0)
+      c.send('E', body.toByteArray)
+      c.send('S', Array.empty)
+      val ok = c.readUntilReady()
+      assert(!ok.exists(_._1 == 'E'), "text bind recovers after Sync")
+      c.terminate()
+    } finally srv.stop()
+  }
+
+  test("statement-level Describe before Bind plans $N with typed NULLs") {
+    val (srv, c) = freshServer()
+    try {
+      c.startup()
+      c.query("CREATE TABLE ds (id INT PRIMARY KEY, v TEXT)")
+      val body = new ByteArrayOutputStream()
+      val d = new DataOutputStream(body)
+      def c0(s: String): Unit = { d.write(s.getBytes("UTF-8")); d.writeByte(0) }
+      c0("meta"); c0("SELECT id, v FROM ds WHERE id > $1 AND v LIKE $2")
+      d.writeShort(2); d.writeInt(23); d.writeInt(25)
+      c.send('P', body.toByteArray)
+      // Describe the STATEMENT (getMetaData flow): no portal, no Bind yet
+      body.reset(); d.writeByte('S'); c0("meta")
+      c.send('D', body.toByteArray)
+      c.send('S', Array.empty)
+      val msgs = c.readUntilReady()
+      assert(!msgs.exists(_._1 == 'E'),
+        s"statement Describe must not error on unsubstituted $$N: ${c.cstrBody('E', msgs)}")
+      val pd = msgs.find(_._1 == 't').get._2
+      assert(((pd(0) & 0xff) << 8 | (pd(1) & 0xff)) == 2, "two declared params")
+      val t = msgs.find(_._1 == 'T').get._2
+      assert(((t(0) & 0xff) << 8 | (t(1) & 0xff)) == 2, "RowDescription has the 2 result fields")
+      c.terminate()
+    } finally srv.stop()
+  }
+
+  test("ReadyForQuery reports live transaction status: I → T → E → I") {
+    val (srv, c) = freshServer()
+    try {
+      def status(msgs: Seq[(Char, Array[Byte])]): Char =
+        msgs.last._2(0).toChar
+      assert(status(c.startup()) == 'I')
+      c.query("CREATE TABLE ts (id INT PRIMARY KEY)")
+      assert(status(c.query("BEGIN")) == 'T', "inside a transaction block")
+      assert(status(c.query("INSERT INTO ts VALUES (1)")) == 'T')
+      assert(status(c.query("SELECT nope FROM missing")) == 'E',
+        "failed statement inside an open block")
+      assert(status(c.query("ROLLBACK")) == 'I', "block closed, error cleared")
+      assert(status(c.query("SELECT 1 AS one")) == 'I', "error state did not leak")
+      c.terminate()
+    } finally srv.stop()
+  }
+
+  test("BackendKeyData is per-connection and CancelRequest verifies the secret") {
+    val (srv, c1) = freshServer()
+    try {
+      val k1 = c1.startup().find(_._1 == 'K').get._2
+      val c2 = new WireClient(srv.boundPort)
+      val k2 = c2.startup().find(_._1 == 'K').get._2
+      def pid(k: Array[Byte]): Int =
+        ((k(0) & 0xff) << 24) | ((k(1) & 0xff) << 16) | ((k(2) & 0xff) << 8) | (k(3) & 0xff)
+      assert(pid(k1) != pid(k2), "each connection gets its own backend pid")
+      // CancelRequest quoting c1's real key: out-of-band socket, no
+      // response, connection closes; with no statement in flight the
+      // cancel is a no-op and c1 keeps working
+      val raw = new Socket("127.0.0.1", srv.boundPort)
+      val ro = new DataOutputStream(raw.getOutputStream)
+      ro.writeInt(16); ro.writeInt(80877102); ro.write(k1); ro.flush()
+      raw.close()
+      val sel = c1.query("SELECT 1 AS one")
+      assert(sel.filter(_._1 == 'D').map(m => c1.row(m._2)) == Seq(Seq("1")),
+        "idle-group cancel does not poison subsequent statements")
+      // wrong secret: silently ignored (PG behavior), session unaffected
+      val raw2 = new Socket("127.0.0.1", srv.boundPort)
+      val ro2 = new DataOutputStream(raw2.getOutputStream)
+      ro2.writeInt(16); ro2.writeInt(80877102)
+      ro2.writeInt(pid(k2)); ro2.writeInt(0x5eed5eed); ro2.flush()
+      raw2.close()
+      val sel2 = c2.query("SELECT 2 AS two")
+      assert(sel2.filter(_._1 == 'D').map(m => c2.row(m._2)) == Seq(Seq("2")))
+      c2.terminate(); c1.terminate()
+    } finally srv.stop()
+  }
+
   test("SSLRequest is refused in cleartext and the session proceeds") {
     val (srv, c) = freshServer()
     try {

@@ -387,6 +387,18 @@ class SessionExtrasSpec extends SparkSpec {
       val connGet = new java.net.URL(s"http://127.0.0.1:$port/sql")
         .openConnection().asInstanceOf[java.net.HttpURLConnection]
       assert(connGet.getResponseCode == 405)
+      // reference route parity: POST /api/sql/execute serves the same
+      // handler (reference SQLController.java:20-31), so a client ported
+      // from the reference works unmodified
+      val conn5 = new java.net.URL(s"http://127.0.0.1:$port/api/sql/execute")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn5.setRequestMethod("POST")
+      conn5.setDoOutput(true)
+      conn5.getOutputStream.write(
+        """{"sql": "SELECT count(*) AS c FROM ht"}""".getBytes("UTF-8"))
+      assert(conn5.getResponseCode == 200)
+      val b5 = new String(conn5.getInputStream.readAllBytes(), "UTF-8")
+      assert(b5.contains("\"rows\":[[2]]"), b5)
     } finally server.stop(0)
   }
 
