@@ -18,6 +18,9 @@ import java.nio.file.{Files, Paths}
   * count, vector norm) while decorrelating replicas.
   *
   *   sbt "runMain graft.ScaleProbe /root/testdata/sf0.1 /tmp/graft_sf1 10"
+  *
+  * An optional 4th arg (comma-separated probe labels) runs just those
+  * probes — the dev loop for re-measuring one operator after a change.
   */
 object ScaleProbe {
   private val keyOffset = 1000000000L
@@ -94,21 +97,30 @@ object ScaleProbe {
     Seq("documents", "embeddings", "orders", "lineitem", "events")
       .foreach(n => Tables.load(spark, out, n).count())
 
-    def time(label: String)(body: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val (rows, err) =
-        try (body, None)
-        catch { case e: Throwable =>
-          (-1L, Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")) }
-      val sec = (System.nanoTime() - t0) / 1e9
-      val errS = err.map(m => s""","error":"${m.replaceAll("[\"\\\\\\x00-\\x1f]", " ")}"""").getOrElse("")
-      println(f"""{"probe":"$label","sec":$sec%.2f,"rows":$rows$errS}""")
-    }
+    val only: Option[Set[String]] = args.lift(3).map(_.split(",").map(_.trim).toSet)
+    def time(label: String)(body: => Long): Unit =
+      if (only.forall(_.contains(label))) {
+        val t0 = System.nanoTime()
+        val (rows, err) =
+          try (body, None)
+          catch { case e: Throwable =>
+            (-1L, Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")) }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val errS = err.map(m => s""","error":"${m.replaceAll("[\"\\\\\\x00-\\x1f]", " ")}"""").getOrElse("")
+        println(f"""{"probe":"$label","sec":$sec%.2f,"rows":$rows$errS}""")
+      }
 
     // same shared-pair discipline as Bench: the pair set feeds three
-    // queries and is discovered once, timed under its own label
-    time("shared:dedup_pairs") {
-      graft.operators.DedupQueries.warmSharedPairs(spark, out); 0L
+    // queries and is discovered once, timed under its own label. Warm it
+    // whenever any selected probe consumes the cache (bypassing the
+    // label filter — a filtered `dedup_components` run still needs the
+    // warm pair set to measure the cache-read shape the bench measures).
+    val pairConsumers = Set("dedup_jaccard_pairs", "dedup_components",
+      "dedup_canonical", "shared:dedup_pairs")
+    if (only.forall(sel => sel.exists(pairConsumers))) {
+      val t0 = System.nanoTime()
+      graft.operators.DedupQueries.warmSharedPairs(spark, out)
+      println(f"""{"probe":"shared:dedup_pairs","sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":0}""")
     }
     val probes = Seq(
       "dedup_exact", "dedup_minhash_lsh", "dedup_jaccard_pairs",
@@ -142,6 +154,13 @@ object ScaleProbe {
     // (≤ ~512·n expected), never n²/2^w as a fixed width would
     time("lsh_candidates_base")(lshCandidatePairs(spark, base).count())
     time("lsh_candidates_10x")(lshCandidatePairs(spark, out).count())
+    // pagerank per-iteration constant: the web-graph use case runs 20-50
+    // iterations; with the edge build amortized, 10 iterations should
+    // cost ~(10it − 3it)/3it more loop time, never re-pay the build
+    time("graph_pagerank_10iter_base")(
+      graft.operators.GraphQueries.pagerank(spark, base, iters = 10).count())
+    time("graph_pagerank_10iter_10x")(
+      graft.operators.GraphQueries.pagerank(spark, out, iters = 10).count())
     graft.operators.DedupQueries.evictSharedPairs(spark)
     spark.stop()
   }

@@ -7,15 +7,97 @@ import org.apache.spark.sql.functions._
   * video as opaque `binary` payloads with typed metadata, and run
   * decode / feature-extraction as partition-parallel batch operations.
   *
-  * The decode step is a STUB — this container has no image/audio codecs —
-  * implemented as a deterministic fake over the payload bytes, clearly
-  * marked below. Everything around it (schema, binary columns, metadata
-  * struct, mapPartitions batch shape, partition parallelism) is the real
-  * 100 TB design: payloads never reach the driver, features are computed
+  * Two decode paths:
+  *   - [[pngFeatures]] / [[decodeImage]] — a REAL pure-JVM image codec
+  *     (`javax.imageio` PNG): executor-side encode→decode round trip with
+  *     channel statistics computed from the DECODED pixels, so the gate
+  *     query's oracle (which replays the deterministic pixel pattern in
+  *     SQL) verifies the codec is lossless end-to-end.
+  *   - [[decodeFeaturesStub]] — the generic-codec placeholder for
+  *     modalities this container has no library for (JPEG/WAV/MP4): a
+  *     deterministic fake over the payload bytes, clearly marked.
+  * Everything around both (schema, binary columns, metadata struct,
+  * mapPartitions batch shape, partition parallelism) is the real 100 TB
+  * design: payloads never reach the driver, features are computed
   * per-partition, and metadata-only queries never touch payload bytes
   * (parquet column pruning skips the binary column entirely).
   */
 object Multimodal {
+
+  /** Typed output of the real PNG round-trip decode. */
+  final case class PngFeatures(
+      doc_id: Long, w: Int, h: Int, png_bytes: Long,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL JVM image decode: `ImageIO.read` over the payload bytes.
+    * Returns (width, height, mean R/G/B of the decoded pixels), or None
+    * when the payload is not a decodable image — the graceful-fallback
+    * contract a mixed-media corpus needs (a corrupt or mislabeled
+    * payload must skip, never kill the partition). */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double, Double, Double)] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false) // no tmp-file spill on executors
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toDouble
+        Some((w, h, sr / n, sg / n, sb / n))
+      }
+    } catch { case _: Exception => None }
+
+  /** Real-codec feature extraction, fully distributed: per doc, render a
+    * deterministic pixel pattern (r = (id+x)%256, g = (id+y)%256,
+    * b = id%256), encode it to PNG and decode it back — both with
+    * `javax.imageio`, executor-side — then compute channel means FROM THE
+    * DECODED IMAGE. PNG is lossless, so the means must equal the
+    * pattern's closed form; the oracle computes that closed form in SQL,
+    * making the whole codec round trip hash-checked. Image dims stay
+    * small (≤71×55) so per-row work is bounded; the pattern, encode,
+    * decode and stats are all payload-local — nothing but the final
+    * feature row ever moves. */
+  def pngFeatures(docs: DataFrame): Dataset[PngFeatures] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 64 + 8).toInt
+        val h = (id % 48 + 8).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = ((id + x) % 256).toInt
+            val g = ((id + y) % 256).toInt
+            val b = (id % 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        javax.imageio.ImageIO.setUseCache(false)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        val png = out.toByteArray
+        val (dw, dh, mr, mg, mb) = decodeImage(png).getOrElse(
+          throw new IllegalStateException(s"PNG round trip failed for doc $id"))
+        PngFeatures(id, dw, dh, png.length.toLong, mr, mg, mb)
+      }
+    }
+  }
 
   /** Case class for the typed decode output. */
   final case class MediaFeatures(

@@ -102,7 +102,16 @@ object GraphQueries extends QueryPack {
          |FROM p3
          |ORDER BY pr DESC, id
          |LIMIT 50""".stripMargin
-    ) { (s, dir) =>
+    ) { (s, dir) => pagerank(s, dir, iters = 3) }
+  )
+
+  /** PageRank body with the iteration count exposed: the gate query runs
+    * 3 (matching the oracle's unrolled CTEs); ScaleProbe drives 10 to
+    * verify the per-iteration cost stays flat once the edge build is
+    * amortized — the web-graph use case runs 20-50 iterations, so the
+    * engine's scale story rests on the per-iteration constant, not the
+    * 3-iteration total. */
+  def pagerank(s: SparkSession, dir: String, iters: Int): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val e = edges(s, dir)
       // out-degree is loop-invariant: annotate the edge list ONCE so each
@@ -135,7 +144,7 @@ object GraphQueries extends QueryPack {
       val nDf = degC.agg(count(lit(1)).as("n"))
       var pr = degC.select(col("src").as("id")).crossJoin(broadcast(nDf))
         .select(col("id"), (lit(1.0) / col("n")).as("pr"))
-      for (_ <- 1 to 3) {
+      for (_ <- 1 to iters) {
         val prSide = if (broadcastRanks) broadcast(pr) else pr
         val contrib = eDeg.join(prSide, eDeg("src") === prSide("id"))
           .select(col("dst"), (col("pr") / col("outdeg")).as("c"))
@@ -148,6 +157,5 @@ object GraphQueries extends QueryPack {
           col("pr").cast("decimal(20,12)").cast("double").as("pr"))
         .orderBy(col("pr").desc, col("id"))
         .limit(50)
-    }
-  )
+  }
 }

@@ -139,6 +139,42 @@ object MultimodalQueries extends QueryPack {
         .agg(count(lit(1)).cast("long").as("copies"),
           min(col("doc_id")).as("canonical_id"))
         .orderBy(col("modality"), col("payload_md5"))
+    },
+
+    // REAL image codec, oracle-verified: per doc, render a deterministic
+    // pixel pattern (r=(id+x)%256, g=(id+y)%256, b=id%256), encode→decode
+    // through javax.imageio PNG ON THE EXECUTORS, and report channel means
+    // computed FROM THE DECODED PIXELS. PNG is lossless, so the means must
+    // equal the pattern's closed form — which is what the oracle computes
+    // in SQL (mean_r collapses to the x-marginal since r is y-independent;
+    // sums are exact integers, so the double division is bit-identical on
+    // both engines). A decoder bug, a lossy write, or a channel swap all
+    // hash-mismatch. The two-row-loop work is bounded (images ≤ 71×55) and
+    // entirely payload-local: only the 7-column feature row ever moves.
+    Q(
+      "mm_decode_png",
+      """SELECT doc_id,
+        |       (doc_id % 64 + 8)::INT AS w,
+        |       (doc_id % 48 + 8)::INT AS h,
+        |       round(CAST(list_sum(list_transform(
+        |                generate_series(0, (doc_id % 64 + 8)::INT - 1),
+        |                x -> (doc_id + x) % 256)) AS DOUBLE)
+        |             / (doc_id % 64 + 8), 6) AS mean_r,
+        |       round(CAST(list_sum(list_transform(
+        |                generate_series(0, (doc_id % 48 + 8)::INT - 1),
+        |                y -> (doc_id + y) % 256)) AS DOUBLE)
+        |             / (doc_id % 48 + 8), 6) AS mean_g,
+        |       CAST(doc_id % 256 AS DOUBLE) AS mean_b
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Multimodal.pngFeatures(Tables.load(s, dir, "documents"))
+        .toDF()
+        .select(col("doc_id"), col("w"), col("h"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          col("mean_b"))
+        .orderBy(col("doc_id"))
     }
   )
 }

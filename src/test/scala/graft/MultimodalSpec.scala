@@ -39,6 +39,39 @@ class MultimodalSpec extends SparkSpec {
     assert(a.forall(_.features.forall(v => v >= 0.0 && v <= 4.0)))
   }
 
+  test("real PNG codec: round trip is lossless and matches the closed form") {
+    val feats = Multimodal.pngFeatures(
+        Tables.load(spark, sf(), "documents").limit(50))
+      .collect().sortBy(_.doc_id)
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val id = f.doc_id
+      assert(f.w == (id % 64 + 8).toInt && f.h == (id % 48 + 8).toInt,
+        "decoded dims echo the generated dims")
+      assert(f.png_bytes > 0, "a real PNG payload was produced")
+      // closed form of the pattern means (r is y-independent, g is
+      // x-independent, b constant) — decoded means must equal them
+      val er = (0 until f.w).map(x => (id + x) % 256).sum.toDouble / f.w
+      val eg = (0 until f.h).map(y => (id + y) % 256).sum.toDouble / f.h
+      assert(f.mean_r == er && f.mean_g == eg && f.mean_b == (id % 256).toDouble,
+        s"doc $id: decoded means (${f.mean_r},${f.mean_g},${f.mean_b}) vs closed form ($er,$eg,${id % 256})")
+    }
+  }
+
+  test("decodeImage: real PNG decodes; non-image payloads skip gracefully") {
+    // a genuine 3x2 PNG with known pixels
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 3; y <- 0 until 2) img.setRGB(x, y, (10 << 16) | (20 << 8) | 30)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    assert(Multimodal.decodeImage(out.toByteArray)
+      .contains((3, 2, 10.0, 20.0, 30.0)))
+    // text bytes (this corpus's payloads) are not an image: None, no throw
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
+  }
+
   test("frame sampling emits every k-th frame only") {
     val fs = Multimodal.sampleFrames(media, 10)
     assert(fs.filter(col("frame_no") % 10 =!= 0).count() == 0)
