@@ -161,6 +161,14 @@ object ScaleProbe {
       graft.operators.GraphQueries.pagerank(spark, base, iters = 10).count())
     time("graph_pagerank_10iter_10x")(
       graft.operators.GraphQueries.pagerank(spark, out, iters = 10).count())
+    // lineage-cut effect at web-graph depth: 20 iterations with the
+    // default cut-every-8 vs the same loop with cutting disabled — the
+    // delta is pure Catalyst planning cost on the unrolled plan
+    time("graph_pagerank_20iter_10x")(
+      graft.operators.GraphQueries.pagerank(spark, out, iters = 20).count())
+    time("graph_pagerank_20iter_uncut_10x")(
+      graft.operators.GraphQueries.pagerank(spark, out, iters = 20,
+        checkpointEvery = 999).count())
     graft.operators.DedupQueries.evictSharedPairs(spark)
     spark.stop()
   }

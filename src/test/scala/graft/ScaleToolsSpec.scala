@@ -78,6 +78,20 @@ class ScaleToolsSpec extends SparkSpec {
     (0 until 5).foreach(k => assert(m(100L + k) == k.toLong, s"hub $k"))
   }
 
+  test("pagerank lineage cut is bit-identical to the uncut loop") {
+    import graft.operators.GraphQueries
+    // 10 iterations: the default geometry cuts at round 8; overriding
+    // checkpointEvery past the loop disables cutting. The materialization
+    // must not change a single bit of the rank arithmetic.
+    val cut = GraphQueries.pagerank(spark, sf(), 10).collect()
+    val uncut = GraphQueries.pagerank(spark, sf(), 10, checkpointEvery = 99).collect()
+    assert(cut.length == uncut.length && cut.nonEmpty)
+    cut.zip(uncut).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0) &&
+        a.getDouble(1) == b.getDouble(1), s"rank diverged: $a vs $b")
+    }
+  }
+
   test("approximate sketches land within tolerance of exact answers") {
     val df = Tables.load(spark, sf("sf0.01"), "orders")
     val exact = df.select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
