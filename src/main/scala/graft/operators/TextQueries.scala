@@ -1144,34 +1144,41 @@ object TextQueries extends QueryPack {
       "text_token_entropy",
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-        |wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
-        |tot AS (
-        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
-        |         CAST(COUNT(*) AS BIGINT) AS n_distinct
-        |  FROM wc GROUP BY doc_id)
-        |SELECT wc.doc_id, t.n_tokens, t.n_distinct,
-        |       CAST(FLOOR(CAST(SUM(CAST(
-        |           -(CAST(c AS DOUBLE) / t.n_tokens)
-        |             * LN(CAST(c AS DOUBLE) / t.n_tokens)
-        |         AS DECIMAL(38,12))) AS DOUBLE) * 1000000) AS BIGINT)
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |       CAST(FLOOR((LN(CAST(SUM(c) AS DOUBLE))
+        |           - CAST(SUM(CAST(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))
+        |                 AS DECIMAL(38,12))) AS DOUBLE)
+        |             / CAST(SUM(c) AS DOUBLE)) * 1000000) AS BIGINT)
         |         AS entropy_q
-        |FROM wc JOIN tot t ON wc.doc_id = t.doc_id
-        |GROUP BY wc.doc_id, t.n_tokens, t.n_distinct
-        |ORDER BY wc.doc_id""".stripMargin
+        |FROM wc GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
       import org.apache.spark.sql.types.DecimalType
+      // Entropy via the identity H = ln N − (Σ c·ln c)/N: the naive
+      // −Σ p·ln p form needs per-doc totals BEFORE the per-term math, so
+      // it either joins wc back to a per-doc aggregate (recomputing the
+      // explode+groupBy subtree twice — the pre-round-11 shape) or
+      // windows over doc_id (extra exchange+sort). The identity needs
+      // only Σc and Σ c·ln c — both plain aggregates of the SAME
+      // groupBy, so the whole query is explode → (doc,w) count → doc
+      // rollup: two shuffles, one pass, no join. The c·ln c terms sum
+      // through DECIMAL(38,12) so the fold is order-independent and the
+      // oracle replays it bit-identically.
       val wc = Tables.spread(Tables.load(s, dir, "documents"))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .groupBy(col("doc_id"), col("w"))
         .agg(count(lit(1)).as("c"))
-      val tot = wc.groupBy(col("doc_id"))
+      val cD = col("c").cast("double")
+      wc.groupBy(col("doc_id"))
         .agg(sum(col("c")).cast("long").as("n_tokens"),
-          count(lit(1)).cast("long").as("n_distinct"))
-      val p = col("c").cast("double") / col("n_tokens")
-      wc.join(tot, "doc_id")
-        .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"))
-        .agg(floor(sum((-p * log(p)).cast(DecimalType(38, 12))).cast("double")
-          * 1e6).cast("long").as("entropy_q"))
+          count(lit(1)).cast("long").as("n_distinct"),
+          sum((cD * log(cD)).cast(DecimalType(38, 12))).cast("double").as("clnc"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          floor((log(col("n_tokens").cast("double"))
+            - col("clnc") / col("n_tokens").cast("double")) * 1e6)
+            .cast("long").as("entropy_q"))
         .orderBy(col("doc_id"))
     }
   )
