@@ -23,12 +23,13 @@ import org.apache.spark.sql.types._
   * Supported: startup (incl. SSLRequest refusal and secret-verified
   * CancelRequest → Spark job-group cancellation), simple Query with
   * multi-statement scripts, the extended protocol subset JDBC drives
-  * (Parse/Bind/Describe/Execute/Close/Flush/Sync) with text-format
-  * parameters and results, and Terminate. Every value travels in text
-  * format — a Bind declaring binary parameter or result formats is
-  * refused with an ErrorResponse (never silently misread); result
-  * columns carry real type OIDs so clients render numerics/bools
-  * natively. ReadyForQuery reports live transaction status ('I'/'T'/'E').
+  * (Parse/Bind/Describe/Execute/Close/Flush/Sync) with text AND binary
+  * formats for parameters and results (the OID set pgjdbc's
+  * binaryTransfer actually uses: bool/int2/int4/int8/float4/float8/
+  * text/date/timestamp; anything else refuses with an ErrorResponse,
+  * never a silent misread), and Terminate. Result columns carry real
+  * type OIDs so clients render numerics/bools natively. ReadyForQuery
+  * reports live transaction status ('I'/'T'/'E').
   */
 final class PgWire(gs: GraftSession, port: Int = 0) {
 
@@ -126,25 +127,108 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
     case other => other.toString
   }
 
-  private def rowDescription(out: Out, df: DataFrame): Unit =
+  // PG epoch: 2000-01-01 (days for date, micros for timestamp)
+  private val pgEpochDay = java.time.LocalDate.of(2000, 1, 1).toEpochDay
+  private val pgEpochDateTime = java.time.LocalDateTime.of(2000, 1, 1, 0, 0)
+
+  /** Binary-format parameter decode for the OIDs drivers actually flip
+    * to binary (pgjdbc binaryTransfer): fixed-width big-endian numerics,
+    * bool, text (whose binary form IS its text bytes), date/timestamp on
+    * the PG 2000-01-01 epoch. The decoded value re-enters the normal
+    * text-literal substitution path (with its OID cast), so binary and
+    * text parameters are guaranteed the same semantics. Unknown OIDs
+    * refuse loudly — never misread. */
+  private def decodeBinaryParam(oid: Int, b: Array[Byte]): String = {
+    def be(n: Int): Long = {
+      require(b.length == n, s"binary parameter: expected $n bytes, got ${b.length}")
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 8) | (b(i) & 0xff); i += 1 }
+      v
+    }
+    oid match {
+      case 16 => if (b(0) == 0) "false" else "true"
+      case 21 => be(2).toShort.toString
+      case 23 => be(4).toInt.toString
+      case 20 => be(8).toString
+      case 700 => java.lang.Float.intBitsToFloat(be(4).toInt).toString
+      case 701 => java.lang.Double.longBitsToDouble(be(8)).toString
+      case 25 | 1043 => new String(b, UTF_8)
+      case 1082 => java.time.LocalDate.ofEpochDay(be(4).toInt + pgEpochDay).toString
+      case 1114 | 1184 =>
+        val micros = be(8)
+        pgEpochDateTime.plusSeconds(Math.floorDiv(micros, 1000000L))
+          .plusNanos(Math.floorMod(micros, 1000000L) * 1000L).toString
+      case other => throw new IllegalArgumentException(
+        s"binary parameter format not supported for type OID $other (text format only)")
+    }
+  }
+
+  /** Binary-format result encode (length-prefixed) for the same OID set.
+    * Types without a supported binary form (numeric, arrays, …) refuse
+    * loudly — a client that asked for binary would misparse text bytes. */
+  private def writeBinaryValue(o: DataOutputStream, dt: DataType, v: Any): Unit = dt match {
+    case BooleanType => o.writeInt(1); o.writeByte(if (v.asInstanceOf[Boolean]) 1 else 0)
+    case ShortType => o.writeInt(2); o.writeShort(v.asInstanceOf[Short].toInt)
+    case IntegerType => o.writeInt(4); o.writeInt(v.asInstanceOf[Int])
+    case LongType => o.writeInt(8); o.writeLong(v.asInstanceOf[Long])
+    case FloatType => o.writeInt(4); o.writeFloat(v.asInstanceOf[Float])
+    case DoubleType => o.writeInt(8); o.writeDouble(v.asInstanceOf[Double])
+    case StringType =>
+      val b = v.toString.getBytes(UTF_8); o.writeInt(b.length); o.write(b)
+    case DateType =>
+      val ld = v match {
+        case d: java.sql.Date => d.toLocalDate
+        case l: java.time.LocalDate => l
+      }
+      o.writeInt(4); o.writeInt((ld.toEpochDay - pgEpochDay).toInt)
+    case TimestampType | TimestampNTZType =>
+      val ldt = v match {
+        case t: java.sql.Timestamp => t.toLocalDateTime
+        case l: java.time.LocalDateTime => l
+        case i: java.time.Instant =>
+          java.time.LocalDateTime.ofInstant(i, java.time.ZoneId.systemDefault())
+      }
+      val micros = (ldt.toLocalDate.toEpochDay - pgEpochDay) * 86400000000L +
+        ldt.toLocalTime.toNanoOfDay / 1000L
+      o.writeInt(8); o.writeLong(micros)
+    case other => throw new IllegalArgumentException(
+      s"binary result format not supported for ${other.simpleString} (text format only)")
+  }
+
+  /** Expand Bind's format-code array to one code per element: none →
+    * all text, one → applies to all, else must match the count. */
+  private def expandFmts(codes: Seq[Int], n: Int, what: String): Array[Int] =
+    codes.length match {
+      case 0 => Array.fill(n)(0)
+      case 1 => Array.fill(n)(codes.head)
+      case k if k == n => codes.toArray
+      case k => throw new IllegalArgumentException(
+        s"Bind: $k $what format codes for $n ${what}s")
+    }
+
+  /** `fmts` = per-column result format codes (0 text / 1 binary);
+    * null → all text (the simple-query path). */
+  private def rowDescription(out: Out, df: DataFrame, fmts: Array[Int] = null): Unit =
     out.msg('T') { o =>
       val fields = df.schema.fields
       o.writeShort(fields.length)
-      fields.foreach { f =>
+      fields.zipWithIndex.foreach { case (f, i) =>
         out.cstr(o, f.name)
         o.writeInt(0); o.writeShort(0)          // table oid / attnum
         o.writeInt(pgTypeOid(f.dataType))
         o.writeShort(-1); o.writeInt(-1)        // typlen / typmod
-        o.writeShort(0)                         // text format
+        o.writeShort(if (fmts == null) 0 else fmts(i))
       }
     }
 
-  private def writeDataRow(out: Out, row: org.apache.spark.sql.Row): Unit =
+  private def writeDataRow(out: Out, row: org.apache.spark.sql.Row,
+      dts: Array[DataType] = null, fmts: Array[Int] = null): Unit =
     out.msg('D') { o =>
       o.writeShort(row.length)
       var i = 0
       while (i < row.length) {
         if (row.isNullAt(i)) o.writeInt(-1)
+        else if (fmts != null && fmts(i) == 1) writeBinaryValue(o, dts(i), row.get(i))
         else {
           val bytes = render(row.get(i)).getBytes(UTF_8)
           o.writeInt(bytes.length); o.write(bytes)
@@ -161,6 +245,22 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
     val it = df.toLocalIterator()
     while (it.hasNext) { writeDataRow(out, it.next()); n += 1 }
     n
+  }
+
+  /** Resolve a portal's result formats against the actual schema and
+    * fail fast on a binary request for a type with no binary encoding —
+    * BEFORE any DataRow is on the wire. */
+  private def resolvedFmts(df: DataFrame, codes: Seq[Int]): Array[Int] = {
+    val fmts = expandFmts(codes, df.schema.length, "result")
+    df.schema.fields.zip(fmts).foreach { case (f, fmt) =>
+      if (fmt == 1) f.dataType match {
+        case BooleanType | ShortType | IntegerType | LongType | FloatType |
+             DoubleType | StringType | DateType | TimestampType | TimestampNTZType => ()
+        case other => throw new IllegalArgumentException(
+          s"binary result format not supported for ${other.simpleString} (text format only)")
+      }
+    }
+    fmts
   }
 
   private def commandComplete(out: Out, tag: String): Unit =
@@ -307,11 +407,13 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
 
     // extended-protocol state
     val preparedWire = scala.collection.mutable.Map[String, (String, Seq[Int])]()
-    val portals = scala.collection.mutable.Map[String, String]()
+    // portal → (substituted sql, Bind's raw result-format codes)
+    val portals = scala.collection.mutable.Map[String, (String, Seq[Int])]()
     // open result iterators for suspended portals (JDBC setFetchSize
     // drives Execute with a row limit; the portal resumes where it left)
     final class PortalExec(val df: DataFrame,
-        val it: java.util.Iterator[org.apache.spark.sql.Row]) { var total = 0L }
+        val it: java.util.Iterator[org.apache.spark.sql.Row],
+        val dts: Array[DataType], val fmts: Array[Int]) { var total = 0L }
     val portalIters = scala.collection.mutable.Map[String, PortalExec]()
     var extendedError = false // error until Sync: skip further extended msgs
 
@@ -438,42 +540,42 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
               val (stmtName, o2) = cstr(body, off); off = o2
               val (query, oids) = preparedWire.getOrElse(stmtName,
                 throw new IllegalArgumentException(s"unknown prepared statement \"$stmtName\""))
-              // parameter format codes: only text (0) is decodable here.
-              // A binary-format parameter (pgjdbc flips int4/int8/date/
-              // timestamp to binary past prepareThreshold) MUST be refused
-              // loudly — decoding its raw bytes as UTF-8 text would be
-              // silent data corruption, the worst possible failure mode.
+              // parameter format codes (0 text / 1 binary). Binary values
+              // for the common OIDs (pgjdbc flips int4/int8/float8/date/
+              // timestamp to binary past prepareThreshold) are decoded to
+              // their text literal and re-enter the normal substitution
+              // path; an OID without a binary decoder is refused loudly —
+              // misreading raw bytes as UTF-8 would be silent corruption.
               val nFmts = ((body(off) & 0xff) << 8) | (body(off + 1) & 0xff)
               off += 2
-              val paramFmts = (0 until nFmts).map { i =>
+              val paramFmtCodes = (0 until nFmts).map { i =>
                 ((body(off + i * 2) & 0xff) << 8) | (body(off + i * 2 + 1) & 0xff)
               }
               off += nFmts * 2
-              if (paramFmts.exists(_ != 0))
-                throw new IllegalArgumentException(
-                  "binary parameter format not supported (text format only; " +
-                    "disable driver binary transfer, e.g. pgjdbc binaryTransfer=false)")
               val nParams = ((body(off) & 0xff) << 8) | (body(off + 1) & 0xff)
               off += 2
-              val values = (0 until nParams).map { _ =>
+              val paramFmts = expandFmts(paramFmtCodes, nParams, "parameter")
+              val values = (0 until nParams).map { i =>
                 val vlen = ((body(off) & 0xff) << 24) | ((body(off + 1) & 0xff) << 16) |
                   ((body(off + 2) & 0xff) << 8) | (body(off + 3) & 0xff)
                 off += 4
                 if (vlen < 0) null
+                else if (paramFmts(i) == 1) {
+                  val raw = java.util.Arrays.copyOfRange(body, off, off + vlen)
+                  off += vlen
+                  decodeBinaryParam(oids.lift(i).getOrElse(0), raw)
+                }
                 else { val s = new String(body, off, vlen, UTF_8); off += vlen; s }
               }
-              // result format codes: results always travel as text; a Bind
-              // requesting binary results gets an explicit error rather
-              // than text bytes a binary decoder would misread
+              // result format codes are resolved against the schema at
+              // Describe/Execute time (the portal's plan isn't built yet);
+              // store them raw with the substituted statement
               val nResFmts = ((body(off) & 0xff) << 8) | (body(off + 1) & 0xff)
               off += 2
               val resFmts = (0 until nResFmts).map { i =>
                 ((body(off + i * 2) & 0xff) << 8) | (body(off + i * 2 + 1) & 0xff)
               }
-              if (resFmts.exists(_ != 0))
-                throw new IllegalArgumentException(
-                  "binary result format not supported (text format only)")
-              portals(portal) = substituteParams(query, values, oids)
+              portals(portal) = (substituteParams(query, values, oids), resFmts)
               portalIters.remove(portal) // re-bind resets a suspended portal
               out.msg('2')(_ => ())
             } catch { case e: Throwable => errorResponse(out, e); noteError(); extendedError = true }
@@ -482,7 +584,10 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
             try {
               val kind = body(0).toChar
               val (name, _) = cstr(body, 1)
-              val sqlText = kind match {
+              // portal Describe reports the Bind-requested result formats;
+              // statement Describe is always format 0 (format is a Bind
+              // property, per the protocol spec)
+              val (sqlText, resCodes) = kind match {
                 case 'P' => portals.getOrElse(name,
                   throw new IllegalArgumentException(s"unknown portal \"$name\""))
                 case _ =>
@@ -492,7 +597,7 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
                   // the declared OIDs; the schema is parameter-independent
                   val (q, os) = preparedWire.getOrElse(name,
                     throw new IllegalArgumentException(s"unknown prepared statement \"$name\""))
-                  nullPlaceholders(q, os)
+                  (nullPlaceholders(q, os), Nil)
               }
               if (kind == 'S')
                 // ParameterDescription: oids as parsed (possibly empty)
@@ -500,10 +605,11 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
                   val oids = preparedWire(name)._2
                   o.writeShort(oids.length); oids.foreach(o.writeInt)
                 }
-              if (returnsRows(sqlText))
+              if (returnsRows(sqlText)) {
                 // schema-only planning: SELECT has no side effects here
-                rowDescription(out, runSql(sqlText).limit(0))
-              else out.msg('n')(_ => ()) // NoData
+                val df0 = runSql(sqlText).limit(0)
+                rowDescription(out, df0, resolvedFmts(df0, resCodes))
+              } else out.msg('n')(_ => ()) // NoData
             } catch { case e: Throwable => errorResponse(out, e); noteError(); extendedError = true }
 
           case 'E' if !extendedError => // Execute [maxRows → portal suspension]
@@ -511,7 +617,7 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
               val (portal, off) = cstr(body, 0)
               val maxRows = ((body(off) & 0xff) << 24) | ((body(off + 1) & 0xff) << 16) |
                 ((body(off + 2) & 0xff) << 8) | (body(off + 3) & 0xff)
-              val sqlText = portals.getOrElse(portal,
+              val (sqlText, resCodes) = portals.getOrElse(portal,
                 throw new IllegalArgumentException(s"unknown portal \"$portal\""))
               if (!returnsRows(sqlText)) {
                 val df = runSql(sqlText)
@@ -519,11 +625,13 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
               } else {
                 val st = portalIters.getOrElseUpdate(portal, {
                   val df = runSql(sqlText)
-                  new PortalExec(df, df.toLocalIterator())
+                  new PortalExec(df, df.toLocalIterator(),
+                    df.schema.fields.map(_.dataType), resolvedFmts(df, resCodes))
                 })
                 var sent = 0L
                 while (st.it.hasNext && (maxRows <= 0 || sent < maxRows)) {
-                  writeDataRow(out, st.it.next()); sent += 1; st.total += 1
+                  writeDataRow(out, st.it.next(), st.dts, st.fmts)
+                  sent += 1; st.total += 1
                 }
                 if (st.it.hasNext) out.msg('s')(_ => ()) // PortalSuspended
                 else {

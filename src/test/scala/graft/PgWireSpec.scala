@@ -330,47 +330,72 @@ class PgWireSpec extends SparkSpec {
     } finally srv.stop()
   }
 
-  test("binary Bind format codes are refused with an ErrorResponse, never misread") {
+  test("binary formats round-trip for the pgjdbc OID set; unsupported types refuse") {
     val (srv, c) = freshServer()
     try {
       c.startup()
-      c.query("CREATE TABLE bf (id INT PRIMARY KEY)")
+      c.query("CREATE TABLE bf (id INT PRIMARY KEY, big BIGINT, x DOUBLE PRECISION, " +
+        "ok BOOLEAN, name TEXT, num NUMERIC(10,2))")
+      c.query("INSERT INTO bf VALUES (7, 123456789012, 2.5, true, 'ada', 1.25)," +
+        " (8, -1, -0.5, false, 'grace', 2.50)")
       val body = new ByteArrayOutputStream()
       val d = new DataOutputStream(body)
       def c0(s: String): Unit = { d.write(s.getBytes("UTF-8")); d.writeByte(0) }
-      c0("bs"); c0("SELECT id FROM bf WHERE id = $1"); d.writeShort(1); d.writeInt(23)
+      // Parse with an int4 param; Bind the param IN BINARY and request
+      // BINARY results for int/bigint/double/bool/text columns
+      c0("bs"); c0("SELECT id, big, x, ok, name FROM bf WHERE id = $1")
+      d.writeShort(1); d.writeInt(23)
       c.send('P', body.toByteArray)
-      // Bind with parameter format code 1 (binary): raw int4 bytes MUST
-      // NOT be decoded as text — expect a loud protocol error
       body.reset()
       c0(""); c0("bs")
-      d.writeShort(1); d.writeShort(1)   // one format code: binary
+      d.writeShort(1); d.writeShort(1)   // one param format code: binary
       d.writeShort(1); d.writeInt(4); d.writeInt(7) // int4 binary value 7
-      d.writeShort(0)
+      d.writeShort(1); d.writeShort(1)   // one result format code: binary (all cols)
       c.send('B', body.toByteArray)
+      body.reset(); d.writeByte('P'); c0("")
+      c.send('D', body.toByteArray)
+      body.reset(); c0(""); d.writeInt(0)
+      c.send('E', body.toByteArray)
       c.send('S', Array.empty)
       val msgs = c.readUntilReady()
-      val errs = c.cstrBody('E', msgs)
-      assert(msgs.exists(_._1 == 'E'), "binary param format must error")
-      // Bind requesting binary RESULTS: same contract
+      assert(!msgs.exists(_._1 == 'E'),
+        s"binary round trip must not error: ${c.cstrBody('E', msgs)}")
+      // RowDescription advertises binary format for every column
+      val t = msgs.find(_._1 == 'T').get._2
+      val lastFmt = ((t(t.length - 2) & 0xff) << 8) | (t(t.length - 1) & 0xff)
+      assert(lastFmt == 1, "RowDescription format code reflects the Bind request")
+      // decode the binary DataRow: int4, int8, float8, bool, text
+      val row = msgs.find(_._1 == 'D').get._2
+      val in2 = new DataInputStream(new java.io.ByteArrayInputStream(row))
+      assert(in2.readShort() == 5)
+      assert(in2.readInt() == 4 && in2.readInt() == 7, "int4 binary")
+      assert(in2.readInt() == 8 && in2.readLong() == 123456789012L, "int8 binary")
+      assert(in2.readInt() == 8 && in2.readDouble() == 2.5, "float8 binary")
+      assert(in2.readInt() == 1 && in2.readByte() == 1, "bool binary")
+      val tl = in2.readInt(); val tb = new Array[Byte](tl); in2.readFully(tb)
+      assert(new String(tb, "UTF-8") == "ada", "text binary = UTF-8 bytes")
+      // binary request on a NUMERIC column: no binary encoding → loud
+      // ErrorResponse before any DataRow, never misparseable text bytes
       body.reset()
-      c0(""); c0("bs")
+      c0("bn"); c0("SELECT num FROM bf WHERE id = $1"); d.writeShort(1); d.writeInt(23)
+      c.send('P', body.toByteArray)
+      body.reset()
+      c0(""); c0("bn")
       d.writeShort(0); d.writeShort(1)
       val v = "7".getBytes("UTF-8"); d.writeInt(v.length); d.write(v)
-      d.writeShort(1); d.writeShort(1)   // one result format code: binary
+      d.writeShort(1); d.writeShort(1)
       c.send('B', body.toByteArray)
+      body.reset(); c0(""); d.writeInt(0)
+      c.send('E', body.toByteArray)
       c.send('S', Array.empty)
       val msgs2 = c.readUntilReady()
-      assert(msgs2.exists(_._1 == 'E'), "binary result format must error")
-      // error messages name the unsupported format (field-tagged bodies —
-      // just look for the phrase anywhere in the raw error payloads)
-      val rawErrs = (msgs ++ msgs2).filter(_._1 == 'E')
+      val rawErrs = msgs2.filter(_._1 == 'E')
         .map(m => new String(m._2, "UTF-8")).mkString
-      assert(rawErrs.contains("binary parameter format") &&
-        rawErrs.contains("binary result format"), s"errs: $errs $rawErrs")
-      // text-format Bind on the same statement still works after Sync
+      assert(rawErrs.contains("binary result format not supported"), rawErrs)
+      assert(!msgs2.exists(_._1 == 'D'), "no data row precedes the refusal")
+      // text-format Bind still works after Sync
       body.reset()
-      c0(""); c0("bs"); d.writeShort(0); d.writeShort(1)
+      c0(""); c0("bn"); d.writeShort(0); d.writeShort(1)
       d.writeInt(v.length); d.write(v); d.writeShort(0)
       c.send('B', body.toByteArray)
       body.reset(); c0(""); d.writeInt(0)
@@ -378,6 +403,61 @@ class PgWireSpec extends SparkSpec {
       c.send('S', Array.empty)
       val ok = c.readUntilReady()
       assert(!ok.exists(_._1 == 'E'), "text bind recovers after Sync")
+      assert(ok.filter(_._1 == 'D').map(m => c.row(m._2)) == Seq(Seq("1.25")))
+      c.terminate()
+    } finally srv.stop()
+  }
+
+  test("binary date/timestamp params and results use the PG 2000-01-01 epoch") {
+    val (srv, c) = freshServer()
+    try {
+      c.startup()
+      c.query("CREATE TABLE bd (d DATE PRIMARY KEY, ts TIMESTAMP)")
+      val body = new ByteArrayOutputStream()
+      val d = new DataOutputStream(body)
+      def c0(s: String): Unit = { d.write(s.getBytes("UTF-8")); d.writeByte(0) }
+      // insert via BINARY params: date = days since 2000-01-01,
+      // timestamp = micros since 2000-01-01 00:00:00
+      c0("ins"); c0("INSERT INTO bd VALUES ($1, $2)")
+      d.writeShort(2); d.writeInt(1082); d.writeInt(1114)
+      c.send('P', body.toByteArray)
+      body.reset()
+      c0(""); c0("ins")
+      d.writeShort(1); d.writeShort(1)  // all params binary
+      d.writeShort(2)
+      d.writeInt(4); d.writeInt(31)     // 2000-02-01
+      d.writeInt(8); d.writeLong(86400000000L + 3723000000L) // 2000-01-02 01:02:03
+      d.writeShort(0)
+      c.send('B', body.toByteArray)
+      body.reset(); c0(""); d.writeInt(0)
+      c.send('E', body.toByteArray)
+      c.send('S', Array.empty)
+      val ins = c.readUntilReady()
+      assert(!ins.exists(_._1 == 'E'), s"${c.cstrBody('E', ins)}")
+      // text read-back proves the binary decode landed the right values
+      val sel = c.query("SELECT d, ts FROM bd")
+      val rows = sel.filter(_._1 == 'D').map(m => c.row(m._2))
+      assert(rows.length == 1 && rows.head.head == "2000-02-01", rows)
+      assert(rows.head(1).startsWith("2000-01-02 01:02:03"), rows)
+      // read back in BINARY and check the epoch math inverts
+      body.reset()
+      c0("q"); c0("SELECT d, ts FROM bd"); d.writeShort(0)
+      c.send('P', body.toByteArray)
+      body.reset()
+      c0(""); c0("q"); d.writeShort(0); d.writeShort(0)
+      d.writeShort(1); d.writeShort(1)
+      c.send('B', body.toByteArray)
+      body.reset(); c0(""); d.writeInt(0)
+      c.send('E', body.toByteArray)
+      c.send('S', Array.empty)
+      val msgs = c.readUntilReady()
+      assert(!msgs.exists(_._1 == 'E'), s"${c.cstrBody('E', msgs)}")
+      val row = msgs.find(_._1 == 'D').get._2
+      val in2 = new DataInputStream(new java.io.ByteArrayInputStream(row))
+      assert(in2.readShort() == 2)
+      assert(in2.readInt() == 4 && in2.readInt() == 31, "date binary round trip")
+      assert(in2.readInt() == 8 && in2.readLong() == 86400000000L + 3723000000L,
+        "timestamp binary round trip")
       c.terminate()
     } finally srv.stop()
   }
