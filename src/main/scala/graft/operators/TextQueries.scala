@@ -382,10 +382,24 @@ object TextQueries extends QueryPack {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.types.DecimalType
       val docs = Tables.spread(Tables.load(s, dir, "documents"))
-      val tf = docs
+      // the explicit isNotNull is a semantic no-op (doc_id is a key) with
+      // a plan-shaping purpose: the lens join infers isnotnull(doc_id) on
+      // ITS tf branch only, which makes the two tf subtrees (score side
+      // and dfreq side) byte-different and defeats ReuseExchange — the
+      // expensive explode+shuffle then runs TWICE. Pre-applying the
+      // filter makes the branches identical, so the second reads the
+      // first's shuffle output as a ReusedExchange (PlanSpec pins this).
+      // Unlike tfidf (where a doc_id<100 pushdown makes the branches
+      // genuinely different sizes), both bm25 branches need full data.
+      val tf = docs.filter(col("doc_id").isNotNull)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      // the tautological tf >= 1 keeps the count column live on the dfreq
+      // branch — otherwise column pruning turns its partial aggregate
+      // into a bare distinct, the two tf exchanges stop being identical,
+      // and ReuseExchange can't kick in (see the isNotNull note above)
+      val dfreq = tf.filter(col("tf") >= 1)
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
       val qterms = dfreq.orderBy(col("df").desc, col("w")).limit(5)
       val lens = docs.select(col("doc_id"),
         size(split(col("text"), " ")).as("dl"))

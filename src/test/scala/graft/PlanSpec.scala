@@ -12,6 +12,14 @@ class PlanSpec extends SparkSpec {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
 
+  /** Final ADAPTIVE plan: AQE's runtime exchange reuse only shows after
+    * execution (the initial plan still prints both subtrees). */
+  private def finalPlanOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf())
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
   test("filters are pushed into the parquet scan") {
     val p = planOf("scan_project")
     assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,500)]"),
@@ -294,6 +302,22 @@ class PlanSpec extends SparkSpec {
       s"scalar totals must broadcast:\n${p.take(1500)}")
     assert(!p.contains("SortMergeJoin"),
       s"cohorts must not join — one aggregate computes both:\n${p.take(1500)}")
+  }
+
+  test("bm25 computes the term-frequency shuffle once (AQE exchange reuse)") {
+    val p = finalPlanOf("text_bm25")
+    // both consumers of tf (the score join and the dfreq→qterms branch)
+    // must read ONE (doc_id, w) shuffle: the branches are deliberately
+    // kept byte-identical (explicit isNotNull + a count-preserving
+    // filter) so AQE stage reuse dedupes the expensive explode+shuffle
+    assert(p.contains("ReusedExchange") &&
+      "ReusedExchange \\[[^\\]]*\\], Exchange hashpartitioning\\(doc_id".r
+        .findFirstIn(p).isDefined,
+      s"tf shuffle not reused — explode runs twice:\n${p.take(2000)}")
+    // the top-20 cut stays a distributed top-k feeding a 20-row window,
+    // never a corpus-sized global-sort funnel
+    assert(p.contains("TakeOrderedAndProject(limit=20"),
+      s"rank filter must plan a bounded top-k:\n${p.take(2000)}")
   }
 
   test("distinctive terms rank inside a source-partitioned window") {
