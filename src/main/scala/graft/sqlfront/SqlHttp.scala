@@ -16,6 +16,11 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   *   POST /sql   body = raw SQL text, or JSON {"sql": "..."}
   *     200 → {"columns":[...],"rows":[[...],...],"rowCount":N}
   *     4xx → {"error":"..."}   (parse/constraint violations)
+  *   POST /api/sql/execute — reference-parity route serving the
+  *     reference's QueryResponse shape (rows as column-keyed objects,
+  *     "error":null on success, {rows:null,rowCount:0,error,columns:null}
+  *     on failure); GET /api/sql/health → "OK"; the locks admin route
+  *     answers the reference's non-KV-mode message.
   *
   * The JDK HttpServer runs requests on a single executor thread by
   * design: GraftSession is a single-session engine (its transaction
@@ -30,11 +35,17 @@ object SqlHttp {
 
   def start(gs: GraftSession, port: Int = 0, maxRows: Int = 10000): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    val handler = new HttpHandler {
+    // refShape: the reference's QueryResponse serialization (reference
+    // dto/QueryResponse.java via Jackson) — rows are OBJECTS keyed by
+    // column name, an `error` field is present (null on success). The
+    // compact /sql shape keeps positional row arrays + the truncation
+    // flag. A client ported from the reference indexes rows[0]["col"],
+    // so /api/sql/execute must serve the object shape to be drop-in.
+    def handler(refShape: Boolean) = new HttpHandler {
       override def handle(ex: HttpExchange): Unit =
         try {
           if (ex.getRequestMethod.toUpperCase != "POST") {
-            respond(ex, 405, """{"error":"use POST /sql"}""")
+            respond(ex, 405, """{"error":"use POST"}""")
           } else {
             val body = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
             val sql =
@@ -42,7 +53,7 @@ object SqlHttp {
                 graft.catalog.Json.parse(body).asInstanceOf[Map[String, Any]]
                   .getOrElse("sql", "").toString
               else body
-            if (sql.isEmpty) respond(ex, 400, """{"error":"empty SQL"}""")
+            if (sql.isEmpty) respond(ex, 400, errBody(refShape, "empty SQL"))
             else {
               // the session monitor is shared with PgWire.runSql: the
               // engine's transaction/publish model assumes one statement
@@ -66,27 +77,51 @@ object SqlHttp {
               rows.foreach { r =>
                 if (!first) sb.append(',')
                 first = false
-                sb.append(cols.indices.map(i => jval(r.get(i))).mkString("[", ",", "]"))
+                if (refShape)
+                  sb.append(cols.indices
+                    .map(i => jstr(cols(i)) + ":" + jval(r.get(i)))
+                    .mkString("{", ",", "}"))
+                else
+                  sb.append(cols.indices.map(i => jval(r.get(i))).mkString("[", ",", "]"))
               }
               sb.append("],\"rowCount\":").append(rows.length)
-              if (truncated) sb.append(",\"truncated\":true")
+              if (refShape) sb.append(",\"error\":null")
+              else if (truncated) sb.append(",\"truncated\":true")
               sb.append('}')
               respond(ex, 200, sb.toString)
             }
           }
         } catch {
           case e: Exception =>
-            respond(ex, 400, s"""{"error":${jstr(errMsg(e))}}""")
+            respond(ex, 400, errBody(refShape, errMsg(e)))
         }
     }
-    server.createContext("/sql", handler)
-    // exact-path parity with the reference's SQLController route
-    // (reference SQLController.java:20-31: POST /api/sql/execute) so a
-    // client ported from the reference works without reconfiguration
-    server.createContext("/api/sql/execute", handler)
+    server.createContext("/sql", handler(refShape = false))
+    // exact parity with the reference's SQLController (reference
+    // SQLController.java): POST /api/sql/execute with the QueryResponse
+    // object-row shape, GET /api/sql/health → "OK", and the lock-dump
+    // admin route answering exactly what the reference's non-KV mode
+    // answers (Spark has no lock manager to dump)
+    server.createContext("/api/sql/execute", handler(refShape = true))
+    server.createContext("/api/sql/health", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        if (ex.getRequestMethod.toUpperCase == "GET") respondText(ex, 200, "OK")
+        else respond(ex, 405, """{"error":"use GET"}""")
+    })
+    server.createContext("/api/sql/admin/locks/dump", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        respondText(ex, 200, "Lock diagnostics not available (not in KV mode)")
+    })
     server.start()
     server
   }
+
+  private def errBody(refShape: Boolean, msg: String): String =
+    if (refShape)
+      // reference QueryResponse.error(message): rows/columns null,
+      // rowCount 0, error populated
+      s"""{"rows":null,"rowCount":0,"error":${jstr(msg)},"columns":null}"""
+    else s"""{"error":${jstr(msg)}}"""
 
   private def errMsg(e: Throwable): String =
     s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
@@ -113,6 +148,14 @@ object SqlHttp {
   private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
     val bytes = body.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def respondText(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "text/plain")
     ex.sendResponseHeaders(status, bytes.length)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()

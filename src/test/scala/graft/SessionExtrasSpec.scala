@@ -387,9 +387,10 @@ class SessionExtrasSpec extends SparkSpec {
       val connGet = new java.net.URL(s"http://127.0.0.1:$port/sql")
         .openConnection().asInstanceOf[java.net.HttpURLConnection]
       assert(connGet.getResponseCode == 405)
-      // reference route parity: POST /api/sql/execute serves the same
-      // handler (reference SQLController.java:20-31), so a client ported
-      // from the reference works unmodified
+      // reference route parity (reference SQLController.java +
+      // dto/QueryResponse.java): POST /api/sql/execute serves the
+      // QueryResponse shape — rows as column-keyed OBJECTS (a ported
+      // client indexes rows[0]["c"]), error:null on success
       val conn5 = new java.net.URL(s"http://127.0.0.1:$port/api/sql/execute")
         .openConnection().asInstanceOf[java.net.HttpURLConnection]
       conn5.setRequestMethod("POST")
@@ -398,7 +399,22 @@ class SessionExtrasSpec extends SparkSpec {
         """{"sql": "SELECT count(*) AS c FROM ht"}""".getBytes("UTF-8"))
       assert(conn5.getResponseCode == 200)
       val b5 = new String(conn5.getInputStream.readAllBytes(), "UTF-8")
-      assert(b5.contains("\"rows\":[[2]]"), b5)
+      assert(b5.contains("\"rows\":[{\"c\":2}]") && b5.contains("\"error\":null"), b5)
+      // reference error shape: rows/columns null, rowCount 0, error set
+      val conn6 = new java.net.URL(s"http://127.0.0.1:$port/api/sql/execute")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn6.setRequestMethod("POST")
+      conn6.setDoOutput(true)
+      conn6.getOutputStream.write("SELECT nope FROM missing".getBytes("UTF-8"))
+      assert(conn6.getResponseCode == 400)
+      val b6 = new String(conn6.getErrorStream.readAllBytes(), "UTF-8")
+      assert(b6.contains("\"rows\":null") && b6.contains("\"rowCount\":0") &&
+        b6.contains("\"error\":\""), b6)
+      // reference health route
+      val conn7 = new java.net.URL(s"http://127.0.0.1:$port/api/sql/health")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn7.getResponseCode == 200 &&
+        new String(conn7.getInputStream.readAllBytes(), "UTF-8") == "OK")
     } finally server.stop(0)
   }
 
