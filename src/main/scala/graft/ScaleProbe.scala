@@ -133,7 +133,9 @@ object ScaleProbe {
       "evt_markov_transitions", "pipeline_source_cap",
       // round-10 operators
       "text_token_entropy", "evt_session_conversion", "evt_dau_mau",
-      "pipeline_token_budget", "mm_dedup_payload", "sim_ann_recall_eval")
+      "pipeline_token_budget", "mm_dedup_payload", "sim_ann_recall_eval",
+      // round-11 operators
+      "pipeline_mix_temperature", "mm_decode_png")
     probes.foreach { n =>
       time(n)(SparkEntry.queries(n)(spark, out).count())
     }

@@ -681,6 +681,60 @@ object TextQueries extends QueryPack {
         .orderBy(col("source"))
     },
 
+    // Temperature-based source mixing — the mT5/LLaMA-style multilingual
+    // sampler: sources are re-weighted to token-mass^α (α = 0.5) so small
+    // sources are up-weighted relative to their natural share. With
+    // α = 0.5 the per-source acceptance rate collapses to
+    // sqrt(min_mass / mass_s) — the smallest source keeps everything, a
+    // source with 4× its tokens keeps half. Acceptance is the same
+    // deterministic md5-bucket gate as pipeline_mix_weighted (a pure
+    // function of doc_id — rerunning the pipeline keeps the same docs),
+    // and α = 0.5 is chosen deliberately: sqrt is IEEE-correctly-rounded
+    // on both engines where pow(x, 0.3) is not, so the floor-quantized
+    // thresholds are bit-identical by construction. Scale shape: one
+    // column-pruned scan for per-source mass (a handful of rows),
+    // broadcast back, one pass for the gate — no shuffle of documents.
+    Q(
+      "pipeline_mix_temperature",
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10000 AS bucket,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |m AS (SELECT source, CAST(SUM(toks) AS BIGINT) AS mass FROM d GROUP BY source),
+        |t AS (
+        |  SELECT source,
+        |         CAST(FLOOR(sqrt(CAST((SELECT MIN(mass) FROM m) AS DOUBLE)
+        |                         / CAST(mass AS DOUBLE)) * 10000) AS BIGINT) AS thr
+        |  FROM m)
+        |SELECT d.source, count(*) AS n_in, MAX(t.thr) AS thr,
+        |       CAST(SUM(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(SUM(CASE WHEN bucket < thr THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM d JOIN t ON d.source = t.source
+        |GROUP BY d.source
+        |ORDER BY d.source""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 10000")
+          .as("bucket"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      val mass = d.groupBy(col("source")).agg(sum(col("toks")).as("mass"))
+      val minMass = mass.agg(min(col("mass")).as("min_mass"))
+      val thr = mass.crossJoin(broadcast(minMass))
+        .select(col("source"),
+          floor(sqrt(col("min_mass").cast("double") / col("mass").cast("double")) * 10000)
+            .cast("long").as("thr"))
+      d.join(broadcast(thr), "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_in"),
+          max(col("thr")).as("thr"),
+          sum(when(col("bucket") < col("thr"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("bucket") < col("thr"), col("toks")).otherwise(lit(0L)))
+            .as("kept_tokens"))
+        .orderBy(col("source"))
+    },
+
     // Bigram-LM surprise — the 2-gram upgrade of text_lm_surprise's
     // unigram gate: score each document by the mean −ln P(w|prev) of its
     // adjacent-token bigrams under the corpus bigram model with add-1

@@ -361,6 +361,8 @@ class PlanSpec extends SparkSpec {
       "q19_disjunctive_filter" -> "final", "q22_sales_opportunity" -> "scalar",
       "q11_important_parts" -> "scalar", "q15_top_supplier" -> "scalar",
       "sub_scalar_where" -> "scalar", "pipeline_mix_weighted" -> "scalar",
+      // min source mass: one row per source (≤20) into the scalar min
+      "pipeline_mix_temperature" -> "scalar",
       "dedup_contamination" -> "scalar", "graph_pagerank" -> "scalar",
       "evt_gapfill_locf" -> "scalar", "mba_item_pairs" -> "scalar",
       "rfm_segments" -> "scalar", "text_bm25" -> "scalar",
