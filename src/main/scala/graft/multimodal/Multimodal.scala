@@ -70,7 +70,12 @@ object Multimodal {
   def pngFeatures(docs: DataFrame): Dataset[PngFeatures] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    // the codec work is pure executor CPU on a narrow input (one long per
+    // doc): a small compressed parquet arrives as ONE split, which would
+    // run the whole encode+decode pass single-threaded — spread to the
+    // cluster parallelism first (no-op when the file count already
+    // provides enough splits, i.e. at real scale)
+    graft.Tables.spread(docs.select(col("doc_id"))).as[Long].mapPartitions { it =>
       it.map { id =>
         val w = (id % 64 + 8).toInt
         val h = (id % 48 + 8).toInt
