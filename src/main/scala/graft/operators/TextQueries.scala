@@ -312,7 +312,7 @@ object TextQueries extends QueryPack {
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |freq AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
-        |total AS (SELECT count(*) AS n_tok FROM toks),
+        |total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tok FROM freq),
         |per_tok AS (
         |  SELECT t.doc_id, -LN(CAST(cnt AS DOUBLE) / n_tok) AS surprise
         |  FROM toks t JOIN freq ON t.w = freq.w CROSS JOIN total),
@@ -331,7 +331,11 @@ object TextQueries extends QueryPack {
       val toks = Tables.spread(Tables.load(s, dir, "documents"))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      val total = toks.agg(count(lit(1)).as("n_tok"))
+      // corpus token count DERIVES from the vocab-sized freq table
+      // (Σ cnt ≡ count of toks) — summing ~|vocab| rows instead of
+      // re-exploding every token removes a third full corpus explode.
+      // Exact integer arithmetic: results identical by construction.
+      val total = freq.agg(sum(col("cnt")).cast("long").as("n_tok"))
       val perTok = toks.join(freq, "w").crossJoin(broadcast(total))
         .select(col("doc_id"),
           (-log(col("cnt").cast("double") / col("n_tok"))).as("surprise"))
@@ -757,8 +761,8 @@ object TextQueries extends QueryPack {
         |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
         |  FROM t2 WHERE len(t) >= 2),
         |cbg AS (SELECT g, count(*) AS cg FROM grams GROUP BY g),
-        |cprev AS (SELECT split_part(g, ' ', 1) AS prev, count(*) AS cp
-        |          FROM grams GROUP BY 1),
+        |cprev AS (SELECT split_part(g, ' ', 1) AS prev, CAST(SUM(cg) AS BIGINT) AS cp
+        |          FROM cbg GROUP BY 1),
         |per AS (
         |  SELECT gr.doc_id, -LN(CAST(cg + 1 AS DOUBLE) / (cp + v)) AS sur
         |  FROM grams gr
@@ -782,8 +786,13 @@ object TextQueries extends QueryPack {
           "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
           .as("g"))
       val cbg = grams.groupBy(col("g")).agg(count(lit(1)).as("cg"))
-      val cprev = grams.select(expr("split_part(g, ' ', 1)").as("prev"))
-        .groupBy(col("prev")).agg(count(lit(1)).as("cp"))
+      // left-context counts DERIVE from the bigram table: c(prev) is by
+      // definition Σ_g c(prev·w) — summing the (small, distinct-gram)
+      // model table instead of re-exploding the corpus removes a third
+      // full explode+shuffle of every bigram instance. Exact integer
+      // arithmetic, so results are identical to counting from raw grams.
+      val cprev = cbg.select(expr("split_part(g, ' ', 1)").as("prev"), col("cg"))
+        .groupBy(col("prev")).agg(sum(col("cg")).as("cp"))
       grams.withColumn("prev", expr("split_part(g, ' ', 1)"))
         .join(cbg, "g")
         .join(cprev, "prev")
@@ -978,7 +987,7 @@ object TextQueries extends QueryPack {
       """WITH toks AS (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
         |f AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY word),
-        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks),
+        |tot AS (SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM f),
         |top AS (SELECT word, freq FROM f ORDER BY freq DESC, word LIMIT 25)
         |SELECT ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rank,
         |       word, freq,
@@ -992,7 +1001,9 @@ object TextQueries extends QueryPack {
       val toks = Tables.load(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("word"))
       val freq = toks.groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      val total = toks.agg(count(lit(1)).cast("double").as("total"))
+      // corpus token count from the vocab-sized freq table (Σ freq), not
+      // a second full explode — same derivation as text_lm_surprise
+      val total = freq.agg(sum(col("freq")).cast("double").as("total"))
       val top = freq.orderBy(col("freq").desc, col("word")).limit(25)
       val ord = Window.orderBy(col("freq").desc, col("word"))
       val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
