@@ -449,10 +449,14 @@ object AggQueries extends QueryPack {
         |FROM lineitem""".stripMargin
     ) { (s, dir) =>
       def ok(p: Double): org.apache.spark.sql.Column = {
+        // accuracy 10000 → rank error ≤ n/10000, an order of magnitude
+        // inside the ±0.001-quantile acceptance window at every fixture
+        // SF (at accuracy 1000 the sf0.001 table's ±6-rank window sat
+        // exactly on the sketch's error bound and p90/p99 failed)
         val eps = 0.001
-        (expr(s"approx_percentile(l_extendedprice, $p, 1000)") >=
+        (expr(s"approx_percentile(l_extendedprice, $p, 10000)") >=
           expr(s"percentile(l_extendedprice, ${p - eps})")) &&
-          (expr(s"approx_percentile(l_extendedprice, $p, 1000)") <=
+          (expr(s"approx_percentile(l_extendedprice, $p, 10000)") <=
             expr(s"percentile(l_extendedprice, ${p + eps})"))
       }
       Tables.load(s, dir, "lineitem")
