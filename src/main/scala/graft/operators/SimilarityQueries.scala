@@ -200,10 +200,24 @@ object SimilarityQueries extends QueryPack {
     * the `sim_ann_lsh` gate query: md5-derived hyperplanes (64-dim, the
     * fixture's embedding width — engine-identical to the oracle's
     * `planes` CTE), corpus-adaptive sketch width ([[lshSketchWidth]]),
-    * one-long sketch per vector, bucket equi-join, exact decimal verify.
-    * Returned WITHOUT the cosine threshold so ScaleProbe can decompose
-    * candidate volume from the final thresholded result. */
-  private[graft] def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    * one-long sketch per vector, then bucket pair work. With a `thr`
+    * (the gate path) pairs run through the BLOCKED kernel — per-bucket
+    * collect_list, one decode to primitive arrays, double pre-filter in
+    * front of the exact-decimal verify — never a wide-row pair join.
+    * Without (`None`) it is the raw candidate census the ScaleProbe
+    * decomposition counts (every same-sketch pair, no threshold). */
+  /** (vec_id, embedding, norm, sk): every vector with its banded sign-LSH
+    * sketch — the bucket key of the candidate join. Exposed for bucket-
+    * occupancy diagnostics. */
+  private[graft] def lshSketches(s: SparkSession, dir: String): DataFrame =
+    lshCandidatePairsImpl(s, dir, None, sketchesOnly = true)
+
+  private[graft] def lshCandidatePairs(s: SparkSession, dir: String,
+      thr: Option[Double] = None): DataFrame =
+    lshCandidatePairsImpl(s, dir, thr, sketchesOnly = false)
+
+  private def lshCandidatePairsImpl(s: SparkSession, dir: String,
+      thr: Option[Double], sketchesOnly: Boolean): DataFrame = {
     // one metadata-cheap count; a parameter, not data
     val n = Tables.load(s, dir, "embeddings").count().max(1L)
     val bits = lshSketchWidth(n)
@@ -226,11 +240,51 @@ object SimilarityQueries extends QueryPack {
       .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L))
         .as("sk"))
     val withSk = vecs.join(sketch, "vec_id")
-    val right = withSk.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
-      col("norm").as("nb"), col("sk").as("skb"))
-    withSk.join(right, col("sk") === col("skb") && col("vec_id") < col("b_id"))
-      .select(col("vec_id").as("a"), col("b_id").as("b"),
-        (dotExact(col("embedding"), col("eb")) / (col("norm") * col("nb"))).as("cosine"))
+    if (sketchesOnly) return withSk
+    thr match {
+      case Some(t) =>
+        // Thresholded path (the gate query): route the in-bucket pair
+        // work through the BLOCKED kernel instead of a self-join. The
+        // join formulation materializes every same-sketch ordered pair
+        // as a wide row and evaluates the dot through ArrayData's
+        // virtual per-element reads — at target occupancy ~1024 that is
+        // ~0.5·occupancy·n pair rows of redundant decode (measured 21 s
+        // at 10×). The kernel decodes each bucket's vectors ONCE to
+        // primitive arrays and loops pairs locally with the cheap double
+        // pre-filter in front of the exact-decimal verify (CosineBlock),
+        // the same shape as cosinePairsAnn's round-10 fix; buckets past
+        // maxPerBlock split into sub-blocks so a collect_list row stays
+        // bounded no matter how hot a bucket gets. Emitted cosines come
+        // from the same exact dot — bit-identical to the join form and
+        // the oracle.
+        val maxPerBlock = 4096L
+        val counts = withSk.groupBy(col("sk"))
+          .agg(ceil(count(lit(1)) / lit(maxPerBlock.toDouble)).cast("int").as("nblk"))
+        val blocks = withSk.join(broadcast(counts), "sk")
+          .withColumn("bid", pmod(col("vec_id"), greatest(col("nblk"), lit(1))).cast("int"))
+          .groupBy(col("sk"), col("bid"))
+          .agg(first(col("nblk")).as("nblk"),
+            collect_list(struct(col("vec_id"), col("embedding"), col("norm"))).as("blk"))
+        val single = blocks.filter(col("nblk") <= 1)
+          .select(explode(graft.functions.CosineBlock.pairs(
+            col("blk"), col("blk"), t, lit(true))).as("p"))
+        val mb = blocks.filter(col("nblk") > 1)
+        val mx = mb.select(col("sk"), col("bid").as("bidx"), col("blk").as("blkx"))
+        val my = mb.select(col("sk"), col("bid").as("bidy"), col("blk").as("blky"))
+        val multi = mx.join(my, "sk").filter(col("bidx") <= col("bidy"))
+          .select(explode(graft.functions.CosineBlock.pairs(
+            col("blkx"), col("blky"), t, col("bidx") === col("bidy"))).as("p"))
+        single.unionByName(multi)
+          .select(col("p.a").as("a"), col("p.b").as("b"), col("p.cosine").as("cosine"))
+      case None =>
+        // Raw candidate census (ScaleProbe decomposition): every
+        // same-sketch pair with its exact cosine, no threshold.
+        val right = withSk.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+          col("norm").as("nb"), col("sk").as("skb"))
+        withSk.join(right, col("sk") === col("skb") && col("vec_id") < col("b_id"))
+          .select(col("vec_id").as("a"), col("b_id").as("b"),
+            (dotExact(col("embedding"), col("eb")) / (col("norm") * col("nb"))).as("cosine"))
+    }
   }
 
   /** IVF-Flat top-10 for the fixed query set (5-9): 16 deterministic seed
@@ -413,7 +467,10 @@ object SimilarityQueries extends QueryPack {
          |WHERE dot / (na.norm * nb.norm) >= 0.2
          |ORDER BY a, b""".stripMargin
     ) { (s, dir) =>
-      lshCandidatePairs(s, dir)
+      // thr enables the sound double pre-filter in the candidate join;
+      // the kept pairs' cosines still come from the exact dot, and this
+      // final exact filter is what defines the result set
+      lshCandidatePairs(s, dir, thr = Some(0.2))
         .filter(col("cosine") >= 0.2)
         .orderBy(col("a"), col("b"))
     },

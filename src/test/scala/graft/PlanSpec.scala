@@ -213,15 +213,20 @@ class PlanSpec extends SparkSpec {
       if (b < 12) assert(n <= 1024L * (1L << b), s"occupancy >1024 at n=$n")
       if (b > 3) assert(n > 1024L * (1L << (b - 1)), s"width over-wide at n=$n")
     }
-    // and the candidate join itself must be a plain equi-join on the
-    // sketch key (the tiny plane-table crossJoin broadcasts — a bounded
-    // parameter table, not the candidate join)
+    // pair work runs through the BLOCKED kernel (per-bucket collect_list
+    // + CosinePairsExpr with the double pre-filter), never a wide-row
+    // pair self-join; the rare over-occupied-bucket fallback is an
+    // equi-join of sub-blocks on the sketch key
     val p = planOf("sim_ann_lsh")
     assert(!p.contains("CartesianProduct"),
       s"cartesian in LSH plan:\n${p.take(1500)}")
-    assert(p.contains("Join [sk#") || p.contains("Join [skb#") ||
+    assert(p.contains("collect_list") &&
+      p.toLowerCase.contains("cosinepairsexpr"),
+      s"bucket pairs not routed through the blocked kernel:\n${p.take(2000)}")
+    assert("Join \\[?sk".r.findFirstIn(p).isDefined ||
+      p.contains("Join [sk#") ||
       "(SortMergeJoin|ShuffledHashJoin) \\[sk".r.findFirstIn(p).isDefined,
-      s"candidate join not an equi-join on the sketch:\n${p.take(2000)}")
+      s"sub-block fallback not an equi-join on the sketch:\n${p.take(2000)}")
   }
 
   test("TF-IDF plans top-k window group limits and broadcasts the vocab df join") {
