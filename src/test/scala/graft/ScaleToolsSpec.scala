@@ -78,6 +78,24 @@ class ScaleToolsSpec extends SparkSpec {
     (0 until 5).foreach(k => assert(m(100L + k) == k.toLong, s"hub $k"))
   }
 
+  test("blocked LSH kernel equals the raw candidate join at any threshold") {
+    import graft.operators.SimilarityQueries.lshCandidatePairs
+    // census path (raw equi-join, every candidate with its exact cosine)
+    // filtered post-hoc vs the kernel path (pre-filter + in-loop verify):
+    // same pair set, bit-identical cosines, at thresholds spanning the
+    // pre-filter's operating range
+    val raw = lshCandidatePairs(spark, sf()).persist()
+    try Seq(0.05, 0.3, 0.7).foreach { t =>
+      val expect = raw.filter(col("cosine") >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val got = lshCandidatePairs(spark, sf(), thr = Some(t))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expect,
+        s"thr=$t: kernel ${got.size} pairs vs join ${expect.size}; " +
+          s"diff ${(got diff expect).take(3)} / ${(expect diff got).take(3)}")
+    } finally raw.unpersist()
+  }
+
   test("pagerank lineage cut is bit-identical to the uncut loop") {
     import graft.operators.GraphQueries
     // 10 iterations: the default geometry cuts at round 8; overriding
