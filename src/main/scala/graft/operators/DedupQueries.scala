@@ -686,17 +686,17 @@ object DedupQueries extends QueryPack {
         |votes AS (
         |  SELECT doc_id, b,
         |         SUM(CASE WHEN ((h >> b) & 1) = 1 THEN cnt ELSE -cnt END) AS s
-        |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+        |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b)
         |  GROUP BY doc_id, b),
         |sig AS (
         |  SELECT doc_id,
-        |         SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sh32
+        |         SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sh
         |  FROM votes GROUP BY doc_id),
         |bandrows AS (
-        |  SELECT doc_id, sh32, band, (sh32 >> (band * 8)) & 255 AS bkey
+        |  SELECT doc_id, sh, band, (sh >> (band * 15)) & 32767 AS bkey
         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
         |cand AS (
-        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sh32 AS sa, y.sh32 AS sb
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sh AS sa, y.sh AS sb
         |  FROM bandrows x JOIN bandrows y
         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
         |SELECT a, b, bit_count(xor(sa, sb)) AS hamming
@@ -709,20 +709,25 @@ object DedupQueries extends QueryPack {
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
       val th = tf.select(col("doc_id"), col("cnt"),
         conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
-      // fused bit votes: ONE partial-aggregated pass (32 longs per doc
-      // cross the shuffle) instead of explode(×32) + (doc,bit) groupBy —
-      // bit-identical to the oracle's explicit vote spelling
+      // fused bit votes: ONE partial-aggregated pass (60 longs per doc
+      // cross the shuffle) instead of explode(×60) + (doc,bit) groupBy —
+      // bit-identical to the oracle's explicit vote spelling. 60-bit
+      // signatures (all the entropy the 15-hex md5 hash carries) give the
+      // 4-band LSH 15-bit band keys → 32768 buckets per band, so in-band
+      // candidate volume stays corpus-linear where the classic 32-bit /
+      // 8-bit-band form capped at 256 buckets and grew n²/256. The
+      // hamming ≤ 3 pigeonhole guarantee is width-independent.
       val sig = th
         .groupBy(col("doc_id"))
-        .agg(graft.functions.BitVoteAgg.simhash32(col("h"), col("cnt")).as("sh32"))
+        .agg(graft.functions.BitVoteAgg.simhash60(col("h"), col("cnt")).as("sh"))
       val bandrows = sig
-        .select(col("doc_id"), col("sh32"), explode(sequence(lit(0), lit(3))).as("band"))
-        .withColumn("bkey", expr("(sh32 >> (band * 8)) & 255"))
+        .select(col("doc_id"), col("sh"), explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bkey", expr("(sh >> (band * 15)) & 32767"))
       val cand = bandrows.as("x").join(bandrows.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          col("x.sh32").as("sa"), col("y.sh32").as("sb"))
+          col("x.sh").as("sa"), col("y.sh").as("sb"))
         .distinct()
       cand
         .select(col("a"), col("b"), expr("bit_count(sa ^ sb)").cast("long").as("hamming"))

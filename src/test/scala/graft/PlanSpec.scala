@@ -101,7 +101,7 @@ class PlanSpec extends SparkSpec {
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     // BitVoteAgg must run as a two-phase ObjectHashAggregate/SortAggregate
-    // (partial + final), so only 32 longs per doc cross the shuffle
+    // (partial + final), so only 60 longs per doc cross the shuffle
     assert("(ObjectHashAggregate|SortAggregate|HashAggregate)".r.findAllIn(p).size >= 2,
       s"expected two-phase custom aggregate:\n${p.take(1500)}")
   }
