@@ -119,8 +119,16 @@ object ScaleProbe {
       "dedup_canonical", "shared:dedup_pairs")
     if (only.forall(sel => sel.exists(pairConsumers))) {
       val t0 = System.nanoTime()
-      graft.operators.DedupQueries.warmSharedPairs(spark, out)
-      println(f"""{"probe":"shared:dedup_pairs","sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":0}""")
+      try {
+        graft.operators.DedupQueries.warmSharedPairs(spark, out)
+        println(f"""{"probe":"shared:dedup_pairs","sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":0}""")
+      } catch { case e: Throwable =>
+        // record-as-failure, same contract as time(): one bad warm must
+        // not abort the remaining probes of a long session
+        val m = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
+          .replaceAll("[\"\\\\\\x00-\\x1f]", " ")
+        println(f"""{"probe":"shared:dedup_pairs","sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":-1,"error":"$m"}""")
+      }
     }
     val probes = Seq(
       "dedup_exact", "dedup_minhash_lsh", "dedup_jaccard_pairs",

@@ -104,18 +104,6 @@ object FastOps {
     acc
   }
 
-  /** [[dotDoubleF]] over ArrayData — the [[DotDoubleExpr]] kernel. */
-  def dotDouble(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
-      i += 1
-    }
-    acc
-  }
-
   /** Same quantized-exact dot where the second side is double (e.g. LSH
     * hyperplanes). */
   def dotExactFD(a: ArrayData, b: ArrayData): Double = {
@@ -224,23 +212,6 @@ case class DotExactExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** dot_double(array<float>, array<float>) → double — the cheap plain
-  * IEEE dot, for SOUND pre-filters in front of the exact kernel (see
-  * the dotDoubleF bound comment: a candidate whose double cosine is
-  * below thr − 1e-6 can never reach thr under the exact dot, given
-  * unit-ish norms). Never the emitted value — emission stays exact. */
-case class DotDoubleExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
-  override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any =
-    FastOps.dotDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.FastOps.dotDouble($a, $b);")
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
-}
-
 /** dot_exact_fd(array<float>, array<double>) → double. */
 case class DotExactFDExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -272,8 +243,6 @@ case class MinHashExpr(left: Expression, right: Expression)
 object VectorFunctions {
   def dotExact(a: Column, b: Column): Column =
     Bridge.column(DotExactExpr(Bridge.expression(a), Bridge.expression(b)))
-  def dotDouble(a: Column, b: Column): Column =
-    Bridge.column(DotDoubleExpr(Bridge.expression(a), Bridge.expression(b)))
   def dotExactFD(a: Column, b: Column): Column =
     Bridge.column(DotExactFDExpr(Bridge.expression(a), Bridge.expression(b)))
   def minHash(shingles: Column, k: Int): Column =

@@ -670,10 +670,17 @@ object DedupQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
-    // SimHash: 32-bit weighted bit-vote signature per doc; near-dup
-    // candidates must share one of 4 exact 8-bit bands (hamming<=3 ⇒ some
-    // band is untouched), then verified by hamming distance. Banding makes
-    // the join bucket-local instead of all-pairs — the scale path.
+    // SimHash: 60-bit weighted bit-vote signature per doc (all the
+    // entropy the 15-hex md5 term hash carries); near-dup candidates must
+    // share one of 4 exact 15-bit bands (hamming<=3 ⇒ some band is
+    // untouched — the pigeonhole guarantee is width-independent), then
+    // verified by hamming distance. Banding makes the join bucket-local
+    // instead of all-pairs, and 15-bit keys give 32768 buckets per band
+    // so in-band candidates stay corpus-linear (8-bit keys capped at 256
+    // buckets → n²/256). Note the operating point: hamming ≤ 3 of 60 bits
+    // is the published 64-bit-class web-dedup setting — a TIGHTER angular
+    // criterion than 3-of-32 was, i.e. this reports true near-duplicates,
+    // not the half-random pairs the narrow signature admitted.
     Q(
       "dedup_simhash",
       """WITH tf AS (

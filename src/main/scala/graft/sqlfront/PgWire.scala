@@ -155,6 +155,14 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
       case 25 | 1043 => new String(b, UTF_8)
       case 1082 => java.time.LocalDate.ofEpochDay(be(4).toInt + pgEpochDay).toString
       case 1114 | 1184 =>
+        // binary timestamp payload is micros since 2000-01-01; for 1114
+        // (timestamp) that epoch is zone-naive, for 1184 (timestamptz) it
+        // is UTC-anchored. Rendering both as a naive wall-clock string is
+        // correct ONLY because Engine pins spark.sql.session.timeZone to
+        // UTC (core.scala) — Spark then interprets the naive literal as
+        // UTC, matching 1184's wire semantics exactly. A non-UTC session
+        // would shift 1184 instants by the zone offset; revisit this
+        // decode if that pin ever moves.
         val micros = be(8)
         pgEpochDateTime.plusSeconds(Math.floorDiv(micros, 1000000L))
           .plusNanos(Math.floorMod(micros, 1000000L) * 1000L).toString

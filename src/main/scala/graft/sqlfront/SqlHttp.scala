@@ -55,12 +55,19 @@ object SqlHttp {
               else body
             if (sql.isEmpty) respond(ex, 400, errBody(refShape, "empty SQL"))
             else {
-              // the session monitor is shared with PgWire.runSql: the
-              // engine's transaction/publish model assumes one statement
-              // stream, so an HTTP statement must not interleave with a
-              // concurrently-executing wire statement (execution included —
-              // MERGE's snapshot-diff cleanup would unpersist the other
-              // statement's caches)
+              // the session monitor is shared with PgWire.runSql, so an
+              // HTTP statement's EAGER phase (gs.sql — where every DDL/DML
+              // executes to completion, and where this path also collects
+              // its capped SELECT result) serializes against wire
+              // statements' eager phases. What the monitor deliberately
+              // does NOT cover is a wire SELECT's lazy result STREAMING
+              // (a suspended portal pulling batches via toLocalIterator):
+              // that reads an immutable copy-on-write snapshot version, so
+              // a concurrent DML publishing a NEW version cannot mutate
+              // the files under it — COW, not the lock, is the isolation
+              // mechanism there. SELECT plans never persist RDDs, so a
+              // concurrent MERGE's persistent-RDD snapshot-diff cleanup
+              // has nothing of theirs to unpersist.
               val (cols, fetched) = gs.synchronized {
                 val df = gs.sql(sql)
                 // limit is pushed into the plan (TakeOrderedAndProject /

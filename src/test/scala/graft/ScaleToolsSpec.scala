@@ -78,6 +78,20 @@ class ScaleToolsSpec extends SparkSpec {
     (0 until 5).foreach(k => assert(m(100L + k) == k.toLong, s"hub $k"))
   }
 
+  test("LSH bucket occupancy stays within the adaptive-width design envelope") {
+    import graft.operators.SimilarityQueries.{lshSketches, lshSketchWidth}
+    // the width formula promises expected occupancy ≤ ~1024; real data
+    // is not uniform, so pin a generous multiple — a fixed-width
+    // regression (or a degenerate hyperplane set collapsing everything
+    // into few buckets) blows straight through it
+    val n = Tables.load(spark, sf(), "embeddings").count()
+    val occ = lshSketches(spark, sf())
+      .groupBy(col("sk")).count().agg(max(col("count"))).collect()(0).getLong(0)
+    val expected = math.max(1L, n / (1L << lshSketchWidth(n)))
+    assert(occ <= math.max(8L, expected * 8),
+      s"hottest bucket $occ vs expected ~$expected (n=$n)")
+  }
+
   test("blocked LSH kernel equals the raw candidate join at any threshold") {
     import graft.operators.SimilarityQueries.lshCandidatePairs
     // census path (raw equi-join, every candidate with its exact cosine)
