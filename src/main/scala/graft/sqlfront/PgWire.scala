@@ -632,7 +632,20 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
                 commandComplete(out, tagFor(sqlText, df, 0))
               } else {
                 val st = portalIters.getOrElseUpdate(portal, {
-                  val df = runSql(sqlText)
+                  val df0 = runSql(sqlText)
+                  // a row-limited Execute can SUSPEND and resume across
+                  // later protocol messages — and across other
+                  // connections' DML/VACUUM. Pin its result set the way
+                  // DECLARE cursors do (GraftSession.declareCursor):
+                  // localCheckpoint materializes into executor storage,
+                  // immune to snapshot-version pruning, and is exactly
+                  // PG's stable-portal semantics. Full-drain portals
+                  // (maxRows == 0 — the common executeQuery path) stream
+                  // the live plan: copy-on-write snapshots isolate them
+                  // from concurrent DML, and a concurrent VACUUM surfaces
+                  // loudly as an ErrorResponse, never as silent misreads.
+                  val df = if (maxRows > 0) gs.synchronized(df0.localCheckpoint())
+                           else df0
                   new PortalExec(df, df.toLocalIterator(),
                     df.schema.fields.map(_.dataType), resolvedFmts(df, resCodes))
                 })

@@ -224,6 +224,46 @@ class PgWireSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("suspended portal survives concurrent UPDATE + VACUUM (pinned snapshot)") {
+    val (srv, c) = freshServer()
+    try {
+      c.startup()
+      c.query("CREATE TABLE sp (id INT PRIMARY KEY, v TEXT)")
+      c.query("INSERT INTO sp VALUES " + (1 to 6).map(i => s"($i, 'v$i')").mkString(", "))
+      val body = new ByteArrayOutputStream()
+      val d = new DataOutputStream(body)
+      def c0(s: String): Unit = { d.write(s.getBytes("UTF-8")); d.writeByte(0) }
+      c0(""); c0("SELECT id, v FROM sp ORDER BY id"); d.writeShort(0)
+      c.send('P', body.toByteArray)
+      body.reset(); c0(""); c0(""); d.writeShort(0); d.writeShort(0); d.writeShort(0)
+      c.send('B', body.toByteArray)
+      body.reset(); c0(""); d.writeInt(2)
+      c.send('E', body.toByteArray)
+      c.send('H', Array.empty)
+      val first = Iterator.continually(c.readMsg()).takeWhile(_._1 != 's').toSeq
+      assert(first.filter(_._1 == 'D').map(m => c.row(m._2)) ==
+        Seq(Seq("1", "v1"), Seq("2", "v2")), "portal suspended after 2 rows")
+      // a SECOND connection rewrites the table and prunes old snapshot
+      // versions while the portal sits suspended
+      val c2 = new WireClient(srv.boundPort)
+      c2.startup()
+      c2.query("UPDATE sp SET v = 'CHANGED'")
+      c2.query("VACUUM sp")
+      c2.terminate()
+      // resuming must stream the PORTAL's snapshot — the pre-UPDATE rows,
+      // from a pinned result set VACUUM cannot pull out from under it
+      body.reset(); c0(""); d.writeInt(0)
+      c.send('E', body.toByteArray)
+      c.send('S', Array.empty)
+      val rest = c.readUntilReady()
+      assert(!rest.exists(_._1 == 'E'), s"resume failed: ${c.cstrBody('E', rest)}")
+      assert(rest.filter(_._1 == 'D').map(m => c.row(m._2)) ==
+        Seq(Seq("3", "v3"), Seq("4", "v4"), Seq("5", "v5"), Seq("6", "v6")),
+        "resumed rows come from the portal's pinned snapshot")
+      c.terminate()
+    } finally srv.stop()
+  }
+
   test("COPY FROM STDIN over the wire: CopyInResponse + CopyData frames") {
     val (srv, c) = freshServer()
     try {
