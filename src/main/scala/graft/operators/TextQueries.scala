@@ -128,6 +128,63 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    // the MOSS algorithm): k-gram ROLLING hashes (true Rabin-Karp O(1)
+    // update in the native WinnowExpr), min per w-window with rightmost
+    // tie-break, dedup → position-robust fingerprints. Any shared
+    // substring of ≥ k+w−1 chars yields a common fingerprint at ~2/(w+1)
+    // the density of full shingling — the provenance/near-dup signature
+    // the brief's "document fingerprinting (rolling hash)" names. The
+    // oracle replays the same hashes DECLARATIVELY (Horner via
+    // list_reduce — algebraically identical to the rolling update, which
+    // WinnowSpec pins) plus an explicit window argmin. ASCII precondition
+    // as mm_decode_features: byte-level == codepoint-level hashing.
+    Q(
+      "text_winnow_fingerprint",
+      """WITH t AS (
+        |  SELECT doc_id, lower(trim(text)) AS s FROM documents
+        |  WHERE doc_id < 300 AND length(lower(trim(text))) >= 11),
+        |g0 AS (SELECT doc_id, s, unnest(generate_series(1, length(s) - 7)) AS i FROM t),
+        |g AS (
+        |  SELECT doc_id, i,
+        |         list_reduce(list_transform(generate_series(i, i + 7),
+        |           j -> CAST(ord(substr(s, j, 1)) AS BIGINT)),
+        |           (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM g0),
+        |wmin AS (
+        |  SELECT doc_id, i AS p,
+        |         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+        |         COUNT(*) OVER (PARTITION BY doc_id) AS ng
+        |  FROM g),
+        |wins AS (
+        |  SELECT w.doc_id, MAX(g.i) AS fpos, w.mn AS fp
+        |  FROM wmin w JOIN g ON g.doc_id = w.doc_id
+        |    AND g.i BETWEEN w.p AND w.p + 3 AND g.h = w.mn
+        |  WHERE w.p <= w.ng - 3
+        |  GROUP BY w.doc_id, w.p, w.mn),
+        |fps AS (SELECT DISTINCT doc_id, fpos, fp FROM wins)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+        |       CAST(SUM(fp) AS BIGINT) AS fp_sum,
+        |       CAST(MIN(fp) AS BIGINT) AS fp_min,
+        |       CAST(MAX(fp) AS BIGINT) AS fp_max
+        |FROM fps GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), lower(trim(col("text"))).as("s"))
+        .filter(length(col("s")) >= 11)
+        .select(col("doc_id"),
+          explode(graft.functions.WinnowFunctions.winnow(col("s"))).as("f"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"),
+          sum(col("f.fp")).as("fp_sum"),
+          min(col("f.fp")).as("fp_min"),
+          max(col("f.fp")).as("fp_max"))
+        .orderBy(col("doc_id"))
+    },
+
     // Regex ("BPE-ish") tokenization: alpha runs and digit runs as
     // separate tokens — a character-class pattern both engines' regex
     // dialects (Java / RE2) interpret identically.
