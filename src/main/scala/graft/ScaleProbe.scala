@@ -143,7 +143,8 @@ object ScaleProbe {
       "text_token_entropy", "evt_session_conversion", "evt_dau_mau",
       "pipeline_token_budget", "mm_dedup_payload", "sim_ann_recall_eval",
       // round-11 operators
-      "pipeline_mix_temperature", "mm_decode_png", "text_winnow_fingerprint")
+      "pipeline_mix_temperature", "mm_decode_png", "text_winnow_fingerprint",
+      "dedup_winnow")
     probes.foreach { n =>
       time(n)(SparkEntry.queries(n)(spark, out).count())
     }

@@ -914,6 +914,84 @@ object DedupQueries extends QueryPack {
         .select(col("a"), col("b"), levenshtein(col("pa"), col("pb")).as("dist"))
         .filter(col("dist") <= 8)
         .orderBy(col("a"), col("b"))
+    },
+
+    // Winnow-fingerprint dedup — the MOSS use case: documents sharing
+    // enough winnowing fingerprints (see text_winnow_fingerprint / the
+    // WinnowExpr kernel) are near-duplicate/plagiarism candidates. Pair
+    // discovery is an inverted index on the fingerprint VALUE: group by
+    // fp, pairs within an fp's posting list, count distinct shared fps
+    // per pair — the same shape as MinHash-LSH banding but keyed by an
+    // unbounded 30-bit-entropy hash space, so no fixed-width bucket
+    // hazard exists. Ultra-common fingerprints (stop-gram 8-grams like
+    // "the and ") would make hot posting lists whose pair work grows
+    // df² — dropped at df > 50, the stop-shingle discipline prefix
+    // filtering uses; the declared recall tradeoff is symmetric in the
+    // oracle. overlap = shared / min(|fpa|, |fpb|) (containment) so a
+    // short doc embedded in a long one still scores 1.0.
+    Q(
+      "dedup_winnow",
+      """WITH t AS (
+        |  SELECT doc_id, lower(trim(text)) AS s FROM documents
+        |  WHERE doc_id < 500 AND length(lower(trim(text))) >= 11),
+        |g0 AS (SELECT doc_id, s, unnest(generate_series(1, length(s) - 7)) AS i FROM t),
+        |g AS (
+        |  SELECT doc_id, i,
+        |         list_reduce(list_transform(generate_series(i, i + 7),
+        |           j -> CAST(ord(substr(s, j, 1)) AS BIGINT)),
+        |           (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM g0),
+        |wmin AS (
+        |  SELECT doc_id, i AS p,
+        |         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+        |         COUNT(*) OVER (PARTITION BY doc_id) AS ng
+        |  FROM g),
+        |fpdoc AS (
+        |  SELECT DISTINCT doc_id, mn AS fp FROM wmin WHERE p <= ng - 3),
+        |rare AS (
+        |  SELECT fp FROM fpdoc GROUP BY fp HAVING COUNT(*) <= 50),
+        |fpr AS (SELECT doc_id, fp FROM fpdoc WHERE fp IN (SELECT fp FROM rare)),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nfp FROM fpr GROUP BY doc_id),
+        |shared AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM fpr x JOIN fpr y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT s.a, s.b, s.n_shared,
+        |       CAST(s.n_shared AS DOUBLE) / LEAST(za.nfp, zb.nfp) AS containment
+        |FROM shared s JOIN sz za ON za.doc_id = s.a JOIN sz zb ON zb.doc_id = s.b
+        |WHERE s.n_shared >= 3
+        |  AND CAST(s.n_shared AS DOUBLE) / LEAST(za.nfp, zb.nfp) >= 0.3
+        |ORDER BY s.a, s.b""".stripMargin
+    ) { (s, dir) =>
+      val fpdoc = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"), lower(trim(col("text"))).as("s"))
+        .filter(length(col("s")) >= 11)
+        .select(col("doc_id"),
+          explode(graft.functions.WinnowFunctions.winnow(col("s"))).as("f"))
+        .select(col("doc_id"), col("f.fp").as("fp"))
+        .distinct()
+      val rare = fpdoc.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50).select(col("fp"))
+      val fpr = fpdoc.join(rare, "fp")
+      val sz = fpr.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+      val shared = fpr.select(col("fp"), col("doc_id").as("a"))
+        .join(fpr.select(col("fp"), col("doc_id").as("b")), "fp")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+      shared
+        .join(sz.select(col("doc_id").as("a"), col("nfp").as("na")), "a")
+        .join(sz.select(col("doc_id").as("b"), col("nfp").as("nb")), "b")
+        .select(col("a"), col("b"), col("n_shared"),
+          (col("n_shared").cast("double") / least(col("na"), col("nb")))
+            .as("containment"))
+        // 0.3 containment = the top ~0.25% of candidate pairs on this
+        // corpus (p99.9 ≈ 0.33) — the near-dup tail, not the ambient
+        // shared-phrase noise a loose threshold would report
+        .filter(col("containment") >= 0.3)
+        .orderBy(col("a"), col("b"))
     }
   )
 }
