@@ -26,5 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_minhash"),
       info("graft_minhash", "graft_minhash(array<string>, k) - k md5-derived min-hashes in one pass"),
       (args: Seq[Expression]) => MinHashExpr(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("graft_winnow"),
+      info("graft_winnow", "graft_winnow(text) - winnowing fingerprints array<struct<pos:int,fp:bigint>> (MOSS; k=8, w=4, rolling hash)"),
+      (args: Seq[Expression]) => WinnowExpr(args(0))))
   }
 }

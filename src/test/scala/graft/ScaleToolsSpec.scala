@@ -34,9 +34,11 @@ class ScaleToolsSpec extends SparkSpec {
   test("native expressions are SQL-callable via SparkSessionExtensions") {
     val r = spark.sql(
       "SELECT dot_exact(CAST(array(1.5, 2.0) AS ARRAY<FLOAT>), CAST(array(2.0, 3.0) AS ARRAY<FLOAT>)) AS d, " +
-      "graft_minhash(array('a b c'), 2) AS mh").collect()(0)
+      "graft_minhash(array('a b c'), 2) AS mh, " +
+      "size(graft_winnow('the quick brown fox jumps over the lazy dog')) AS nw").collect()(0)
     assert(r.getDouble(0) == 9.0)
     assert(r.getSeq[Long](1).length == 2)
+    assert(r.getInt(2) > 0, "winnow fingerprints callable from SQL")
   }
 
   test("label propagation converges on a deep chain and fails loudly past the cap") {
