@@ -931,22 +931,7 @@ object DedupQueries extends QueryPack {
     // short doc embedded in a long one still scores 1.0.
     Q(
       "dedup_winnow",
-      """WITH t AS (
-        |  SELECT doc_id, lower(trim(text)) AS s FROM documents
-        |  WHERE doc_id < 500 AND length(lower(trim(text))) >= 11),
-        |g0 AS (SELECT doc_id, s, unnest(generate_series(1, length(s) - 7)) AS i FROM t),
-        |g AS (
-        |  SELECT doc_id, i,
-        |         list_reduce(list_transform(generate_series(i, i + 7),
-        |           j -> CAST(ord(substr(s, j, 1)) AS BIGINT)),
-        |           (acc, c) -> (acc * 31 + c) % 1000000007) AS h
-        |  FROM g0),
-        |wmin AS (
-        |  SELECT doc_id, i AS p,
-        |         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
-        |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
-        |         COUNT(*) OVER (PARTITION BY doc_id) AS ng
-        |  FROM g),
+      s"""WITH ${TextQueries.oWinnowCtes(500)},
         |fpdoc AS (
         |  SELECT DISTINCT doc_id, mn AS fp FROM wmin WHERE p <= ng - 3),
         |rare AS (
@@ -964,14 +949,16 @@ object DedupQueries extends QueryPack {
         |  AND CAST(s.n_shared AS DOUBLE) / LEAST(za.nfp, zb.nfp) >= 0.3
         |ORDER BY s.a, s.b""".stripMargin
     ) { (s, dir) =>
-      val fpdoc = Tables.load(s, dir, "documents")
-        .filter(col("doc_id") < 500)
-        .select(col("doc_id"), lower(trim(col("text"))).as("s"))
-        .filter(length(col("s")) >= 11)
-        .select(col("doc_id"),
-          explode(graft.functions.WinnowFunctions.winnow(col("s"))).as("f"))
+      // shared plumbing with text_winnow_fingerprint (TextQueries) — one
+      // definition of the hash/window/precondition on each side. The
+      // distinct fingerprint table feeds FOUR consumers (rare, both join
+      // sides, sz); persisting it computes the scan+winnow+distinct
+      // subtree once instead of per consumer (the file's shared-
+      // intermediate discipline, cf. the jaccard prefix index).
+      val fpdoc = TextQueries.winnowFpRows(s, dir, 500)
         .select(col("doc_id"), col("f.fp").as("fp"))
         .distinct()
+        .persist()
       val rare = fpdoc.groupBy(col("fp")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= 50).select(col("fp"))
       val fpr = fpdoc.join(rare, "fp")

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, QueryPack, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Text-analysis operators for a training-data pipeline over `documents`
   * (north-star extension — the reference has no text surface; SURVEY.md
@@ -16,6 +17,41 @@ import org.apache.spark.sql.functions._
   * the same algorithm, not a reimplementation.
   */
 object TextQueries extends QueryPack {
+
+  /** Shared winnow plumbing — used by `text_winnow_fingerprint` here and
+    * `dedup_winnow` (DedupQueries): per-doc winnowing fingerprint rows
+    * (doc_id, f struct<pos,fp>) under a doc-id cap (oracle-cost bound)
+    * and the >= k+w-1 length precondition. One definition so a change to
+    * the hash recurrence / window bound / precondition cannot silently
+    * diverge between the two operators. */
+  private[operators] def winnowFpRows(s: SparkSession, dir: String, docCap: Int): DataFrame =
+    Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < docCap)
+      .select(col("doc_id"), lower(trim(col("text"))).as("s"))
+      .filter(length(col("s")) >= 11)
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowFunctions.winnow(col("s"))).as("f"))
+
+  /** The matching oracle CTE chain (t → grams → rolling-equivalent Horner
+    * hashes → per-window minima); callers append their own selection. */
+  private[operators] def oWinnowCtes(docCap: Int): String =
+    s"""t AS (
+       |  SELECT doc_id, lower(trim(text)) AS s FROM documents
+       |  WHERE doc_id < $docCap AND length(lower(trim(text))) >= 11),
+       |g0 AS (SELECT doc_id, s, unnest(generate_series(1, length(s) - 7)) AS i FROM t),
+       |g AS (
+       |  SELECT doc_id, i,
+       |         list_reduce(list_transform(generate_series(i, i + 7),
+       |           j -> CAST(ord(substr(s, j, 1)) AS BIGINT)),
+       |           (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+       |  FROM g0),
+       |wmin AS (
+       |  SELECT doc_id, i AS p,
+       |         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+       |         COUNT(*) OVER (PARTITION BY doc_id) AS ng
+       |  FROM g)""".stripMargin
+
 
   val qs: Seq[Q] = Seq(
     // Token counting: whitespace tokens, distinct tokens, char stats.
@@ -141,22 +177,7 @@ object TextQueries extends QueryPack {
     // as mm_decode_features: byte-level == codepoint-level hashing.
     Q(
       "text_winnow_fingerprint",
-      """WITH t AS (
-        |  SELECT doc_id, lower(trim(text)) AS s FROM documents
-        |  WHERE doc_id < 300 AND length(lower(trim(text))) >= 11),
-        |g0 AS (SELECT doc_id, s, unnest(generate_series(1, length(s) - 7)) AS i FROM t),
-        |g AS (
-        |  SELECT doc_id, i,
-        |         list_reduce(list_transform(generate_series(i, i + 7),
-        |           j -> CAST(ord(substr(s, j, 1)) AS BIGINT)),
-        |           (acc, c) -> (acc * 31 + c) % 1000000007) AS h
-        |  FROM g0),
-        |wmin AS (
-        |  SELECT doc_id, i AS p,
-        |         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
-        |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
-        |         COUNT(*) OVER (PARTITION BY doc_id) AS ng
-        |  FROM g),
+      s"""WITH ${oWinnowCtes(300)},
         |wins AS (
         |  SELECT w.doc_id, MAX(g.i) AS fpos, w.mn AS fp
         |  FROM wmin w JOIN g ON g.doc_id = w.doc_id
@@ -171,12 +192,7 @@ object TextQueries extends QueryPack {
         |FROM fps GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
-      Tables.load(s, dir, "documents")
-        .filter(col("doc_id") < 300)
-        .select(col("doc_id"), lower(trim(col("text"))).as("s"))
-        .filter(length(col("s")) >= 11)
-        .select(col("doc_id"),
-          explode(graft.functions.WinnowFunctions.winnow(col("s"))).as("f"))
+      winnowFpRows(s, dir, 300)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_fp"),
           sum(col("f.fp")).as("fp_sum"),

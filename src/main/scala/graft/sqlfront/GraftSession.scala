@@ -738,6 +738,37 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     * .versionStamp); pruning one would leave a checkpoint referencing
     * vanished files. Stale stamps self-heal (the next refresh resets the
     * checkpoint on mismatch), at which point a later VACUUM reclaims. */
+  // --------------------------------------------------- reader version pins
+
+  /** Open readers (suspended wire portals, long-lived result streams) pin
+    * the snapshot versions they were planned against so VACUUM's
+    * retention pass cannot prune them mid-read — the copy-on-write
+    * analogue of PG's "tuples visible to an open cursor survive VACUUM"
+    * rule. A pin records every table's CURRENT version at acquisition
+    * (coarse — a portal may read any number of tables through joins);
+    * the reader releases it when drained or closed. Pins are in-memory
+    * session state: a crashed reader's pin dies with the process, so
+    * retention can never leak across restarts. */
+  private val readerPins =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Map[String, Long]]()
+  private val nextPinId = new java.util.concurrent.atomic.AtomicLong(1)
+
+  /** Pin the current version of every table; returns the handle to pass
+    * to [[releaseVersionPin]]. */
+  def pinCurrentVersions(): Long = {
+    val id = nextPinId.getAndIncrement()
+    readerPins.put(id, catalog.tables.values.map(t => t.name -> t.version).toMap)
+    id
+  }
+
+  def releaseVersionPin(id: Long): Unit = readerPins.remove(id)
+
+  private def readerPinnedVersions(): Set[(String, Long)] = {
+    val b = Set.newBuilder[(String, Long)]
+    readerPins.values.forEach(m => m.foreach { case (n, v) => b += ((n, v)) })
+    b.result()
+  }
+
   private def checkpointPinnedVersions(): Set[(String, Long)] = {
     val b = Set.newBuilder[(String, Long)]
     val entry = """([\w]+):(\d+)(?::[^,]*)?""".r
@@ -798,7 +829,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       publish(t, tableDf(t).localCheckpoint().coalesce(nFiles))
     }
     val targets = resolveTargets()
-    val pinned = checkpointPinnedVersions()
+    val pinned = checkpointPinnedVersions() ++ readerPinnedVersions()
     var removed = 0L
     val vdir = """v(\d+)""".r
     def prune(rootName: String, current: Long, pinKey: String): Unit = {

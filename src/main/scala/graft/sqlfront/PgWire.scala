@@ -421,8 +421,14 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
     // drives Execute with a row limit; the portal resumes where it left)
     final class PortalExec(val df: DataFrame,
         val it: java.util.Iterator[org.apache.spark.sql.Row],
-        val dts: Array[DataType], val fmts: Array[Int]) { var total = 0L }
+        val dts: Array[DataType], val fmts: Array[Int],
+        val pin: Option[Long]) { var total = 0L }
     val portalIters = scala.collection.mutable.Map[String, PortalExec]()
+    // drop a portal's iterator AND release its snapshot pin — every
+    // removal path (drain, Close, re-Bind, disconnect) must route here
+    // or retention would leak until connection end
+    def dropPortal(name: String): Unit =
+      portalIters.remove(name).foreach(_.pin.foreach(gs.releaseVersionPin))
     var extendedError = false // error until Sync: skip further extended msgs
 
     var done = false
@@ -584,7 +590,7 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
                 ((body(off + i * 2) & 0xff) << 8) | (body(off + i * 2 + 1) & 0xff)
               }
               portals(portal) = (substituteParams(query, values, oids), resFmts)
-              portalIters.remove(portal) // re-bind resets a suspended portal
+              dropPortal(portal) // re-bind resets a suspended portal (and its pin)
               out.msg('2')(_ => ())
             } catch { case e: Throwable => errorResponse(out, e); noteError(); extendedError = true }
 
@@ -632,22 +638,27 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
                 commandComplete(out, tagFor(sqlText, df, 0))
               } else {
                 val st = portalIters.getOrElseUpdate(portal, {
-                  val df0 = runSql(sqlText)
                   // a row-limited Execute can SUSPEND and resume across
                   // later protocol messages — and across other
-                  // connections' DML/VACUUM. Pin its result set the way
-                  // DECLARE cursors do (GraftSession.declareCursor):
-                  // localCheckpoint materializes into executor storage,
-                  // immune to snapshot-version pruning, and is exactly
-                  // PG's stable-portal semantics. Full-drain portals
-                  // (maxRows == 0 — the common executeQuery path) stream
-                  // the live plan: copy-on-write snapshots isolate them
-                  // from concurrent DML, and a concurrent VACUUM surfaces
-                  // loudly as an ErrorResponse, never as silent misreads.
-                  val df = if (maxRows > 0) gs.synchronized(df0.localCheckpoint())
-                           else df0
+                  // connections' DML/VACUUM. PIN the snapshot versions it
+                  // reads (GraftSession.pinCurrentVersions) so VACUUM's
+                  // retention pass keeps them until the portal drains or
+                  // closes — PG's "visible to an open cursor" rule in
+                  // copy-on-write form, with zero materialization (the
+                  // portal streams its original lazy plan; the earlier
+                  // localCheckpoint form materialized the WHOLE result up
+                  // front — the very cost fetchSize exists to avoid).
+                  // Pin BEFORE planning: a version published in between
+                  // is current and thus never pruned, so either order is
+                  // safe, and pin-first closes the plan-then-pin gap.
+                  // Full-drain portals (maxRows == 0 — the common
+                  // executeQuery path) stream unpinned: COW isolates them
+                  // from DML, and a concurrent VACUUM surfaces loudly as
+                  // an ErrorResponse, never as silent misreads.
+                  val pin = if (maxRows > 0) Some(gs.pinCurrentVersions()) else None
+                  val df = runSql(sqlText)
                   new PortalExec(df, df.toLocalIterator(),
-                    df.schema.fields.map(_.dataType), resolvedFmts(df, resCodes))
+                    df.schema.fields.map(_.dataType), resolvedFmts(df, resCodes), pin)
                 })
                 var sent = 0L
                 while (st.it.hasNext && (maxRows <= 0 || sent < maxRows)) {
@@ -657,7 +668,7 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
                 if (st.it.hasNext) out.msg('s')(_ => ()) // PortalSuspended
                 else {
                   commandComplete(out, tagFor(sqlText, st.df, st.total))
-                  portalIters.remove(portal)
+                  dropPortal(portal)
                 }
               }
             } catch { case e: Throwable => errorResponse(out, e); noteError(); extendedError = true }
@@ -665,7 +676,7 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
           case 'C' if !extendedError => // Close statement/portal
             val kind = body(0).toChar
             val (name, _) = cstr(body, 1)
-            if (kind == 'P') { portals.remove(name); portalIters.remove(name) }
+            if (kind == 'P') { portals.remove(name); dropPortal(name) }
             else preparedWire.remove(name)
             out.msg('3')(_ => ())
 
@@ -681,6 +692,8 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
     } finally {
       cancelKeys.remove(Int.box(backendPid))
       gs.spark.sparkContext.clearJobGroup()
+      // a hung-up client's suspended portals must not retain snapshots
+      portalIters.keys.toSeq.foreach(dropPortal)
     }
   }
 

@@ -17,6 +17,11 @@ class PgWireSpec extends SparkSpec {
   /** Minimal protocol client. */
   private final class WireClient(port: Int) {
     val sock = new Socket("127.0.0.1", port)
+    // a protocol regression that withholds an expected message must FAIL
+    // the test (SocketTimeoutException), never wedge the suite on a
+    // blocking read — readUntilReady/takeWhile loops have no terminator
+    // of their own
+    sock.setSoTimeout(60000)
     private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
 

@@ -322,6 +322,22 @@ class SessionExtrasSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](s.tableVersion("t", 99))
   }
 
+  test("reader version pins block VACUUM pruning until released") {
+    val s = fresh()
+    s.sql("CREATE TABLE pv (id INT PRIMARY KEY)")
+    s.sql("INSERT INTO pv VALUES (1)")
+    // a reader (e.g. a suspended wire portal) pins the current versions;
+    // a subsequent UPDATE supersedes them, but VACUUM must retain the
+    // pinned version — PG's "visible to an open cursor" rule in COW form
+    val pin = s.pinCurrentVersions()
+    s.sql("UPDATE pv SET id = 2")
+    assert(s.sql("VACUUM pv").collect()(0).getLong(1) == 0L,
+      "pinned version must be retained")
+    s.releaseVersionPin(pin)
+    assert(s.sql("VACUUM pv").collect()(0).getLong(1) >= 1L,
+      "released version must be prunable")
+  }
+
   test("VACUUM prunes superseded snapshot versions; retained versions still read") {
     val s = fresh()
     s.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT)")
