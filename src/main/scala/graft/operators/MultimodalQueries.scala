@@ -175,6 +175,40 @@ object MultimodalQueries extends QueryPack {
           round(col("mean_g"), 6).as("mean_g"),
           col("mean_b"))
         .orderBy(col("doc_id"))
+    },
+
+    // REAL codec on REAL payload bytes (closing the synthetic-gradient
+    // gap): the payload bytes ARE the pixel data — r/g/b of pixel i =
+    // payload byte (i)/(i+1)/(i+2) mod len over a 32×24 tile — encoded
+    // to an actual PNG binary column and decoded back through
+    // javax.imageio ON THE EXECUTORS, with channel means computed from
+    // the DECODED pixels. The oracle replays the closed form over the
+    // same bytes (pure-ASCII corpus ⇒ ord(char) = byte; sums exact
+    // integers ⇒ bit-identical division). Any loss, swap, or decode bug
+    // in the real codec path hash-mismatches.
+    Q(
+      "mm_decode_payload_png",
+      """SELECT doc_id,
+        |       round(CAST(list_sum(list_transform(generate_series(0, 767),
+        |                i -> ord(substr(text, (i % octet_length(encode(text))) + 1, 1))))
+        |              AS DOUBLE) / 768, 6) AS mean_r,
+        |       round(CAST(list_sum(list_transform(generate_series(0, 767),
+        |                i -> ord(substr(text, ((i + 1) % octet_length(encode(text))) + 1, 1))))
+        |              AS DOUBLE) / 768, 6) AS mean_g,
+        |       round(CAST(list_sum(list_transform(generate_series(0, 767),
+        |                i -> ord(substr(text, ((i + 2) % octet_length(encode(text))) + 1, 1))))
+        |              AS DOUBLE) / 768, 6) AS mean_b
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Multimodal.payloadPngFeatures(
+          Multimodal.mediaTable(Tables.load(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -750,14 +750,22 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     * session state: a crashed reader's pin dies with the process, so
     * retention can never leak across restarts. */
   private val readerPins =
-    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Map[String, Long]]()
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Set[(String, Long)]]()
   private val nextPinId = new java.util.concurrent.atomic.AtomicLong(1)
 
-  /** Pin the current version of every table; returns the handle to pass
-    * to [[releaseVersionPin]]. */
+  /** Pin the current version of every table AND materialized view;
+    * returns the handle to pass to [[releaseVersionPin]]. Matviews are
+    * included because VACUUM's matview pass prunes superseded
+    * `_mv_<name>/v<K>` snapshots under pinKey = view name — a portal
+    * streaming from a matview is just as exposed to REFRESH + VACUUM as
+    * one streaming from a table. Stored as (name, version) pairs, not a
+    * map: tables and matviews share the prune pinKey namespace, so a
+    * same-named pair must pin BOTH versions. */
   def pinCurrentVersions(): Long = {
     val id = nextPinId.getAndIncrement()
-    readerPins.put(id, catalog.tables.values.map(t => t.name -> t.version).toMap)
+    readerPins.put(id,
+      catalog.tables.values.map(t => (t.name, t.version)).toSet ++
+        catalog.views.values.filter(_.materialized).map(v => (v.name, v.version)))
     id
   }
 
@@ -765,7 +773,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
 
   private def readerPinnedVersions(): Set[(String, Long)] = {
     val b = Set.newBuilder[(String, Long)]
-    readerPins.values.forEach(m => m.foreach { case (n, v) => b += ((n, v)) })
+    readerPins.values.forEach(s => s.foreach(b += _))
     b.result()
   }
 

@@ -190,11 +190,17 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
       }
       o.writeInt(4); o.writeInt((ld.toEpochDay - pgEpochDay).toInt)
     case TimestampType | TimestampNTZType =>
+      // Instant-carrying values convert through UTC EXPLICITLY: the
+      // engine pins spark.sql.session.timeZone=UTC but not the JVM
+      // default zone, and Timestamp.toLocalDateTime / systemDefault()
+      // would shift binary results on a non-UTC JVM relative to the
+      // UTC-interpreted binary param decode.
       val ldt = v match {
-        case t: java.sql.Timestamp => t.toLocalDateTime
+        case t: java.sql.Timestamp =>
+          t.toInstant.atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
         case l: java.time.LocalDateTime => l
         case i: java.time.Instant =>
-          java.time.LocalDateTime.ofInstant(i, java.time.ZoneId.systemDefault())
+          java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
       }
       val micros = (ldt.toLocalDate.toEpochDay - pgEpochDay) * 86400000000L +
         ldt.toLocalTime.toNanoOfDay / 1000L
@@ -648,15 +654,23 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
                   // portal streams its original lazy plan; the earlier
                   // localCheckpoint form materialized the WHOLE result up
                   // front — the very cost fetchSize exists to avoid).
-                  // Pin BEFORE planning: a version published in between
-                  // is current and thus never pruned, so either order is
-                  // safe, and pin-first closes the plan-then-pin gap.
-                  // Full-drain portals (maxRows == 0 — the common
-                  // executeQuery path) stream unpinned: COW isolates them
-                  // from DML, and a concurrent VACUUM surfaces loudly as
-                  // an ErrorResponse, never as silent misreads.
-                  val pin = if (maxRows > 0) Some(gs.pinCurrentVersions()) else None
-                  val df = runSql(sqlText)
+                  // Pin and plan ATOMICALLY under the session monitor:
+                  // every DML publish also runs under gs.synchronized
+                  // (runSql), so no version can be published between the
+                  // pin and the plan — the portal provably streams the
+                  // exact versions the pin protects. (Pinning outside the
+                  // monitor left a window where a concurrent publish made
+                  // the portal read v+1 while the pin held only v; a
+                  // second publish plus VACUUM could then prune v+1
+                  // mid-stream.) Full-drain portals (maxRows == 0 — the
+                  // common executeQuery path) stream unpinned: COW
+                  // isolates them from DML, and a concurrent VACUUM
+                  // surfaces loudly as an ErrorResponse, never as silent
+                  // misreads.
+                  val (pin, df) = gs.synchronized {
+                    val p = if (maxRows > 0) Some(gs.pinCurrentVersions()) else None
+                    (p, gs.sql(sqlText))
+                  }
                   new PortalExec(df, df.toLocalIterator(),
                     df.schema.fields.map(_.dataType), resolvedFmts(df, resCodes), pin)
                 })

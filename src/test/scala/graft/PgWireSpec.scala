@@ -269,6 +269,85 @@ class PgWireSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("abrupt disconnect mid-suspension releases the pin: VACUUM can prune") {
+    val gs = new GraftSession(spark, Files.createTempDirectory("graft_pgwire"))
+    val srv = PgWire.start(gs)
+    val c = new WireClient(srv.boundPort)
+    try {
+      c.startup()
+      c.query("CREATE TABLE ad (id INT PRIMARY KEY, v TEXT)")
+      c.query("INSERT INTO ad VALUES " + (1 to 6).map(i => s"($i, 'v$i')").mkString(", "))
+      val body = new ByteArrayOutputStream()
+      val d = new DataOutputStream(body)
+      def c0(s: String): Unit = { d.write(s.getBytes("UTF-8")); d.writeByte(0) }
+      c0(""); c0("SELECT id, v FROM ad ORDER BY id"); d.writeShort(0)
+      c.send('P', body.toByteArray)
+      body.reset(); c0(""); c0(""); d.writeShort(0); d.writeShort(0); d.writeShort(0)
+      c.send('B', body.toByteArray)
+      body.reset(); c0(""); d.writeInt(2)
+      c.send('E', body.toByteArray)
+      c.send('H', Array.empty)
+      val first = Iterator.continually(c.readMsg()).takeWhile(_._1 != 's').toSeq
+      assert(first.count(_._1 == 'D') == 2, "portal suspended after 2 rows")
+      // kill the socket with NO Terminate message — a crashed client.
+      // The handler's read loop hits EOF and its finally block must drop
+      // the suspended portal, releasing its reader pin.
+      c.sock.close()
+      gs.synchronized { gs.sql("UPDATE ad SET v = 'CHANGED'") } // supersedes the pinned v
+      // the handler thread releases the pin asynchronously after EOF —
+      // poll until VACUUM reports the superseded version actually pruned
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var pruned = 0L
+      while (pruned == 0 && System.nanoTime() < deadline) {
+        pruned = gs.synchronized { gs.sql("VACUUM ad") }.collect()(0).getLong(1)
+        if (pruned == 0) Thread.sleep(100)
+      }
+      assert(pruned >= 1, "pin leaked: VACUUM never pruned the superseded version")
+    } finally srv.stop()
+  }
+
+  test("suspended portal over a MATVIEW survives REFRESH + VACUUM (matview pin)") {
+    val (srv, c) = freshServer()
+    try {
+      c.startup()
+      c.query("CREATE TABLE mvsrc (id INT PRIMARY KEY, v TEXT)")
+      c.query("INSERT INTO mvsrc VALUES " + (1 to 6).map(i => s"($i, 'v$i')").mkString(", "))
+      c.query("CREATE MATERIALIZED VIEW mvp AS SELECT id, v FROM mvsrc")
+      val body = new ByteArrayOutputStream()
+      val d = new DataOutputStream(body)
+      def c0(s: String): Unit = { d.write(s.getBytes("UTF-8")); d.writeByte(0) }
+      c0(""); c0("SELECT id, v FROM mvp ORDER BY id"); d.writeShort(0)
+      c.send('P', body.toByteArray)
+      body.reset(); c0(""); c0(""); d.writeShort(0); d.writeShort(0); d.writeShort(0)
+      c.send('B', body.toByteArray)
+      body.reset(); c0(""); d.writeInt(2)
+      c.send('E', body.toByteArray)
+      c.send('H', Array.empty)
+      val first = Iterator.continually(c.readMsg()).takeWhile(_._1 != 's').toSeq
+      assert(first.filter(_._1 == 'D').map(m => c.row(m._2)) ==
+        Seq(Seq("1", "v1"), Seq("2", "v2")), "portal suspended after 2 rows")
+      // a second connection rewrites the source, REFRESHes the matview
+      // (publishing a new _mv_ snapshot), and runs the bare VACUUM whose
+      // matview pass prunes superseded _mv_ versions — the portal's pin
+      // must cover the matview snapshot it streams from
+      val c2 = new WireClient(srv.boundPort)
+      c2.startup()
+      c2.query("UPDATE mvsrc SET v = 'CHANGED'")
+      c2.query("REFRESH MATERIALIZED VIEW mvp")
+      c2.query("VACUUM")
+      c2.terminate()
+      body.reset(); c0(""); d.writeInt(0)
+      c.send('E', body.toByteArray)
+      c.send('S', Array.empty)
+      val rest = c.readUntilReady()
+      assert(!rest.exists(_._1 == 'E'), s"resume failed: ${c.cstrBody('E', rest)}")
+      assert(rest.filter(_._1 == 'D').map(m => c.row(m._2)) ==
+        Seq(Seq("3", "v3"), Seq("4", "v4"), Seq("5", "v5"), Seq("6", "v6")),
+        "resumed rows come from the portal's pinned matview snapshot")
+      c.terminate()
+    } finally srv.stop()
+  }
+
   test("COPY FROM STDIN over the wire: CopyInResponse + CopyData frames") {
     val (srv, c) = freshServer()
     try {
