@@ -165,6 +165,16 @@ object ScaleProbe {
     // (≤ ~512·n expected), never n²/2^w as a fixed width would
     time("lsh_candidates_base")(lshCandidatePairs(spark, base).count())
     time("lsh_candidates_10x")(lshCandidatePairs(spark, out).count())
+    // Winnow operators UNCAPPED: the gate queries cap their doc sets
+    // (300/500) purely for DuckDB-oracle cost, so their probes are
+    // constant-work smokes. These run the full-corpus fingerprint pass
+    // and the whole containment-join pipeline — the measured (not
+    // shape-argued) corpus-linearity evidence.
+    time("winnow_fp_uncapped")(
+      graft.operators.TextQueries.winnowFpRows(spark, out, Long.MaxValue)
+        .select(col("doc_id"), col("f.fp").as("fp")).count())
+    time("winnow_containment_uncapped")(
+      graft.operators.DedupQueries.winnowContainment(spark, out, Long.MaxValue).count())
     // pagerank per-iteration constant: the web-graph use case runs 20-50
     // iterations; with the edge build amortized, 10 iterations should
     // cost ~(10it − 3it)/3it more loop time, never re-pay the build

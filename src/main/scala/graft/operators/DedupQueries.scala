@@ -977,14 +977,23 @@ object DedupQueries extends QueryPack {
         |WHERE s.n_shared >= 3
         |  AND CAST(s.n_shared AS DOUBLE) / LEAST(za.nfp, zb.nfp) >= 0.3
         |ORDER BY s.a, s.b""".stripMargin
-    ) { (s, dir) =>
+    ) { (s, dir) => winnowContainment(s, dir, 500) }
+  )
+
+  /** The full winnow-containment pipeline at an arbitrary doc cap. The
+    * gate query caps at 500 purely for oracle cost (the DuckDB side
+    * replays the Horner-hash winnowing per character); ScaleProbe runs
+    * this UNCAPPED over the whole corpus at base/10×/100× so the
+    * operator's scaling evidence is measured, not shape-argued. */
+  private[graft] def winnowContainment(s: SparkSession, dir: String,
+      docCap: Long): DataFrame = {
       // shared plumbing with text_winnow_fingerprint (TextQueries) — one
       // definition of the hash/window/precondition on each side. The
       // distinct fingerprint table feeds FOUR consumers (rare, both join
       // sides, sz); persisting it computes the scan+winnow+distinct
       // subtree once instead of per consumer (the file's shared-
       // intermediate discipline, cf. the jaccard prefix index).
-      val fpdoc = TextQueries.winnowFpRows(s, dir, 500)
+      val fpdoc = TextQueries.winnowFpRows(s, dir, docCap)
         .select(col("doc_id"), col("f.fp").as("fp"))
         .distinct()
         .persist()
@@ -1017,6 +1026,5 @@ object DedupQueries extends QueryPack {
         .localCheckpoint(true)
       fpdoc.unpersist()
       result
-    }
-  )
+  }
 }

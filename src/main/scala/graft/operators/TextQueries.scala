@@ -24,7 +24,7 @@ object TextQueries extends QueryPack {
     * and the >= k+w-1 length precondition. One definition so a change to
     * the hash recurrence / window bound / precondition cannot silently
     * diverge between the two operators. */
-  private[operators] def winnowFpRows(s: SparkSession, dir: String, docCap: Int): DataFrame =
+  private[graft] def winnowFpRows(s: SparkSession, dir: String, docCap: Long): DataFrame =
     Tables.load(s, dir, "documents")
       .filter(col("doc_id") < docCap)
       .select(col("doc_id"), lower(trim(col("text"))).as("s"))
