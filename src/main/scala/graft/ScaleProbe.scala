@@ -27,30 +27,49 @@ object ScaleProbe {
 
   private def scaleDocuments(spark: SparkSession, base: String, factor: Int): DataFrame = {
     val d = Tables.load(spark, base, "documents")
-    // 10 DISTINCT vowel permutations: with fewer than `factor` mappings the
-    // cycle repeats and replica pairs (i, i+len) become exact duplicates,
-    // seeding one synthetic dup partner per doc
+    // 10 vowel permutations × 10 consonant rotations = 100 DISTINCT
+    // character maps: with fewer than `factor` mappings the cycle repeats
+    // and replica pairs (i, i+len) become exact duplicates, seeding one
+    // synthetic dup partner per doc — which then measures the synthetic
+    // cluster blowup, not the engine (the 10-map table did exactly that
+    // at factor 100). Both maps are 1-1 char translations: word lengths,
+    // token counts and whitespace are untouched, so per-row statistics
+    // survive while replicas decorrelate.
+    require(factor <= 100, s"only 100 distinct perturbations available, got factor=$factor")
     val rots = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
       "aeiuo", "eiuoa", "iuoae", "uoaei", "oaeiu")
+    val cons = "bcdfghjklmnpqrstvwxz"
+    def crot(j: Int): String = cons.drop(2 * j) + cons.take(2 * j)
     (0 until factor).map { i =>
+      val vperm = rots(i % rots.length)
+      val cperm = crot(i / rots.length)
       d.select(
         (col("doc_id") + lit(i * keyOffset)).as("doc_id"),
         (if (i == 0) col("text")
-         else translate(col("text"), "aeiou", rots(i % rots.length))).as("text"),
+         else translate(col("text"), "aeiou" + cons, vperm + cperm)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
   }
 
   private def scaleEmbeddings(spark: SparkSession, base: String, factor: Int): DataFrame = {
     val e = Tables.load(spark, base, "embeddings")
+    // 64 rotations × sign flip = 128 distinct isometries (norms and
+    // pairwise base-set geometry preserved; replicas decorrelated) — the
+    // old `i % 16` rotation table made replicas i and i+16 EXACT vector
+    // duplicates at factor > 16
     (0 until factor).map { i =>
-      val off = i % 16
+      val off = i % 64
+      val neg = (i / 64) % 2 == 1
       val rotated =
         if (off == 0) col("embedding")
         else expr(s"concat(slice(embedding, ${off + 1}, size(embedding) - $off), " +
           s"slice(embedding, 1, $off))")
+      val perturbed =
+        if (neg) expr(s"transform(${if (off == 0) "embedding"
+          else s"concat(slice(embedding, ${off + 1}, size(embedding) - $off), slice(embedding, 1, $off))"}, x -> -x)")
+        else rotated
       e.select((col("vec_id") + lit(i * keyOffset)).as("vec_id"),
-        rotated.as("embedding"), col("label"))
+        perturbed.as("embedding"), col("label"))
     }.reduce(_ unionByName _)
   }
 
@@ -165,6 +184,12 @@ object ScaleProbe {
     // (≤ ~512·n expected), never n²/2^w as a fixed width would
     time("lsh_candidates_base")(lshCandidatePairs(spark, base).count())
     time("lsh_candidates_10x")(lshCandidatePairs(spark, out).count())
+    // simhash in-band candidate census (pre-hamming-verify): with the
+    // corpus-adaptive band width (2^k ≥ n buckets per band) candidate
+    // volume must stay ~corpus-linear — a fixed width would grow it
+    // n²/2^k
+    time("simhash_candidates")(
+      graft.operators.DedupQueries.simhashCandidates(spark, out).count())
     // Winnow operators UNCAPPED: the gate queries cap their doc sets
     // (300/500) purely for DuckDB-oracle cost, so their probes are
     // constant-work smokes. These run the full-corpus fingerprint pass

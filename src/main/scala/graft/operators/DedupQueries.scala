@@ -729,41 +729,7 @@ object DedupQueries extends QueryPack {
         |WHERE bit_count(xor(sa1, sb1)) + bit_count(xor(sa2, sb2)) <= 3
         |ORDER BY a, b""".stripMargin
     ) { (s, dir) =>
-      val docs = Tables.spread(Tables.load(s, dir, "documents"))
-      // one metadata-cheap count; a parameter, not data (the
-      // lshSketchWidth pattern — SimilarityQueries.scala)
-      val n = Tables.load(s, dir, "documents").count().max(1L)
-      val bb = (16 to 30).find(k => (1L << k) >= n).getOrElse(30)
-      val half = 2 * bb
-      val tf = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
-      val th = tf.select(col("doc_id"), col("cnt"),
-        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h1"),
-        conv(substring(md5(col("w")), 17, 15), 16, 10).cast("long").as("h2"))
-      // fused bit votes: ONE partial-aggregated pass (2·half longs per
-      // doc cross the shuffle) instead of explode(×width) + (doc,bit)
-      // groupBy — bit-identical to the oracle's explicit vote spelling.
-      // Both halves aggregate in the SAME groupBy: one shuffle.
-      val sig = th
-        .groupBy(col("doc_id"))
-        .agg(graft.functions.BitVoteAgg.simhash(col("h1"), col("cnt"), half).as("sh1"),
-          graft.functions.BitVoteAgg.simhash(col("h2"), col("cnt"), half).as("sh2"))
-      val mask = (1L << bb) - 1
-      val bandrows = sig
-        .select(col("doc_id"), col("sh1"), col("sh2"),
-          explode(sequence(lit(0), lit(3))).as("band"))
-        .withColumn("bkey",
-          expr(s"(CASE WHEN band < 2 THEN shiftright(sh1, band * $bb) " +
-            s"ELSE shiftright(sh2, (band - 2) * $bb) END) & ${mask}L"))
-      val cand = bandrows.as("x").join(bandrows.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          col("x.sh1").as("sa1"), col("x.sh2").as("sa2"),
-          col("y.sh1").as("sb1"), col("y.sh2").as("sb2"))
-        .distinct()
-      cand
+      simhashCandidates(s, dir)
         .select(col("a"), col("b"),
           (expr("bit_count(sa1 ^ sb1)") + expr("bit_count(sa2 ^ sb2)"))
             .cast("long").as("hamming"))
@@ -979,6 +945,51 @@ object DedupQueries extends QueryPack {
         |ORDER BY s.a, s.b""".stripMargin
     ) { (s, dir) => winnowContainment(s, dir, 500) }
   )
+
+  /** The banded in-band candidate pair set of `dedup_simhash`, BEFORE
+    * the hamming verify — exposed separately so ScaleProbe can count
+    * candidates at base/10×/100× and check the adaptive band width keeps
+    * candidate volume ~corpus-linear (the whole point of deriving the
+    * width from n). Band bits k = the smallest k in [16, 30] with
+    * 2^k ≥ n (the `lshSketchWidth` integer-exact find-first idiom);
+    * signature = two independent halves of 2·k bits from two md5 slices;
+    * 4 bands of k bits each. */
+  private[graft] def simhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.load(s, dir, "documents"))
+    // one metadata-cheap count; a parameter, not data (the
+    // lshSketchWidth pattern — SimilarityQueries.scala)
+    val n = Tables.load(s, dir, "documents").count().max(1L)
+    val bb = (16 to 30).find(k => (1L << k) >= n).getOrElse(30)
+    val half = 2 * bb
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+    val th = tf.select(col("doc_id"), col("cnt"),
+      conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(col("w")), 17, 15), 16, 10).cast("long").as("h2"))
+    // fused bit votes: ONE partial-aggregated pass (2·half longs per
+    // doc cross the shuffle) instead of explode(×width) + (doc,bit)
+    // groupBy — bit-identical to the oracle's explicit vote spelling.
+    // Both halves aggregate in the SAME groupBy: one shuffle.
+    val sig = th
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.BitVoteAgg.simhash(col("h1"), col("cnt"), half).as("sh1"),
+        graft.functions.BitVoteAgg.simhash(col("h2"), col("cnt"), half).as("sh2"))
+    val mask = (1L << bb) - 1
+    val bandrows = sig
+      .select(col("doc_id"), col("sh1"), col("sh2"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bkey",
+        expr(s"(CASE WHEN band < 2 THEN shiftright(sh1, band * $bb) " +
+          s"ELSE shiftright(sh2, (band - 2) * $bb) END) & ${mask}L"))
+    bandrows.as("x").join(bandrows.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.sh1").as("sa1"), col("x.sh2").as("sa2"),
+        col("y.sh1").as("sb1"), col("y.sh2").as("sb2"))
+      .distinct()
+  }
 
   /** The full winnow-containment pipeline at an arbitrary doc cap. The
     * gate query caps at 500 purely for oracle cost (the DuckDB side
