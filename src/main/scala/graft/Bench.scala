@@ -73,7 +73,10 @@ object Bench {
       else {
         val r2 = once(fn)
         if (r2._2.isEmpty) (name, math.min(r1._1, r2._1), Seq(r1._1, r2._1), None)
-        else (name, r1._1, Seq(r1._1), None)
+        // pass 1 green, pass 2 failed = a FLAKY failure and must be
+        // recorded as one — reporting the lucky pass would flatter
+        // exactly the intermittent regression the two-pass design hunts
+        else (name, r1._1, Seq(r1._1), r2._2.map("pass2: " + _))
       }
     }
     // strip every JSON-forbidden char (quotes, backslash, ALL control

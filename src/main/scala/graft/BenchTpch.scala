@@ -40,22 +40,20 @@ object BenchTpch {
 
     if (!Files.exists(Paths.get(s"$out/lineitem.parquet"))) {
       Files.createDirectories(Paths.get(out))
-      // fact tables: replicate with offset ORDER keys only — FK-valid
-      // against unreplicated dimensions by construction
-      def replicateOrders(name: String, orderKey: String): Unit = {
-        val t = Tables.load(spark, base, name)
-        (0 until factor).map { i =>
-          t.select(t.columns.toSeq.map { c =>
-            if (c == orderKey) (col(c) + lit(i * keyOffset)).as(c) else col(c)
-          }: _*)
-        }.reduce(_ unionByName _)
-          .write.mode("overwrite").parquet(s"$out/$name.parquet")
-      }
-      replicateOrders("orders", "o_orderkey")
-      replicateOrders("lineitem", "l_orderkey")
+      // dimensions first, facts after: lineitem doubles as the
+      // fixture-complete marker, so it must be the LAST artifact — a
+      // crash mid-build then leaves a dir the next run finishes instead
+      // of a half-fixture it trusts
       Tables.names.filterNot(n => n == "orders" || n == "lineitem").foreach { n =>
         Tables.load(spark, base, n).write.mode("overwrite").parquet(s"$out/$n.parquet")
       }
+      // fact tables: replicate with offset ORDER keys only — FK-valid
+      // against unreplicated dimensions by construction (ScaleProbe's
+      // scaleKeyed, shared so the offset math has one definition)
+      ScaleProbe.scaleKeyed(spark, base, "orders", Seq("o_orderkey"), factor)
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      ScaleProbe.scaleKeyed(spark, base, "lineitem", Seq("l_orderkey"), factor)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     }
 
     // JIT/codegen/file-index warmup (the Bench discipline)
@@ -73,9 +71,15 @@ object BenchTpch {
         val t0 = System.nanoTime()
         try {
           val df = SparkEntry.queries(name)(spark, out)
-          val rows = df.count()
+          // collect(), NOT count(): count() runs a DERIVED
+          // groupBy().count() QueryExecution and leaves df's own
+          // AdaptiveSparkPlanExec unexecuted (isFinalPlan=false, initial
+          // strategies only). collect() executes df's plan itself, so
+          // the join-strategy counts below read the FINAL adaptive plan
+          // — runtime BHJ→SMJ flips included. TPC-H results are ≤ ~1k
+          // rows, so the driver materialization is negligible.
+          val rows = df.collect().length.toLong
           val sec = (System.nanoTime() - t0) / 1e9
-          // executedPlan AFTER the action = the final adaptive plan
           (sec, rows, df.queryExecution.executedPlan.toString, None)
         } catch { case e: Throwable =>
           ((System.nanoTime() - t0) / 1e9, -1L,
@@ -88,8 +92,14 @@ object BenchTpch {
         println(f"""{"probe":"$name","sec":${r1._1}%.2f,"rows":-1,"error":"${r1._4.get}"}""")
       else {
         val r2 = once()
-        val best = if (r2._4.isEmpty) math.min(r1._1, r2._1) else r1._1
-        println(f"""{"probe":"$name","sec":$best%.2f,"p1":${r1._1}%.2f,"p2":${r2._1}%.2f,"rows":${r1._2},${joinMix(r1._3)}}""")
+        // pass 1 green + pass 2 failed = FLAKY, recorded as a failure
+        // (same contract as Bench) — never two clean-looking passes
+        if (r2._4.isDefined)
+          println(f"""{"probe":"$name","sec":${r1._1}%.2f,"rows":-1,"error":"pass2: ${r2._4.get}"}""")
+        else {
+          val best = math.min(r1._1, r2._1)
+          println(f"""{"probe":"$name","sec":$best%.2f,"p1":${r1._1}%.2f,"p2":${r2._1}%.2f,"rows":${r1._2},${joinMix(r1._3)}}""")
+        }
       }
     }
     spark.stop()

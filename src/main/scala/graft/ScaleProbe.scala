@@ -23,7 +23,7 @@ import java.nio.file.{Files, Paths}
   * probes — the dev loop for re-measuring one operator after a change.
   */
 object ScaleProbe {
-  private val keyOffset = 1000000000L
+  private[graft] val keyOffset = 1000000000L
 
   private def scaleDocuments(spark: SparkSession, base: String, factor: Int): DataFrame = {
     val d = Tables.load(spark, base, "documents")
@@ -64,16 +64,20 @@ object ScaleProbe {
         if (off == 0) col("embedding")
         else expr(s"concat(slice(embedding, ${off + 1}, size(embedding) - $off), " +
           s"slice(embedding, 1, $off))")
-      val perturbed =
-        if (neg) expr(s"transform(${if (off == 0) "embedding"
-          else s"concat(slice(embedding, ${off + 1}, size(embedding) - $off), slice(embedding, 1, $off))"}, x -> -x)")
-        else rotated
+      val perturbed = if (neg) transform(rotated, x => negate(x)) else rotated
       e.select((col("vec_id") + lit(i * keyOffset)).as("vec_id"),
         perturbed.as("embedding"), col("label"))
     }.reduce(_ unionByName _)
   }
 
-  private def scaleKeyed(spark: SparkSession, base: String, name: String,
+  /** Perturbation-scheme stamp written into generated fixture dirs.
+    * Bumped whenever the replica math changes: a stale dir built by an
+    * older scheme silently reused by the exists-guard would measure the
+    * OLD corpus (e.g. the pre-v2 10-map table's exact-dup replicas at
+    * factor 100) with nothing in the output saying so. */
+  private val perturbScheme = "v2-100maps"
+
+  private[graft] def scaleKeyed(spark: SparkSession, base: String, name: String,
       keys: Seq[String], factor: Int): DataFrame = {
     val t = Tables.load(spark, base, name)
     (0 until factor).map { i =>
@@ -89,6 +93,9 @@ object ScaleProbe {
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = Engine.session("graft-scaleprobe")
 
+    val generated = !Paths.get(out).toFile.getCanonicalPath
+      .equals(Paths.get(base).toFile.getCanonicalPath)
+    val marker = Paths.get(s"$out/_scale_meta")
     if (!Files.exists(Paths.get(s"$out/documents.parquet"))) {
       Files.createDirectories(Paths.get(out))
       scaleDocuments(spark, base, factor)
@@ -99,6 +106,14 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$out/orders.parquet")
       scaleKeyed(spark, base, "lineitem", Seq("l_orderkey", "l_suppkey"), factor)
         .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      Files.writeString(marker, s"$perturbScheme factor=$factor\n")
+    } else if (generated) {
+      // reusing an existing GENERATED fixture (write-free base runs pass
+      // out == base and are exempt): refuse a dir built by a different
+      // perturbation scheme — its replicas are a different corpus
+      val stamp = if (Files.exists(marker)) Files.readString(marker).trim else "<none>"
+      require(stamp.startsWith(perturbScheme),
+        s"fixture $out was built with scheme '$stamp', current is '$perturbScheme' — delete it and rerun")
     }
     if (!Files.exists(Paths.get(s"$out/events.parquet"))) {
       // events.ts round-trips as nanos-since-epoch LONG — the nanos-era

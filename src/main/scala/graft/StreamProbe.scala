@@ -25,6 +25,12 @@ object StreamProbe {
     val rate = args.lift(1).map(_.toInt).getOrElse(20000)
     val seconds = args.lift(2).map(_.toInt).getOrElse(60)
     val spark = Engine.session("graft-streamprobe")
+    // the summary is computed from recentProgress, which by default
+    // retains only the last 100 updates — a low-rate run with fast
+    // triggers exceeds that in seconds and would silently undercount
+    // totalRows / misplace the half-split. Retain far more than any
+    // probe window can produce.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
     import spark.implicits._
 
     // real corpus texts, cycled: the rate source provides arrival ids,

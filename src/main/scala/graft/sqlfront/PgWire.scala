@@ -124,7 +124,26 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
     case b: Boolean => if (b) "t" else "f"
     case s: collection.Seq[_] =>
       s.map(x => if (x == null) "NULL" else render(x)).mkString("{", ",", "}")
+    // instant-carrying timestamps format through UTC EXPLICITLY, same
+    // rationale as writeBinaryValue: Timestamp.toString renders in the
+    // JVM default zone, and only spark.sql.session.timeZone is pinned
+    // UTC — on a non-UTC JVM text results would shift relative to both
+    // binary results and the param decode path
+    case t: java.sql.Timestamp =>
+      pgTimestampText(t.toInstant.atOffset(java.time.ZoneOffset.UTC).toLocalDateTime)
+    case i: java.time.Instant =>
+      pgTimestampText(java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC))
     case other => other.toString
+  }
+
+  /** PG text form: `YYYY-MM-DD HH:MM:SS[.ffffff]`, fractional seconds
+    * only when nonzero (matches Timestamp.toString's omission of an
+    * all-zero fraction modulo its single trailing `.0`). */
+  private def pgTimestampText(ldt: java.time.LocalDateTime): String = {
+    val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d " +
+      f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+    val micros = ldt.getNano / 1000
+    if (micros == 0) base else f"$base.${micros}%06d".reverse.dropWhile(_ == '0').reverse
   }
 
   // PG epoch: 2000-01-01 (days for date, micros for timestamp)
@@ -667,12 +686,24 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
                   // isolates them from DML, and a concurrent VACUUM
                   // surfaces loudly as an ErrorResponse, never as silent
                   // misreads.
-                  val (pin, df) = gs.synchronized {
-                    val p = if (maxRows > 0) Some(gs.pinCurrentVersions()) else None
-                    (p, gs.sql(sqlText))
+                  // If anything between pin acquisition and PortalExec
+                  // construction throws (analysis error, bad format
+                  // code, planner failure), the pin would belong to no
+                  // portal and nothing would ever release it — a
+                  // permanent retention leak. Release on ANY failure
+                  // before the portal owns it.
+                  var pin: Option[Long] = None
+                  try {
+                    val df = gs.synchronized {
+                      if (maxRows > 0) pin = Some(gs.pinCurrentVersions())
+                      gs.sql(sqlText)
+                    }
+                    new PortalExec(df, df.toLocalIterator(),
+                      df.schema.fields.map(_.dataType), resolvedFmts(df, resCodes), pin)
+                  } catch { case e: Throwable =>
+                    pin.foreach(gs.releaseVersionPin)
+                    throw e
                   }
-                  new PortalExec(df, df.toLocalIterator(),
-                    df.schema.fields.map(_.dataType), resolvedFmts(df, resCodes), pin)
                 })
                 var sent = 0L
                 while (st.it.hasNext && (maxRows <= 0 || sent < maxRows)) {

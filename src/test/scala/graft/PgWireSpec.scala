@@ -306,6 +306,37 @@ class PgWireSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("failed portal setup does not leak its pin: VACUUM prunes afterwards") {
+    val gs = new GraftSession(spark, Files.createTempDirectory("graft_pgwire"))
+    val srv = PgWire.start(gs)
+    val c = new WireClient(srv.boundPort)
+    try {
+      c.startup()
+      c.query("CREATE TABLE pl (id INT PRIMARY KEY, v TEXT)")
+      c.query("INSERT INTO pl VALUES (1, 'v1'), (2, 'v2')")
+      // Parse succeeds (no analysis), Execute with maxRows>0 pins and
+      // then fails planning — the pin must be released on that failure
+      val body = new ByteArrayOutputStream()
+      val d = new DataOutputStream(body)
+      def c0(s: String): Unit = { d.write(s.getBytes("UTF-8")); d.writeByte(0) }
+      c0(""); c0("SELECT * FROM no_such_table ORDER BY 1"); d.writeShort(0)
+      c.send('P', body.toByteArray)
+      body.reset(); c0(""); c0(""); d.writeShort(0); d.writeShort(0); d.writeShort(0)
+      c.send('B', body.toByteArray)
+      body.reset(); c0(""); d.writeInt(2)
+      c.send('E', body.toByteArray)
+      c.send('S', Array.empty)
+      val msgs = c.readUntilReady()
+      assert(msgs.exists(_._1 == 'E'), "expected ErrorResponse for missing table")
+      // the failed Execute's pin must not block retention: supersede the
+      // version and assert VACUUM actually prunes it
+      gs.synchronized { gs.sql("UPDATE pl SET v = 'CHANGED'") }
+      val pruned = gs.synchronized { gs.sql("VACUUM pl") }.collect()(0).getLong(1)
+      assert(pruned >= 1, "pin leaked from failed portal setup: VACUUM pruned nothing")
+      c.terminate()
+    } finally srv.stop()
+  }
+
   test("suspended portal over a MATVIEW survives REFRESH + VACUUM (matview pin)") {
     val (srv, c) = freshServer()
     try {
