@@ -178,7 +178,10 @@ object ScaleProbe {
       "pipeline_token_budget", "mm_dedup_payload", "sim_ann_recall_eval",
       // round-11 operators
       "pipeline_mix_temperature", "mm_decode_png", "text_winnow_fingerprint",
-      "dedup_winnow")
+      "dedup_winnow",
+      // round-12 operators
+      "text_repetition_gopher", "pipeline_ppl_buckets", "mm_frame_dedup",
+      "mm_decode_payload_png")
     probes.foreach { n =>
       time(n)(SparkEntry.queries(n)(spark, out).count())
     }

@@ -209,6 +209,73 @@ object MultimodalQueries extends QueryPack {
           round(col("mean_g"), 6).as("mean_g"),
           round(col("mean_b"), 6).as("mean_b"))
         .orderBy(col("doc_id"))
+    },
+
+    // Frame-level video dedup WITHOUT decoding: slice each video payload
+    // into its 64-byte pseudo-frames, md5 each frame executor-side, and
+    // report doc pairs sharing ≥2 distinct frame hashes with their
+    // containment (shared / min frame count) — partial re-encodes and
+    // clipped copies that whole-payload hashing (mm_dedup_payload) can
+    // never catch. The shape is the winnow containment pipeline applied
+    // to a BINARY column: payload-local slicing + hash, one equi-join on
+    // the 16-byte frame digest with a df ≤ 50 stop-frame cap (intros /
+    // color bars / black frames recur across unrelated videos and would
+    // otherwise grow pair work df²), everything hash-partitioned — the
+    // plan a 100 TB video corpus needs. DuckDB slices the identical
+    // bytes (payload = UTF-8 of the pure-ASCII text).
+    Q(
+      "mm_frame_dedup",
+      """WITH v AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 3 + 1 = 3 AND length(text) >= 64),
+        |f0 AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(1, length(text) // 64)) AS k
+        |  FROM v),
+        |f AS (
+        |  SELECT DISTINCT doc_id,
+        |         md5(substr(text, CAST((k - 1) * 64 + 1 AS BIGINT), 64)) AS fh
+        |  FROM f0),
+        |rare AS (SELECT fh FROM f GROUP BY fh HAVING count(*) <= 50),
+        |fr AS (SELECT doc_id, fh FROM f WHERE fh IN (SELECT fh FROM rare)),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM fr GROUP BY doc_id),
+        |sh AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM fr x JOIN fr y ON x.fh = y.fh AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT s.a, s.b, s.n_shared,
+        |       round(CAST(s.n_shared AS DOUBLE) / LEAST(za.nf, zb.nf), 6) AS containment
+        |FROM sh s JOIN sz za ON za.doc_id = s.a JOIN sz zb ON zb.doc_id = s.b
+        |WHERE s.n_shared >= 2
+        |ORDER BY s.a, s.b""".stripMargin
+    ) { (s, dir) =>
+      val media = Multimodal.mediaTable(Tables.load(s, dir, "documents"))
+      val vids = media.filter(col("modality") === "video")
+        .select(col("doc_id"), col("payload"),
+          (octet_length(col("payload")) / 64).cast("int").as("nf"))
+        .filter(col("nf") >= 1)
+      val frames = vids
+        .select(col("doc_id"), col("payload"),
+          explode(sequence(lit(1), col("nf"))).as("k"))
+        .select(col("doc_id"),
+          md5(expr("substring(payload, (k - 1) * 64 + 1, 64)")).as("fh"))
+        .distinct()
+      val rare = frames.groupBy(col("fh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50).select(col("fh"))
+      val fr = frames.join(rare, "fh")
+      val sz = fr.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+      val sh = fr.select(col("fh"), col("doc_id").as("a"))
+        .join(fr.select(col("fh"), col("doc_id").as("b")), "fh")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+      sh
+        .join(sz.select(col("doc_id").as("a"), col("nf").as("nfa")), "a")
+        .join(sz.select(col("doc_id").as("b"), col("nf").as("nfb")), "b")
+        .select(col("a"), col("b"), col("n_shared"),
+          round(col("n_shared").cast("double") / least(col("nfa"), col("nfb")), 6)
+            .as("containment"))
+        .orderBy(col("a"), col("b"))
     }
   )
 }

@@ -32,6 +32,69 @@ object TextQueries extends QueryPack {
       .select(col("doc_id"),
         explode(graft.functions.WinnowFunctions.winnow(col("s"))).as("f"))
 
+  /** Per-doc mean bigram surprise under the corpus-trained add-1 bigram
+    * LM, quantized (FLOOR(mean·1e6) through DECIMAL(38,12) so token
+    * order cannot perturb bits) — the scoring core shared by
+    * `text_lm_bigram` and `pipeline_ppl_buckets`. Columns:
+    * (doc_id, n_bigrams, surprise_q). */
+  private def bigramSurpriseQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.spread(Tables.load(s, dir, "documents"))
+    val toksArr = split(col("text"), " ")
+    val toks = docs.select(col("doc_id"), explode(toksArr).as("w"))
+    val vocab = toks.agg(countDistinct(col("w")).as("v"))
+    val grams = docs.filter(size(toksArr) >= 2)
+      .select(col("doc_id"), toksArr.as("t"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        .as("g"))
+    val cbg = grams.groupBy(col("g")).agg(count(lit(1)).as("cg"))
+    // left-context counts DERIVE from the bigram table: c(prev) is by
+    // definition Σ_g c(prev·w) — summing the (small, distinct-gram)
+    // model table instead of re-exploding the corpus removes a third
+    // full explode+shuffle of every bigram instance. Exact integer
+    // arithmetic, so results are identical to counting from raw grams.
+    val cprev = cbg.select(expr("split_part(g, ' ', 1)").as("prev"), col("cg"))
+      .groupBy(col("prev")).agg(sum(col("cg")).as("cp"))
+    grams.withColumn("prev", expr("split_part(g, ' ', 1)"))
+      .join(cbg, "g")
+      .join(cprev, "prev")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (-log((col("cg") + 1).cast("double") / (col("cp") + col("v")))).as("sur"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        floor(sum(col("sur").cast(DecimalType(38, 12))).cast("double") /
+          count(lit(1)) * 1e6).cast("long").as("surprise_q"))
+  }
+
+  /** The matching oracle CTE chain ending in `sq(doc_id, n_bigrams,
+    * surprise_q)`; callers append their own selection. ONE definition on
+    * each side so the two scoring consumers can never drift. */
+  private val oBigramSq: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |vocab AS (SELECT count(DISTINCT w) AS v FROM toks),
+      |t2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+      |  FROM t2 WHERE len(t) >= 2),
+      |cbg AS (SELECT g, count(*) AS cg FROM grams GROUP BY g),
+      |cprev AS (SELECT split_part(g, ' ', 1) AS prev, CAST(SUM(cg) AS BIGINT) AS cp
+      |          FROM cbg GROUP BY 1),
+      |per AS (
+      |  SELECT gr.doc_id, -LN(CAST(cg + 1 AS DOUBLE) / (cp + v)) AS sur
+      |  FROM grams gr
+      |  JOIN cbg ON gr.g = cbg.g
+      |  JOIN cprev ON split_part(gr.g, ' ', 1) = cprev.prev
+      |  CROSS JOIN vocab),
+      |sq AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |         CAST(FLOOR(CAST(SUM(CAST(sur AS DECIMAL(38,12))) AS DOUBLE)
+      |                    / count(*) * 1000000) AS BIGINT) AS surprise_q
+      |  FROM per GROUP BY doc_id)""".stripMargin
+
   /** The matching oracle CTE chain (t → grams → rolling-equivalent Horner
     * hashes → per-window minima); callers append their own selection. */
   private[operators] def oWinnowCtes(docCap: Int): String =
@@ -825,57 +888,119 @@ object TextQueries extends QueryPack {
     // FLOOR-quantize so token order cannot perturb bits.
     Q(
       "text_lm_bigram",
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-        |vocab AS (SELECT count(DISTINCT w) AS v FROM toks),
-        |t2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |grams AS (
-        |  SELECT doc_id,
-        |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
-        |  FROM t2 WHERE len(t) >= 2),
-        |cbg AS (SELECT g, count(*) AS cg FROM grams GROUP BY g),
-        |cprev AS (SELECT split_part(g, ' ', 1) AS prev, CAST(SUM(cg) AS BIGINT) AS cp
-        |          FROM cbg GROUP BY 1),
-        |per AS (
-        |  SELECT gr.doc_id, -LN(CAST(cg + 1 AS DOUBLE) / (cp + v)) AS sur
-        |  FROM grams gr
-        |  JOIN cbg ON gr.g = cbg.g
-        |  JOIN cprev ON split_part(gr.g, ' ', 1) = cprev.prev
-        |  CROSS JOIN vocab)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |       CAST(FLOOR(CAST(SUM(CAST(sur AS DECIMAL(38,12))) AS DOUBLE)
-        |                  / count(*) * 1000000) AS BIGINT) AS surprise_q
-        |FROM per GROUP BY doc_id
+      s"""WITH $oBigramSq
+        |SELECT doc_id, n_bigrams, surprise_q
+        |FROM sq
         |ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
-      import org.apache.spark.sql.types.DecimalType
+      bigramSurpriseQ(s, dir).orderBy(col("doc_id"))
+    },
+
+    // ccnet-style perplexity bucketing (Wenzek et al. 2020): score every
+    // doc with the corpus-trained bigram LM, split the corpus into
+    // head/middle/tail thirds by score. The tertile THRESHOLDS come from
+    // two top-k probes (orderBy+limit → TakeOrderedAndProject, k = n/3
+    // smallest scores, no corpus-wide sort), broadcast back as scalars —
+    // the 100 TB shape for quantile bucketing: a global ntile window
+    // would funnel the whole corpus through one partition. Tie rule:
+    // every doc AT a boundary value lands in the lower bucket — a pure
+    // function of the score, so both engines agree regardless of
+    // physical order.
+    Q(
+      "pipeline_ppl_buckets",
+      s"""WITH $oBigramSq,
+        |b1 AS (SELECT max(surprise_q) AS v FROM
+        |  (SELECT surprise_q FROM sq ORDER BY surprise_q, doc_id
+        |   LIMIT (SELECT CAST((count(*) + 2) // 3 AS BIGINT) FROM sq))),
+        |b2 AS (SELECT max(surprise_q) AS v FROM
+        |  (SELECT surprise_q FROM sq ORDER BY surprise_q, doc_id
+        |   LIMIT (SELECT CAST((2 * count(*) + 2) // 3 AS BIGINT) FROM sq)))
+        |SELECT doc_id, surprise_q,
+        |       CAST(CASE WHEN surprise_q <= (SELECT v FROM b1) THEN 1
+        |                 WHEN surprise_q <= (SELECT v FROM b2) THEN 2
+        |                 ELSE 3 END AS BIGINT) AS ppl_bucket
+        |FROM sq
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val sq = bigramSurpriseQ(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = sq.count()
+      def boundary(k: Long): Long =
+        sq.orderBy(col("surprise_q"), col("doc_id")).limit(k.toInt)
+          .agg(max(col("surprise_q"))).first().getLong(0)
+      val t1 = boundary((n + 2) / 3)
+      val t2 = boundary((2 * n + 2) / 3)
+      val result = sq.select(col("doc_id"), col("surprise_q"),
+          when(col("surprise_q") <= t1, 1L)
+            .when(col("surprise_q") <= t2, 2L)
+            .otherwise(3L).as("ppl_bucket"))
+        .orderBy(col("doc_id"))
+        // materialize + cut lineage so the scored scaffold can be
+        // released now (the dedup_winnow persist discipline)
+        .localCheckpoint(true)
+      sq.unpersist()
+      result
+    },
+
+    // Repetition filters (Rae et al. 2021 "Gopher" §A.1.1, token-fraction
+    // analogue): top-bigram fraction (share of all bigram instances
+    // taken by the single most frequent bigram) and duplicate-trigram
+    // fraction (share of trigram instances whose trigram occurs more
+    // than once in the doc). Two explode→(doc, gram) groupBy passes +
+    // one per-doc aggregate each — corpus-linear, hash-partitioned, the
+    // same shape at any scale. Thresholds keep Gopher's structure but
+    // sit at this corpus's tail (p90/p99: published web thresholds
+    // 0.18/0.30 would flag nothing in synthetic word-salad) so the gate
+    // exercises both flag branches.
+    Q(
+      "text_repetition_gopher",
+      """WITH t2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |big AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM t2 WHERE len(t) >= 3),
+        |tri AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM t2 WHERE len(t) >= 3),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY doc_id, g),
+        |tc AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g),
+        |bs AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top2,
+        |              CAST(SUM(c) AS BIGINT) AS tot2 FROM bc GROUP BY doc_id),
+        |ts AS (SELECT doc_id,
+        |              CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup3,
+        |              CAST(SUM(c) AS BIGINT) AS tot3 FROM tc GROUP BY doc_id)
+        |SELECT bs.doc_id,
+        |       round(CAST(top2 AS DOUBLE) / tot2, 6) AS top_bigram_frac,
+        |       round(CAST(dup3 AS DOUBLE) / tot3, 6) AS dup_trigram_frac,
+        |       (CAST(top2 AS DOUBLE) / tot2 > 0.08
+        |        OR CAST(dup3 AS DOUBLE) / tot3 > 0.02) AS flagged
+        |FROM bs JOIN ts ON bs.doc_id = ts.doc_id
+        |ORDER BY bs.doc_id""".stripMargin
+    ) { (s, dir) =>
       val docs = Tables.spread(Tables.load(s, dir, "documents"))
       val toksArr = split(col("text"), " ")
-      val toks = docs.select(col("doc_id"), explode(toksArr).as("w"))
-      val vocab = toks.agg(countDistinct(col("w")).as("v"))
-      val grams = docs.filter(size(toksArr) >= 2)
+      val base = docs.filter(size(toksArr) >= 3)
         .select(col("doc_id"), toksArr.as("t"))
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
-          .as("g"))
-      val cbg = grams.groupBy(col("g")).agg(count(lit(1)).as("cg"))
-      // left-context counts DERIVE from the bigram table: c(prev) is by
-      // definition Σ_g c(prev·w) — summing the (small, distinct-gram)
-      // model table instead of re-exploding the corpus removes a third
-      // full explode+shuffle of every bigram instance. Exact integer
-      // arithmetic, so results are identical to counting from raw grams.
-      val cprev = cbg.select(expr("split_part(g, ' ', 1)").as("prev"), col("cg"))
-        .groupBy(col("prev")).agg(sum(col("cg")).as("cp"))
-      grams.withColumn("prev", expr("split_part(g, ' ', 1)"))
-        .join(cbg, "g")
-        .join(cprev, "prev")
-        .crossJoin(broadcast(vocab))
-        .select(col("doc_id"),
-          (-log((col("cg") + 1).cast("double") / (col("cp") + col("v")))).as("sur"))
+      val big = base.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        .as("g"))
+      val tri = base.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 2), i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
+        .as("g"))
+      val bs = big.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          floor(sum(col("sur").cast(DecimalType(38, 12))).cast("double") /
-            count(lit(1)) * 1e6).cast("long").as("surprise_q"))
+        .agg(max(col("c")).as("top2"), sum(col("c")).as("tot2"))
+      val ts = tri.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup3"),
+          sum(col("c")).as("tot3"))
+      bs.join(ts, "doc_id")
+        .select(col("doc_id"),
+          round(col("top2").cast("double") / col("tot2"), 6).as("top_bigram_frac"),
+          round(col("dup3").cast("double") / col("tot3"), 6).as("dup_trigram_frac"),
+          (col("top2").cast("double") / col("tot2") > 0.08 ||
+            col("dup3").cast("double") / col("tot3") > 0.02).as("flagged"))
         .orderBy(col("doc_id"))
     },
 
