@@ -225,17 +225,25 @@ object Multimodal {
       .withColumn("resized_payload",
         expr("substring(payload, 1, cast(resized_bytes as int))"))
 
+  /** ONE definition of the 64-byte pseudo-frame convention, shared by
+    * frame sampling and frame-level dedup: every video payload with its
+    * frame count and one row per frame index k ∈ [1, nf]. Payloads
+    * shorter than one frame yield no rows (Spark's sequence() would
+    * otherwise produce a DESCENDING [0,-1] for nf = 0). */
+  def videoFrameIndex(media: DataFrame): DataFrame =
+    media.filter(col("modality") === "video")
+      .select(col("doc_id"), col("payload"),
+        (octet_length(col("payload")) / 64).cast("int").as("nf"))
+      .filter(col("nf") > 0)
+      .select(col("doc_id"), col("payload"), col("nf"),
+        explode(sequence(lit(1), col("nf"))).as("k"))
+
   /** Frame sampling for video payloads: 64-byte pseudo-frames, every k-th
     * sampled. The explode is partition-local; at scale the fan-out rows
     * carry only (doc_id, frame_no) plus the per-frame slice. */
   def sampleFrames(media: DataFrame, every: Int): DataFrame =
-    media.filter(col("modality") === "video")
-      .select(col("doc_id"), col("payload"),
-        (octet_length(col("payload")) / 64).cast("int").as("n_frames"))
-      // payloads shorter than one frame yield no rows (Spark's sequence()
-      // would otherwise produce a DESCENDING [0,-1] for n_frames=0)
-      .filter(col("n_frames") > 0)
-      .select(col("doc_id"), col("n_frames"),
-        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_no"))
+    videoFrameIndex(media)
+      .select(col("doc_id"), col("nf").as("n_frames"),
+        (col("k") - 1).as("frame_no"))
       .filter(col("frame_no") % every === 0)
 }

@@ -227,7 +227,8 @@ object MultimodalQueries extends QueryPack {
       "mm_frame_dedup",
       """WITH v AS (
         |  SELECT doc_id, text FROM documents
-        |  WHERE doc_id % 3 + 1 = 3 AND length(text) >= 64),
+        |  WHERE doc_id % 3 + 1 = 3 AND length(text) >= 64
+        |    AND length(text) = octet_length(encode(text))),
         |f0 AS (
         |  SELECT doc_id, text,
         |         unnest(generate_series(1, length(text) // 64)) AS k
@@ -249,17 +250,25 @@ object MultimodalQueries extends QueryPack {
         |WHERE s.n_shared >= 2
         |ORDER BY s.a, s.b""".stripMargin
     ) { (s, dir) =>
-      val media = Multimodal.mediaTable(Tables.load(s, dir, "documents"))
-      val vids = media.filter(col("modality") === "video")
-        .select(col("doc_id"), col("payload"),
-          (octet_length(col("payload")) / 64).cast("int").as("nf"))
-        .filter(col("nf") >= 1)
-      val frames = vids
-        .select(col("doc_id"), col("payload"),
-          explode(sequence(lit(1), col("nf"))).as("k"))
+      // DuckDB cannot slice BLOBs, so the oracle frames by CHARACTER
+      // positions — sound only where chars and bytes coincide. Both
+      // sides therefore restrict to single-byte (ASCII) docs EXPLICITLY:
+      // on a non-ASCII fixture the two engines agree on the restricted
+      // domain instead of silently diverging on shifted frame bounds.
+      // (Today's fixtures are pure ASCII at every SF, so the filter
+      // keeps every doc.)
+      val docs = Tables.load(s, dir, "documents")
+        .filter(length(col("text")) === octet_length(col("text")))
+      val media = Multimodal.mediaTable(docs)
+      // the distinct frame-hash table feeds FOUR consumers (rare, both
+      // join sides, sz) — persist so the payload scan + slice + md5 +
+      // distinct subtree runs once (the winnowContainment discipline
+      // this pipeline mirrors)
+      val frames = Multimodal.videoFrameIndex(media)
         .select(col("doc_id"),
           md5(expr("substring(payload, (k - 1) * 64 + 1, 64)")).as("fh"))
         .distinct()
+        .persist()
       val rare = frames.groupBy(col("fh")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= 50).select(col("fh"))
       val fr = frames.join(rare, "fh")
@@ -269,13 +278,18 @@ object MultimodalQueries extends QueryPack {
         .filter(col("a") < col("b"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 2)
-      sh
+      val result = sh
         .join(sz.select(col("doc_id").as("a"), col("nf").as("nfa")), "a")
         .join(sz.select(col("doc_id").as("b"), col("nf").as("nfb")), "b")
         .select(col("a"), col("b"), col("n_shared"),
           round(col("n_shared").cast("double") / least(col("nfa"), col("nfb")), 6)
             .as("containment"))
         .orderBy(col("a"), col("b"))
+        // materialize the small pair set, cut lineage, release the
+        // frame-hash scaffold now (checkpoint blocks die with the DF)
+        .localCheckpoint(true)
+      frames.unpersist()
+      result
     }
   )
 }

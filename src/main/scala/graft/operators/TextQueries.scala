@@ -68,6 +68,35 @@ object TextQueries extends QueryPack {
           count(lit(1)) * 1e6).cast("long").as("surprise_q"))
   }
 
+  /** Exact k-th-smallest `surprise_q` (ties broken irrelevantly — the
+    * k-th VALUE is tie-independent), two paths with IDENTICAL results
+    * (TextPipelineSpec pins their agreement):
+    *   - k ≤ topkMax: top-k (TakeOrderedAndProject — per-partition heap,
+    *     k-row driver merge);
+    *   - larger k (a k-proportional-to-n top-k would overflow limit()'s
+    *     Int and OOM the driver merge): binary search the VALUE domain —
+    *     one count aggregate over the cached narrow table per step,
+    *     O(log range) passes, nothing k-sized anywhere. Both compute the
+    *     smallest v with count(≤ v) ≥ k, which equals the k-th value in
+    *     (surprise_q, doc_id) order — so the oracle's ORDER BY … LIMIT
+    *     form agrees regardless of path. */
+  private[graft] def kthSmallestSurprise(sq: DataFrame, k: Long,
+      topkMax: Long = 1000000L): Long =
+    if (k <= topkMax)
+      sq.orderBy(col("surprise_q"), col("doc_id")).limit(k.toInt)
+        .agg(max(col("surprise_q"))).first().getLong(0)
+    else {
+      val mm = sq.agg(min(col("surprise_q")), max(col("surprise_q"))).first()
+      var lo = mm.getLong(0)
+      var hi = mm.getLong(1)
+      while (lo < hi) {
+        val mid = lo + (hi - lo) / 2
+        if (sq.filter(col("surprise_q") <= mid).count() >= k) hi = mid
+        else lo = mid + 1
+      }
+      lo
+    }
+
   /** The matching oracle CTE chain ending in `sq(doc_id, n_bigrams,
     * surprise_q)`; callers append their own selection. ONE definition on
     * each side so the two scoring consumers can never drift. */
@@ -925,33 +954,41 @@ object TextQueries extends QueryPack {
       val sq = bigramSurpriseQ(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = sq.count()
-      def boundary(k: Long): Long =
-        sq.orderBy(col("surprise_q"), col("doc_id")).limit(k.toInt)
-          .agg(max(col("surprise_q"))).first().getLong(0)
-      val t1 = boundary((n + 2) / 3)
-      val t2 = boundary((2 * n + 2) / 3)
-      val result = sq.select(col("doc_id"), col("surprise_q"),
-          when(col("surprise_q") <= t1, 1L)
-            .when(col("surprise_q") <= t2, 2L)
-            .otherwise(3L).as("ppl_bucket"))
-        .orderBy(col("doc_id"))
-        // materialize + cut lineage so the scored scaffold can be
-        // released now (the dedup_winnow persist discipline)
-        .localCheckpoint(true)
+      def boundary(k: Long): Long = kthSmallestSurprise(sq, k)
+      val result =
+        // empty scored corpus (no doc has ≥2 tokens): zero rows out,
+        // matching the oracle's empty result — never an NPE on max(∅)
+        if (n == 0)
+          sq.select(col("doc_id"), col("surprise_q"), lit(1L).as("ppl_bucket"))
+            .filter(lit(false))
+        else {
+          val t1 = boundary((n + 2) / 3)
+          val t2 = boundary((2 * n + 2) / 3)
+          sq.select(col("doc_id"), col("surprise_q"),
+              when(col("surprise_q") <= t1, 1L)
+                .when(col("surprise_q") <= t2, 2L)
+                .otherwise(3L).as("ppl_bucket"))
+            .orderBy(col("doc_id"))
+            // materialize + cut lineage so the scored scaffold can be
+            // released now (the dedup_winnow persist discipline)
+            .localCheckpoint(true)
+        }
       sq.unpersist()
       result
     },
 
-    // Repetition filters (Rae et al. 2021 "Gopher" §A.1.1, token-fraction
-    // analogue): top-bigram fraction (share of all bigram instances
-    // taken by the single most frequent bigram) and duplicate-trigram
-    // fraction (share of trigram instances whose trigram occurs more
-    // than once in the doc). Two explode→(doc, gram) groupBy passes +
-    // one per-doc aggregate each — corpus-linear, hash-partitioned, the
-    // same shape at any scale. Thresholds keep Gopher's structure but
-    // sit at this corpus's tail (p90/p99: published web thresholds
-    // 0.18/0.30 would flag nothing in synthetic word-salad) so the gate
-    // exercises both flag branches.
+    // Repetition FILTER DECISION (Rae et al. 2021 "Gopher" §A.1.1,
+    // token-fraction analogue) — the companion to
+    // `text_repetition_signals`: signals reports the BIGRAM diagnostics;
+    // this operator adds the duplicate-TRIGRAM fraction (share of
+    // trigram instances whose trigram occurs more than once in the doc)
+    // and renders the keep/drop VERDICT over both n-gram orders, the
+    // composite gate a curation pipeline actually applies. Two
+    // explode→(doc, gram) groupBy passes + one per-doc aggregate each —
+    // corpus-linear, hash-partitioned, the same shape at any scale.
+    // Thresholds keep Gopher's structure but sit at this corpus's tail
+    // (p90/p99: published web thresholds 0.18/0.30 would flag nothing in
+    // synthetic word-salad) so the gate exercises both flag branches.
     Q(
       "text_repetition_gopher",
       """WITH t2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -971,7 +1008,6 @@ object TextQueries extends QueryPack {
         |              CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup3,
         |              CAST(SUM(c) AS BIGINT) AS tot3 FROM tc GROUP BY doc_id)
         |SELECT bs.doc_id,
-        |       round(CAST(top2 AS DOUBLE) / tot2, 6) AS top_bigram_frac,
         |       round(CAST(dup3 AS DOUBLE) / tot3, 6) AS dup_trigram_frac,
         |       (CAST(top2 AS DOUBLE) / tot2 > 0.08
         |        OR CAST(dup3 AS DOUBLE) / tot3 > 0.02) AS flagged
@@ -997,7 +1033,6 @@ object TextQueries extends QueryPack {
           sum(col("c")).as("tot3"))
       bs.join(ts, "doc_id")
         .select(col("doc_id"),
-          round(col("top2").cast("double") / col("tot2"), 6).as("top_bigram_frac"),
           round(col("dup3").cast("double") / col("tot3"), 6).as("dup_trigram_frac"),
           (col("top2").cast("double") / col("tot2") > 0.08 ||
             col("dup3").cast("double") / col("tot3") > 0.02).as("flagged"))

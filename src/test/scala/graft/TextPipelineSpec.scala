@@ -47,6 +47,22 @@ class TextPipelineSpec extends SparkSpec {
     assert(rows.map(_._3).sum > 0)
   }
 
+  test("kth-smallest boundary: top-k path and binary-search path agree") {
+    import spark.implicits._
+    // duplicated values force tie handling; the two paths must agree on
+    // every k because both compute the smallest v with count(<= v) >= k
+    val sq = Seq(5L, 3L, 9L, 3L, 7L, 1L, 9L, 9L, 2L, 7L)
+      .zipWithIndex.map { case (v, i) => (i.toLong, 1L, v) }
+      .toDF("doc_id", "n_bigrams", "surprise_q")
+    val sorted = Seq(1L, 2L, 3L, 3L, 5L, 7L, 7L, 9L, 9L, 9L)
+    for (k <- 1 to 10) {
+      val topk = graft.operators.TextQueries.kthSmallestSurprise(sq, k.toLong)
+      val bin = graft.operators.TextQueries.kthSmallestSurprise(sq, k.toLong, topkMax = 0L)
+      assert(topk == sorted(k - 1), s"top-k path wrong at k=$k: $topk")
+      assert(bin == sorted(k - 1), s"binary-search path wrong at k=$k: $bin")
+    }
+  }
+
   test("repetition signals are valid fractions and catch repetitive docs") {
     val rows = SparkEntry.queries("text_repetition_signals")(spark, sf()).collect()
       .map(r => (r.getDouble(1), r.getDouble(2)))
