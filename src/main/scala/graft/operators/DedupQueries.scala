@@ -598,7 +598,7 @@ object DedupQueries extends QueryPack {
     // corpus-wide join one left join.
     Q(
       "dedup_embedding_canonical",
-      s"""WITH RECURSIVE ${SimilarityQueries.oCosinePairCtes("0.4")},
+      s"""WITH RECURSIVE ${SimilarityQueries.oAnnPairCtes(0.4)},
          |edges AS (
          |  SELECT a AS u, b AS v FROM cpairs
          |  UNION SELECT b, a FROM cpairs),

@@ -60,11 +60,16 @@ object EventQueries extends QueryPack {
     // Gap-based sessionization via Spark's native session_window (30 min
     // inactivity gap); the oracle rebuilds identical sessions with a
     // lag-gap running sum. session_window.end = last event + gap.
+    // BOUNDARY SEMANTICS: session_window merges an event at EXACTLY
+    // prev + gap (sessions are [start, last+gap) and the merge test is
+    // next_start <= prev_end), so the oracle's break condition must be
+    // gap > 1800, not >= — the >= form diverged on the first
+    // exactly-30:00 gap in the data (seen at sf0.1).
     Q(
       "evt_sessions",
       s"""WITH e AS (
          |  SELECT user_id, $oEs AS es, value,
-         |         CASE WHEN $oEs - lag($oEs) OVER (PARTITION BY user_id ORDER BY ts) >= 1800
+         |         CASE WHEN $oEs - lag($oEs) OVER (PARTITION BY user_id ORDER BY ts) > 1800
          |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
          |              THEN 1 ELSE 0 END AS brk
          |  FROM events WHERE user_id < 100),
@@ -441,7 +446,7 @@ object EventQueries extends QueryPack {
       "evt_session_conversion",
       s"""WITH e AS (
          |  SELECT user_id, event_id, event_type, $oEs AS es,
-         |         CASE WHEN $oEs - lag($oEs) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800
+         |         CASE WHEN $oEs - lag($oEs) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
          |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
          |              THEN 1 ELSE 0 END AS brk
          |  FROM events),
@@ -482,6 +487,43 @@ object EventQueries extends QueryPack {
           (col("n_converted").cast("double") / col("n_sessions"))
             .as("conversion_rate"))
         .orderBy(col("entry_type"))
+    },
+
+    // Date-partitioned layout round trip — THE physical-layout practice
+    // of every 100 TB event store: rewrite the event log partitioned by
+    // day (`day=YYYY-MM-DD/` dirs), then read ONE day back through a
+    // partition-value filter. At scale the read's cost is the selected
+    // day's bytes, not the table's: Spark prunes non-matching partition
+    // dirs at PLANNING time (PlanSpec pins PartitionFilters + the pruned
+    // read). The oracle answers from the unpartitioned original — the
+    // round trip must lose and invent nothing, so one misplaced row in
+    // the partitioned write fails the hash gate. Writes go to a
+    // deterministic per-corpus scratch dir (mode=overwrite): rerunning
+    // the gate or the two bench passes is idempotent.
+    Q(
+      "evt_partitioned_prune",
+      """SELECT event_id, user_id, event_type,
+        |       CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+        |FROM events
+        |WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
+        |ORDER BY event_id""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+      val scratch = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_evt_part_" + Integer.toHexString(dir.hashCode)).toString
+      ev.select(col("event_id"), col("user_id"), col("event_type"), col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(scratch)
+      // get(0), not getDate(0): the value is java.sql.Date or
+      // java.time.LocalDate depending on the session's java8API setting,
+      // and lit() accepts both
+      val minDay = ev.agg(min(col("day"))).first().get(0)
+      s.read.parquet(scratch)
+        .filter(col("day") === lit(minDay))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("day").cast("string").as("day"))
+        .orderBy(col("event_id"))
     }
   )
 }

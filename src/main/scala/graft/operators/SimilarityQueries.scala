@@ -106,15 +106,30 @@ object SimilarityQueries extends QueryPack {
     * At the oracle-gated scale factors this resolves to the round-8
     * geometry (bits = 3) where empirically every exact pair shares a
     * band key (sf0.001: 66/66, sf0.01: 59/59). */
-  private[graft] def cosinePairsAnn(s: SparkSession, dir: String, thr: Double): DataFrame = {
-    // one metadata-cheap count; parameters, not data
-    val n = Tables.load(s, dir, "embeddings").count().max(1L)
-    val targetOccupancy = 1024.0
-    val bits = math.max(3,
-      math.ceil(math.log(n / targetOccupancy) / math.log(2.0)).toInt).min(12)
+  /** Bands per bits-width for [[cosinePairsAnn]]'s recall target,
+    * precomputed for every legal width: per-pair miss probability at
+    * threshold-cosine p = 1 − acos(thr)/π is (1 − p^bits)^bands ≤ δ for
+    * bands = ln(1/δ)/p^bits, δ = 1e-3, clamped to [24, 96]. Evaluated
+    * ONCE in Scala and inlined into the DuckDB oracle as an integer
+    * CASE table — the oracle must never re-derive it through its own
+    * libm (acos/pow/ceil differ across math libraries at ULP scale, and
+    * a ceil straddling an integer boundary would silently change the
+    * band count on one side only). */
+  private[operators] def annBands(thr: Double): Map[Int, Int] = {
     val p = 1.0 - math.acos(thr) / math.Pi
-    val bands = math.min(96,
-      math.max(24, math.ceil(math.log(1000.0) / math.pow(p, bits)).toInt))
+    (3 to 12).map(b => b ->
+      math.min(96, math.max(24, math.ceil(math.log(1000.0) / math.pow(p, b)).toInt))).toMap
+  }
+
+  private[graft] def cosinePairsAnn(s: SparkSession, dir: String, thr: Double): DataFrame = {
+    // one metadata-cheap count; parameters, not data. Width via the
+    // lshSketchWidth find-first idiom (smallest b in [3,12] with
+    // 1024·2^b ≥ n — integer-exact, same quantity as the old
+    // ceil(log2(n/1024)) clamp without the log2 ULP exposure), so the
+    // oracle's bcfg CTE can never disagree.
+    val n = Tables.load(s, dir, "embeddings").count().max(1L)
+    val bits = lshSketchWidth(n)
+    val bands = annBands(thr)(bits)
     // plane dimensionality from the data, not a constant: a 768-dim
     // corpus with 64-dim planes would sketch only a prefix of every
     // vector — still correct (verify is exact) but far less selective.
@@ -335,18 +350,71 @@ object SimilarityQueries extends QueryPack {
 
   /** DuckDB CTE block computing the same cosine pairs as [[cosinePairs]]
     * (names them `cpairs(a, b)`); splice after WITH [RECURSIVE]. */
-  private[operators] def oCosinePairCtes(thr: String): String =
+  /** Oracle CTE chain ending in `cpairs(a, b)` = EXACTLY the pair set
+    * [[cosinePairsAnn]] emits: the banded sign-LSH DISCOVERY is
+    * replicated, not just the exact verify. The earlier all-pairs-exact
+    * form asserted 100% LSH recall — empirically true at sf ≤ 0.01 but
+    * not a property the operator has (at sf0.1 the wider geometry
+    * missed one true pair and the component labels diverged). Exact
+    * replication points per SignBandKeysExpr / cosinePairsAnn:
+    *   - bits: the same integer find-first (bcfg);
+    *   - bands: the Scala-precomputed [[annBands]] CASE table (no libm);
+    *   - plane components: same md5 derivation;
+    *   - projections: PLAIN-DOUBLE LEFT-TO-RIGHT accumulation via
+    *     list_reduce over the embedding list — IEEE-identical to the
+    *     kernel's sequential loop (a decimal-quantized sum here could
+    *     flip a sign the kernel's double sum decides the other way);
+    *   - band key: plane j of band b is bit (bits−1−j), sign = s > 0;
+    *   - candidates: DISTINCT pairs sharing any (band, key);
+    *   - verify: the exact-decimal cosine ≥ thr (what the kernel emits).
+    */
+  private[operators] def oAnnPairCtes(thr: Double): String = {
+    val bandsCase = (3 to 12)
+      .map(b => s"WHEN $b THEN ${annBands(thr)(b)}").mkString(" ")
     s"""u AS ($oVecs),
        |n AS ($oNorms),
+       |dim AS (SELECT len(embedding) AS d FROM embeddings LIMIT 1),
+       |bcfg AS (
+       |  SELECT COALESCE(MIN(b), 12) AS bits
+       |  FROM (SELECT unnest(generate_series(3, 12)) AS b)
+       |  WHERE 1024 * (CAST(1 AS BIGINT) << b) >= (SELECT COUNT(*) FROM embeddings)),
+       |bnd AS (SELECT CASE (SELECT bits FROM bcfg) $bandsCase END AS nb),
+       |planes AS (
+       |  SELECT i, p,
+       |         (CAST(('0x' || substr(md5(i || '_' || p), 1, 15)) AS BIGINT) % 2001 - 1000)
+       |           / 1000.0 AS r
+       |  FROM (SELECT unnest(generate_series(0,
+       |          (SELECT bits FROM bcfg) * (SELECT nb FROM bnd) - 1)) AS i)
+       |  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT d FROM dim))) AS p)),
+       |pl AS (SELECT i, list(r ORDER BY p) AS v FROM planes GROUP BY i),
+       |proj AS (
+       |  SELECT e.vec_id, pl.i,
+       |         list_reduce(list_transform(generate_series(1, (SELECT d FROM dim)),
+       |           dd -> CAST(e.embedding[dd] AS DOUBLE) * pl.v[dd]),
+       |           (x, y) -> x + y) AS s
+       |  FROM embeddings e CROSS JOIN pl),
+       |keys AS (
+       |  SELECT vec_id, i // (SELECT bits FROM bcfg) AS band,
+       |         SUM(CASE WHEN s > 0
+       |             THEN (CAST(1 AS BIGINT) << CAST((SELECT bits FROM bcfg) - 1
+       |                    - (i % (SELECT bits FROM bcfg)) AS INT))
+       |             ELSE 0 END) AS bkey
+       |  FROM proj GROUP BY vec_id, i // (SELECT bits FROM bcfg)),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM keys x JOIN keys y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
        |dots AS (
-       |  SELECT a.vec_id AS a, b.vec_id AS b,
-       |         CAST(SUM(CAST(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
-       |  FROM u a JOIN u b ON a.p = b.p AND a.vec_id < b.vec_id
-       |  GROUP BY a.vec_id, b.vec_id),
+       |  SELECT c.a, c.b,
+       |         CAST(SUM(CAST(CAST(ua.x AS DOUBLE) * CAST(ub.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+       |  FROM cand c JOIN u ua ON ua.vec_id = c.a
+       |              JOIN u ub ON ub.vec_id = c.b AND ua.p = ub.p
+       |  GROUP BY c.a, c.b),
        |cpairs AS (
        |  SELECT a, b FROM dots
        |  JOIN n na ON a = na.vec_id JOIN n nb ON b = nb.vec_id
        |  WHERE dot / (na.norm * nb.norm) >= $thr)""".stripMargin
+  }
 
   val qs: Seq[Q] = Seq(
     // Brute-force cosine top-k for a small query set: broadcast the

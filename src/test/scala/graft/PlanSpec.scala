@@ -247,6 +247,17 @@ class PlanSpec extends SparkSpec {
       s"LIMIT 50 must plan top-k, not a global sort:\n${p.take(1500)}")
   }
 
+  test("partitioned event read prunes to the selected day at planning time") {
+    val df = SparkEntry.queries("evt_partitioned_prune")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the day filter must reach the scan as a PARTITION filter (dir
+    // pruning — the selected day's bytes are the query's cost), not as
+    // a post-scan row filter over the whole table
+    assert(p.contains("PartitionFilters: [") && "day#\\d+ = ".r.findFirstIn(p).isDefined,
+      s"expected day partition filter at the scan:\n${p.take(2000)}")
+  }
+
   test("RFM scoring is threshold-based: no window (= no global sort), thresholds broadcast") {
     val p = planOf("rfm_segments")
     // the old shape was three un-partitioned NTILE windows — three serial
