@@ -670,6 +670,73 @@ object DedupQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Decontamination for the OTHER scale regime: when the eval set is
+    // itself too large to broadcast as raw shingles (dedup_contamination's
+    // premise), broadcast a compact Bloom bitset instead (BloomAgg —
+    // distributed build, OR-merging partials, m/8 bytes per partition on
+    // the wire) and prefilter the corpus-sized train side down to
+    // near-hit scale BEFORE any join: the exact verify then shuffles only
+    // survivors, on both sides, with no broadcast anywhere. Bloom filters
+    // have no false negatives, so prefilter → exact-verify is exactly
+    // correct (false positives die in the verify join) — which is why the
+    // oracle is the plain exact-join SQL with no Bloom in sight. Output
+    // is per-TRAIN-doc (the direction that matters operationally: these
+    // are the docs you drop). Hashing is codegen'd xxhash64 ×2
+    // (Kirsch–Mitzenmacher double hashing); only the k-probe runs in a
+    // two-long UDF. PlanSpec pins the prefilter below the verify join.
+    Q(
+      "dedup_bloom_decontam",
+      """WITH sh AS (
+        |  SELECT doc_id, source, unnest(list_distinct(
+        |    list_transform(generate_series(1, len(string_split(text,' ')) - 4),
+        |                   i -> array_to_string((string_split(text,' '))[i:i+4], ' ')))) AS sh
+        |  FROM documents)
+        |SELECT t.doc_id,
+        |       CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS contaminating_eval_docs,
+        |       CAST(COUNT(DISTINCT t.sh) AS BIGINT) AS shared_shingles
+        |FROM sh t JOIN sh e ON t.sh = e.sh
+        |WHERE t.source <> (SELECT min(source) FROM documents)
+        |  AND e.source = (SELECT min(source) FROM documents)
+        |GROUP BY t.doc_id
+        |ORDER BY t.doc_id""".stripMargin
+    ) { (s, dir) =>
+      import graft.functions.BloomAgg
+      val docs = Tables.spread(Tables.load(s, dir, "documents"))
+      val sh5 = docs.select(col("doc_id"), col("source"),
+        explode(graft.functions.VectorFunctions.shingles(col("text"), 5)).as("sh"))
+      val msrc = docs.agg(min(col("source")).as("msrc"))
+      val tagged = sh5.crossJoin(broadcast(msrc))
+      val evalSh = tagged.filter(col("source") === col("msrc"))
+        .select(col("doc_id").as("e_id"), col("sh"))
+      val trainSh = tagged.filter(col("source") =!= col("msrc"))
+        .select(col("doc_id").as("t_id"), col("sh"))
+      // size the filter from the eval-side row count (one action on the
+      // SMALL side; an upper bound on its distinct shingles)
+      val nEval = evalSh.count().max(1L)
+      val mBits = BloomAgg.sizeFor(nEval)
+      val bloom = new BloomAgg(mBits, BloomAgg.K)
+      import s.implicits._
+      val bits = evalSh
+        .select(xxhash64(col("sh")).as("h1"),
+          xxhash64(col("sh"), lit("g2")).as("h2"))
+        .as[(Long, Long)]
+        .select(bloom.toColumn).head()
+      val bcBits = s.sparkContext.broadcast(bits)
+      val might = udf((h1: Long, h2: Long) =>
+        BloomAgg.mightContain(bcBits.value, mBits, BloomAgg.K, h1, h2))
+      val survivors = trainSh
+        .filter(might(xxhash64(col("sh")), xxhash64(col("sh"), lit("g2"))))
+      // exact verify WITHOUT broadcast: at the regime this operator
+      // exists for, the eval side doesn't broadcast-fit raw — pin a
+      // shuffle hash join so the plan is survivor-shuffle × eval-shuffle
+      // at any scale (not an optimizer small-scale broadcast artifact)
+      survivors.hint("shuffle_hash").join(evalSh, "sh")
+        .groupBy(col("t_id").as("doc_id"))
+        .agg(countDistinct(col("e_id")).as("contaminating_eval_docs"),
+          countDistinct(col("sh")).as("shared_shingles"))
+        .orderBy(col("doc_id"))
+    },
+
     // SimHash with CORPUS-SCALABLE signature width: band bits k = the
     // smallest k in [16, 30] with 2^k ≥ n (the `lshSketchWidth` integer-
     // exact find-first idiom — no log2 ULP disagreement possible), full

@@ -290,6 +290,56 @@ object MultimodalQueries extends QueryPack {
         .localCheckpoint(true)
       frames.unpersist()
       result
+    },
+
+    // Audio frame analysis WITHOUT an audio lib (the audio leg of the
+    // multimodal suite, next to the video mm_frame_* ops): audio payloads
+    // as unsigned 8-bit PCM centered at 128, framed into 32-sample
+    // windows, per-frame energy = the EXACT integer Σ(b−128)² from a
+    // native expression (AudioFrameEnergiesExpr — payload-local narrow
+    // map, only the energy array leaves the operator, payload bytes never
+    // shuffle). Frame stats then compose from codegen'd array functions
+    // (size/array_max/filter/aggregate) instead of an explode+groupBy —
+    // zero shuffles before the final sort. Quiet-frame threshold 58000 ≈
+    // the corpus's lower energy quartile; the oracle replays the same
+    // integer arithmetic over the same ASCII bytes (ord = byte under the
+    // explicit single-byte guard both sides carry, as in mm_frame_dedup).
+    Q(
+      "mm_audio_energy",
+      """WITH a AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) // 32 AS nf
+        |  FROM documents
+        |  WHERE doc_id % 3 + 1 = 2
+        |    AND length(text) = octet_length(encode(text))
+        |    AND octet_length(encode(text)) >= 32),
+        |fe AS (
+        |  SELECT doc_id, nf,
+        |         list_sum(list_transform(generate_series((k - 1) * 32 + 1, k * 32),
+        |           i -> CAST((ord(substr(text, CAST(i AS BIGINT), 1)) - 128)
+        |                     * (ord(substr(text, CAST(i AS BIGINT), 1)) - 128) AS BIGINT))) AS e
+        |  FROM (SELECT doc_id, text, nf, unnest(generate_series(1, nf)) AS k FROM a) t)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |       CAST(MAX(e) AS BIGINT) AS peak_energy,
+        |       CAST(SUM(CASE WHEN e < 58000 THEN 1 ELSE 0 END) AS BIGINT) AS n_quiet,
+        |       round(CAST(SUM(e) AS DOUBLE) / nf, 6) AS mean_energy
+        |FROM fe GROUP BY doc_id, nf
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .filter(length(col("text")) === octet_length(col("text")))
+      val audio = Multimodal.mediaTable(docs)
+        .filter(col("modality") === "audio")
+        .filter(octet_length(col("payload")) >= 32)
+      audio
+        .select(col("doc_id"),
+          graft.functions.AudioFunctions.frameEnergies(col("payload"), 32).as("e"))
+        .select(col("doc_id"),
+          size(col("e")).cast("long").as("n_frames"),
+          array_max(col("e")).as("peak_energy"),
+          size(filter(col("e"), x => x < lit(58000L))).cast("long").as("n_quiet"),
+          round(aggregate(col("e"), lit(0L), (acc, x) => acc + x).cast("double")
+                  / size(col("e")), 6).as("mean_energy"))
+        .orderBy(col("doc_id"))
     }
   )
 }

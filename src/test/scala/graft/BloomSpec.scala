@@ -1,0 +1,82 @@
+package graft
+
+import graft.functions.BloomAgg
+import org.apache.spark.sql.functions._
+
+/** BloomAgg: the no-false-negative guarantee the prefilter→exact-verify
+  * pipeline rests on, the false-positive budget, and the distributed
+  * build agreeing with a local one.
+  */
+class BloomSpec extends SparkSpec {
+
+  test("no false negatives ever; false-positive rate within budget") {
+    val rnd = new scala.util.Random(42)
+    val n = 10000
+    val inserted = Array.fill(n)((rnd.nextLong(), rnd.nextLong()))
+    val mBits = BloomAgg.sizeFor(n)
+    val bits = new Array[Long](mBits >>> 6)
+    inserted.foreach { case (h1, h2) =>
+      BloomAgg.setBits(bits, mBits, BloomAgg.K, h1, h2)
+    }
+    // every inserted element must probe true — a Bloom filter's defining
+    // one-sided guarantee (reduce sets bits, merge ORs, nothing clears)
+    assert(inserted.forall { case (h1, h2) =>
+      BloomAgg.mightContain(bits, mBits, BloomAgg.K, h1, h2)
+    })
+    // fresh random pairs: fp rate ~1.4e-3 at 16 bits/element, assert <1%
+    val probes = 100000
+    val fps = (0 until probes).count { _ =>
+      BloomAgg.mightContain(bits, mBits, BloomAgg.K, rnd.nextLong(), rnd.nextLong())
+    }
+    assert(fps < probes / 100, s"fp rate too high: $fps/$probes")
+  }
+
+  test("distributed build over partitions equals a local single-pass build") {
+    import spark.implicits._
+    val n = 5000
+    val mBits = BloomAgg.sizeFor(n)
+    val rnd = new scala.util.Random(7)
+    val pairs = Array.fill(n)((rnd.nextLong(), rnd.nextLong()))
+    val local = new Array[Long](mBits >>> 6)
+    pairs.foreach { case (h1, h2) =>
+      BloomAgg.setBits(local, mBits, BloomAgg.K, h1, h2)
+    }
+    val distributed = spark.createDataset(pairs.toSeq).repartition(8)
+      .select(new BloomAgg(mBits, BloomAgg.K).toColumn).head()
+    assert(distributed.sameElements(local),
+      "OR-merged partial bitsets must equal the sequential build")
+  }
+
+  test("bloom prefilter drops most non-matching shingles but keeps every match") {
+    import spark.implicits._
+    val docs = Tables.spread(Tables.load(spark, sf(), "documents"))
+    val sh5 = docs.select(col("doc_id"), col("source"),
+      explode(graft.functions.VectorFunctions.shingles(col("text"), 5)).as("sh"))
+    val msrc = docs.agg(min(col("source"))).head().getString(0)
+    val evalSh = sh5.filter(col("source") === msrc).select(col("sh")).distinct()
+    val trainSh = sh5.filter(col("source") =!= msrc)
+      .select(col("doc_id"), col("sh"))
+    val nEval = evalSh.count().max(1L)
+    val mBits = BloomAgg.sizeFor(nEval)
+    val bits = evalSh
+      .select(xxhash64(col("sh")).as("h1"), xxhash64(col("sh"), lit("g2")).as("h2"))
+      .as[(Long, Long)].select(new BloomAgg(mBits, BloomAgg.K).toColumn).head()
+    val bc = spark.sparkContext.broadcast(bits)
+    val might = udf((h1: Long, h2: Long) =>
+      BloomAgg.mightContain(bc.value, mBits, BloomAgg.K, h1, h2))
+    val survivors = trainSh
+      .filter(might(xxhash64(col("sh")), xxhash64(col("sh"), lit("g2"))))
+    // soundness: the survivor set contains EVERY train shingle that
+    // actually occurs in the eval set (no false negatives end-to-end,
+    // through the same xxhash64 derivation the gate query uses)
+    val missed = trainSh.join(evalSh, "sh")
+      .exceptAll(survivors.join(evalSh, "sh")).count()
+    assert(missed == 0L, s"bloom prefilter dropped $missed true matches")
+    // effectiveness: non-matching shingles mostly filtered out
+    val total = trainSh.count()
+    val kept = survivors.count()
+    val matches = trainSh.join(evalSh, "sh").count()
+    assert(kept < matches + (total - matches) / 10,
+      s"prefilter too weak: kept $kept of $total (true matches $matches)")
+  }
+}

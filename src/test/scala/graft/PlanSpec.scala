@@ -494,4 +494,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate"), s"unexpected explode in:\n${p.take(1500)}")
     assert(!p.toLowerCase.contains("join"), s"unexpected join in:\n${p.take(1500)}")
   }
+
+  test("bloom decontam: prefilter UDF below a shuffled (never broadcast) verify join") {
+    val p = finalPlanOf("dedup_bloom_decontam")
+    // the operator exists for the eval-set-too-big-to-broadcast regime:
+    // the verify join must stay shuffle-hash even where AQE would pick
+    // broadcast at test scale, and the train side must pass through the
+    // bloom-probe Filter before reaching it
+    assert(p.contains("ShuffledHashJoin"),
+      s"verify join must be pinned shuffle-hash:\n${p.take(2000)}")
+    assert(p.contains("UDF"),
+      s"bloom-probe filter missing from the train side:\n${p.take(2000)}")
+  }
+
+  test("audio frame energies are payload-local: no hash shuffle before the sort") {
+    val p = planOf("mm_audio_energy")
+    // per-doc array stats compose from codegen'd array functions over the
+    // native expression — the only exchange is the final sort's range
+    // partitioning; a hashpartitioning would mean an explode+groupBy crept in
+    assert(!p.contains("hashpartitioning"),
+      s"unexpected aggregation shuffle:\n${p.take(2000)}")
+    assert(p.toLowerCase.contains("audioframeenergies"),
+      s"native energy expression missing from plan:\n${p.take(2000)}")
+  }
 }

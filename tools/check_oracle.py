@@ -32,6 +32,14 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
+    # optional 3rd arg: "only=a,b" or "skip=a,b" query-name filter
+    if len(sys.argv) > 3:
+        mode, _, names = sys.argv[3].partition("=")
+        sel = set(names.split(","))
+        if mode == "only":
+            oracle = {k: v for k, v in oracle.items() if k in sel}
+        elif mode == "skip":
+            oracle = {k: v for k, v in oracle.items() if k not in sel}
     n_pass = n_fail = 0
     failures = []
     for name in sorted(oracle):
