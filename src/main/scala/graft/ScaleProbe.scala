@@ -181,7 +181,9 @@ object ScaleProbe {
       "dedup_winnow",
       // round-12 operators
       "text_repetition_gopher", "pipeline_ppl_buckets", "mm_frame_dedup",
-      "mm_decode_payload_png")
+      "mm_decode_payload_png",
+      // round-12 second batch
+      "dedup_bloom_decontam", "mm_audio_energy")
     probes.foreach { n =>
       time(n)(SparkEntry.queries(n)(spark, out).count())
     }

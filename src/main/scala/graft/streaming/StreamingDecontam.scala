@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.functions.BloomAgg
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Continuous decontamination over a document ingest stream — the
+  * streaming twin of the batch `dedup_bloom_decontam` operator (SURVEY
+  * §2.11 extension; like all streaming twins here, the reference has no
+  * streaming surface). The operational setting: the eval/benchmark set
+  * is STATIC between releases, while training documents arrive as a
+  * crawl stream and must be flagged before they enter the corpus.
+  *
+  * Shape: the eval side is frozen once into (a) a compact Bloom bitset
+  * that broadcasts to every executor and (b) the exact shingle table.
+  * The stream side is then fully STATELESS: explode 5-shingles (narrow),
+  * drop non-candidates with the broadcast Bloom probe (no shuffle, no
+  * state, kills ~all clean-doc shingles executor-locally), and exactly
+  * verify the survivors with a stream-static equi-join. Append-mode safe
+  * by construction — a match emits in the micro-batch its document
+  * arrives, and nothing is retained between batches, so sustained
+  * throughput is bounded by per-batch narrow work rather than state
+  * growth (contrast [[StreamingDedup]], whose bucket residents must
+  * persist).
+  *
+  * The per-doc rollup ([[contaminationCounts]]) is the one stateful
+  * stage and is optional: each doc's shingles arrive in one batch, so
+  * its counts finalize immediately; Update mode emits them once per
+  * affected doc. State is one small row per CONTAMINATED doc — the rare
+  * case by construction.
+  */
+object StreamingDecontam {
+
+  /** Freeze the static eval corpus: (bloom bitset, mBits, exact shingle
+    * table). The bitset build is the distributed [[BloomAgg]] pipeline;
+    * the returned shingle table is the verify join's static side. */
+  def evalBloom(evalDocs: DataFrame): (Array[Long], Int, DataFrame) = {
+    val spark = evalDocs.sparkSession
+    import spark.implicits._
+    val evalSh = evalDocs.select(col("doc_id").as("e_id"),
+      explode(graft.functions.VectorFunctions.shingles(col("text"), 5)).as("sh"))
+    val n = evalSh.count().max(1L)
+    val mBits = BloomAgg.sizeFor(n)
+    val bits = evalSh
+      .select(xxhash64(col("sh")).as("h1"),
+        xxhash64(col("sh"), lit("g2")).as("h2"))
+      .as[(Long, Long)]
+      .select(new BloomAgg(mBits, BloomAgg.K).toColumn).head()
+    (bits, mBits, evalSh)
+  }
+
+  /** Stateless match stream: one row per (train doc, matched shingle,
+    * eval doc) — the same xxhash64 derivation and prefilter → exact-verify
+    * contract as the batch operator. `trainStream` needs (doc_id, text). */
+  def matches(
+      trainStream: DataFrame,
+      bits: Array[Long], mBits: Int, evalSh: DataFrame): DataFrame = {
+    val bc = trainStream.sparkSession.sparkContext.broadcast(bits)
+    val might = udf((h1: Long, h2: Long) =>
+      BloomAgg.mightContain(bc.value, mBits, BloomAgg.K, h1, h2))
+    trainStream
+      .select(col("doc_id"),
+        explode(graft.functions.VectorFunctions.shingles(col("text"), 5)).as("sh"))
+      .filter(might(xxhash64(col("sh")), xxhash64(col("sh"), lit("g2"))))
+      .join(evalSh, "sh") // stream-static: stateless, batch-local
+      .select(col("doc_id"), col("sh"), col("e_id"))
+  }
+
+  /** Update-mode per-doc rollup of [[matches]]: contaminated-shingle and
+    * eval-doc counts per train doc (the batch gate query's output shape).
+    * Distinct counts via `size(collect_set(...))` — streaming rejects
+    * distinct-aggregate plans (`countDistinct` expands to a two-phase
+    * plan that needs multiple state passes), while collect_set is a
+    * supported streaming aggregate and each per-doc set is bounded by
+    * that doc's shingle count. */
+  def contaminationCounts(
+      trainStream: DataFrame,
+      bits: Array[Long], mBits: Int, evalSh: DataFrame): DataFrame =
+    matches(trainStream, bits, mBits, evalSh)
+      .groupBy(col("doc_id"))
+      .agg(size(collect_set(col("e_id"))).cast("long").as("contaminating_eval_docs"),
+        size(collect_set(col("sh"))).cast("long").as("shared_shingles"))
+}

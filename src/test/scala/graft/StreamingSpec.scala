@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
-import graft.streaming.EventStreams
+import graft.streaming.{EventStreams, StreamingDecontam}
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
@@ -428,6 +428,46 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val stream = spark.sql("SELECT * FROM agree_sink ORDER BY w_start, event_type").collect()
       assert(stream.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("streaming decontamination agrees with the batch exact join across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, sf(), "documents")
+    val msrc = docs.agg(min($"source")).head().getString(0)
+    val evalDocs = docs.filter($"source" === msrc)
+    val trainDocs = docs.filter($"source" =!= msrc)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val (bits, mBits, evalSh) = StreamingDecontam.evalBloom(evalDocs)
+    // batch expectation: plain exact join, the operator's oracle shape
+    val trainSh = docs.filter($"source" =!= msrc)
+      .select($"doc_id", explode(
+        graft.functions.VectorFunctions.shingles($"text", 5)).as("sh"))
+    val batch = trainSh.join(evalSh, "sh")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"e_id").as("e"), countDistinct($"sh").as("s"))
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingDecontam.contaminationCounts(
+        in.toDF().toDF("doc_id", "text"), bits, mBits, evalSh)
+      .writeStream.format("memory").queryName("decontam_sink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // split the train stream over two micro-batches: a doc's shingles
+      // all land in one batch, so each contaminated doc must emit its
+      // FINAL counts exactly once (stateless prefilter, batch-local join)
+      val (b1, b2) = trainDocs.splitAt(trainDocs.length / 2)
+      in.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      in.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      val stream = spark.sql(
+        """SELECT doc_id, contaminating_eval_docs, shared_shingles
+          |FROM decontam_sink ORDER BY doc_id""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(stream.toSeq == batch.toSeq,
+        s"stream=${stream.toSeq} batch=${batch.toSeq}")
     } finally q.stop()
   }
 }
