@@ -183,7 +183,9 @@ object ScaleProbe {
       "text_repetition_gopher", "pipeline_ppl_buckets", "mm_frame_dedup",
       "mm_decode_payload_png",
       // round-12 second batch
-      "dedup_bloom_decontam", "mm_audio_energy")
+      "dedup_bloom_decontam", "mm_audio_energy",
+      "join_bucketed_colocated", "scan_orc_roundtrip",
+      "pipeline_export_shards")
     probes.foreach { n =>
       time(n)(SparkEntry.queries(n)(spark, out).count())
     }

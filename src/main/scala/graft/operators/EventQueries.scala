@@ -513,7 +513,13 @@ object EventQueries extends QueryPack {
       val scratch = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
         "graft_evt_part_" + Integer.toHexString(dir.hashCode)).toString
+      // repartition ON the partition column first: without it every input
+      // task writes a file into every day dir (tasks × days small files —
+      // the classic partitioned-write mistake at scale); with it each day
+      // lands in exactly one task → one file per day dir regardless of
+      // input parallelism
       ev.select(col("event_id"), col("user_id"), col("event_type"), col("day"))
+        .repartition(col("day"))
         .write.mode("overwrite").partitionBy("day").parquet(scratch)
       // get(0), not getDate(0): the value is java.sql.Date or
       // java.time.LocalDate depending on the session's java8API setting,

@@ -228,6 +228,63 @@ object JoinQueries extends QueryPack {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .offset(5)
         .limit(25)
+    },
+
+    // Bucketed CO-LOCATED join — the 100 TB fact×fact answer when
+    // neither side broadcast-fits: both tables are written bucketed (and
+    // sorted) on the join key, so the sort-merge join reads bucket i of
+    // each side into the same task and needs NO pre-join exchange and no
+    // per-query sort — the shuffle is paid ONCE at layout time and
+    // amortized over every subsequent join (PlanSpec pins
+    // SelectedBucketsCount and exactly one post-join hashpartitioning,
+    // the small agg's). The write runs mode=overwrite into dir-hashed
+    // table names: idempotent per corpus, and a driver-regenerated
+    // fixture can never leave a stale bucketed copy behind the oracle's
+    // back. The oracle answers from the raw parquet — the layout round
+    // trip must lose and invent nothing.
+    Q(
+      "join_bucketed_colocated",
+      s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS line_count,
+         |       ${graft.Exact.oSum("l_extendedprice")} AS revenue
+         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin
+    ) { (s, dir) =>
+      val h = Integer.toHexString(dir.hashCode)
+      val oT = s"graft_bkt_orders_$h"
+      val lT = s"graft_bkt_lineitem_$h"
+      // warehouse FILES persist across JVMs but the in-memory catalog's
+      // metadata does not — a fresh session's "overwrite" is a CREATE
+      // that trips LOCATION_ALREADY_EXISTS on the previous run's files.
+      // Reset both halves explicitly: drop the catalog entry AND clear
+      // the location.
+      def reset(t: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS `$t`")
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+        val whPath =
+          if (wh.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(wh)).toString
+          else wh
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(whPath, t))
+      }
+      reset(oT)
+      reset(lT)
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(16, "o_orderkey").sortBy("o_orderkey").saveAsTable(oT)
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(16, "l_orderkey").sortBy("l_orderkey").saveAsTable(lT)
+      s.table(oT).join(s.table(lT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("line_count"),
+          graft.Exact.dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("o_orderpriority"))
     }
   )
 }

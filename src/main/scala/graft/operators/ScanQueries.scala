@@ -203,6 +203,35 @@ object ScanQueries extends QueryPack {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .offset(10)
         .limit(20)
+    },
+
+    // Second columnar format end-to-end: write the document corpus to
+    // ORC, read it back through the ORC reader WITH a pushed predicate,
+    // aggregate per source. The oracle answers from the original parquet,
+    // so the format round trip must preserve every row and value exactly;
+    // PlanSpec pins that the filter reaches the ORC scan as a
+    // PushedFilters entry (ORC reader predicate pushdown — same
+    // scan-level filtering contract the parquet pins assert). Scratch is
+    // dir-hashed + overwrite: idempotent, never stale behind the oracle.
+    Q(
+      "scan_orc_roundtrip",
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE n_chars > 100
+        |GROUP BY source
+        |ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      val scratch = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_orc_" + Integer.toHexString(dir.hashCode)).toString
+      Tables.load(s, dir, "documents")
+        .write.mode("overwrite").orc(scratch)
+      s.read.orc(scratch)
+        .filter(col("n_chars") > 100)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy(col("source"))
     }
   )
 }

@@ -801,6 +801,55 @@ object TextQueries extends QueryPack {
         .orderBy(col("split"), col("source"))
     },
 
+    // Training-corpus EXPORT — the last mile of the pipeline: write the
+    // corpus as N deterministic shards (the same md5 doc-hash as the
+    // split/mix operators, so membership is reproducible run-over-run),
+    // then read the manifest BACK FROM THE EXPORTED LAYOUT: per shard,
+    // doc/token totals, source spread, and an id checksum. The oracle
+    // answers from the raw table — any doc lost, duplicated, or
+    // mis-sharded by the round trip breaks the hash gate. Write
+    // discipline is the partitioned-layout rule (repartition ON the
+    // shard column → one file per shard dir regardless of input
+    // parallelism); trainers consume shard dirs independently, so
+    // balanced shard token totals — which the manifest exposes — are the
+    // thing this export exists to guarantee.
+    Q(
+      "pipeline_export_shards",
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER) % 8 AS shard,
+        |         len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents)
+        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+        |       CAST(COUNT(DISTINCT source) AS BIGINT) AS sources,
+        |       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM h GROUP BY shard
+        |ORDER BY shard""".stripMargin
+    ) { (s, dir) =>
+      val shard = expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT) % 8")
+      val scratch = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_shards_" + Integer.toHexString(dir.hashCode)).toString
+      // the export carries the PAYLOAD (text), not just metadata — the
+      // shard shuffle moving the corpus bytes once is the honest cost of
+      // this op; the manifest read-back then column-prunes the exported
+      // files down to the metadata it aggregates
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          size(split(col("text"), " ")).as("n_tokens"), shard.as("shard"))
+        .repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(scratch)
+      s.read.parquet(scratch)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("tokens"),
+          countDistinct(col("source")).as("sources"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy(col("shard"))
+    },
+
     // Quality-weighted source mixing — the data-mixture step: each
     // source's acceptance rate is (quality / best-quality)², so the best
     // source keeps everything and weaker sources downsample, and the

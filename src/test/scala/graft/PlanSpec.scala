@@ -123,29 +123,13 @@ class PlanSpec extends SparkSpec {
       !p.contains("aggregate(zip_with"), s"expected native expression:\n${p.take(1200)}")
   }
 
-  test("bucketed tables join without a shuffle (co-located join)") {
-    import org.apache.spark.sql.functions._
-    val l = SparkEntry.queries("scan_project")(spark, sf()).sparkSession // reuse session
-    spark.sql("DROP TABLE IF EXISTS b_orders"); spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    Tables.load(spark, sf(), "orders")
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("b_orders")
-    Tables.load(spark, sf(), "lineitem")
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("b_lineitem")
-    val joined = spark.table("b_orders").join(spark.table("b_lineitem"),
-      col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("o_orderstatus")).count()
-    joined.collect()
-    val p = joined.queryExecution.executedPlan.toString
-    // bucketing makes both sides pre-partitioned on the join key: the join
-    // itself requires NO Exchange (the only exchange is for the final groupBy)
-    val joinSection = p.substring(p.indexOf("SortMergeJoin").max(0))
-    assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey") &&
-      !joinSection.contains("Exchange hashpartitioning(l_orderkey"),
-      s"unexpected shuffle before bucketed join:\n$p")
-    spark.sql("DROP TABLE b_orders"); spark.sql("DROP TABLE b_lineitem")
-  }
+  // NOTE: the former "bucketed tables join without a shuffle" test was
+  // superseded by the "bucketed co-located join" pin below the gate
+  // query join_bucketed_colocated: the old form located SortMergeJoin
+  // with indexOf(...).max(0), which degraded to scanning the WHOLE plan
+  // when AQE (correctly, at test scale) broadcast the join — a vacuous
+  // pass. The replacement disables both broadcast thresholds to force
+  // the at-scale regime and asserts the bucketed SMJ directly.
 
   test("partitioned writes prune partitions at the scan") {
     import org.apache.spark.sql.functions._
@@ -380,6 +364,10 @@ class PlanSpec extends SparkSpec {
       // min source mass: one row per source (≤20) into the scalar min
       "pipeline_mix_temperature" -> "scalar",
       "dedup_contamination" -> "scalar", "graph_pagerank" -> "scalar",
+      // bloom bitset build: partial bitsets OR-merge into one row —
+      // the funnel carries ≤ one m/8-byte (≤16 MiB) buffer per
+      // partition, bounded by construction, never corpus rows
+      "dedup_bloom_decontam" -> "bounded",
       "evt_gapfill_locf" -> "scalar", "mba_item_pairs" -> "scalar",
       "rfm_segments" -> "scalar", "text_bm25" -> "scalar",
       "text_tfidf_top_terms" -> "scalar", "text_lm_surprise" -> "scalar",
@@ -516,5 +504,58 @@ class PlanSpec extends SparkSpec {
       s"unexpected aggregation shuffle:\n${p.take(2000)}")
     assert(p.toLowerCase.contains("audioframeenergies"),
       s"native energy expression missing from plan:\n${p.take(2000)}")
+  }
+
+  test("bucketed co-located join: no exchange before the sort-merge join") {
+    // at test scale AQE (correctly) broadcasts the small side; the
+    // co-location property matters in the regime where NEITHER side
+    // broadcast-fits — simulate it by disabling both broadcast
+    // thresholds, then require the bucketed SMJ with zero pre-join
+    // exchanges
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("join_bucketed_colocated")(spark, sf())
+      df.collect()
+      // AQE prints the final plan followed by "== Initial Plan ==";
+      // audit only the plan that ran
+      val full = df.queryExecution.executedPlan.toString
+      val p = full.split("== Initial Plan ==")(0)
+      // both scans must read buckets (the shuffle was paid at layout time)
+      assert(p.contains("SelectedBucketsCount"),
+        s"join sides must be bucketed scans:\n${p.take(2500)}")
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n${p.take(2500)}")
+      // the ONLY hash exchange allowed is the post-join aggregation's;
+      // a second one means a join side was re-shuffled (bucketing ignored)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges <= 1,
+        s"join side re-shuffled ($exchanges hash exchanges):\n${p.take(2500)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("shard export writes exactly one file per shard dir") {
+    SparkEntry.queries("pipeline_export_shards")(spark, sf()).collect()
+    val scratch = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_shards_" + Integer.toHexString(sf().hashCode))
+    val dirs = scratch.listFiles.filter(_.getName.startsWith("shard="))
+    assert(dirs.length == 8, s"expected 8 shard dirs, got ${dirs.length}")
+    // the repartition-on-shard-column write discipline: one file per
+    // shard dir, independent of input parallelism
+    val counts = dirs.map(d => d.listFiles.count(_.getName.endsWith(".parquet")))
+    assert(counts.forall(_ == 1), s"files per shard dir: ${counts.mkString(",")}")
+  }
+
+  test("ORC round trip pushes the predicate into the ORC scan") {
+    val df = SparkEntry.queries("scan_orc_roundtrip")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("OrcScan") || p.contains("Format: orc") || p.toLowerCase.contains("orc"),
+      s"expected an ORC scan:\n${p.take(2000)}")
+    assert(p.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]"),
+      s"ORC predicate pushdown missing:\n${p.take(2000)}")
   }
 }
