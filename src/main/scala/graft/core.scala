@@ -134,6 +134,43 @@ object Engine {
   * engines. Per-row double arithmetic (a*b, 1-x) is IEEE-deterministic and
   * needs no such treatment.
   */
+/** Per-corpus scratch locations for the layout round-trip operators
+  * (partitioned/sharded/ORC/bucketed writes). One dir per (prefix,
+  * corpus-hash) keeps reruns idempotent and concurrent scale factors
+  * isolated; stale SIBLINGS (same prefix, other corpus, untouched for
+  * >2 h) are pruned on acquisition so probe campaigns don't accumulate
+  * one corpus copy per fixture dir forever. The TTL — rather than
+  * prune-all — keeps a concurrently running Verify/test/probe on a
+  * DIFFERENT fixture from losing its scratch mid-query; every caller
+  * rewrites its own dir with mode=overwrite, so pruning an idle one is
+  * always safe.
+  */
+object Scratch {
+  private val ttlMs = 2L * 3600 * 1000
+
+  /** Tmp-dir scratch path for `prefix` over the corpus at `corpusDir`. */
+  def dir(prefix: String, corpusDir: String): String = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val name = s"${prefix}_${Integer.toHexString(corpusDir.hashCode)}"
+    pruneStale(tmp, prefix, name)
+    new java.io.File(tmp, name).toString
+  }
+
+  /** Prune stale same-prefix siblings of `keep` under `parent`. */
+  def pruneStale(parent: java.io.File, prefix: String, keep: String): Unit = {
+    val cutoff = System.currentTimeMillis() - ttlMs
+    Option(parent.listFiles).foreach(_.foreach { f =>
+      if (f.getName.startsWith(prefix + "_") && f.getName != keep &&
+          f.lastModified() < cutoff) rm(f)
+    })
+  }
+
+  def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+    f.delete(): Unit
+  }
+}
+
 object Exact {
   val dec: DecimalType = DecimalType(28, 6)
 

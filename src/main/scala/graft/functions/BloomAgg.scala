@@ -1,8 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.{col, lit, udf, xxhash64}
 
 /** Distributed Bloom-filter build as a custom `Aggregator` (SURVEY §2.12
   * custom-aggregate family; cf. reference sketch use in
@@ -34,7 +35,7 @@ class BloomAgg(mBits: Int, k: Int)
   override def zero: Array[Long] = new Array[Long](mBits >>> 6)
 
   override def reduce(b: Array[Long], h: (Long, Long)): Array[Long] = {
-    BloomAgg.setBits(b, mBits, k, h._1, h._2)
+    BloomAgg.setBits(b, k, h._1, h._2)
     b
   }
 
@@ -69,9 +70,14 @@ object BloomAgg {
     m.toInt
   }
 
+  /** The filter's geometry lives in the array itself (mBits =
+    * bits.length·64) — set/probe derive the mask from the array they are
+    * handed, so a stale externally-tracked mBits can never silently
+    * misalign the probe positions and break the no-false-negative
+    * guarantee. */
   private[graft] def setBits(
-      bits: Array[Long], mBits: Int, k: Int, h1: Long, h2: Long): Unit = {
-    val mask = mBits - 1
+      bits: Array[Long], k: Int, h1: Long, h2: Long): Unit = {
+    val mask = (bits.length << 6) - 1
     var i = 0
     var h = h1
     while (i < k) {
@@ -86,9 +92,8 @@ object BloomAgg {
     * math over a broadcast array — cheap enough that the UDF wrapper (two
     * long inputs, no serialization beyond them) is not a hot-path hazard;
     * the expensive hashing stays in codegen'd xxhash64. */
-  def mightContain(
-      bits: Array[Long], mBits: Int, k: Int, h1: Long, h2: Long): Boolean = {
-    val mask = mBits - 1
+  def mightContain(bits: Array[Long], k: Int, h1: Long, h2: Long): Boolean = {
+    val mask = (bits.length << 6) - 1
     var i = 0
     var h = h1
     while (i < k) {
@@ -98,5 +103,32 @@ object BloomAgg {
       i += 1
     }
     true
+  }
+
+  /** THE hash derivation, in one place: two independent 64-bit values
+    * from codegen'd xxhash64 (the second salted by an extra column).
+    * Build and probe must route through this pair — a one-sided change
+    * would manufacture false negatives. */
+  def hashPair(key: Column): (Column, Column) =
+    (xxhash64(key), xxhash64(key, lit("g2")))
+
+  /** Distributed build over `df`'s `keyCol`, sized from the dataframe's
+    * row count (one action — callers hand the SMALL side). */
+  def buildFrom(df: DataFrame, keyCol: String): Array[Long] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mBits = sizeFor(df.count().max(1L))
+    val (h1, h2) = hashPair(col(keyCol))
+    df.select(h1.as("h1"), h2.as("h2")).as[(Long, Long)]
+      .select(new BloomAgg(mBits, K).toColumn).head()
+  }
+
+  /** Prefilter `df` to rows whose `keyCol` might be in the filter: the
+    * broadcast bitset probes executor-locally, no shuffle, no state. */
+  def prefilter(df: DataFrame, keyCol: String, bits: Array[Long]): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(bits)
+    val might = udf((h1: Long, h2: Long) => mightContain(bc.value, K, h1, h2))
+    val (h1, h2) = hashPair(col(keyCol))
+    df.filter(might(h1, h2))
   }
 }

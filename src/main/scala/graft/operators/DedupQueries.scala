@@ -710,22 +710,12 @@ object DedupQueries extends QueryPack {
         .select(col("doc_id").as("e_id"), col("sh"))
       val trainSh = tagged.filter(col("source") =!= col("msrc"))
         .select(col("doc_id").as("t_id"), col("sh"))
-      // size the filter from the eval-side row count (one action on the
-      // SMALL side; an upper bound on its distinct shingles)
-      val nEval = evalSh.count().max(1L)
-      val mBits = BloomAgg.sizeFor(nEval)
-      val bloom = new BloomAgg(mBits, BloomAgg.K)
-      import s.implicits._
-      val bits = evalSh
-        .select(xxhash64(col("sh")).as("h1"),
-          xxhash64(col("sh"), lit("g2")).as("h2"))
-        .as[(Long, Long)]
-        .select(bloom.toColumn).head()
-      val bcBits = s.sparkContext.broadcast(bits)
-      val might = udf((h1: Long, h2: Long) =>
-        BloomAgg.mightContain(bcBits.value, mBits, BloomAgg.K, h1, h2))
-      val survivors = trainSh
-        .filter(might(xxhash64(col("sh")), xxhash64(col("sh"), lit("g2"))))
+      // build + probe through the SHARED BloomAgg helpers (one hash
+      // derivation for this operator, its streaming twin, and the spec);
+      // the build sizes from the eval-side row count — one action on the
+      // SMALL side, an upper bound on its distinct shingles
+      val bits = BloomAgg.buildFrom(evalSh, "sh")
+      val survivors = BloomAgg.prefilter(trainSh, "sh", bits)
       // exact verify WITHOUT broadcast: at the regime this operator
       // exists for, the eval side doesn't broadcast-fit raw — pin a
       // shuffle hash join so the plan is survivor-shuffle × eval-shuffle

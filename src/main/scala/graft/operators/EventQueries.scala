@@ -510,9 +510,7 @@ object EventQueries extends QueryPack {
     ) { (s, dir) =>
       val ev = Tables.load(s, dir, "events")
         .withColumn("day", to_date(col("ts")))
-      val scratch = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        "graft_evt_part_" + Integer.toHexString(dir.hashCode)).toString
+      val scratch = graft.Scratch.dir("graft_evt_part", dir)
       // repartition ON the partition column first: without it every input
       // task writes a file into every day dir (tasks × days small files —
       // the classic partitioned-write mistake at scale); with it each day

@@ -256,22 +256,20 @@ object JoinQueries extends QueryPack {
       // warehouse FILES persist across JVMs but the in-memory catalog's
       // metadata does not — a fresh session's "overwrite" is a CREATE
       // that trips LOCATION_ALREADY_EXISTS on the previous run's files.
-      // Reset both halves explicitly: drop the catalog entry AND clear
-      // the location.
-      def reset(t: String): Unit = {
+      // Reset both halves explicitly (drop the catalog entry AND clear
+      // the location), and TTL-prune stale bucketed copies other
+      // corpora left behind (same policy as graft.Scratch tmp dirs).
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val whDir = new java.io.File(
+        if (wh.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(wh)).toString
+        else wh)
+      def reset(t: String, prefix: String): Unit = {
         s.sql(s"DROP TABLE IF EXISTS `$t`")
-        val wh = s.conf.get("spark.sql.warehouse.dir")
-        val whPath =
-          if (wh.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(wh)).toString
-          else wh
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(whPath, t))
+        graft.Scratch.rm(new java.io.File(whDir, t))
+        graft.Scratch.pruneStale(whDir, prefix, t)
       }
-      reset(oT)
-      reset(lT)
+      reset(oT, "graft_bkt_orders")
+      reset(lT, "graft_bkt_lineitem")
       Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"))
         .write.mode("overwrite").format("parquet")

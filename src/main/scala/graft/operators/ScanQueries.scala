@@ -221,9 +221,7 @@ object ScanQueries extends QueryPack {
         |GROUP BY source
         |ORDER BY source""".stripMargin
     ) { (s, dir) =>
-      val scratch = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        "graft_orc_" + Integer.toHexString(dir.hashCode)).toString
+      val scratch = graft.Scratch.dir("graft_orc", dir)
       Tables.load(s, dir, "documents")
         .write.mode("overwrite").orc(scratch)
       s.read.orc(scratch)

@@ -140,15 +140,17 @@ object SimilarityQueries extends QueryPack {
       val d = java.security.MessageDigest.getInstance("MD5")
       d.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
-    // same component derivation as sim_ann_lsh's planes; 72×64 doubles
-    // built driver-side — parameters, not data
+    // same component derivation as sim_ann_lsh's planes; bits·bands
+    // plane vectors of dim doubles (e.g. 3·28 = 84 planes at thr 0.4,
+    // bits from lshSketchWidth, bands from annBands) built driver-side —
+    // parameters, not data
     val planes: Seq[Seq[Double]] = (0 until bits * bands).map { i =>
       (1 to dim).map { p =>
         val h = md5hex(s"${i}_$p").substring(0, 15)
         ((java.lang.Long.parseLong(h, 16) % 2001) - 1000) / 1000.0
       }
     }
-    // all 24 band keys in one native pass (SignBandKeysExpr) — sketching
+    // all `bands` band keys in one native pass (SignBandKeysExpr) — sketching
     // is sign-only, so plain double math; candidates never touch the
     // oracle-exact verify below
     val sk = withNorm(Tables.load(s, dir, "embeddings"))

@@ -829,9 +829,7 @@ object TextQueries extends QueryPack {
     ) { (s, dir) =>
       val shard = expr(
         "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT) % 8")
-      val scratch = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        "graft_shards_" + Integer.toHexString(dir.hashCode)).toString
+      val scratch = graft.Scratch.dir("graft_shards", dir)
       // the export carries the PAYLOAD (text), not just metadata — the
       // shard shuffle moving the corpus bytes once is the honest cost of
       // this op; the manifest read-back then column-prunes the exported

@@ -31,37 +31,27 @@ import org.apache.spark.sql.functions._
   */
 object StreamingDecontam {
 
-  /** Freeze the static eval corpus: (bloom bitset, mBits, exact shingle
-    * table). The bitset build is the distributed [[BloomAgg]] pipeline;
-    * the returned shingle table is the verify join's static side. */
-  def evalBloom(evalDocs: DataFrame): (Array[Long], Int, DataFrame) = {
-    val spark = evalDocs.sparkSession
-    import spark.implicits._
+  /** Freeze the static eval corpus: (bloom bitset, exact shingle table).
+    * The bitset build is the shared distributed [[BloomAgg.buildFrom]]
+    * pipeline (the filter's geometry travels IN the array — nothing else
+    * to keep consistent); the returned shingle table is the verify
+    * join's static side. */
+  def evalBloom(evalDocs: DataFrame): (Array[Long], DataFrame) = {
     val evalSh = evalDocs.select(col("doc_id").as("e_id"),
       explode(graft.functions.VectorFunctions.shingles(col("text"), 5)).as("sh"))
-    val n = evalSh.count().max(1L)
-    val mBits = BloomAgg.sizeFor(n)
-    val bits = evalSh
-      .select(xxhash64(col("sh")).as("h1"),
-        xxhash64(col("sh"), lit("g2")).as("h2"))
-      .as[(Long, Long)]
-      .select(new BloomAgg(mBits, BloomAgg.K).toColumn).head()
-    (bits, mBits, evalSh)
+    (BloomAgg.buildFrom(evalSh, "sh"), evalSh)
   }
 
   /** Stateless match stream: one row per (train doc, matched shingle,
-    * eval doc) — the same xxhash64 derivation and prefilter → exact-verify
-    * contract as the batch operator. `trainStream` needs (doc_id, text). */
+    * eval doc) — the same [[BloomAgg.hashPair]] derivation and
+    * prefilter → exact-verify contract as the batch operator.
+    * `trainStream` needs (doc_id, text). */
   def matches(
       trainStream: DataFrame,
-      bits: Array[Long], mBits: Int, evalSh: DataFrame): DataFrame = {
-    val bc = trainStream.sparkSession.sparkContext.broadcast(bits)
-    val might = udf((h1: Long, h2: Long) =>
-      BloomAgg.mightContain(bc.value, mBits, BloomAgg.K, h1, h2))
-    trainStream
-      .select(col("doc_id"),
-        explode(graft.functions.VectorFunctions.shingles(col("text"), 5)).as("sh"))
-      .filter(might(xxhash64(col("sh")), xxhash64(col("sh"), lit("g2"))))
+      bits: Array[Long], evalSh: DataFrame): DataFrame = {
+    val shingled = trainStream.select(col("doc_id"),
+      explode(graft.functions.VectorFunctions.shingles(col("text"), 5)).as("sh"))
+    BloomAgg.prefilter(shingled, "sh", bits)
       .join(evalSh, "sh") // stream-static: stateless, batch-local
       .select(col("doc_id"), col("sh"), col("e_id"))
   }
@@ -75,8 +65,8 @@ object StreamingDecontam {
     * that doc's shingle count. */
   def contaminationCounts(
       trainStream: DataFrame,
-      bits: Array[Long], mBits: Int, evalSh: DataFrame): DataFrame =
-    matches(trainStream, bits, mBits, evalSh)
+      bits: Array[Long], evalSh: DataFrame): DataFrame =
+    matches(trainStream, bits, evalSh)
       .groupBy(col("doc_id"))
       .agg(size(collect_set(col("e_id"))).cast("long").as("contaminating_eval_docs"),
         size(collect_set(col("sh"))).cast("long").as("shared_shingles"))

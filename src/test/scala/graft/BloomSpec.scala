@@ -16,17 +16,17 @@ class BloomSpec extends SparkSpec {
     val mBits = BloomAgg.sizeFor(n)
     val bits = new Array[Long](mBits >>> 6)
     inserted.foreach { case (h1, h2) =>
-      BloomAgg.setBits(bits, mBits, BloomAgg.K, h1, h2)
+      BloomAgg.setBits(bits, BloomAgg.K, h1, h2)
     }
     // every inserted element must probe true — a Bloom filter's defining
     // one-sided guarantee (reduce sets bits, merge ORs, nothing clears)
     assert(inserted.forall { case (h1, h2) =>
-      BloomAgg.mightContain(bits, mBits, BloomAgg.K, h1, h2)
+      BloomAgg.mightContain(bits, BloomAgg.K, h1, h2)
     })
     // fresh random pairs: fp rate ~1.4e-3 at 16 bits/element, assert <1%
     val probes = 100000
     val fps = (0 until probes).count { _ =>
-      BloomAgg.mightContain(bits, mBits, BloomAgg.K, rnd.nextLong(), rnd.nextLong())
+      BloomAgg.mightContain(bits, BloomAgg.K, rnd.nextLong(), rnd.nextLong())
     }
     assert(fps < probes / 100, s"fp rate too high: $fps/$probes")
   }
@@ -39,16 +39,23 @@ class BloomSpec extends SparkSpec {
     val pairs = Array.fill(n)((rnd.nextLong(), rnd.nextLong()))
     val local = new Array[Long](mBits >>> 6)
     pairs.foreach { case (h1, h2) =>
-      BloomAgg.setBits(local, mBits, BloomAgg.K, h1, h2)
+      BloomAgg.setBits(local, BloomAgg.K, h1, h2)
     }
-    val distributed = spark.createDataset(pairs.toSeq).repartition(8)
-      .select(new BloomAgg(mBits, BloomAgg.K).toColumn).head()
+    val buildDf = spark.createDataset(pairs.toSeq).repartition(8)
+      .select(new BloomAgg(mBits, BloomAgg.K).toColumn)
+    val distributed = buildDf.head()
     assert(distributed.sameElements(local),
       "OR-merged partial bitsets must equal the sequential build")
+    // the build's single-partition funnel is BOUNDED because partial
+    // aggregation reduces each partition to one m/8-byte buffer before
+    // the merge — assert the two-phase plan (this is the justification
+    // behind dedup_bloom_decontam's hygiene-whitelist note in PlanSpec)
+    val p = buildDf.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("partial_"),
+      s"bloom build must partial-aggregate per partition:\n${p.take(1500)}")
   }
 
   test("bloom prefilter drops most non-matching shingles but keeps every match") {
-    import spark.implicits._
     val docs = Tables.spread(Tables.load(spark, sf(), "documents"))
     val sh5 = docs.select(col("doc_id"), col("source"),
       explode(graft.functions.VectorFunctions.shingles(col("text"), 5)).as("sh"))
@@ -56,16 +63,10 @@ class BloomSpec extends SparkSpec {
     val evalSh = sh5.filter(col("source") === msrc).select(col("sh")).distinct()
     val trainSh = sh5.filter(col("source") =!= msrc)
       .select(col("doc_id"), col("sh"))
-    val nEval = evalSh.count().max(1L)
-    val mBits = BloomAgg.sizeFor(nEval)
-    val bits = evalSh
-      .select(xxhash64(col("sh")).as("h1"), xxhash64(col("sh"), lit("g2")).as("h2"))
-      .as[(Long, Long)].select(new BloomAgg(mBits, BloomAgg.K).toColumn).head()
-    val bc = spark.sparkContext.broadcast(bits)
-    val might = udf((h1: Long, h2: Long) =>
-      BloomAgg.mightContain(bc.value, mBits, BloomAgg.K, h1, h2))
-    val survivors = trainSh
-      .filter(might(xxhash64(col("sh")), xxhash64(col("sh"), lit("g2"))))
+    // the SAME shared build + probe path the batch gate query and the
+    // streaming twin use
+    val bits = BloomAgg.buildFrom(evalSh, "sh")
+    val survivors = BloomAgg.prefilter(trainSh, "sh", bits)
     // soundness: the survivor set contains EVERY train shingle that
     // actually occurs in the eval set (no false negatives end-to-end,
     // through the same xxhash64 derivation the gate query uses)

@@ -364,10 +364,12 @@ class PlanSpec extends SparkSpec {
       // min source mass: one row per source (≤20) into the scalar min
       "pipeline_mix_temperature" -> "scalar",
       "dedup_contamination" -> "scalar", "graph_pagerank" -> "scalar",
-      // bloom bitset build: partial bitsets OR-merge into one row —
-      // the funnel carries ≤ one m/8-byte (≤16 MiB) buffer per
-      // partition, bounded by construction, never corpus rows
-      "dedup_bloom_decontam" -> "bounded",
+      // the audited exchange is the min(source) scalar subquery (same
+      // as dedup_contamination). NOTE: the bloom bitset build ALSO
+      // funnels (≤16 MiB OR-merge buffer per partition, bounded by
+      // construction) but runs eagerly inside the query function —
+      // its plan is asserted separately in BloomSpec, not here
+      "dedup_bloom_decontam" -> "scalar",
       "evt_gapfill_locf" -> "scalar", "mba_item_pairs" -> "scalar",
       "rfm_segments" -> "scalar", "text_bm25" -> "scalar",
       "text_tfidf_top_terms" -> "scalar", "text_lm_surprise" -> "scalar",
@@ -539,8 +541,7 @@ class PlanSpec extends SparkSpec {
 
   test("shard export writes exactly one file per shard dir") {
     SparkEntry.queries("pipeline_export_shards")(spark, sf()).collect()
-    val scratch = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_shards_" + Integer.toHexString(sf().hashCode))
+    val scratch = new java.io.File(Scratch.dir("graft_shards", sf()))
     val dirs = scratch.listFiles.filter(_.getName.startsWith("shard="))
     assert(dirs.length == 8, s"expected 8 shard dirs, got ${dirs.length}")
     // the repartition-on-shard-column write discipline: one file per

@@ -438,7 +438,7 @@ class StreamingSpec extends SparkSpec {
     val evalDocs = docs.filter($"source" === msrc)
     val trainDocs = docs.filter($"source" =!= msrc)
       .select($"doc_id", $"text").as[(Long, String)].collect()
-    val (bits, mBits, evalSh) = StreamingDecontam.evalBloom(evalDocs)
+    val (bits, evalSh) = StreamingDecontam.evalBloom(evalDocs)
     // batch expectation: plain exact join, the operator's oracle shape
     val trainSh = docs.filter($"source" =!= msrc)
       .select($"doc_id", explode(
@@ -450,7 +450,7 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val in = MemoryStream[(Long, String)]
     val q = StreamingDecontam.contaminationCounts(
-        in.toDF().toDF("doc_id", "text"), bits, mBits, evalSh)
+        in.toDF().toDF("doc_id", "text"), bits, evalSh)
       .writeStream.format("memory").queryName("decontam_sink")
       .outputMode(OutputMode.Update()).start()
     try {

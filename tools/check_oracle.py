@@ -32,14 +32,24 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
-    # optional 3rd arg: "only=a,b" or "skip=a,b" query-name filter
+    # optional 3rd arg: "only=a,b" or "skip=a,b" query-name filter.
+    # STRICT: an unknown mode or a name matching no oracle exits nonzero
+    # instead of silently checking nothing / everything — a typo here
+    # must never produce a vacuously green gate.
     if len(sys.argv) > 3:
         mode, _, names = sys.argv[3].partition("=")
-        sel = set(names.split(","))
+        sel = set(n for n in names.split(",") if n)
+        if mode not in ("only", "skip"):
+            sys.exit(f"unknown filter mode {mode!r}: use only=a,b or skip=a,b")
+        unknown = sel - set(oracle)
+        if unknown:
+            sys.exit(f"filter names not in oracle_sql.json: {sorted(unknown)}")
         if mode == "only":
             oracle = {k: v for k, v in oracle.items() if k in sel}
-        elif mode == "skip":
+        else:
             oracle = {k: v for k, v in oracle.items() if k not in sel}
+        if not oracle:
+            sys.exit("filter selected zero oracles")
     n_pass = n_fail = 0
     failures = []
     for name in sorted(oracle):
