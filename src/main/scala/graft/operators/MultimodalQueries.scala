@@ -304,6 +304,59 @@ object MultimodalQueries extends QueryPack {
     // the corpus's lower energy quartile; the oracle replays the same
     // integer arithmetic over the same ASCII bytes (ord = byte under the
     // explicit single-byte guard both sides carry, as in mm_frame_dedup).
+    // Shot-boundary (scene-cut) detection WITHOUT decoding: the frame
+    // energy expression generalizes to any fixed-frame binary modality —
+    // here video payloads framed at 64 bytes, with a cut flagged where
+    // consecutive frame energies jump by more than 20000 (≈ the corpus's
+    // p90 inter-frame delta). Consecutive-frame deltas come from
+    // zip_with over the energy array against its own tail — still
+    // payload-local, zero shuffles before the sort, all integers (so the
+    // oracle's lag-window replay is hash-exact).
+    Q(
+      "mm_scene_cuts",
+      """WITH v AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) // 64 AS nf
+        |  FROM documents
+        |  WHERE doc_id % 3 + 1 = 3
+        |    AND length(text) = octet_length(encode(text))
+        |    AND octet_length(encode(text)) >= 128),
+        |fe AS (
+        |  SELECT doc_id, nf, k,
+        |         list_sum(list_transform(generate_series((k - 1) * 64 + 1, k * 64),
+        |           i -> CAST((ord(substr(text, CAST(i AS BIGINT), 1)) - 128)
+        |                     * (ord(substr(text, CAST(i AS BIGINT), 1)) - 128) AS BIGINT))) AS e
+        |  FROM (SELECT doc_id, text, nf, unnest(generate_series(1, nf)) AS k FROM v) t),
+        |d AS (
+        |  SELECT doc_id, nf,
+        |         abs(e - lag(e) OVER (PARTITION BY doc_id ORDER BY k)) AS dd
+        |  FROM fe)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |       CAST(SUM(CASE WHEN dd > 20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        |       CAST(MAX(dd) AS BIGINT) AS max_delta
+        |FROM d WHERE dd IS NOT NULL
+        |GROUP BY doc_id, nf
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .filter(length(col("text")) === octet_length(col("text")))
+      val video = Multimodal.mediaTable(docs)
+        .filter(col("modality") === "video")
+        .filter(octet_length(col("payload")) >= 128)
+      video
+        .select(col("doc_id"),
+          graft.functions.AudioFunctions.frameEnergies(col("payload"), 64).as("e"))
+        .select(col("doc_id"),
+          size(col("e")).cast("long").as("n_frames"),
+          zip_with(
+            slice(col("e"), lit(1), size(col("e")) - 1),
+            slice(col("e"), lit(2), size(col("e")) - 1),
+            (a, b) => abs(b - a)).as("d"))
+        .select(col("doc_id"), col("n_frames"),
+          size(filter(col("d"), x => x > lit(20000L))).cast("long").as("n_cuts"),
+          array_max(col("d")).as("max_delta"))
+        .orderBy(col("doc_id"))
+    },
+
     Q(
       "mm_audio_energy",
       """WITH a AS (

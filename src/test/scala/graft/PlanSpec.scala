@@ -498,14 +498,18 @@ class PlanSpec extends SparkSpec {
   }
 
   test("audio frame energies are payload-local: no hash shuffle before the sort") {
-    val p = planOf("mm_audio_energy")
-    // per-doc array stats compose from codegen'd array functions over the
-    // native expression — the only exchange is the final sort's range
-    // partitioning; a hashpartitioning would mean an explode+groupBy crept in
-    assert(!p.contains("hashpartitioning"),
-      s"unexpected aggregation shuffle:\n${p.take(2000)}")
-    assert(p.toLowerCase.contains("audioframeenergies"),
-      s"native energy expression missing from plan:\n${p.take(2000)}")
+    // same contract for the scene-cut twin: per-doc array stats compose
+    // from codegen'd array functions over the native expression — the
+    // only exchange is the final sort's range partitioning; a
+    // hashpartitioning would mean an explode+groupBy crept in (the
+    // oracle's lag-window shape must NOT leak into the product plan)
+    for (q <- Seq("mm_audio_energy", "mm_scene_cuts")) {
+      val p = planOf(q)
+      assert(!p.contains("hashpartitioning"),
+        s"$q: unexpected aggregation shuffle:\n${p.take(2000)}")
+      assert(p.toLowerCase.contains("audioframeenergies"),
+        s"$q: native energy expression missing from plan:\n${p.take(2000)}")
+    }
   }
 
   test("bucketed co-located join: no exchange before the sort-merge join") {
