@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   * second half running measurably slower; bounded state does not).
   *
   *   sbt "runMain graft.StreamProbe /root/testdata/sf0.1 20000 60"
-  *     (fixture dir, rows/sec, seconds)
+  *     (fixture dir, rows/sec, seconds; optional 4th arg "dedup" |
+  *     "decontam" — decontam drives the STATELESS StreamingDecontam
+  *     match pipeline, whose summary must show zero state rows)
   */
 object StreamProbe {
   def main(args: Array[String]): Unit = {
@@ -50,7 +52,18 @@ object StreamProbe {
       .map(v => (v, bc.value((v % n).toInt)))
       .toDF("doc_id", "text")
 
-    val cands = graft.streaming.StreamingDedup.nearDupStream(docs)
+    val op = args.lift(3).getOrElse("dedup")
+    val cands = op match {
+      case "decontam" =>
+        // static eval side frozen once (bloom bitset + exact shingles),
+        // then the stream runs fully stateless
+        val docsB = Tables.load(spark, base, "documents")
+        val msrc = docsB.agg(min(col("source"))).head().getString(0)
+        val (bits, evalSh) = graft.streaming.StreamingDecontam
+          .evalBloom(docsB.filter(col("source") === msrc))
+        graft.streaming.StreamingDecontam.matches(docs, bits, evalSh)
+      case _ => graft.streaming.StreamingDedup.nearDupStream(docs)
+    }
 
     val q = cands.writeStream
       .format("noop")
@@ -83,14 +96,16 @@ object StreamProbe {
       val firstHalf = if (half > 0) durs.take(half).sum.toDouble / half else 0.0
       val secondHalf =
         if (durs.size - half > 0) durs.drop(half).sum.toDouble / (durs.size - half) else 0.0
-      val peakState = progs.flatMap(_.stateOperators.map(_.memoryUsedBytes)).max
-      val peakRows = progs.flatMap(_.stateOperators.map(_.numRowsTotal)).max
+      val states = progs.flatMap(_.stateOperators.map(_.memoryUsedBytes))
+      val stateRows = progs.flatMap(_.stateOperators.map(_.numRowsTotal))
+      val peakState = if (states.nonEmpty) states.max else 0L
+      val peakRows = if (stateRows.nonEmpty) stateRows.max else 0L
       val elapsed = (System.nanoTime() - t0) / 1e9
-      println(f"""{"probe":"streaming_dedup","rate":$rate,"seconds":$seconds,""" +
+      println(f"""{"probe":"streaming_$op","rate":$rate,"seconds":$seconds,""" +
         f""""totalRows":$totalRows,"sustainedRps":${totalRows / elapsed}%.0f,""" +
         f""""peakStateRows":$peakRows,"peakStateBytes":$peakState,""" +
         f""""avgTriggerMsFirstHalf":$firstHalf%.0f,"avgTriggerMsSecondHalf":$secondHalf%.0f}""")
-    } else println("""{"probe":"streaming_dedup","error":"no progress recorded"}""")
+    } else println(s"""{"probe":"streaming_$op","error":"no progress recorded"}""")
     spark.stop()
   }
 }
