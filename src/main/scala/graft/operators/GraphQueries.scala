@@ -102,7 +102,84 @@ object GraphQueries extends QueryPack {
          |FROM p3
          |ORDER BY pr DESC, id
          |LIMIT 50""".stripMargin
-    ) { (s, dir) => pagerank(s, dir, iters = 3) }
+    ) { (s, dir) => pagerank(s, dir, iters = 3) },
+
+    // Triangle counting + global clustering coefficient over the item
+    // co-purchase graph (items linked when bought together in ≥2
+    // orders) — the canonical "joins explode quadratically unless you
+    // orient" graph workload. The 100 TB technique is DEGREE-ORDERED
+    // ORIENTATION (Suri & Vassilvitskii's MR triangle counting): direct
+    // every undirected edge from its (degree, id)-smaller endpoint to
+    // the larger, and enumerate each triangle exactly once from its
+    // lowest-degree corner — each join's fan-out is then bounded by
+    // out-degree ≤ O(√m) instead of the raw degree, so a celebrity node
+    // with degree d contributes O(m) candidate wedges, not O(d²). All
+    // counts are exact integers; the clustering ratio is one double
+    // division of exact ints (identical on both engines), denominator
+    // floored at 1 for the degenerate no-wedge fixture.
+    Q(
+      "graph_triangle_count",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (
+        |  SELECT x, COUNT(*) AS d
+        |  FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY x),
+        |o AS (
+        |  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+        |         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+        |  FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
+        |tri AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS nt
+        |  FROM o e1 JOIN o e2 ON e2.s = e1.t
+        |            JOIN o e3 ON e3.s = e1.s AND e3.t = e2.t)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+        |       (SELECT nt FROM tri) AS n_triangles,
+        |       (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS wedges,
+        |       round(3.0 * (SELECT nt FROM tri)
+        |             / GREATEST((SELECT SUM(d * (d - 1) // 2) FROM deg), 1), 6)
+        |         AS clustering""".stripMargin
+    ) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      // undirected edge list u<v, support ≥2; feeds degree AND
+      // orientation — persist so the order self-join runs once
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
+        .select(col("u"), col("v")).persist()
+      val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      val lower = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val o = e
+        .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+        .select(when(lower, col("u")).otherwise(col("v")).as("s"),
+          when(lower, col("v")).otherwise(col("u")).as("t"))
+        .persist()
+      val nT = o.as("e1")
+        .join(o.as("e2"), col("e2.s") === col("e1.t"))
+        .join(o.as("e3"),
+          col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"))
+        .agg(count(lit(1)).cast("long").as("n_triangles"))
+      val nE = e.agg(count(lit(1)).cast("long").as("n_edges"))
+      val wedges = deg.agg(sum(expr("d * (d - 1) DIV 2")).cast("long").as("wedges"))
+      val result = nE.crossJoin(nT).crossJoin(wedges)
+        .select(col("n_edges"), col("n_triangles"), col("wedges"),
+          round(lit(3.0) * col("n_triangles")
+            / greatest(col("wedges"), lit(1L)), 6).as("clustering"))
+        .localCheckpoint(true)
+      e.unpersist()
+      o.unpersist()
+      result
+    }
   )
 
   /** PageRank body with the iteration count exposed: the gate query runs
