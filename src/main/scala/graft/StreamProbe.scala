@@ -55,14 +55,17 @@ object StreamProbe {
     val op = args.lift(3).getOrElse("dedup")
     val cands = op match {
       case "decontam" =>
-        // static eval side frozen once (bloom bitset + exact shingles),
-        // then the stream runs fully stateless
-        val docsB = Tables.load(spark, base, "documents")
-        val msrc = docsB.agg(min(col("source"))).head().getString(0)
+        // static eval side frozen once (bloom bitset + PERSISTED exact
+        // shingles — the stream-static join re-reads its static side
+        // every trigger), then the stream runs fully stateless
         val (bits, evalSh) = graft.streaming.StreamingDecontam
-          .evalBloom(docsB.filter(col("source") === msrc))
+          .evalBloomFromCorpus(Tables.load(spark, base, "documents"))
         graft.streaming.StreamingDecontam.matches(docs, bits, evalSh)
-      case _ => graft.streaming.StreamingDedup.nearDupStream(docs)
+      case "dedup" => graft.streaming.StreamingDedup.nearDupStream(docs)
+      case other =>
+        // fail LOUDLY: a typo silently falling back to dedup would
+        // record a stateful measurement under a decontam-looking label
+        sys.error(s"unknown op '$other': expected dedup | decontam")
     }
 
     val q = cands.writeStream

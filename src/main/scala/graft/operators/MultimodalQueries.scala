@@ -292,18 +292,6 @@ object MultimodalQueries extends QueryPack {
       result
     },
 
-    // Audio frame analysis WITHOUT an audio lib (the audio leg of the
-    // multimodal suite, next to the video mm_frame_* ops): audio payloads
-    // as unsigned 8-bit PCM centered at 128, framed into 32-sample
-    // windows, per-frame energy = the EXACT integer Σ(b−128)² from a
-    // native expression (AudioFrameEnergiesExpr — payload-local narrow
-    // map, only the energy array leaves the operator, payload bytes never
-    // shuffle). Frame stats then compose from codegen'd array functions
-    // (size/array_max/filter/aggregate) instead of an explode+groupBy —
-    // zero shuffles before the final sort. Quiet-frame threshold 58000 ≈
-    // the corpus's lower energy quartile; the oracle replays the same
-    // integer arithmetic over the same ASCII bytes (ord = byte under the
-    // explicit single-byte guard both sides carry, as in mm_frame_dedup).
     // Shot-boundary (scene-cut) detection WITHOUT decoding: the frame
     // energy expression generalizes to any fixed-frame binary modality —
     // here video payloads framed at 64 bytes, with a cut flagged where
@@ -357,6 +345,18 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Audio frame analysis WITHOUT an audio lib (the audio leg of the
+    // multimodal suite, next to the video mm_frame_* ops): audio payloads
+    // as unsigned 8-bit PCM centered at 128, framed into 32-sample
+    // windows, per-frame energy = the EXACT integer Σ(b−128)² from a
+    // native expression (AudioFrameEnergiesExpr — payload-local narrow
+    // map, only the energy array leaves the operator, payload bytes never
+    // shuffle). Frame stats then compose from codegen'd array functions
+    // (size/array_max/filter/aggregate) instead of an explode+groupBy —
+    // zero shuffles before the final sort. Quiet-frame threshold 58000 ≈
+    // the corpus's lower energy quartile; the oracle replays the same
+    // integer arithmetic over the same ASCII bytes (ord = byte under the
+    // explicit single-byte guard both sides carry, as in mm_frame_dedup).
     Q(
       "mm_audio_energy",
       """WITH a AS (

@@ -42,6 +42,22 @@ object StreamingDecontam {
     (BloomAgg.buildFrom(evalSh, "sh"), evalSh)
   }
 
+  /** [[evalBloom]] with the suite's eval-set convention applied (the
+    * smallest `source` is the eval set — the one derivation shared by
+    * the batch gate query, the spec, and the throughput probe), and the
+    * frozen shingle table PERSISTED: the stream-static verify join
+    * re-reads its static side every micro-batch, so an unpersisted lazy
+    * eval plan would re-scan + re-shingle the eval corpus per trigger
+    * instead of per release. Caller unpersists the returned table when
+    * the stream stops. */
+  def evalBloomFromCorpus(docs: DataFrame): (Array[Long], DataFrame) = {
+    val msrc = docs.agg(min(col("source"))).head().getString(0)
+    val (bits, evalSh) = evalBloom(docs.filter(col("source") === msrc))
+    val cached = evalSh.persist()
+    cached.count() // materialize before any trigger runs
+    (bits, cached)
+  }
+
   /** Stateless match stream: one row per (train doc, matched shingle,
     * eval doc) — the same [[BloomAgg.hashPair]] derivation and
     * prefilter → exact-verify contract as the batch operator.

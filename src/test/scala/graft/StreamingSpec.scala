@@ -435,10 +435,10 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.load(spark, sf(), "documents")
     val msrc = docs.agg(min($"source")).head().getString(0)
-    val evalDocs = docs.filter($"source" === msrc)
     val trainDocs = docs.filter($"source" =!= msrc)
       .select($"doc_id", $"text").as[(Long, String)].collect()
-    val (bits, evalSh) = StreamingDecontam.evalBloom(evalDocs)
+    // the shared freeze recipe (msrc derivation + persisted shingles)
+    val (bits, evalSh) = StreamingDecontam.evalBloomFromCorpus(docs)
     // batch expectation: plain exact join, the operator's oracle shape
     val trainSh = docs.filter($"source" =!= msrc)
       .select($"doc_id", explode(
@@ -468,6 +468,6 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       assert(stream.toSeq == batch.toSeq,
         s"stream=${stream.toSeq} batch=${batch.toSeq}")
-    } finally q.stop()
+    } finally { q.stop(); evalSh.unpersist() }
   }
 }
