@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
   *
   *   sbt "runMain graft.StreamProbe /root/testdata/sf0.1 20000 60"
   *     (fixture dir, rows/sec, seconds; optional 4th arg "dedup" |
+  *     "dedup_fresh" (90 % new docs / 10 % replays — realistic crawl) |
   *     "decontam" — decontam drives the STATELESS StreamingDecontam
   *     match pipeline, whose summary must show zero state rows)
   */
@@ -43,16 +44,61 @@ object StreamProbe {
     val n = texts.length
     val bc = spark.sparkContext.broadcast(texts)
 
+    val op = args.lift(3).getOrElse("dedup")
     val docs = spark.readStream.format("rate")
       .option("rowsPerSecond", rate)
-      .option("numPartitions", 8)
+      // match the core count: the stateless prefix (shingle → MinHash)
+      // is the per-row CPU cost and runs at the SOURCE's parallelism —
+      // 8 partitions left 24 of 32 cores idle and capped processing at
+      // ~20 k rows/s regardless of the stateful core's headroom
+      .option("numPartitions", 32)
       .load()
       .select(col("value"))
       .as[Long]
-      .map(v => (v, bc.value((v % n).toInt)))
+      .map { v =>
+        if (op != "dedup_fresh" || v % 10 == 0) (v, bc.value((v % n).toInt))
+        else {
+          // dedup_fresh: 90 % genuinely-new documents (spliced halves of
+          // two fixture docs — Jaccard vs either parent ≈ 1/3, below the
+          // 0.7 near-dup threshold), 10 % exact replays. The cycled
+          // "dedup" mode is the adversarial bound (every arrival
+          // duplicates every prior cycle, so emitted pairs grow
+          // quadratically BY CONSTRUCTION of the workload); this mode is
+          // the realistic crawl shape — state accretes linearly with the
+          // corpus, bucket occupancy and per-arrival cost stay O(1).
+          // splice two fixture docs, then rotate letters by an arrival-
+          // keyed shift. Every derivation must key off a full-period mix
+          // of v, NOT v-mod-something: (v % n, v*K % n, v % 25) all
+          // collapse to functions of v mod n, giving the "fresh" stream
+          // period n = 5000 — every arrival past the first cycle was a
+          // silent exact dup and the probe re-measured the cycled
+          // workload (caught via flat stateRows). splitmix64 gives
+          // ~n²·25 distinct (a, b, shift) combos; the rotation gives
+          // each combo its own shingle universe so band keys spread,
+          // bucket occupancy stays O(1), and state grows linearly with
+          // the corpus like a real diverse crawl.
+          var z = v + 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z = z ^ (z >>> 31)
+          val a = bc.value(java.lang.Math.floorMod(z, n.toLong).toInt)
+          val b = bc.value(java.lang.Math.floorMod(z >>> 32, n.toLong).toInt)
+          val spliced = a.substring(0, a.length / 2) + b.substring(b.length / 2)
+          val shift = 1 + java.lang.Math.floorMod(z >>> 16, 25L).toInt
+          val sb = new java.lang.StringBuilder(spliced.length)
+          var i = 0
+          while (i < spliced.length) {
+            val c = spliced.charAt(i)
+            sb.append(
+              if (c >= 'a' && c <= 'z') ('a' + (c - 'a' + shift) % 26).toChar
+              else if (c >= 'A' && c <= 'Z') ('A' + (c - 'A' + shift) % 26).toChar
+              else c)
+            i += 1
+          }
+          (v, sb.toString)
+        }
+      }
       .toDF("doc_id", "text")
-
-    val op = args.lift(3).getOrElse("dedup")
     val cands = op match {
       case "decontam" =>
         // static eval side frozen once (bloom bitset + PERSISTED exact
@@ -61,19 +107,27 @@ object StreamProbe {
         val (bits, evalSh) = graft.streaming.StreamingDecontam
           .evalBloomFromCorpus(Tables.load(spark, base, "documents"))
         graft.streaming.StreamingDecontam.matches(docs, bits, evalSh)
-      case "dedup" => graft.streaming.StreamingDedup.nearDupStream(docs)
+      case "dedup" | "dedup_fresh" => graft.streaming.StreamingDedup.nearDupStream(docs)
       case other =>
         // fail LOUDLY: a typo silently falling back to dedup would
         // record a stateful measurement under a decontam-looking label
         sys.error(s"unknown op '$other': expected dedup | decontam")
     }
 
-    val q = cands.writeStream
+    var writer = cands.writeStream
       .format("noop")
       .outputMode("append")
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("streamprobe_ckpt").toString)
-      .start()
+    // optional 5th arg: trigger interval in seconds. Each trigger pays a
+    // fixed cost proportional to the TOUCHED-bucket count (state get/put
+    // + changelog write per key), and the cycled corpus touches every
+    // bucket every trigger — a longer trigger amortizes that constant
+    // over more rows (classic latency↔throughput knob, recorded with the
+    // measurement).
+    args.lift(4).map(_.toInt).foreach(s => writer = writer.trigger(
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(s"$s seconds")))
+    val q = writer.start()
 
     val t0 = System.nanoTime()
     while ((System.nanoTime() - t0) / 1e9 < seconds && q.isActive)
@@ -104,8 +158,15 @@ object StreamProbe {
       val peakState = if (states.nonEmpty) states.max else 0L
       val peakRows = if (stateRows.nonEmpty) stateRows.max else 0L
       val elapsed = (System.nanoTime() - t0) / 1e9
+      // sustainedRps divides by WALL time including query startup (the
+      // several pre-first-batch seconds with zero input), understating a
+      // keeping-up query; busyRps divides by time spent executing
+      // triggers — the engine's actual processing capacity
+      val busySec = durs.sum / 1000.0
+      val busyRps = if (busySec > 0) totalRows / busySec else 0.0
       println(f"""{"probe":"streaming_$op","rate":$rate,"seconds":$seconds,""" +
         f""""totalRows":$totalRows,"sustainedRps":${totalRows / elapsed}%.0f,""" +
+        f""""busyRps":$busyRps%.0f,""" +
         f""""peakStateRows":$peakRows,"peakStateBytes":$peakState,""" +
         f""""avgTriggerMsFirstHalf":$firstHalf%.0f,"avgTriggerMsSecondHalf":$secondHalf%.0f}""")
     } else println(s"""{"probe":"streaming_$op","error":"no progress recorded"}""")

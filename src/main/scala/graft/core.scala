@@ -116,6 +116,18 @@ object Engine {
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // streaming state lives in RocksDB, not the default
+      // HDFSBackedStateStore: the default retains N committed versions of
+      // the whole store as in-heap immutable maps, so a long-running
+      // stateful query's executor heap grows with churn even when the
+      // LOGICAL state is bounded (measured round 12: 808 MB resident for
+      // 19k logical rows). RocksDB keeps state off-heap with incremental
+      // (changelog) checkpoints — the backend a 100-TB deployment runs.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

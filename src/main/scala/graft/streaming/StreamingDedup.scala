@@ -32,11 +32,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingDedup {
 
-  /** One document landing in one LSH bucket. */
-  case class DocSig(docId: Long, band: Int, bkey: String, sig: Seq[Long])
+  /** One document landing in one LSH bucket. `sig` is a primitive array:
+    * the row is shuffled to its state partition and the signature is the
+    * payload — `Array[Long]` encodes as an UnsafeArrayData primitive
+    * block, where a `Seq[Long]` boxes every component on both sides of
+    * the exchange. */
+  case class DocSig(docId: Long, band: Int, bkey: String, sig: Array[Long])
 
-  /** Bucket residents: (docId, signature) of every doc seen. */
-  case class BucketDocs(docs: Seq[(Long, Seq[Long])])
+  /** Bucket residents, struct-of-arrays: doc ids plus all signatures
+    * flattened into one primitive block (`sigs.length == ids.length *
+    * sigLen`). The WHOLE value round-trips through the state store
+    * encoder on every trigger that touches the bucket — at a sustained
+    * 50 k docs/s every bucket is touched every trigger, so state serde
+    * is the per-batch constant and two primitive arrays beat a
+    * `Seq[(Long, Seq[Long])]` by an order of magnitude. */
+  case class BucketDocs(ids: Array[Long], sigs: Array[Long])
 
   /** Candidate pair with its estimated Jaccard (matching MinHash
     * component fraction); a < b always. */
@@ -74,23 +84,50 @@ object StreamingDedup {
     rows.groupByKey(r => (r.band, r.bkey))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: (Int, String), it: Iterator[DocSig], state: GroupState[BucketDocs]) => {
-          var residents = state.getOption.map(_.docs).getOrElse(Seq.empty)
-          val out = Seq.newBuilder[DupCandidate]
           // arrival order within a micro-batch is nondeterministic, so
           // order by docId for a deterministic emit set (same-batch
           // pairs are emitted exactly once, smaller id first)
-          for (d <- it.toSeq.sortBy(_.docId)) {
-            if (!residents.exists(_._1 == d.docId)) {
-              for ((oid, osig) <- residents) {
-                val matching = osig.zip(d.sig).count { case (x, y) => x == y }
-                val est = matching.toDouble / d.sig.length
+          val arrivals = it.toArray.sortBy(_.docId)
+          val st = state.getOption.getOrElse(
+            BucketDocs(Array.emptyLongArray, Array.emptyLongArray))
+          val sigLen =
+            if (arrivals.nonEmpty) arrivals.head.sig.length
+            else if (st.ids.nonEmpty) st.sigs.length / st.ids.length
+            else 0
+          val out = Seq.newBuilder[DupCandidate]
+          // residents as preallocated primitive arrays (worst case: every
+          // arrival is new): the compare is a flat long loop, the append
+          // is an arraycopy — no per-arrival list copies, no boxing
+          val cap = st.ids.length + arrivals.length
+          val ids = java.util.Arrays.copyOf(st.ids, cap)
+          val flat = java.util.Arrays.copyOf(st.sigs, cap * sigLen)
+          val seen = new java.util.HashSet[java.lang.Long](cap * 2)
+          st.ids.foreach(seen.add(_))
+          var n = st.ids.length
+          for (d <- arrivals) {
+            if (!seen.contains(d.docId)) {
+              var i = 0
+              while (i < n) {
+                val off = i * sigLen
+                var j = 0; var matching = 0
+                while (j < sigLen) {
+                  if (flat(off + j) == d.sig(j)) matching += 1
+                  j += 1
+                }
+                val est = if (sigLen == 0) 0.0 else matching.toDouble / sigLen
                 if (est >= thr)
-                  out += DupCandidate(math.min(oid, d.docId), math.max(oid, d.docId), est)
+                  out += DupCandidate(
+                    math.min(ids(i), d.docId), math.max(ids(i), d.docId), est)
+                i += 1
               }
-              residents = residents :+ (d.docId -> d.sig)
+              seen.add(d.docId)
+              ids(n) = d.docId
+              System.arraycopy(d.sig, 0, flat, n * sigLen, sigLen)
+              n += 1
             }
           }
-          state.update(BucketDocs(residents))
+          state.update(BucketDocs(
+            java.util.Arrays.copyOf(ids, n), java.util.Arrays.copyOf(flat, n * sigLen)))
           out.result().iterator
         })
   }

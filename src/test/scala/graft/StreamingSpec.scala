@@ -120,10 +120,17 @@ class StreamingSpec extends SparkSpec {
       .groupBy($"event_type").agg(count(lit(1)).as("n"))
     val q = counts.writeStream.outputMode(OutputMode.Update())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val cur = scala.util.Try(spark.read.parquet(out)).getOrElse(batch.limit(0))
-        cur.join(batch, Seq("event_type"), "left_anti").union(batch)
-          .coalesce(1).write.mode("overwrite").parquet(out + ".tmp")
-        spark.read.parquet(out + ".tmp").write.mode("overwrite").parquet(out)
+        // batch is referenced twice (anti-join + union): persist so the
+        // state-store-backed scan runs once — re-reading a RocksDB store
+        // from a second scan in the same trigger contends on the per-
+        // instance lock (and double-reads are waste on any backend)
+        batch.persist()
+        try {
+          val cur = scala.util.Try(spark.read.parquet(out)).getOrElse(batch.limit(0))
+          cur.join(batch, Seq("event_type"), "left_anti").union(batch)
+            .coalesce(1).write.mode("overwrite").parquet(out + ".tmp")
+          spark.read.parquet(out + ".tmp").write.mode("overwrite").parquet(out)
+        } finally batch.unpersist()
       }.start()
     try {
       in.addData(Ev(1, ts(0), 1, "view", 1.0), Ev(2, ts(1), 1, "view", 1.0))
