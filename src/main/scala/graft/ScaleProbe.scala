@@ -185,7 +185,9 @@ object ScaleProbe {
       // round-12 second batch
       "dedup_bloom_decontam", "mm_audio_energy",
       "join_bucketed_colocated", "scan_orc_roundtrip",
-      "pipeline_export_shards", "mm_scene_cuts", "graph_triangle_count")
+      "pipeline_export_shards", "mm_scene_cuts", "graph_triangle_count",
+      // round-13 operators
+      "mm_dedup_perceptual")
     probes.foreach { n =>
       time(n)(SparkEntry.queries(n)(spark, out).count())
     }

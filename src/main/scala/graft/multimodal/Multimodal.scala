@@ -156,6 +156,140 @@ object Multimodal {
       }
   }
 
+  /** One perceptual hash row: variant 0 = the original payload-pixel
+    * tile, variant 1 = its ÷2 resized re-encode. */
+  final case class PerceptualHash(doc_id: Long, variant: Int, dhash: Long)
+
+  /** PNG encode → decode round trip through the real JVM codec. */
+  private def pngRoundTrip(img: java.awt.image.BufferedImage,
+      id: Long): java.awt.image.BufferedImage = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.toByteArray))).getOrElse(
+      throw new IllegalStateException(s"PNG round trip failed for doc $id"))
+  }
+
+  /** 64-bit difference hash over a 9×8 luma-block grid: block (r, c) is a
+    * `cw`×`ch` pixel rectangle, its luma is the integer sum of
+    * 299·R + 587·G + 114·B over the block (no division — comparing sums
+    * of EQUAL-SIZED blocks is comparing means, and integers keep the
+    * oracle replay bit-exact), and bit r·8+c is set when block (r, c+1)
+    * outweighs block (r, c). The gradient structure survives resizing
+    * and re-encoding — the invariance byte hashing lacks. */
+  private def dhash64(img: java.awt.image.BufferedImage, cw: Int, ch: Int): Long = {
+    val s = Array.ofDim[Long](8, 9)
+    var br = 0
+    while (br < 8) {
+      var bc = 0
+      while (bc < 9) {
+        var acc = 0L
+        var y = br * ch
+        while (y < (br + 1) * ch) {
+          var x = bc * cw
+          while (x < (bc + 1) * cw) {
+            val rgb = img.getRGB(x, y)
+            acc += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        s(br)(bc) = acc
+        bc += 1
+      }
+      br += 1
+    }
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (s(r)(c + 1) > s(r)(c)) hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Perceptual (dHash) fingerprints over the REAL decode path, closing
+    * the gap byte-exact dedup ([[mm_dedup_payload]]) and frame hashing
+    * can't: a re-encoded or resized duplicate shares no bytes with its
+    * original, but its luma gradients — and so its dHash — survive.
+    *
+    * Per image doc, two variants flow through the actual javax.imageio
+    * codec: (0) the payload bytes rendered as a 36×48 RGB tile (same
+    * pixel convention as [[payloadPngFeatures]]: channel j of pixel i =
+    * payload byte (i+j) mod len), PNG-encoded and decoded back; (1) a
+    * REAL ÷2 resize of the decoded tile (channel-wise truncated 2×2
+    * mean), re-encoded and re-decoded. Both hashes are computed FROM
+    * DECODED PIXELS, so the whole encode→resize→re-encode→decode chain
+    * is inside the verified path. Dimensions are chosen so every stage
+    * stays integer-exact (36 = 9·4, 48 = 8·6; halved: 18 = 9·2,
+    * 24 = 8·3), which lets the gate oracle replay pixels → luma →
+    * blocks → bits declaratively.
+    *
+    * All work is payload-local mapPartitions; two 12-byte rows per doc
+    * are the only thing that ever moves. */
+  def perceptualHashes(media: DataFrame): Dataset[PerceptualHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    graft.Tables.spread(
+        media.filter(col("modality") === "image").select(col("doc_id"), col("payload")))
+      .as[(Long, Array[Byte])].mapPartitions { it =>
+        it.flatMap { case (id, raw) =>
+          val bytes = if (raw.isEmpty) Array[Byte](0) else raw
+          val len = bytes.length
+          val (w, h) = (36, 48)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val i = y * w + x
+              val r = bytes(i % len) & 0xff
+              val g = bytes((i + 1) % len) & 0xff
+              val b = bytes((i + 2) % len) & 0xff
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val decodedA = pngRoundTrip(img, id)
+          val hashA = dhash64(decodedA, 4, 6)
+          // real resize: channel-wise truncated mean of each 2×2 block of
+          // the DECODED original, then its own encode→decode round trip
+          val small = new java.awt.image.BufferedImage(
+            w / 2, h / 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y2 = 0
+          while (y2 < h / 2) {
+            var x2 = 0
+            while (x2 < w / 2) {
+              var (sr, sg, sb) = (0, 0, 0)
+              var dy = 0
+              while (dy < 2) {
+                var dx = 0
+                while (dx < 2) {
+                  val rgb = decodedA.getRGB(x2 * 2 + dx, y2 * 2 + dy)
+                  sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                  dx += 1
+                }
+                dy += 1
+              }
+              small.setRGB(x2, y2, ((sr / 4) << 16) | ((sg / 4) << 8) | (sb / 4))
+              x2 += 1
+            }
+            y2 += 1
+          }
+          val hashB = dhash64(pngRoundTrip(small, id), 2, 3)
+          Seq(PerceptualHash(id, 0, hashA), PerceptualHash(id, 1, hashB))
+        }
+      }
+  }
+
   /** Case class for the typed decode output. */
   final case class MediaFeatures(
       doc_id: Long, modality: String, n_bytes: Long, features: Array[Double])

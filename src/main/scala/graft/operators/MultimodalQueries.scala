@@ -292,6 +292,107 @@ object MultimodalQueries extends QueryPack {
       result
     },
 
+    // Perceptual (dHash) image near-dup over the REAL decode path: byte
+    // hashing (mm_dedup_payload) and frame hashing (mm_frame_dedup) both
+    // miss re-encoded/resized duplicates — the dominant image-dedup case
+    // in web-scale training data. Here every image doc yields TWO
+    // variants through the actual javax.imageio codec (the original
+    // 36×48 payload-pixel tile, and a REAL ÷2 resize of its decoded
+    // pixels, re-encoded and re-decoded), each reduced to a 64-bit dHash
+    // of 9×8 integer luma-block gradients. Discovery is banded LSH on
+    // 4×16-bit hash slices (a shuffled equi-join — never all-pairs) with
+    // an exact bit_count(xor) ≤ 6 verify. Every resized copy must
+    // rediscover its original through a byte-disjoint representation;
+    // the oracle replays pixels → truncated-mean resize → luma blocks →
+    // bits → bands → hamming declaratively (all integer arithmetic, so
+    // the replay is hash-exact).
+    Q(
+      "mm_dedup_perceptual",
+      """WITH img AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS len
+        |  FROM documents
+        |  WHERE doc_id % 3 = 0 AND length(text) = octet_length(encode(text))),
+        |pxa AS (
+        |  SELECT doc_id, i % 36 AS x, i // 36 AS y,
+        |         ord(substr(text, (i % len) + 1, 1)) AS r,
+        |         ord(substr(text, ((i + 1) % len) + 1, 1)) AS g,
+        |         ord(substr(text, ((i + 2) % len) + 1, 1)) AS b
+        |  FROM (SELECT doc_id, text, len,
+        |          unnest(generate_series(0, 1727)) AS i FROM img) t),
+        |pxb AS (
+        |  SELECT doc_id, x // 2 AS x, y // 2 AS y,
+        |         SUM(r) // 4 AS r, SUM(g) // 4 AS g, SUM(b) // 4 AS b
+        |  FROM pxa GROUP BY doc_id, x // 2, y // 2),
+        |blk AS (
+        |  SELECT doc_id, 0 AS variant, y // 6 AS br, x // 4 AS bc,
+        |         SUM(299 * r + 587 * g + 114 * b) AS s
+        |  FROM pxa GROUP BY doc_id, y // 6, x // 4
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS variant, y // 3 AS br, x // 2 AS bc,
+        |         SUM(299 * r + 587 * g + 114 * b) AS s
+        |  FROM pxb GROUP BY doc_id, y // 3, x // 2),
+        |bits AS (
+        |  SELECT doc_id, variant, br * 8 + bc AS idx, bit FROM (
+        |    SELECT doc_id, variant, br, bc,
+        |           CASE WHEN lead(s) OVER (PARTITION BY doc_id, variant, br
+        |                                   ORDER BY bc) > s
+        |                THEN 1 ELSE 0 END AS bit
+        |    FROM blk) w
+        |  WHERE bc < 8),
+        |bnd AS (
+        |  SELECT doc_id, variant, idx // 16 AS band,
+        |         CAST(SUM(bit * (1 << (idx % 16))) AS BIGINT) AS bandval
+        |  FROM bits GROUP BY doc_id, variant, idx // 16),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a_doc, x.variant AS a_var,
+        |                  y.doc_id AS b_doc, y.variant AS b_var
+        |  FROM bnd x JOIN bnd y
+        |    ON x.band = y.band AND x.bandval = y.bandval
+        |   AND (x.doc_id < y.doc_id OR
+        |        (x.doc_id = y.doc_id AND x.variant < y.variant))),
+        |ham AS (
+        |  SELECT c.a_doc, c.a_var, c.b_doc, c.b_var,
+        |         CAST(SUM(CASE WHEN p.bit <> q.bit THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS hamming
+        |  FROM cand c
+        |  JOIN bits p ON p.doc_id = c.a_doc AND p.variant = c.a_var
+        |  JOIN bits q ON q.doc_id = c.b_doc AND q.variant = c.b_var
+        |             AND q.idx = p.idx
+        |  GROUP BY c.a_doc, c.a_var, c.b_doc, c.b_var)
+        |SELECT a_doc, a_var::INT AS a_var, b_doc, b_var::INT AS b_var, hamming
+        |FROM ham WHERE hamming <= 6
+        |ORDER BY a_doc, a_var, b_doc, b_var""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .filter(length(col("text")) === octet_length(col("text")))
+      // the hash set feeds both sides of the band self-join — persist so
+      // the codec pipeline (2 encodes + 2 decodes + resize per doc) runs
+      // exactly once
+      val hashes = Multimodal.perceptualHashes(Multimodal.mediaTable(docs))
+        .toDF().persist()
+      val items = hashes.select(col("doc_id"), col("variant"), col("dhash"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bandval", expr("shiftrightunsigned(dhash, band * 16) & 65535"))
+      val result = items
+        .select(col("band"), col("bandval"), col("doc_id").as("a_doc"),
+          col("variant").as("a_var"), col("dhash").as("ha"))
+        .join(items.select(col("band"), col("bandval"), col("doc_id").as("b_doc"),
+          col("variant").as("b_var"), col("dhash").as("hb")), Seq("band", "bandval"))
+        .filter(col("a_doc") < col("b_doc") ||
+          (col("a_doc") === col("b_doc") && col("a_var") < col("b_var")))
+        .select(col("a_doc"), col("a_var"), col("ha"),
+          col("b_doc"), col("b_var"), col("hb"))
+        .distinct()
+        .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+        .filter(col("hamming") <= 6)
+        .select(col("a_doc"), col("a_var"), col("b_doc"), col("b_var"), col("hamming"))
+        .orderBy(col("a_doc"), col("a_var"), col("b_doc"), col("b_var"))
+        // materialize the small pair set, then release the hash scaffold
+        .localCheckpoint(true)
+      hashes.unpersist()
+      result
+    },
+
     // Shot-boundary (scene-cut) detection WITHOUT decoding: the frame
     // energy expression generalizes to any fixed-frame binary modality —
     // here video payloads framed at 64 bytes, with a cut flagged where
