@@ -187,7 +187,7 @@ object ScaleProbe {
       "join_bucketed_colocated", "scan_orc_roundtrip",
       "pipeline_export_shards", "mm_scene_cuts", "graph_triangle_count",
       // round-13 operators
-      "mm_dedup_perceptual")
+      "mm_dedup_perceptual", "pipeline_bpe_train")
     probes.foreach { n =>
       time(n)(SparkEntry.queries(n)(spark, out).count())
     }

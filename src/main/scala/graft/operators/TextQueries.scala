@@ -145,6 +145,108 @@ object TextQueries extends QueryPack {
        |  FROM g)""".stripMargin
 
 
+  /** Full BPE tokenizer training — `rounds` iterative merges, not just
+    * first-round pair discovery (`pipeline_bpe_merges`). The corpus is
+    * touched ONCE (word histogram); every round after is vocab-sized:
+    * count adjacent symbol pairs weighted by word frequency, pick the
+    * winner (freq DESC, pair ASC — deterministic), apply the merge to
+    * every word, repeat.
+    *
+    * The symbolization is a DOUBLE-separator string (`||h||e||y||`), and
+    * merge application is one `replace('|x||y|' → '|xy|')`. That exact
+    * encoding makes single-pass left-to-right replace EQUAL to greedy
+    * BPE merging: adjacent occurrences share no pattern characters (the
+    * middle `||` splits one bar to each side), so none are skipped, and
+    * a run like `a a a a a` merges to `aa aa a` exactly as the greedy
+    * scan does; symbol boundaries are unambiguous (the pattern requires
+    * a full `|x||y|`, so `b` never matches the tail of symbol `ab`).
+    * Spark and DuckDB `replace` share these semantics, which is what
+    * lets the oracle replay every round declaratively.
+    *
+    * One row per round reaches the driver — the winning merge. Like the
+    * k-means centroid collect, this is the inherently-sequential
+    * decision variable (the merge TABLE is the trained artifact and is
+    * rounds-sized); all counting and rewriting stays distributed.
+    * Lineage: the re-written vocab frame is localCheckpoint'd every 8
+    * rounds (the dedup_components discipline) so Catalyst analysis cost
+    * stays bounded at tokenizer-scale round counts. */
+  private[graft] def bpeTrain(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    import s.implicits._
+    var wc = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(
+        concat(lit("||"),
+          array_join(
+            expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+            "||"),
+          lit("||")).as("s"),
+        col("cnt"))
+      .localCheckpoint(true) // the one corpus pass, materialized once
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val win = wc
+        .select(filter(split(col("s"), "\\|\\|"), x => x =!= "").as("syms"), col("cnt"))
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr("transform(sequence(1, size(syms) - 1), " +
+          "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))")).as("pair"),
+          col("cnt"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("pair")).limit(1).collect()
+      if (win.isEmpty) exhausted = true
+      else {
+        val pair = win(0).getString(0)
+        merges += ((r, pair, win(0).getLong(1)))
+        val Array(x, y) = pair.split(" ", 2)
+        wc = wc.withColumn("s", call_function("replace", col("s"),
+          lit("|" + x + "||" + y + "|"), lit("|" + x + y + "|")))
+        if (r % 8 == 0) wc = wc.localCheckpoint(true)
+      }
+      r += 1
+    }
+    merges.toSeq.toDF("merge_rank", "pair", "freq").orderBy(col("merge_rank"))
+  }
+
+  /** DuckDB replay of [[bpeTrain]]: `rounds` unrolled CTE triples
+    * (pair counts → winner → rewritten vocab), same double-separator
+    * replace semantics. */
+  private def bpeOracle(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS (
+      |  SELECT '||' || array_to_string(list_transform(range(1, length(w) + 1),
+      |           i -> substring(w, i, 1)), '||') || '||' AS s,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      |  WHERE length(w) >= 1
+      |  GROUP BY w)""".stripMargin
+    for (k <- 1 to rounds) {
+      sb ++= s""",
+        |p$k AS (
+        |  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(list_transform(range(1, len(syms)),
+        |             i -> syms[i] || ' ' || syms[i + 1])) AS pair, cnt
+        |    FROM (SELECT list_filter(string_split(s, '||'), y -> y <> '') AS syms, cnt
+        |          FROM w${k - 1}) t0) t1
+        |  GROUP BY pair),
+        |b$k AS (SELECT pair, freq FROM p$k ORDER BY freq DESC, pair LIMIT 1),
+        |w$k AS (
+        |  SELECT replace(s,
+        |           '|' || string_split(b.pair, ' ')[1] || '||'
+        |               || string_split(b.pair, ' ')[2] || '|',
+        |           '|' || replace(b.pair, ' ', '') || '|') AS s, cnt
+        |  FROM w${k - 1}, b$k b)""".stripMargin
+    }
+    sb ++= "\nSELECT merge_rank, pair, freq FROM (\n" +
+      (1 to rounds).map(k =>
+        s"  SELECT CAST($k AS INT) AS merge_rank, pair, freq FROM b$k")
+        .mkString(" UNION ALL\n") +
+      "\n) u\nORDER BY merge_rank"
+    sb.toString
+  }
+
   val qs: Seq[Q] = Seq(
     // Token counting: whitespace tokens, distinct tokens, char stats.
     Q(
@@ -1180,6 +1282,13 @@ object TextQueries extends QueryPack {
         .orderBy(col("freq").desc, col("pair"))
         .limit(50)
     },
+
+    // Full BPE training loop (12 merge rounds) — see [[bpeTrain]] for
+    // the double-separator encoding that makes each distributed merge
+    // application EXACTLY greedy and lets the oracle unroll the same
+    // rounds declaratively. The trained merge table (rank, pair, freq)
+    // is the output artifact, exactly what a tokenizer build emits.
+    Q("pipeline_bpe_train", bpeOracle(12)) { (s, dir) => bpeTrain(s, dir, 12) },
 
     // Length-bucket batching profile — the batch-shape planning step for
     // training: bucket documents by token length (8 buckets of 16, last
