@@ -47,7 +47,7 @@ class TextPipelineSpec extends SparkSpec {
     assert(rows.map(_._3).sum > 0)
   }
 
-  test("kth-smallest boundary: top-k path and binary-search path agree") {
+  test("kth-smallest boundary: top-k path and histogram path agree") {
     import spark.implicits._
     // duplicated values force tie handling; the two paths must agree on
     // every k because both compute the smallest v with count(<= v) >= k
@@ -57,9 +57,23 @@ class TextPipelineSpec extends SparkSpec {
     val sorted = Seq(1L, 2L, 3L, 3L, 5L, 7L, 7L, 9L, 9L, 9L)
     for (k <- 1 to 10) {
       val topk = graft.operators.TextQueries.kthSmallestSurprise(sq, k.toLong)
-      val bin = graft.operators.TextQueries.kthSmallestSurprise(sq, k.toLong, topkMax = 0L)
+      val hist = graft.operators.TextQueries.kthSmallestSurprise(sq, k.toLong, topkMax = 0L)
       assert(topk == sorted(k - 1), s"top-k path wrong at k=$k: $topk")
-      assert(bin == sorted(k - 1), s"binary-search path wrong at k=$k: $bin")
+      assert(hist == sorted(k - 1), s"histogram path wrong at k=$k: $hist")
+    }
+    // wide value range (>= 2^16) drives the histogram-REFINEMENT loop,
+    // not just the final exact pass: values spread over ~10^9 with
+    // duplicates and a hot boundary region
+    val wide = (Seq.tabulate(300)(i => i.toLong * 7654321L) ++
+      Seq.fill(5)(123L * 7654321L))
+    val wsq = wide.zipWithIndex.map { case (v, i) => (i.toLong, 1L, v) }
+      .toDF("doc_id", "n_bigrams", "surprise_q")
+    val wsorted = wide.sorted
+    for (k <- Seq(1, 2, 123, 124, 128, 129, 150, 304, 305)) {
+      val topk = graft.operators.TextQueries.kthSmallestSurprise(wsq, k.toLong)
+      val hist = graft.operators.TextQueries.kthSmallestSurprise(wsq, k.toLong, topkMax = 0L)
+      assert(topk == wsorted(k - 1), s"top-k path wrong at k=$k: $topk")
+      assert(hist == wsorted(k - 1), s"histogram path wrong at k=$k: $hist")
     }
   }
 
