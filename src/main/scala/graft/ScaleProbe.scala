@@ -231,6 +231,16 @@ object ScaleProbe {
       graft.operators.GraphQueries.pagerank(spark, base, iters = 10).count())
     time("graph_pagerank_10iter_10x")(
       graft.operators.GraphQueries.pagerank(spark, out, iters = 10).count())
+    // production double-precision twin (plain double mass sums instead
+    // of the oracle-exact DECIMAL(38,18)): the delta against the rows
+    // above is the per-iteration decimal tax — ScaleToolsSpec pins the
+    // two paths' rank agreement
+    time("graph_pagerank_double_10iter_base")(
+      graft.operators.GraphQueries.pagerank(spark, base, iters = 10,
+        exact = false).count())
+    time("graph_pagerank_double_10iter_10x")(
+      graft.operators.GraphQueries.pagerank(spark, out, iters = 10,
+        exact = false).count())
     // lineage-cut effect at web-graph depth: 20 iterations with the
     // default cut-every-8 vs the same loop with cutting disabled — the
     // delta is pure Catalyst planning cost on the unrolled plan

@@ -193,7 +193,16 @@ object GraphQueries extends QueryPack {
       // 3-iteration oracle-matched plan is untouched, shallow enough
       // that planning cost stays bounded at web-graph iteration counts;
       // the spec overrides it to pin cut-vs-no-cut bit-equality
-      checkpointEvery: Int = 8): DataFrame = {
+      checkpointEvery: Int = 8,
+      // exact=true (gate): per-node mass sums through DECIMAL(38,18) so
+      // the fold is order-independent and bit-matches the oracle replay.
+      // exact=false (production): plain double sums — PageRank is a
+      // fixed-point iteration, contraction damps per-iteration float
+      // noise, and no oracle replays the fold, so a real web-graph run
+      // has no reason to pay 38-digit decimal arithmetic on every edge.
+      // GraphSpec pins the two paths' agreement (top-50 order identical,
+      // |Δpr| < 1e-9); ScaleProbe measures the per-iteration saving.
+      exact: Boolean = true): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val e = edges(s, dir)
       // out-degree is loop-invariant: annotate the edge list ONCE so each
@@ -230,7 +239,8 @@ object GraphQueries extends QueryPack {
         val prSide = if (broadcastRanks) broadcast(pr) else pr
         val contrib = eDeg.join(prSide, eDeg("src") === prSide("id"))
           .select(col("dst"), (col("pr") / col("outdeg")).as("c"))
-        pr = contrib.groupBy(col("dst")).agg(prSum(col("c")).as("mass"))
+        val mass = if (exact) prSum(col("c")) else sum(col("c"))
+        pr = contrib.groupBy(col("dst")).agg(mass.as("mass"))
           .crossJoin(broadcast(nDf))
           .select(col("dst").as("id"),
             (lit(0.15) / col("n") + lit(0.85) * col("mass")).as("pr"))

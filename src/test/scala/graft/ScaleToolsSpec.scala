@@ -126,6 +126,24 @@ class ScaleToolsSpec extends SparkSpec {
     }
   }
 
+  test("pagerank double path agrees with the exact-decimal path") {
+    import graft.operators.GraphQueries
+    // production path (plain double mass sums) vs the oracle-exact
+    // DECIMAL(38,18) twin: the fixed-point contraction damps float
+    // noise, so after 10 iterations the top-50 ordering must be
+    // IDENTICAL and every rank within 1e-9 — the bound that justifies
+    // running web-graph scale on the cheap arithmetic.
+    val exact = GraphQueries.pagerank(spark, sf(), 10).collect()
+    val dbl = GraphQueries.pagerank(spark, sf(), 10, exact = false).collect()
+    assert(exact.length == dbl.length && exact.nonEmpty)
+    exact.zip(dbl).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0),
+        s"rank order diverged: ${a.getString(0)} vs ${b.getString(0)}")
+      assert(math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-9,
+        s"rank value diverged at ${a.getString(0)}: ${a.getDouble(1)} vs ${b.getDouble(1)}")
+    }
+  }
+
   test("approximate sketches land within tolerance of exact answers") {
     val df = Tables.load(spark, sf("sf0.01"), "orders")
     val exact = df.select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
