@@ -150,6 +150,71 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
   private val pgEpochDay = java.time.LocalDate.of(2000, 1, 1).toEpochDay
   private val pgEpochDateTime = java.time.LocalDateTime.of(2000, 1, 1, 0, 0)
 
+  /** PG `numeric` binary wire form (the pgjdbc setBigDecimal path with
+    * binaryTransfer on): int16 ndigits, int16 weight, int16 sign, int16
+    * dscale, then ndigits base-10000 digits most-significant first.
+    * Digit i carries 10000^(weight − i); sign is 0x0000/0x4000/0xC000
+    * (positive/negative/NaN). Encode pads the fraction to a whole
+    * base-10000 group and strips zero groups at both ends (weight is
+    * anchored at the most significant digit, so least-significant strips
+    * leave it untouched); a Java negative scale (1.2E+3) materializes
+    * its trailing zeros first, since PG dscale is display digits and
+    * must be ≥ 0. */
+  private def encodeNumeric(o: DataOutputStream, bd0: java.math.BigDecimal): Unit = {
+    val dscale = math.max(bd0.scale, 0)
+    val bd = if (bd0.scale < 0) bd0.setScale(0) else bd0
+    val unscaled = bd.unscaledValue.abs
+    if (unscaled.signum == 0) {
+      o.writeInt(8)
+      o.writeShort(0); o.writeShort(0); o.writeShort(0); o.writeShort(dscale)
+      return
+    }
+    val pad = (4 - (dscale % 4)) % 4
+    var v = unscaled.multiply(java.math.BigInteger.TEN.pow(pad))
+    val tenK = java.math.BigInteger.valueOf(10000)
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Int] // little-endian
+    while (v.signum != 0) {
+      val qr = v.divideAndRemainder(tenK)
+      groups += qr(1).intValue
+      v = qr(0)
+    }
+    val weight = groups.length - (dscale + pad) / 4 - 1
+    val digits = groups.drop(groups.indexWhere(_ != 0)).reverse // MSF, ends stripped
+    o.writeInt(8 + 2 * digits.length)
+    o.writeShort(digits.length)
+    o.writeShort(weight)
+    o.writeShort(if (bd0.signum < 0) 0x4000 else 0)
+    o.writeShort(dscale)
+    digits.foreach(o.writeShort)
+  }
+
+  /** Binary `numeric` parameter → decimal literal text. NaN (sign
+    * 0xC000) refuses loudly: DECIMAL columns have no NaN, and silently
+    * substituting NULL or a sentinel would corrupt predicates. The
+    * UNNECESSARY rounding mode makes a malformed payload (more fraction
+    * digits than dscale claims) fail instead of rounding. */
+  private def decodeNumeric(b: Array[Byte]): String = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(b))
+    val nd = in.readShort()
+    val weight = in.readShort()
+    val sign = in.readShort() & 0xffff
+    val dscale = in.readShort()
+    if (sign == 0xC000) throw new IllegalArgumentException(
+      "numeric NaN is not representable in a DECIMAL column")
+    require(sign == 0 || sign == 0x4000, s"numeric: bad sign word 0x${sign.toHexString}")
+    val tenK = java.math.BigInteger.valueOf(10000)
+    var acc = java.math.BigInteger.ZERO
+    for (_ <- 0 until nd) {
+      val d = in.readShort()
+      require(d >= 0 && d < 10000, s"numeric: digit $d out of base-10000 range")
+      acc = acc.multiply(tenK).add(java.math.BigInteger.valueOf(d))
+    }
+    var bd = new java.math.BigDecimal(acc).scaleByPowerOfTen(4 * (weight - nd + 1))
+    bd = bd.setScale(dscale, java.math.RoundingMode.UNNECESSARY)
+    if (sign == 0x4000) bd = bd.negate
+    bd.toPlainString
+  }
+
   /** Binary-format parameter decode for the OIDs drivers actually flip
     * to binary (pgjdbc binaryTransfer): fixed-width big-endian numerics,
     * bool, text (whose binary form IS its text bytes), date/timestamp on
@@ -172,6 +237,7 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
       case 700 => java.lang.Float.intBitsToFloat(be(4).toInt).toString
       case 701 => java.lang.Double.longBitsToDouble(be(8)).toString
       case 25 | 1043 => new String(b, UTF_8)
+      case 1700 => decodeNumeric(b)
       case 1082 => java.time.LocalDate.ofEpochDay(be(4).toInt + pgEpochDay).toString
       case 1114 | 1184 =>
         // binary timestamp payload is micros since 2000-01-01; for 1114
@@ -191,8 +257,8 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
   }
 
   /** Binary-format result encode (length-prefixed) for the same OID set.
-    * Types without a supported binary form (numeric, arrays, …) refuse
-    * loudly — a client that asked for binary would misparse text bytes. */
+    * Types without a supported binary form (arrays, …) refuse loudly —
+    * a client that asked for binary would misparse text bytes. */
   private def writeBinaryValue(o: DataOutputStream, dt: DataType, v: Any): Unit = dt match {
     case BooleanType => o.writeInt(1); o.writeByte(if (v.asInstanceOf[Boolean]) 1 else 0)
     case ShortType => o.writeInt(2); o.writeShort(v.asInstanceOf[Short].toInt)
@@ -202,6 +268,11 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
     case DoubleType => o.writeInt(8); o.writeDouble(v.asInstanceOf[Double])
     case StringType =>
       val b = v.toString.getBytes(UTF_8); o.writeInt(b.length); o.write(b)
+    case _: DecimalType => encodeNumeric(o, v match {
+      case j: java.math.BigDecimal => j
+      case s: scala.math.BigDecimal => s.bigDecimal
+      case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+    })
     case DateType =>
       val ld = v match {
         case d: java.sql.Date => d.toLocalDate
@@ -289,6 +360,7 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
       if (fmt == 1) f.dataType match {
         case BooleanType | ShortType | IntegerType | LongType | FloatType |
              DoubleType | StringType | DateType | TimestampType | TimestampNTZType => ()
+        case _: DecimalType => ()
         case other => throw new IllegalArgumentException(
           s"binary result format not supported for ${other.simpleString} (text format only)")
       }
@@ -748,7 +820,10 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
     case 23 => Some("int")
     case 20 => Some("bigint")
     case 700 | 701 => Some("double precision")
-    case 1700 => Some("numeric")
+    // NOT bare "numeric": Spark's parser reads that as DECIMAL(10,0)
+    // and would silently round a fractional parameter to an integer;
+    // (38,18) holds any scale a wire client actually sends
+    case 1700 => Some("decimal(38,18)")
     case 1082 => Some("date")
     case 1114 | 1184 => Some("timestamp")
     case _ => None

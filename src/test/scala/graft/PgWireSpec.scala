@@ -529,8 +529,10 @@ class PgWireSpec extends SparkSpec {
       assert(in2.readInt() == 1 && in2.readByte() == 1, "bool binary")
       val tl = in2.readInt(); val tb = new Array[Byte](tl); in2.readFully(tb)
       assert(new String(tb, "UTF-8") == "ada", "text binary = UTF-8 bytes")
-      // binary request on a NUMERIC column: no binary encoding → loud
-      // ErrorResponse before any DataRow, never misparseable text bytes
+      // binary request on a NUMERIC column: PG numeric wire encoding
+      // (ndigits/weight/sign/dscale + base-10000 digits). 1.25 at
+      // NUMERIC(10,2): fraction pads to one group (2500), integer part
+      // one group (1) at weight 0.
       body.reset()
       c0("bn"); c0("SELECT num FROM bf WHERE id = $1"); d.writeShort(1); d.writeInt(23)
       c.send('P', body.toByteArray)
@@ -540,14 +542,45 @@ class PgWireSpec extends SparkSpec {
       val v = "7".getBytes("UTF-8"); d.writeInt(v.length); d.write(v)
       d.writeShort(1); d.writeShort(1)
       c.send('B', body.toByteArray)
+      body.reset(); d.writeByte('P'); c0("")
+      c.send('D', body.toByteArray)
       body.reset(); c0(""); d.writeInt(0)
       c.send('E', body.toByteArray)
       c.send('S', Array.empty)
       val msgs2 = c.readUntilReady()
-      val rawErrs = msgs2.filter(_._1 == 'E')
+      assert(!msgs2.exists(_._1 == 'E'),
+        "numeric binary result must not error: " + msgs2.filter(_._1 == 'E')
+          .map(m => new String(m._2, "UTF-8").replace(' ', '|')).mkString)
+      val nrow = msgs2.find(_._1 == 'D').get._2
+      val nin = new DataInputStream(new java.io.ByteArrayInputStream(nrow))
+      assert(nin.readShort() == 1)
+      assert(nin.readInt() == 12, "numeric 1.25 = 8 header bytes + 2 digits")
+      assert(nin.readShort() == 2, "ndigits")
+      assert(nin.readShort() == 0, "weight (first digit is the units group)")
+      assert(nin.readShort() == 0, "sign positive")
+      assert(nin.readShort() == 2, "dscale from NUMERIC(10,2)")
+      assert(nin.readShort() == 1 && nin.readShort() == 2500,
+        "base-10000 digits of 1.25")
+      // binary request on an ARRAY column: no binary encoding → loud
+      // ErrorResponse before any DataRow, never misparseable text bytes
+      body.reset()
+      c0("ba"); c0("SELECT ARRAY[id, id] AS a FROM bf WHERE id = $1")
+      d.writeShort(1); d.writeInt(23)
+      c.send('P', body.toByteArray)
+      body.reset()
+      c0(""); c0("ba")
+      d.writeShort(0); d.writeShort(1)
+      d.writeInt(v.length); d.write(v)
+      d.writeShort(1); d.writeShort(1)
+      c.send('B', body.toByteArray)
+      body.reset(); c0(""); d.writeInt(0)
+      c.send('E', body.toByteArray)
+      c.send('S', Array.empty)
+      val msgs3 = c.readUntilReady()
+      val rawErrs = msgs3.filter(_._1 == 'E')
         .map(m => new String(m._2, "UTF-8")).mkString
       assert(rawErrs.contains("binary result format not supported"), rawErrs)
-      assert(!msgs2.exists(_._1 == 'D'), "no data row precedes the refusal")
+      assert(!msgs3.exists(_._1 == 'D'), "no data row precedes the refusal")
       // text-format Bind still works after Sync
       body.reset()
       c0(""); c0("bn"); d.writeShort(0); d.writeShort(1)
@@ -560,6 +593,71 @@ class PgWireSpec extends SparkSpec {
       assert(!ok.exists(_._1 == 'E'), "text bind recovers after Sync")
       assert(ok.filter(_._1 == 'D').map(m => c.row(m._2)) == Seq(Seq("1.25")))
       c.terminate()
+    } finally srv.stop()
+  }
+
+  test("binary numeric params round-trip; NaN refuses") {
+    val (srv, c) = freshServer()
+    try {
+      c.startup()
+      val body = new ByteArrayOutputStream()
+      val d = new DataOutputStream(body)
+      def c0(s: String): Unit = { d.write(s.getBytes("UTF-8")); d.writeByte(0) }
+      def bindNumeric(stmt: String, digits: Seq[Int], weight: Int, sign: Int,
+          dscale: Int): Unit = {
+        body.reset()
+        c0(""); c0(stmt)
+        d.writeShort(1); d.writeShort(1) // one param format code: binary
+        d.writeShort(1)
+        d.writeInt(8 + 2 * digits.length)
+        d.writeShort(digits.length); d.writeShort(weight)
+        d.writeShort(sign); d.writeShort(dscale)
+        digits.foreach(d.writeShort)
+        d.writeShort(0) // results in text: the read-back proves the decode
+        c.send('B', body.toByteArray)
+        body.reset(); d.writeByte('P'); c0("")
+        c.send('D', body.toByteArray)
+        body.reset(); c0(""); d.writeInt(0)
+        c.send('E', body.toByteArray)
+        c.send('S', Array.empty)
+      }
+      def dataText(msgs: Seq[(Char, Array[Byte])]): String = {
+        val row = msgs.find(_._1 == 'D').get._2
+        val in2 = new DataInputStream(new java.io.ByteArrayInputStream(row))
+        assert(in2.readShort() == 1)
+        val n = in2.readInt(); val b = new Array[Byte](n); in2.readFully(b)
+        new String(b, "UTF-8")
+      }
+      // Parse once: a numeric param echoed back
+      body.reset()
+      c0("nm"); c0("SELECT $1::numeric(12,3) AS v"); d.writeShort(1); d.writeInt(1700)
+      c.send('P', body.toByteArray)
+      // −12345.678: digits [1, 2345, 6780] (6780 = padded .678 group),
+      // weight 1, sign 0x4000
+      bindNumeric("nm", Seq(1, 2345, 6780), weight = 1, sign = 0x4000, dscale = 3)
+      val m1 = c.readUntilReady()
+      assert(!m1.exists(_._1 == 'E'), s"numeric param: ${c.cstrBody('E', m1)}")
+      assert(dataText(m1) == "-12345.678", dataText(m1))
+      // implied trailing zero groups (weight > ndigits − 1): digits [12]
+      // at weight 1 = 120000, dscale 0 — the wire form PG emits for
+      // round numbers (Java-side this is the negative-scale shape)
+      body.reset()
+      c0("nm0"); c0("SELECT $1::numeric(12,0) AS v"); d.writeShort(1); d.writeInt(1700)
+      c.send('P', body.toByteArray)
+      bindNumeric("nm0", Seq(12), weight = 1, sign = 0, dscale = 0)
+      val m2 = c.readUntilReady()
+      assert(!m2.exists(_._1 == 'E'), s"trailing-zero numeric: ${c.cstrBody('E', m2)}")
+      assert(dataText(m2) == "120000", dataText(m2))
+      // NaN (sign 0xC000) must refuse loudly, then recover after Sync
+      bindNumeric("nm", Seq.empty, weight = 0, sign = 0xC000, dscale = 0)
+      val m3 = c.readUntilReady()
+      val err = m3.filter(_._1 == 'E').map(m => new String(m._2, "UTF-8")).mkString
+      assert(err.contains("NaN"), s"NaN must refuse: $err")
+      assert(!m3.exists(_._1 == 'D'), "no data row for a NaN param")
+      bindNumeric("nm", Seq(5), weight = 0, sign = 0, dscale = 0)
+      val m4 = c.readUntilReady()
+      assert(!m4.exists(_._1 == 'E') && dataText(m4) == "5.000",
+        s"binary numeric bind recovers after Sync: ${dataText(m4)}")
     } finally srv.stop()
   }
 
