@@ -71,14 +71,20 @@ object BenchTpch {
         val t0 = System.nanoTime()
         try {
           val df = SparkEntry.queries(name)(spark, out)
-          // collect(), NOT count(): count() runs a DERIVED
-          // groupBy().count() QueryExecution and leaves df's own
+          // toLocalIterator, NOT collect() or count(): count() runs a
+          // DERIVED groupBy().count() QueryExecution and leaves df's own
           // AdaptiveSparkPlanExec unexecuted (isFinalPlan=false, initial
-          // strategies only). collect() executes df's plan itself, so
-          // the join-strategy counts below read the FINAL adaptive plan
-          // — runtime BHJ→SMJ flips included. TPC-H results are ≤ ~1k
-          // rows, so the driver materialization is negligible.
-          val rows = df.collect().length.toLong
+          // strategies only), while collect() materializes the whole
+          // result as one driver array — fine for these dimension-
+          // bounded outputs but a landmine the first time a probe query
+          // has fact-sized output. Draining the local iterator executes
+          // df's plan itself (AQE finalizes before the result stage, so
+          // the join-strategy counts below read the FINAL adaptive plan,
+          // runtime BHJ→SMJ flips included) while the driver holds at
+          // most one result partition.
+          var rows = 0L
+          val it = df.toLocalIterator()
+          while (it.hasNext) { it.next(); rows += 1 }
           val sec = (System.nanoTime() - t0) / 1e9
           (sec, rows, df.queryExecution.executedPlan.toString, None)
         } catch { case e: Throwable =>
