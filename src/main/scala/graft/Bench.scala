@@ -92,11 +92,27 @@ object Bench {
     val total = passed.map(_._2).sum + sharedSec.getOrElse(0.0)
     val failed = results.size - passed.size +
       (if (sharedErr.isDefined) 1 else 0) + warmErrs.size
+    // Host-speed calibration, recorded with the run: fixed CPU work
+    // whose cost depends on the HOST, not this repo's code. Round 13
+    // measured a uniform ~1.3× per-query inflation against the round-12
+    // record that reproduced bit-identically with round-12 code — pure
+    // hypervisor drift, indistinguishable from a code regression without
+    // an anchor. calibParSec exercises the 32-core codegen path,
+    // calibSerSec a single JVM thread.
+    val cp0 = System.nanoTime()
+    spark.range(400000000L).selectExpr("sum(id * 3 + 1)").collect()
+    val calibPar = (System.nanoTime() - cp0) / 1e9
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    var hb = new Array[Byte](16)
+    val cs0 = System.nanoTime()
+    var ci = 0
+    while (ci < 300000) { md5.reset(); md5.update(hb); hb = md5.digest(); ci += 1 }
+    val calibSer = (System.nanoTime() - cs0) / 1e9
     // total_s / failed go at the END of the line: the driver's capture
     // keeps the TAIL when the line exceeds its buffer, and the large
     // queries map has truncated the front-loaded totals three rounds
     // running. "value" stays first for anything parsing the full line.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","failed":$failed,"total_s":$total}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","failed":$failed,"calibParSec":$calibPar,"calibSerSec":$calibSer,"total_s":$total}"""
     println(line)
     // the driver's stdout capture keeps only the line's TAIL past its
     // buffer (r10 kept 59/210 per-query timings); a file copy makes the
