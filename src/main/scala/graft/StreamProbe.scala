@@ -51,7 +51,9 @@ object StreamProbe {
       // is the per-row CPU cost and runs at the SOURCE's parallelism —
       // 8 partitions left 24 of 32 cores idle and capped processing at
       // ~20 k rows/s regardless of the stateful core's headroom
-      .option("numPartitions", 32)
+      // (defaultParallelism, not a hardcoded 32, so SPARK_GRAFT_CPUS
+      // overrides keep the probe honest on smaller hosts)
+      .option("numPartitions", spark.sparkContext.defaultParallelism)
       .load()
       .select(col("value"))
       .as[Long]
@@ -111,7 +113,7 @@ object StreamProbe {
       case other =>
         // fail LOUDLY: a typo silently falling back to dedup would
         // record a stateful measurement under a decontam-looking label
-        sys.error(s"unknown op '$other': expected dedup | decontam")
+        sys.error(s"unknown op '$other': expected dedup | dedup_fresh | decontam")
     }
 
     var writer = cands.writeStream
@@ -170,6 +172,14 @@ object StreamProbe {
         f""""peakStateRows":$peakRows,"peakStateBytes":$peakState,""" +
         f""""avgTriggerMsFirstHalf":$firstHalf%.0f,"avgTriggerMsSecondHalf":$secondHalf%.0f}""")
     } else println(s"""{"probe":"streaming_$op","error":"no progress recorded"}""")
+    // Unload every state store provider BEFORE JVM teardown: RocksDB's
+    // native background threads log through a JNI callback, and a
+    // callback firing while the JVM exits is a hard SIGSEGV in
+    // LoggerJniCallback::Logv (observed twice in round-13 probe runs —
+    // AFTER the summary printed, so measurements survived but the
+    // process died nonzero). StateStore.stop() closes the providers and
+    // their native loggers while the JVM is still fully alive.
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     spark.stop()
   }
 }

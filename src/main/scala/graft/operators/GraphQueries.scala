@@ -200,8 +200,8 @@ object GraphQueries extends QueryPack {
       // fixed-point iteration, contraction damps per-iteration float
       // noise, and no oracle replays the fold, so a real web-graph run
       // has no reason to pay 38-digit decimal arithmetic on every edge.
-      // GraphSpec pins the two paths' agreement (top-50 order identical,
-      // |Δpr| < 1e-9); ScaleProbe measures the per-iteration saving.
+      // ScaleToolsSpec pins the two paths' agreement (top-50 order
+      // identical, |Δpr| < 1e-9); ScaleProbe measures the saving.
       exact: Boolean = true): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val e = edges(s, dir)

@@ -212,6 +212,17 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
     var bd = new java.math.BigDecimal(acc).scaleByPowerOfTen(4 * (weight - nd + 1))
     bd = bd.setScale(dscale, java.math.RoundingMode.UNNECESSARY)
     if (sign == 0x4000) bd = bd.negate
+    // the decoded literal re-enters the text path as CAST(… AS
+    // decimal(38,18)); a value that type cannot hold exactly would be
+    // SILENTLY rounded there — the corruption this whole codec refuses
+    // everywhere else (RoundingMode.UNNECESSARY above, NaN rejection).
+    // Refuse loudly instead: > 18 fraction digits or > 20 integer
+    // digits cannot round-trip.
+    val frac = math.max(bd.stripTrailingZeros.scale, 0)
+    require(frac <= 18 && bd.precision - bd.scale <= 20,
+      s"numeric parameter ${bd.toPlainString} exceeds decimal(38,18): " +
+        "values with > 18 fraction digits or > 20 integer digits cannot " +
+        "round-trip exactly")
     bd.toPlainString
   }
 

@@ -654,6 +654,19 @@ class PgWireSpec extends SparkSpec {
       val err = m3.filter(_._1 == 'E').map(m => new String(m._2, "UTF-8")).mkString
       assert(err.contains("NaN"), s"NaN must refuse: $err")
       assert(!m3.exists(_._1 == 'D'), "no data row for a NaN param")
+      // out-of-range values must refuse, not silently round at the
+      // decimal(38,18) cast: 1e-19 (19 fraction digits — digit 10 at
+      // base-10000 weight −5) and 1e21 (21 integer digits — digit 10 at
+      // weight 5)
+      bindNumeric("nm", Seq(10), weight = -5, sign = 0, dscale = 19)
+      val mf = c.readUntilReady()
+      val errF = mf.filter(_._1 == 'E').map(m => new String(m._2, "UTF-8")).mkString
+      assert(errF.contains("exceeds decimal(38,18)"), s"1e-19 must refuse: $errF")
+      assert(!mf.exists(_._1 == 'D'), "no data row for an unrepresentable param")
+      bindNumeric("nm", Seq(10), weight = 5, sign = 0, dscale = 0)
+      val mi = c.readUntilReady()
+      val errI = mi.filter(_._1 == 'E').map(m => new String(m._2, "UTF-8")).mkString
+      assert(errI.contains("exceeds decimal(38,18)"), s"1e21 must refuse: $errI")
       bindNumeric("nm", Seq(5), weight = 0, sign = 0, dscale = 0)
       val m4 = c.readUntilReady()
       assert(!m4.exists(_._1 == 'E') && dataText(m4) == "5.000",
