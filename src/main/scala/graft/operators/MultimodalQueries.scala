@@ -309,15 +309,24 @@ object MultimodalQueries extends QueryPack {
     Q(
       "mm_dedup_perceptual",
       """WITH img AS (
-        |  SELECT doc_id, text, octet_length(encode(text)) AS len
+        |  -- GREATEST/CASE twin of the Scala empty-payload guard
+        |  -- (Multimodal.perceptualHashes substitutes a single zero byte
+        |  -- for an empty payload): len = 0 would make i % len a
+        |  -- division-by-zero here, on a doc the operator handles
+        |  SELECT doc_id, text,
+        |         GREATEST(octet_length(encode(text)), 1) AS len,
+        |         octet_length(encode(text)) = 0 AS empty
         |  FROM documents
         |  WHERE doc_id % 3 = 0 AND length(text) = octet_length(encode(text))),
         |pxa AS (
         |  SELECT doc_id, i % 36 AS x, i // 36 AS y,
-        |         ord(substr(text, (i % len) + 1, 1)) AS r,
-        |         ord(substr(text, ((i + 1) % len) + 1, 1)) AS g,
-        |         ord(substr(text, ((i + 2) % len) + 1, 1)) AS b
-        |  FROM (SELECT doc_id, text, len,
+        |         CASE WHEN empty THEN 0
+        |              ELSE ord(substr(text, (i % len) + 1, 1)) END AS r,
+        |         CASE WHEN empty THEN 0
+        |              ELSE ord(substr(text, ((i + 1) % len) + 1, 1)) END AS g,
+        |         CASE WHEN empty THEN 0
+        |              ELSE ord(substr(text, ((i + 2) % len) + 1, 1)) END AS b
+        |  FROM (SELECT doc_id, text, len, empty,
         |          unnest(generate_series(0, 1727)) AS i FROM img) t),
         |pxb AS (
         |  SELECT doc_id, x // 2 AS x, y // 2 AS y,

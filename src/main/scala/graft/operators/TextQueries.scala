@@ -85,7 +85,15 @@ object TextQueries extends QueryPack {
     *     passes total); every driver-side collect is ≤ 2^16 rows. Both
     *     paths compute the smallest v with count(≤ v) ≥ k, which equals
     *     the k-th value in (surprise_q, doc_id) order — so the oracle's
-    *     ORDER BY … LIMIT form agrees regardless of path. */
+    *     ORDER BY … LIMIT form agrees regardless of path.
+    *
+    * The bucketing maps values to the unsigned domain (v XOR 2^63 —
+    * order-preserving) and buckets by unsigned right shift, with driver
+    * bracket math done in wraparound-unsigned Longs: a range spanning
+    * more than 2^63 (lo near Long.MinValue, hi near Long.MaxValue) would
+    * overflow `hi - lo` / `lo + b*width` subtraction arithmetic — and a
+    * per-row `surprise_q - lo` would throw under ANSI — so NO signed
+    * subtraction touches the values anywhere. */
   private[graft] def kthSmallestSurprise(sq: DataFrame, k: Long,
       topkMax: Long = 1000000L): Long =
     if (k <= topkMax)
@@ -96,21 +104,31 @@ object TextQueries extends QueryPack {
       var lo = mm.getLong(0)
       var hi = mm.getLong(1)
       var need = k // rank of the target value within the current [lo, hi]
-      while (hi - lo >= 65536) {
-        val width = (hi - lo) / 65536 + 1
+      // hi - lo wraps to the correct UNSIGNED span for any signed pair
+      // (lo ≤ hi), compared as unsigned
+      while (java.lang.Long.compareUnsigned(hi - lo, 65536L) >= 0) {
+        // power-of-two bucket width 2^shift with shift sized so the
+        // current span fills ≤ 2^16 buckets (span ≥ 2^16 here → shift ≥ 1,
+        // each pass shears 16 bits off the span: ≤ 4 passes for 64 bits)
+        val shift = 64 - java.lang.Long.numberOfLeadingZeros(hi - lo) - 16
         val histo = sq.filter(col("surprise_q").between(lo, hi))
-          .groupBy(expr(s"(surprise_q - $lo) div $width").as("b"))
+          .groupBy(expr("shiftrightunsigned(surprise_q ^ shiftleft(cast(1 as bigint), 63), " +
+            s"$shift)").as("b"))
           .agg(count(lit(1)).as("c"))
-          .orderBy(col("b")).collect()
+          .collect()
+          .sortWith((x, y) => java.lang.Long.compareUnsigned(x.getLong(0), y.getLong(0)) < 0)
         var acc = 0L
         var bi = 0
         while (bi < histo.length - 1 && acc + histo(bi).getLong(1) < need) {
           acc += histo(bi).getLong(1); bi += 1
         }
-        val b = histo(bi).getLong(0)
+        val b = histo(bi).getLong(0) // unsigned bucket id in the XOR'd domain
         need -= acc
-        hi = math.min(hi, lo + (b + 1) * width - 1)
-        lo = lo + b * width
+        // bucket bounds back in the signed domain: (b·2^shift) XOR 2^63;
+        // the +1 end wraps through 0 → -1 → XOR gives Long.MaxValue,
+        // exactly the open top of the domain
+        lo = math.max(lo, (b << shift) ^ Long.MinValue)
+        hi = math.min(hi, (((b + 1) << shift) - 1) ^ Long.MinValue)
       }
       // exact pass: ≤ 2^16 distinct quantized values remain in range
       val vals = sq.filter(col("surprise_q").between(lo, hi))
@@ -190,6 +208,15 @@ object TextQueries extends QueryPack {
     * Spark and DuckDB `replace` share these semantics, which is what
     * lets the oracle replay every round declaratively.
     *
+    * The unambiguity proof requires that no SYMBOL contains the
+    * separator character, so words containing `|` are excluded from
+    * training (both sides, declared precondition) — the same move real
+    * BPE trainers make by reserving their boundary marker. Without the
+    * filter a corpus word like `a|b` would symbolize to `||a|||||b||`
+    * and the replace pattern could match at unintended offsets,
+    * silently training non-BPE merges the oracle would AGREE with
+    * (it runs the identical replace).
+    *
     * One row per round reaches the driver — the winning merge. Like the
     * k-means centroid collect, this is the inherently-sequential
     * decision variable (the merge TABLE is the trained artifact and is
@@ -201,7 +228,7 @@ object TextQueries extends QueryPack {
     import s.implicits._
     var wc = Tables.spread(Tables.load(s, dir, "documents"))
       .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) >= 1)
+      .filter(length(col("w")) >= 1 && !col("w").contains("|"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(
         concat(lit("||"),
@@ -247,7 +274,7 @@ object TextQueries extends QueryPack {
       |           i -> substring(w, i, 1)), '||') || '||' AS s,
       |         CAST(count(*) AS BIGINT) AS cnt
       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
-      |  WHERE length(w) >= 1
+      |  WHERE length(w) >= 1 AND NOT contains(w, '|')
       |  GROUP BY w)""".stripMargin
     for (k <- 1 to rounds) {
       sb ++= s""",

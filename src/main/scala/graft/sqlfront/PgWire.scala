@@ -196,6 +196,12 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
   private def decodeNumeric(b: Array[Byte]): String = {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(b))
     val nd = in.readShort()
+    // a negative ndigits (e.g. 0xFFFF read as Short -1) would make the
+    // digit loop an EMPTY range and silently decode any garbage payload
+    // as 0 — the one malformed-payload shape the checks below can't see.
+    // Pin the payload length to the header's claim while we're at it.
+    require(nd >= 0 && b.length == 8 + 2 * nd,
+      s"numeric: malformed payload (ndigits=$nd, ${b.length} bytes)")
     val weight = in.readShort()
     val sign = in.readShort() & 0xffff
     val dscale = in.readShort()
@@ -212,18 +218,38 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
     var bd = new java.math.BigDecimal(acc).scaleByPowerOfTen(4 * (weight - nd + 1))
     bd = bd.setScale(dscale, java.math.RoundingMode.UNNECESSARY)
     if (sign == 0x4000) bd = bd.negate
-    // the decoded literal re-enters the text path as CAST(… AS
-    // decimal(38,18)); a value that type cannot hold exactly would be
-    // SILENTLY rounded there — the corruption this whole codec refuses
-    // everywhere else (RoundingMode.UNNECESSARY above, NaN rejection).
-    // Refuse loudly instead: > 18 fraction digits or > 20 integer
-    // digits cannot round-trip.
-    val frac = math.max(bd.stripTrailingZeros.scale, 0)
-    require(frac <= 18 && bd.precision - bd.scale <= 20,
+    requireNumericFits(bd)
+    bd.toPlainString
+  }
+
+  /** Both wire formats funnel numeric parameters into
+    * `CAST(… AS decimal(38,18))`; a value that type cannot hold exactly
+    * would be SILENTLY rounded there (or, past 38 digits, cast to NULL) —
+    * the corruption this codec refuses everywhere else (RoundingMode
+    * .UNNECESSARY, NaN rejection). Refuse loudly instead: > 18 fraction
+    * digits or > 20 integer digits cannot round-trip. Shared by the
+    * binary decode and the text-format path so the two formats keep
+    * identical semantics for the same value. */
+  private def requireNumericFits(bd: java.math.BigDecimal): Unit = {
+    val stripped = bd.stripTrailingZeros
+    val frac = math.max(stripped.scale, 0)
+    require(frac <= 18 && stripped.precision - stripped.scale <= 20,
       s"numeric parameter ${bd.toPlainString} exceeds decimal(38,18): " +
         "values with > 18 fraction digits or > 20 integer digits cannot " +
         "round-trip exactly")
-    bd.toPlainString
+  }
+
+  /** Text-format twin of decodeNumeric's validation: same NaN and
+    * decimal(38,18)-range refusals, so a driver flipping a parameter
+    * between text and binary transfer sees identical behavior. */
+  private def validateNumericText(v: String): Unit = {
+    if (v.equalsIgnoreCase("NaN")) throw new IllegalArgumentException(
+      "numeric NaN is not representable in a DECIMAL column")
+    val bd =
+      try new java.math.BigDecimal(v.trim)
+      catch { case _: NumberFormatException => throw new IllegalArgumentException(
+        s"malformed numeric parameter '$v'") }
+    requireNumericFits(bd)
   }
 
   /** Binary-format parameter decode for the OIDs drivers actually flip
@@ -880,6 +906,7 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
       val lit =
         if (v == null) "NULL"
         else "'" + v.replace("'", "''") + "'"
+      if (v != null && oids.lift(idx).contains(1700)) validateNumericText(v)
       oids.lift(idx).filter(_ != 0).flatMap(sqlType) match {
         case Some(t) if v != null => s"CAST($lit AS $t)"
         case _ => lit

@@ -94,6 +94,16 @@ object StreamingDedup {
             if (arrivals.nonEmpty) arrivals.head.sig.length
             else if (st.ids.nonEmpty) st.sigs.length / st.ids.length
             else 0
+          // the flattened state is only readable at the stride it was
+          // written with: restarting against a checkpoint produced under
+          // different bands×rows would misindex every stored signature
+          // (garbage est values, then a permanently corrupted write-back).
+          // The old nested shape was self-describing; the flat one must
+          // check. Fail loudly — reconfiguring requires a new checkpoint.
+          require(st.ids.isEmpty || st.sigs.length == st.ids.length * sigLen,
+            s"bucket state stride ${if (st.ids.isEmpty) 0 else st.sigs.length / st.ids.length} " +
+              s"!= arrival signature length $sigLen: checkpoint was written " +
+              "under a different bands*rows configuration")
           val out = Seq.newBuilder[DupCandidate]
           // residents as preallocated primitive arrays (worst case: every
           // arrival is new): the compare is a flat long loop, the append

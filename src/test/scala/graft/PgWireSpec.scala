@@ -667,6 +667,54 @@ class PgWireSpec extends SparkSpec {
       val mi = c.readUntilReady()
       val errI = mi.filter(_._1 == 'E').map(m => new String(m._2, "UTF-8")).mkString
       assert(errI.contains("exceeds decimal(38,18)"), s"1e21 must refuse: $errI")
+      // malformed payload: ndigits 0xFFFF reads as Short -1 — without
+      // the header/length pin the digit loop would be an EMPTY range and
+      // the garbage payload would silently decode as 0
+      body.reset()
+      c0(""); c0("nm")
+      d.writeShort(1); d.writeShort(1)
+      d.writeShort(1)
+      d.writeInt(8)
+      d.writeShort(-1); d.writeShort(0); d.writeShort(0); d.writeShort(0)
+      d.writeShort(0)
+      c.send('B', body.toByteArray)
+      body.reset(); c0(""); d.writeInt(0)
+      c.send('E', body.toByteArray)
+      c.send('S', Array.empty)
+      val mm = c.readUntilReady()
+      val errM = mm.filter(_._1 == 'E').map(m => new String(m._2, "UTF-8")).mkString
+      assert(errM.contains("malformed"), s"negative ndigits must refuse: $errM")
+      assert(!mm.exists(_._1 == 'D'), "no data row for a malformed payload")
+      // text-format parity: the SAME values sent as text params must
+      // behave identically to their binary form (refuse, not silently
+      // round/NULL at the decimal(38,18) cast)
+      def bindText(stmt: String, v: String): Unit = {
+        body.reset()
+        c0(""); c0(stmt)
+        d.writeShort(1); d.writeShort(0) // one param format code: text
+        d.writeShort(1)
+        val vb = v.getBytes("UTF-8")
+        d.writeInt(vb.length); d.write(vb)
+        d.writeShort(0)
+        c.send('B', body.toByteArray)
+        body.reset(); d.writeByte('P'); c0("")
+        c.send('D', body.toByteArray)
+        body.reset(); c0(""); d.writeInt(0)
+        c.send('E', body.toByteArray)
+        c.send('S', Array.empty)
+      }
+      bindText("nm", "0.0000000000000000001")
+      val mt = c.readUntilReady()
+      val errT = mt.filter(_._1 == 'E').map(m => new String(m._2, "UTF-8")).mkString
+      assert(errT.contains("exceeds decimal(38,18)"), s"text 1e-19 must refuse: $errT")
+      bindText("nm", "NaN")
+      val mtn = c.readUntilReady()
+      val errN = mtn.filter(_._1 == 'E').map(m => new String(m._2, "UTF-8")).mkString
+      assert(errN.contains("NaN"), s"text NaN must refuse: $errN")
+      bindText("nm", "2.5")
+      val mtv = c.readUntilReady()
+      assert(!mtv.exists(_._1 == 'E') && dataText(mtv) == "2.500",
+        s"representable text numeric still binds: ${dataText(mtv)}")
       bindNumeric("nm", Seq(5), weight = 0, sign = 0, dscale = 0)
       val m4 = c.readUntilReady()
       assert(!m4.exists(_._1 == 'E') && dataText(m4) == "5.000",

@@ -75,6 +75,20 @@ class TextPipelineSpec extends SparkSpec {
       assert(topk == wsorted(k - 1), s"top-k path wrong at k=$k: $topk")
       assert(hist == wsorted(k - 1), s"histogram path wrong at k=$k: $hist")
     }
+    // pathological 64-bit span (lo near Long.MinValue, hi near
+    // Long.MaxValue): `hi - lo` overflows SIGNED arithmetic, so this pins
+    // the unsigned bracket math + sign-crossing XOR bucketing — under the
+    // old signed width computation the refinement loop was silently
+    // skipped here and the "exact pass" ran over the full value domain
+    val extreme = Seq(Long.MinValue + 3, -987654321098765432L, -17L, 0L,
+      12345L, 987654321098765432L, Long.MaxValue - 5, Long.MaxValue - 5)
+    val esq = extreme.zipWithIndex.map { case (v, i) => (i.toLong, 1L, v) }
+      .toDF("doc_id", "n_bigrams", "surprise_q")
+    val esorted = extreme.sorted
+    for (k <- 1 to extreme.length) {
+      val hist = graft.operators.TextQueries.kthSmallestSurprise(esq, k.toLong, topkMax = 0L)
+      assert(hist == esorted(k - 1), s"histogram path wrong at extreme k=$k: $hist")
+    }
   }
 
   test("repetition signals are valid fractions and catch repetitive docs") {
