@@ -230,6 +230,38 @@ object ScanQueries extends QueryPack {
         .agg(count(lit(1)).as("docs"),
           sum(col("n_chars")).cast("long").as("chars"))
         .orderBy(col("source"))
+    },
+
+    // Z-order clustered layout: lineitem rewritten on the Morton curve
+    // over (l_partkey, l_suppkey), then a 2-D box query over the
+    // clustered copy. The oracle runs the same SQL on the UNCLUSTERED
+    // original — layout must never change results — while ZOrderSpec
+    // pins the part that makes the layout worth its shuffle: row-group
+    // footer stats confine each group to a small (part, supp) rectangle,
+    // so the stock reader skips most groups for a box predicate where a
+    // single-column sort skips almost none (SURVEY §2.1 sink surface;
+    // the reference has no clustered layout at all — its scans are
+    // whole-range MVCC reads).
+    Q(
+      "layout_zorder",
+      s"""SELECT l_partkey, l_suppkey,
+         |       CAST(COUNT(*) AS BIGINT) AS n,
+         |       ${graft.Exact.oSum("l_extendedprice")} AS revenue
+         |FROM lineitem
+         |WHERE l_partkey BETWEEN 200 AND 400 AND l_suppkey BETWEEN 20 AND 60
+         |GROUP BY l_partkey, l_suppkey
+         |ORDER BY l_partkey, l_suppkey""".stripMargin
+    ) { (s, dir) =>
+      val scratch = graft.Scratch.dir("graft_zorder", dir)
+      graft.plans.ZOrder.writeClustered(
+        Tables.load(s, dir, "lineitem"), "l_partkey", "l_suppkey", scratch, 16)
+      s.read.parquet(scratch)
+        .filter(col("l_partkey").between(200, 400) &&
+          col("l_suppkey").between(20, 60))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          graft.Exact.dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("l_partkey"), col("l_suppkey"))
     }
   )
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the property the z-order layout exists for: row-group footer
+  * stats under the Morton layout confine each group to a small
+  * (l_partkey, l_suppkey) rectangle, so a 2-D box predicate can skip
+  * most row groups — where a single-column sort (the best a 1-D layout
+  * can do) leaves the second column's stats wide open and skips almost
+  * nothing on it. The census reads the SAME footer stats the stock
+  * parquet reader's row-group filter consults, so "hit" row groups here
+  * are exactly what a scan must read. */
+class ZOrderSpec extends SparkSpec {
+
+  test("z-order layout skips most row groups for a 2-D box; 1-D sort cannot") {
+    val dir = sf()
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"))
+
+    val zPath = Scratch.dir("graft_zorder_spec", dir)
+    plans.ZOrder.writeClustered(li, "l_partkey", "l_suppkey", zPath, 16)
+
+    // the 1-D straw man: same file count, range-clustered on l_partkey
+    // only (tight partkey stats, suppkey stats span the whole domain)
+    val sPath = Scratch.dir("graft_zorder_1d", dir)
+    li.repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey"))
+      .write.mode("overwrite").parquet(sPath)
+
+    // query box ~1/4 of each dimension → ~1/16 of the plane; a perfect
+    // 2-D layout hits ~1/16 of the groups + boundary, the 1-D layout
+    // hits every group matching the partkey slice regardless of suppkey
+    val mm = li.agg(min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey")).first()
+    val (pLo, pHi) = (mm.getLong(0), mm.getLong(1))
+    val (sLo, sHi) = (mm.getLong(2), mm.getLong(3))
+    val (qpLo, qpHi) = (pLo, pLo + (pHi - pLo) / 4)
+    val (qsLo, qsHi) = (sLo, sLo + (sHi - sLo) / 4)
+
+    val (zTotal, zHit) = plans.ZOrder.rowGroupBoxCensus(spark, zPath,
+      "l_partkey", qpLo, qpHi, "l_suppkey", qsLo, qsHi)
+    val (sTotal, sHit) = plans.ZOrder.rowGroupBoxCensus(spark, sPath,
+      "l_partkey", qpLo, qpHi, "l_suppkey", qsLo, qsHi)
+    assert(zTotal >= 16 && sTotal >= 16, s"expected >=16 row groups: $zTotal / $sTotal")
+    // 1-D: partkey pruning works (≈1/4 survive) but every survivor's
+    // suppkey range spans the domain; 2-D must beat it outright
+    assert(zHit < sHit,
+      s"z-order must skip more than a 1-D sort: z $zHit/$zTotal vs 1-D $sHit/$sTotal")
+    assert(zHit.toDouble / zTotal <= 0.3,
+      s"z-order should confine a 1/16-plane box to <=30% of row groups: $zHit/$zTotal")
+
+    // and the layout changes no results: box aggregate identical on
+    // the clustered copy and the original
+    def boxAgg(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("l_partkey").between(qpLo, qpHi) &&
+        col("l_suppkey").between(qsLo, qsHi))
+      .agg(count(lit(1)), Exact.dsum(col("l_extendedprice"))).first()
+    assert(boxAgg(spark.read.parquet(zPath)) == boxAgg(li))
+  }
+}
