@@ -334,17 +334,14 @@ object EventQueries extends QueryPack {
          |FROM credit GROUP BY touch_type
          |ORDER BY touch_type""".stripMargin
     ) { (s, dir) =>
+      // ONE join definition for both modes: the batch gate here and the
+      // stream-stream interval join twin (StreamingSpec) share
+      // StreamingJoin.touchAttribution, so the oracle protects the
+      // streaming semantics too (the watermarks are no-ops in batch)
       val ev = Tables.load(s, dir, "events")
-      val purch = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id"),
-          col("ts").as("p_ts"), col("value"))
-      val touch = ev.filter(col("event_type").isin("view", "click"))
-        .select(col("user_id").as("t_user"), col("event_type").as("touch_type"),
-          col("ts").as("t_ts"))
-      val joined = purch.join(touch,
-        col("user_id") === col("t_user") &&
-          col("t_ts") <= col("p_ts") &&
-          col("t_ts") > col("p_ts") - expr("INTERVAL 24 HOURS"))
+      val joined = graft.streaming.StreamingJoin.touchAttribution(
+        ev.filter(col("event_type").isin("view", "click")),
+        ev.filter(col("event_type") === "purchase"))
       val perPurchase = Window.partitionBy(col("p_id"))
       joined
         .select(col("touch_type"),

@@ -477,4 +477,78 @@ class StreamingSpec extends SparkSpec {
         s"stream=${stream.toSeq} batch=${batch.toSeq}")
     } finally { q.stop(); evalSh.unpersist() }
   }
+
+  test("stream-stream interval join matches batch and emits incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val touches = Seq(
+      Ev(1, ts(10), 1, "view", 0.0), Ev(2, ts(20), 1, "click", 0.0),
+      Ev(3, ts(15), 2, "view", 0.0),
+      Ev(4, ts(90), 1, "view", 0.0)) // outside purchase 10's 30-min horizon
+    val purchases = Seq(
+      Ev(10, ts(25), 1, "purchase", 50.0), // matches touches 1, 2
+      Ev(11, ts(40), 2, "view_ignored", 30.0), // user 2: matches touch 3
+      Ev(12, ts(30), 3, "purchase", 10.0)) // no touches at all
+    val tIn = MemoryStream[Ev]
+    val pIn = MemoryStream[Ev]
+    val q = graft.streaming.StreamingJoin.touchAttribution(
+        tIn.toDF(), pIn.toDF(), horizon = "30 minutes", delay = "5 minutes")
+      .writeStream.format("memory").queryName("ssj_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // feed across MULTIPLE micro-batches, purchases arriving before
+      // some of their touches: stream-stream state must hold each side
+      // until the other's rows arrive
+      tIn.addData(touches(0))
+      pIn.addData(purchases(0), purchases(2))
+      q.processAllAvailable()
+      tIn.addData(touches(1), touches(2), touches(3))
+      pIn.addData(purchases(1))
+      q.processAllAvailable()
+      val stream = spark.sql(
+          "SELECT p_id, touch_type FROM ssj_sink ORDER BY p_id, touch_type, t_ts")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val batch = graft.streaming.StreamingJoin.touchAttribution(
+          touches.toDF(), purchases.toDF(),
+          horizon = "30 minutes", delay = "5 minutes")
+        .orderBy(col("p_id"), col("touch_type"), col("t_ts"))
+        .collect().map(r => (r.getLong(0), r.getString(4)))
+      assert(stream.toSeq == batch.toSeq,
+        s"stream=${stream.toSeq} batch=${batch.toSeq}")
+      // the join really did attribute: purchase 10 → both user-1 touches
+      // in-horizon; purchase 12 (no touches) absent from the INNER form
+      assert(stream.toSeq == Seq((10L, "click"), (10L, "view"), (11L, "view")))
+    } finally q.stop()
+  }
+
+  test("stream-stream left-outer join null-pads only once the watermark proves no-match") {
+    implicit val sqlCtx = spark.sqlContext
+    val tIn = MemoryStream[Ev]
+    val pIn = MemoryStream[Ev]
+    val q = graft.streaming.StreamingJoin.purchasesWithTouch(
+        tIn.toDF(), pIn.toDF(), horizon = "10 minutes", delay = "5 minutes")
+      .writeStream.format("memory").queryName("ssj_outer_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // a purchase with NO preceding touch: no output yet — absence is
+      // not provable until the touch-side watermark passes its window
+      pIn.addData(Ev(20, ts(100), 7, "purchase", 5.0))
+      tIn.addData(Ev(5, ts(100), 8, "view", 0.0)) // unrelated user
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM ssj_outer_sink WHERE p_id = 20").count() == 0,
+        "null-padding must wait for the watermark")
+      // advance BOTH sides' event time far past the window + delay →
+      // global watermark passes, the unmatched purchase finalizes
+      pIn.addData(Ev(21, ts(400), 7, "purchase", 1.0))
+      tIn.addData(Ev(6, ts(400), 8, "view", 0.0))
+      q.processAllAvailable()
+      pIn.addData(Ev(22, ts(500), 7, "purchase", 1.0))
+      tIn.addData(Ev(7, ts(500), 8, "view", 0.0))
+      q.processAllAvailable()
+      val row = spark.sql(
+          "SELECT touch_type, value FROM ssj_outer_sink WHERE p_id = 20").collect()
+      assert(row.length == 1, s"unmatched purchase must emit exactly once: ${row.length}")
+      assert(row(0).isNullAt(0) && row(0).getDouble(1) == 5.0,
+        "unmatched purchase emits with null touch columns")
+    } finally q.stop()
+  }
 }
