@@ -340,6 +340,45 @@ class PlanSpec extends SparkSpec {
       s"attribution must not funnel through one partition:\n${p.take(1500)}")
   }
 
+  test("selective fact-fact joins inject a runtime bloom filter on the probe side") {
+    // At 100 TB a shuffle join whose build side is filtered selectively
+    // should not shuffle the ENTIRE probe side: Spark's runtime bloom
+    // filter (on by default in this Spark line) aggregates the build
+    // side's join keys into a bloom filter and injects a
+    // might_contain predicate into the probe scan, cutting the shuffle
+    // to near-matching rows. Its size thresholds are tuned for real
+    // clusters (10 MB build / 10 GB probe scan), so the fixture can't
+    // trip them — lower the probe threshold and disable broadcast to
+    // reproduce the 100-TB planning decision, then pin the injection
+    // and that results are unchanged by it.
+    val c = spark.conf
+    val kApp = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val kBc = "spark.sql.autoBroadcastJoinThreshold"
+    val kEn = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    val prev = Seq(kApp, kBc, kEn).map(k => k -> c.get(k))
+    def shape(): DataFrame = {
+      val o = Tables.load(spark, sf(), "orders")
+        .filter(col("o_totalprice") > 400000).select(col("o_orderkey"))
+      Tables.load(spark, sf(), "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }
+    val unfiltered = shape().collect().toSeq
+    try {
+      c.set(kEn, "true")
+      c.set(kBc, "-1")
+      c.set(kApp, "1KB")
+      val df = shape()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain") || p.contains("BloomFilterMightContain"),
+        s"no runtime bloom filter injected:\n${p.take(2000)}")
+      assert(df.collect().toSeq == unfiltered,
+        "runtime bloom filter must not change results")
+    } finally prev.foreach { case (k, v) => c.set(k, v) }
+  }
+
   test("suite-wide plan hygiene: no cartesian products; single-partition funnels only where bounded") {
     // An Exchange SinglePartition is a scale hazard ONLY when corpus-sized
     // rows flow through it. Every entry below is audited bounded-input:
