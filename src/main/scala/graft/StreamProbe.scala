@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.StreamProbe /root/testdata/sf0.1 20000 60"
   *     (fixture dir, rows/sec, seconds; optional 4th arg "dedup" |
   *     "dedup_fresh" (90 % new docs / 10 % replays — realistic crawl) |
-  *     "decontam" — decontam drives the STATELESS StreamingDecontam
-  *     match pipeline, whose summary must show zero state rows)
+  *     "decontam" — drives the STATELESS StreamingDecontam match
+  *     pipeline, whose summary must show zero state rows — |
+  *     "attribution" — drives the stream-stream interval join, whose
+  *     stateRows must PLATEAU at rate × horizon once watermark
+  *     eviction starts)
   */
 object StreamProbe {
   def main(args: Array[String]): Unit = {
@@ -36,16 +39,18 @@ object StreamProbe {
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
     import spark.implicits._
 
+    val op = args.lift(3).getOrElse("dedup")
     // real corpus texts, cycled: the rate source provides arrival ids,
     // the fixture provides realistic content (and exact dups every n
-    // arrivals — the detector has real work, not hash-unique noise)
+    // arrivals — the detector has real work, not hash-unique noise).
+    // Lazy: the attribution probe synthesizes events and never pays the
+    // corpus collect.
+    lazy val docs = {
     val texts = Tables.load(spark, base, "documents")
       .select(col("text")).as[String].collect()
     val n = texts.length
     val bc = spark.sparkContext.broadcast(texts)
-
-    val op = args.lift(3).getOrElse("dedup")
-    val docs = spark.readStream.format("rate")
+    spark.readStream.format("rate")
       .option("rowsPerSecond", rate)
       // match the core count: the stateless prefix (shingle → MinHash)
       // is the per-row CPU cost and runs at the SOURCE's parallelism —
@@ -101,6 +106,7 @@ object StreamProbe {
         }
       }
       .toDF("doc_id", "text")
+    }
     val cands = op match {
       case "decontam" =>
         // static eval side frozen once (bloom bitset + PERSISTED exact
@@ -110,10 +116,33 @@ object StreamProbe {
           .evalBloomFromCorpus(Tables.load(spark, base, "documents"))
         graft.streaming.StreamingDecontam.matches(docs, bits, evalSh)
       case "dedup" | "dedup_fresh" => graft.streaming.StreamingDedup.nearDupStream(docs)
+      case "attribution" =>
+        // stream-stream interval join throughput: ONE rate source split
+        // into touch (80 %) and purchase (20 %) streams, self-joined per
+        // user within a 60 s horizon. Event time is the source's own
+        // timestamp, so watermarks advance at wall speed and BOTH join
+        // buffers evict continuously — steady-state state is
+        // rate × (horizon + delay)-sized, not stream-length-sized (the
+        // summary's stateRows must plateau, not grow).
+        val ev = spark.readStream.format("rate")
+          .option("rowsPerSecond", rate)
+          .option("numPartitions", spark.sparkContext.defaultParallelism)
+          .load()
+          .select(col("value").as("event_id"), col("timestamp").as("ts"))
+          .withColumn("user_id", pmod(xxhash64(col("event_id")), lit(50000L)))
+          .withColumn("event_type",
+            when(pmod(col("event_id"), lit(5L)) === 0, lit("purchase"))
+              .when(pmod(col("event_id"), lit(2L)) === 0, lit("view"))
+              .otherwise(lit("click")))
+          .withColumn("value", pmod(col("event_id"), lit(100L)).cast("double"))
+        graft.streaming.StreamingJoin.touchAttribution(
+          ev.filter(col("event_type") =!= "purchase"),
+          ev.filter(col("event_type") === "purchase"),
+          horizon = "60 seconds", delay = "10 seconds")
       case other =>
         // fail LOUDLY: a typo silently falling back to dedup would
         // record a stateful measurement under a decontam-looking label
-        sys.error(s"unknown op '$other': expected dedup | dedup_fresh | decontam")
+        sys.error(s"unknown op '$other': expected dedup | dedup_fresh | decontam | attribution")
     }
 
     var writer = cands.writeStream
@@ -140,13 +169,14 @@ object StreamProbe {
     val progs = q.recentProgress.toSeq.filter(_.numInputRows > 0)
     var totalRows = 0L
     val rowsJson = progs.map { p =>
-      val so = p.stateOperators.headOption
       totalRows += p.numInputRows
+      // SUM across state operators: the stream-stream join reports its
+      // two buffers separately; single-operator queries are unchanged
       f"""{"batch":${p.batchId},"inputRows":${p.numInputRows},""" +
         f""""inRps":${p.inputRowsPerSecond}%.0f,"procRps":${p.processedRowsPerSecond}%.0f,""" +
         f""""triggerMs":${p.durationMs.getOrDefault("triggerExecution", 0L)},""" +
-        f""""stateRows":${so.map(_.numRowsTotal).getOrElse(0L)},""" +
-        f""""stateBytes":${so.map(_.memoryUsedBytes).getOrElse(0L)}}"""
+        f""""stateRows":${p.stateOperators.map(_.numRowsTotal).sum},""" +
+        f""""stateBytes":${p.stateOperators.map(_.memoryUsedBytes).sum}}"""
     }
     rowsJson.foreach(println)
     if (progs.nonEmpty) {
@@ -155,8 +185,8 @@ object StreamProbe {
       val firstHalf = if (half > 0) durs.take(half).sum.toDouble / half else 0.0
       val secondHalf =
         if (durs.size - half > 0) durs.drop(half).sum.toDouble / (durs.size - half) else 0.0
-      val states = progs.flatMap(_.stateOperators.map(_.memoryUsedBytes))
-      val stateRows = progs.flatMap(_.stateOperators.map(_.numRowsTotal))
+      val states = progs.map(_.stateOperators.map(_.memoryUsedBytes).sum)
+      val stateRows = progs.map(_.stateOperators.map(_.numRowsTotal).sum)
       val peakState = if (states.nonEmpty) states.max else 0L
       val peakRows = if (stateRows.nonEmpty) stateRows.max else 0L
       val elapsed = (System.nanoTime() - t0) / 1e9
