@@ -214,9 +214,31 @@ object ScaleProbe {
       "join_bucketed_colocated", "scan_orc_roundtrip",
       "pipeline_export_shards", "mm_scene_cuts", "graph_triangle_count",
       // round-13 operators
-      "mm_dedup_perceptual", "pipeline_bpe_train")
+      "mm_dedup_perceptual", "pipeline_bpe_train", "layout_zorder")
     probes.foreach { n =>
       time(n)(SparkEntry.queries(n)(spark, out).count())
+    }
+    // z-order skipping census at scale: a quarter-by-quarter box over
+    // the clustered lineitem copy (written by the layout_zorder probe;
+    // rebuilt here if label-filtered). Hit row groups must stay a small
+    // fraction of total as the corpus scales — the footer stats do the
+    // pruning, not small-data luck. Emits a detail line with the
+    // total/hit split; the probe row's "rows" is the hit count.
+    time("zorder_census") {
+      val zdir = graft.Scratch.dir("graft_zorder", out)
+      if (!Files.exists(Paths.get(zdir, "_SUCCESS")))
+        graft.plans.ZOrder.writeClustered(Tables.load(spark, out, "lineitem"),
+          "l_partkey", "l_suppkey", zdir, 16)
+      val li = Tables.load(spark, out, "lineitem")
+      val mm = li.agg(min("l_partkey"), max("l_partkey"),
+        min("l_suppkey"), max("l_suppkey")).first()
+      val (pLo, pHi) = (mm.getLong(0), mm.getLong(1))
+      val (sLo, sHi) = (mm.getLong(2), mm.getLong(3))
+      val (t, h) = graft.plans.ZOrder.rowGroupBoxCensus(spark, zdir,
+        "l_partkey", pLo, pLo + (pHi - pLo) / 4,
+        "l_suppkey", sLo, sLo + (sHi - sLo) / 4)
+      println(s"""{"probe":"zorder_census_detail","totalRowGroups":$t,"hitRowGroups":$h}""")
+      h.toLong
     }
     // Decomposition probes for the embedding near-dup path: pair
     // DISCOVERY alone (no clustering/join tail), at the fixture's
