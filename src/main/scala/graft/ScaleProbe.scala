@@ -214,7 +214,8 @@ object ScaleProbe {
       "join_bucketed_colocated", "scan_orc_roundtrip",
       "pipeline_export_shards", "mm_scene_cuts", "graph_triangle_count",
       // round-13 operators
-      "mm_dedup_perceptual", "pipeline_bpe_train", "layout_zorder")
+      "mm_dedup_perceptual", "pipeline_bpe_train", "layout_zorder",
+      "sim_ivf_pq")
     probes.foreach { n =>
       time(n)(SparkEntry.queries(n)(spark, out).count())
     }

@@ -350,6 +350,61 @@ object SimilarityQueries extends QueryPack {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
   }
 
+  /** Shared PQ machinery (sim_pq_adc + sim_ivf_pq): per-(vector,
+    * codeword, subspace) squared-L2 distances against the deterministic
+    * 16-vector codebook, via three exact dots (vv + cc − 2·vc) per
+    * subspace — identical quantization to the oracle's DECIMAL(38,12)
+    * products. */
+  private def pqDists(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.spread(Tables.load(s, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"))
+    val cb = vecs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    def subDist(sp: Int): Column = {
+      val va = slice(col("embedding"), sp * 16 + 1, 16)
+      val vb = slice(col("ce"), sp * 16 + 1, 16)
+      dotExact(va, va) + dotExact(vb, vb) - lit(2) * dotExact(va, vb)
+    }
+    vecs.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("cid"),
+        posexplode(array((0 until 4).map(sp => subDist(sp)): _*)).as(Seq("s", "d")))
+  }
+
+  /** PQ encoding: per (vector, subspace), the nearest codeword id. */
+  private def pqCodes(dists: DataFrame): DataFrame = {
+    val wCode = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("d"), col("cid"))
+    dists.withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("cid").as("code"))
+  }
+
+  /** Oracle twin of [[pqDists]]+[[pqCodes]]: CTE chain ending in
+    * `dist(vec_id, cid, s, d)` and `codes(vec_id, s, code)`; splice
+    * after WITH. */
+  private val oPqCtes: String =
+    s"""u AS ($oVecs),
+       |sub AS (SELECT vec_id, x, p, CAST((p - 1) // 16 AS INT) AS s FROM u),
+       |pairdot AS (
+       |  SELECT v.vec_id, c.vec_id AS cid, v.s,
+       |         CAST(SUM(CAST(CAST(v.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+       |  FROM sub v JOIN sub c ON v.p = c.p AND c.vec_id < 16
+       |  GROUP BY v.vec_id, c.vec_id, v.s),
+       |snorm AS (
+       |  SELECT vec_id, s,
+       |         CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS vv
+       |  FROM sub GROUP BY vec_id, s),
+       |dist AS (
+       |  SELECT p.vec_id, p.cid, p.s, a.vv + b.vv - 2 * p.dot AS d
+       |  FROM pairdot p
+       |  JOIN snorm a ON a.vec_id = p.vec_id AND a.s = p.s
+       |  JOIN snorm b ON b.vec_id = p.cid AND b.s = p.s),
+       |codes AS (
+       |  SELECT vec_id, s, cid AS code FROM (
+       |    SELECT vec_id, s, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+       |    FROM dist) WHERE rn = 1)""".stripMargin
+
   /** DuckDB CTE block computing the same cosine pairs as [[cosinePairs]]
     * (names them `cpairs(a, b)`); splice after WITH [RECURSIVE]. */
   /** Oracle CTE chain ending in `cpairs(a, b)` = EXACTLY the pair set
@@ -830,30 +885,12 @@ object SimilarityQueries extends QueryPack {
     // the LUT is tiny by construction (queries × 64 rows) → broadcast
     // against the codes scan; ADC sums accumulate through DECIMAL(38,12)
     // so ranking is bit-identical to the oracle's replay. Squared-L2
-    // distances throughout (PQ's native metric).
+    // distances throughout (PQ's native metric). The u/sub/…/codes CTE
+    // prefix is shared verbatim with sim_ivf_pq (oPqCtes / pqDists /
+    // pqCodes) so the two operators' quantizers can never drift.
     Q(
       "sim_pq_adc",
-      s"""WITH u AS ($oVecs),
-         |sub AS (SELECT vec_id, x, p, CAST((p - 1) // 16 AS INT) AS s FROM u),
-         |pairdot AS (
-         |  SELECT v.vec_id, c.vec_id AS cid, v.s,
-         |         CAST(SUM(CAST(CAST(v.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
-         |  FROM sub v JOIN sub c ON v.p = c.p AND c.vec_id < 16
-         |  GROUP BY v.vec_id, c.vec_id, v.s),
-         |snorm AS (
-         |  SELECT vec_id, s,
-         |         CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS vv
-         |  FROM sub GROUP BY vec_id, s),
-         |dist AS (
-         |  SELECT p.vec_id, p.cid, p.s, a.vv + b.vv - 2 * p.dot AS d
-         |  FROM pairdot p
-         |  JOIN snorm a ON a.vec_id = p.vec_id AND a.s = p.s
-         |  JOIN snorm b ON b.vec_id = p.cid AND b.s = p.s),
-         |codes AS (
-         |  SELECT vec_id, s, cid AS code FROM (
-         |    SELECT vec_id, s, cid,
-         |           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
-         |    FROM dist) WHERE rn = 1),
+      s"""WITH $oPqCtes,
          |lut AS (
          |  SELECT vec_id AS query_id, cid, s, d FROM dist
          |  WHERE vec_id IN (5, 6, 7, 8, 9)),
@@ -871,29 +908,98 @@ object SimilarityQueries extends QueryPack {
          |SELECT query_id, neighbor_id, adc, rnk FROM ranked WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin
     ) { (s, dir) =>
-      val vecs = Tables.spread(Tables.load(s, dir, "embeddings"))
-        .select(col("vec_id"), col("embedding"))
-      val cb = vecs.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      // per-subspace squared L2 via three exact dots (vv + cc − 2·vc),
-      // identical quantization to the oracle's DECIMAL(38,12) products
-      def subDist(sp: Int): Column = {
-        val va = slice(col("embedding"), sp * 16 + 1, 16)
-        val vb = slice(col("ce"), sp * 16 + 1, 16)
-        dotExact(va, va) + dotExact(vb, vb) - lit(2) * dotExact(va, vb)
-      }
-      val dists = vecs.crossJoin(broadcast(cb))
-        .select(col("vec_id"), col("cid"),
-          posexplode(array((0 until 4).map(sp => subDist(sp)): _*)).as(Seq("s", "d")))
-      val wCode = Window.partitionBy(col("vec_id"), col("s"))
-        .orderBy(col("d"), col("cid"))
-      val codes = dists.withColumn("rn", row_number().over(wCode))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("s"), col("cid").as("code"))
+      val dists = pqDists(s, dir)
+      val codes = pqCodes(dists)
       val lut = dists.filter(col("vec_id").isin(5, 6, 7, 8, 9))
         .select(col("vec_id").as("query_id"), col("cid"), col("s").as("ls"),
           col("d"))
       val adc = codes.join(broadcast(lut),
+          col("ls") === col("s") && col("cid") === col("code"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("d").cast(DecimalType(38, 12))).cast("double").as("adc"))
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc"), col("neighbor_id"))
+      adc.select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc"))
+        .withColumn("rnk", row_number().over(wRank))
+        .filter(col("rnk") <= 10)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // IVF+PQ combined — the full billion-scale ANN index architecture
+    // (FAISS IVFPQ, Milvus IVF_PQ): the coarse quantizer ROUTES (every
+    // vector joins its nearest centroid's inverted list; a query probes
+    // its 2 nearest lists), and PQ codes SCORE (ADC over the probed
+    // lists' codes only — 4 lookups + 3 adds per candidate). The two
+    // stages compose the machinery of sim_ann_ivf and sim_pq_adc: the
+    // coarse assignment is argmin over the SAME per-subspace distance
+    // table PQ encoding uses (full squared-L2 = Σ over subspaces, since
+    // the subspaces partition the dimensions), so one distance pass
+    // feeds routing, encoding, AND the query LUT. At 100 TB the probe
+    // join touches nprobe/nlist of the code table (codes are 4 bytes
+    // per vector) — the scan-volume product of the two reductions; this
+    // codebook encodes raw vectors (no residuals), trading some recall
+    // for an exactly-replayable oracle. Plan: probes and LUT are
+    // query-set-sized → broadcast; lists and codes are the only
+    // corpus-sized frames and meet in one equi-join.
+    Q(
+      "sim_ivf_pq",
+      s"""WITH $oPqCtes,
+         |fdist AS (
+         |  SELECT vec_id, cid,
+         |         CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE) AS fd
+         |  FROM dist GROUP BY vec_id, cid),
+         |lists AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY fd, cid) AS rn
+         |    FROM fdist) WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT vec_id AS query_id, cid,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY fd, cid) AS rn
+         |    FROM fdist WHERE vec_id IN (5, 6, 7, 8, 9)) WHERE rn <= 2),
+         |lut AS (
+         |  SELECT vec_id AS query_id, cid, s, d FROM dist
+         |  WHERE vec_id IN (5, 6, 7, 8, 9)),
+         |adc AS (
+         |  SELECT l.query_id, v.vec_id AS neighbor_id,
+         |         CAST(SUM(CAST(l.d AS DECIMAL(38,12))) AS DOUBLE) AS adc
+         |  FROM codes v
+         |  JOIN lists li ON li.vec_id = v.vec_id
+         |  JOIN probes pr ON pr.cid = li.cid
+         |  JOIN lut l ON l.query_id = pr.query_id AND l.s = v.s AND l.cid = v.code
+         |  WHERE v.vec_id <> l.query_id
+         |  GROUP BY l.query_id, v.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, adc,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY adc, neighbor_id) AS rnk
+         |  FROM adc)
+         |SELECT query_id, neighbor_id, adc, rnk FROM ranked WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin
+    ) { (s, dir) =>
+      val dists = pqDists(s, dir)
+      val codes = pqCodes(dists)
+      // full squared-L2 to each centroid = sum of the subspace distances
+      // (the subspaces partition the dims) — same DECIMAL accumulation
+      // as the oracle so routing ties break identically
+      val fdist = dists.groupBy(col("vec_id"), col("cid"))
+        .agg(sum(col("d").cast(DecimalType(38, 12))).cast("double").as("fd"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("fd"), col("cid"))
+      val rankedAssign = fdist.withColumn("rn", row_number().over(wAssign))
+      val lists = rankedAssign.filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("lcid"))
+      val probes = rankedAssign
+        .filter(col("rn") <= 2 && col("vec_id").isin(5, 6, 7, 8, 9))
+        .select(col("vec_id").as("query_id"), col("cid").as("pcid"))
+      val lut = dists.filter(col("vec_id").isin(5, 6, 7, 8, 9))
+        .select(col("vec_id").as("q_id"), col("cid"), col("s").as("ls"),
+          col("d"))
+      val adc = codes.join(lists, "vec_id")
+        .join(broadcast(probes), col("lcid") === col("pcid"))
+        .join(broadcast(lut), col("q_id") === col("query_id") &&
           col("ls") === col("s") && col("cid") === col("code"))
         .filter(col("vec_id") =!= col("query_id"))
         .groupBy(col("query_id"), col("vec_id"))
