@@ -53,12 +53,14 @@ object ZOrder {
   private def morton(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 
-  /** Write `df` to `path` as `files` parquet range-partitions clustered
-    * on the Morton curve over (`cx`, `cy`). One stats pass (min/max of
-    * the two columns), one range shuffle, a per-partition sort; the
-    * Morton column never reaches the files. */
-  def writeClustered(df: DataFrame, cx: String, cy: String,
-      path: String, files: Int): Unit = {
+  /** Cluster `df` on the Morton curve over (`cx`, `cy`) into `files`
+    * range partitions: one stats pass (min/max of the two columns), one
+    * range shuffle, a per-partition sort; the Morton column never
+    * reaches the output. Content is row-for-row the input — only the
+    * physical order changes — so any writer (parquet path here, the
+    * session's COW snapshot publish in VACUUM FULL … ZORDER BY) can
+    * consume it unchanged. */
+  def cluster(df: DataFrame, cx: String, cy: String, files: Int): DataFrame = {
     val mm = df.agg(
       min(col(cx)).cast("double"), max(col(cx)).cast("double"),
       min(col(cy)).cast("double"), max(col(cy)).cast("double")).first()
@@ -69,8 +71,12 @@ object ZOrder {
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
   }
+
+  /** [[cluster]] + parquet write to `path`. */
+  def writeClustered(df: DataFrame, cx: String, cy: String,
+      path: String, files: Int): Unit =
+    cluster(df, cx, cy, files).write.mode("overwrite").parquet(path)
 
   /** Row-group footer census for a 2-D box predicate: (total row groups,
     * row groups whose [min,max] × [min,max] stats box INTERSECTS the

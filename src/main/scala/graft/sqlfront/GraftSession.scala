@@ -805,10 +805,27 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   private def vacuum(stmt: String): DataFrame = {
     if (activeTxn.isDefined)
       throw new IllegalStateException("VACUUM cannot run inside a transaction block")
-    val words = stmt.trim.stripSuffix(";").split("\\s+").drop(1)
+    // VACUUM FULL <table> ZORDER BY (a, b) — the compaction rewrite
+    // additionally CLUSTERS the snapshot on the Morton curve over the
+    // two columns (Delta/Iceberg's OPTIMIZE ZORDER BY, on the engine's
+    // own COW tables): same crash-safe publish, same retention pass,
+    // but the rewritten files carry tight row-group stats on BOTH
+    // columns so 2-D box scans skip (plans.ZOrder; layout_zorder /
+    // ZOrderSpec pin the skipping itself).
+    val zorderRe = """(?is)\bZORDER\s+BY\s*\(\s*([\w"]+)\s*,\s*([\w"]+)\s*\)""".r
+    val zorderCols = zorderRe.findFirstMatchIn(stmt)
+      .map(m => (m.group(1).replaceAll("\"", ""), m.group(2).replaceAll("\"", "")))
+    val stmtNoZ = zorderRe.replaceAllIn(stmt, "")
+    val words = stmtNoZ.trim.stripSuffix(";").split("\\s+").drop(1)
       .filterNot(w => Set("FULL", "FREEZE", "VERBOSE", "ANALYZE").contains(w.toUpperCase))
-    val upWords = stmt.trim.toUpperCase.split("\\s+")
+    val upWords = stmtNoZ.trim.toUpperCase.split("\\s+")
     val withAnalyze = upWords.contains("ANALYZE")
+    if (zorderCols.isDefined) {
+      require(upWords.contains("FULL"),
+        "ZORDER BY requires VACUUM FULL (clustering is a rewrite)")
+      require(words.nonEmpty,
+        "VACUUM FULL ... ZORDER BY requires an explicit table name")
+    }
     def resolveTargets(): Seq[TableDef] = words.headOption match {
       case Some(w) => Seq(requireTable(w.replaceAll("\"", "")))
       case None => catalog.tables.values.toSeq
@@ -834,7 +851,14 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       // tableDf carries ALL physical columns (incl. the hidden rowid);
       // localCheckpoint pins the rows before their source dir is
       // superseded and later pruned
-      publish(t, tableDf(t).localCheckpoint().coalesce(nFiles))
+      val pinnedDf = tableDf(t).localCheckpoint()
+      publish(t, zorderCols match {
+        case Some((cx, cy)) =>
+          Seq(cx, cy).foreach(c => require(pinnedDf.columns.contains(c),
+            s"ZORDER BY column $c does not exist in ${t.name}"))
+          graft.plans.ZOrder.cluster(pinnedDf, cx, cy, nFiles)
+        case None => pinnedDf.coalesce(nFiles)
+      })
     }
     val targets = resolveTargets()
     val pinned = checkpointPinnedVersions() ++ readerPinnedVersions()

@@ -483,6 +483,45 @@ class DdlDmlSpec extends SparkSpec {
     assert(s.sql("SELECT v FROM frag WHERE id = 1").collect()(0).getString(0) == "x")
   }
 
+  test("VACUUM FULL ... ZORDER BY rewrites the snapshot in Morton order") {
+    val s = fresh()
+    s.sql("CREATE TABLE zt (id BIGINT PRIMARY KEY, a BIGINT, b BIGINT)")
+    // 8×8 grid inserted ROW-MAJOR (sorted by a then b) — visibly not
+    // Morton order, so the rewrite has something to prove
+    val rows = for (a <- 0 to 7; b <- 0 to 7) yield (a * 8 + b, a, b)
+    rows.grouped(16).foreach { g =>
+      s.sql("INSERT INTO zt VALUES " +
+        g.map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", "))
+    }
+    val vBefore = s.catalog.getTable("zt").get.version
+    // refusals first: clustering is a rewrite, and a typo'd column must
+    // not silently compact unclustered
+    assertThrows[IllegalArgumentException](s.sql("VACUUM zt ZORDER BY (a, b)"))
+    assertThrows[IllegalArgumentException](s.sql("VACUUM FULL zt ZORDER BY (a, nope)"))
+    s.sql("VACUUM FULL zt ZORDER BY (a, b)")
+    assert(s.catalog.getTable("zt").get.version == vBefore + 1)
+    // content identical (the rewrite is order-only)
+    val back = s.sql("SELECT id, a, b FROM zt ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(back == rows.map { case (i, a, b) => (i.toLong, a.toLong, b.toLong) })
+    // physical order is the Morton order: replicate grid16 + interleave
+    // (the single compacted file reads back in storage order)
+    def spread(v0: Long): Long = {
+      var v = v0
+      v = (v | (v << 8)) & 0x00FF00FFL; v = (v | (v << 4)) & 0x0F0F0F0FL
+      v = (v | (v << 2)) & 0x33333333L; v = (v | (v << 1)) & 0x55555555L
+      v
+    }
+    def grid(v: Long): Long =
+      math.min(65535L, math.floor(v.toDouble / 7.0 * 65536.0).toLong)
+    val expected = rows.map { case (i, a, b) =>
+      (i.toLong, spread(grid(a.toLong)) | (spread(grid(b.toLong)) << 1)) }
+      .sortBy(_._2).map(_._1)
+    val physical = s.sql("SELECT id FROM zt").collect().map(_.getLong(0)).toSeq
+    assert(physical == expected,
+      s"snapshot must be Morton-ordered:\n$physical\nvs\n$expected")
+  }
+
   test("COPY supports parquet export/import and the (query) TO form") {
     val s = fresh()
     s.sql("CREATE TABLE exp (id INT PRIMARY KEY, v TEXT)")
