@@ -227,14 +227,22 @@ object ScaleProbe {
     // total/hit split; the probe row's "rows" is the hit count.
     time("zorder_census") {
       val zdir = graft.Scratch.dir("graft_zorder", out)
-      if (!Files.exists(Paths.get(zdir, "_SUCCESS")))
-        graft.plans.ZOrder.writeClustered(Tables.load(spark, out, "lineitem"),
-          "l_partkey", "l_suppkey", zdir, 16)
       val li = Tables.load(spark, out, "lineitem")
-      val mm = li.agg(min("l_partkey"), max("l_partkey"),
-        min("l_suppkey"), max("l_suppkey")).first()
-      val (pLo, pHi) = (mm.getLong(0), mm.getLong(1))
-      val (sLo, sHi) = (mm.getLong(2), mm.getLong(3))
+      // one stats pass serves both the (re)build and the query box
+      val b = graft.plans.ZOrder.bounds(li, "l_partkey", "l_suppkey")
+        .getOrElse(sys.error("empty lineitem fixture"))
+      // rebuild when missing OR older than the fixture it clusters: a
+      // regenerated corpus under the same out path would otherwise be
+      // censused against the PREVIOUS corpus's clustered copy
+      val marker = Paths.get(zdir, "_SUCCESS")
+      val stale = !Files.exists(marker) ||
+        Files.getLastModifiedTime(Paths.get(s"$out/lineitem.parquet"))
+          .compareTo(Files.getLastModifiedTime(marker)) > 0
+      if (stale)
+        graft.plans.ZOrder.cluster(li, "l_partkey", "l_suppkey", 16, Some(b))
+          .write.mode("overwrite").parquet(zdir)
+      val (pLo, pHi) = (b._1.toLong, b._2.toLong)
+      val (sLo, sHi) = (b._3.toLong, b._4.toLong)
       val (t, h) = graft.plans.ZOrder.rowGroupBoxCensus(spark, zdir,
         "l_partkey", pLo, pLo + (pHi - pLo) / 4,
         "l_suppkey", sLo, sLo + (sHi - sLo) / 4)

@@ -53,24 +53,49 @@ object ZOrder {
   private def morton(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 
-  /** Cluster `df` on the Morton curve over (`cx`, `cy`) into `files`
-    * range partitions: one stats pass (min/max of the two columns), one
-    * range shuffle, a per-partition sort; the Morton column never
-    * reaches the output. Content is row-for-row the input — only the
-    * physical order changes — so any writer (parquet path here, the
-    * session's COW snapshot publish in VACUUM FULL … ZORDER BY) can
-    * consume it unchanged. */
-  def cluster(df: DataFrame, cx: String, cy: String, files: Int): DataFrame = {
+  /** Min/max of the two cluster columns — the one stats pass every
+    * clustering job pays. None when the table is empty (or the columns
+    * are all-NULL): there is nothing to order. Exposed so callers that
+    * also need the bounds (the census probe's query box) scan once. */
+  def bounds(df: DataFrame, cx: String, cy: String)
+      : Option[(Double, Double, Double, Double)] = {
     val mm = df.agg(
       min(col(cx)).cast("double"), max(col(cx)).cast("double"),
       min(col(cy)).cast("double"), max(col(cy)).cast("double")).first()
-    val z = morton(
-      grid16(col(cx), mm.getDouble(0), mm.getDouble(1)),
-      grid16(col(cy), mm.getDouble(2), mm.getDouble(3)))
-    df.withColumn("__z", z)
-      .repartitionByRange(files, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    if (mm.isNullAt(0) || mm.isNullAt(2)) None
+    else Some((mm.getDouble(0), mm.getDouble(1), mm.getDouble(2), mm.getDouble(3)))
+  }
+
+  /** Cluster `df` on the Morton curve over (`cx`, `cy`) into `files`
+    * range partitions: one stats pass (min/max of the two columns,
+    * skipped when `precomputed` carries it), one range shuffle, a
+    * per-partition sort; the Morton column never reaches the output.
+    * Content is row-for-row the input — only the physical order
+    * changes — so any writer (parquet path here, the session's COW
+    * snapshot publish in VACUUM FULL … ZORDER BY) can consume it
+    * unchanged. Non-numeric cluster columns refuse loudly (their
+    * double cast would be all-NULL and silently skip clustering); an
+    * EMPTY table passes through — no rows have no order. */
+  def cluster(df: DataFrame, cx: String, cy: String, files: Int,
+      precomputed: Option[(Double, Double, Double, Double)] = None): DataFrame = {
+    Seq(cx, cy).foreach { c =>
+      require(df.schema(c).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"ZORDER column $c must be numeric, is ${df.schema(c).dataType.sql}")
+    }
+    precomputed.orElse(bounds(df, cx, cy)) match {
+      case None => df
+      case Some((xLo, xHi, yLo, yHi)) =>
+        // collision-proof key column: a user table may legally own "__z",
+        // and withColumn would CLOBBER it before drop removed it
+        var zName = "__z"
+        while (df.columns.contains(zName)) zName += "_"
+        df.withColumn(zName,
+            morton(grid16(col(cx), xLo, xHi), grid16(col(cy), yLo, yHi)))
+          .repartitionByRange(files, col(zName))
+          .sortWithinPartitions(col(zName))
+          .drop(zName)
+    }
   }
 
   /** [[cluster]] + parquet write to `path`. */

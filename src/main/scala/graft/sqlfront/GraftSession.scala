@@ -813,9 +813,18 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     // columns so 2-D box scans skip (plans.ZOrder; layout_zorder /
     // ZOrderSpec pin the skipping itself).
     val zorderRe = """(?is)\bZORDER\s+BY\s*\(\s*([\w"]+)\s*,\s*([\w"]+)\s*\)""".r
+    // fold to lowercase like every other identifier in the session
+    // (catalog column names are stored lowercase)
     val zorderCols = zorderRe.findFirstMatchIn(stmt)
-      .map(m => (m.group(1).replaceAll("\"", ""), m.group(2).replaceAll("\"", "")))
+      .map(m => (m.group(1).replaceAll("\"", "").toLowerCase,
+        m.group(2).replaceAll("\"", "").toLowerCase))
     val stmtNoZ = zorderRe.replaceAllIn(stmt, "")
+    // a ZORDER keyword the regex did NOT consume (one column, three
+    // columns, malformed parens) must refuse — not silently compact
+    // unclustered while the user believes the table is z-ordered
+    require(!stmtNoZ.toUpperCase.matches("(?s).*\\bZORDER\\b.*"),
+      "malformed ZORDER BY clause: expected ZORDER BY (colA, colB) — " +
+        "exactly two columns")
     val words = stmtNoZ.trim.stripSuffix(";").split("\\s+").drop(1)
       .filterNot(w => Set("FULL", "FREEZE", "VERBOSE", "ANALYZE").contains(w.toUpperCase))
     val upWords = stmtNoZ.trim.toUpperCase.split("\\s+")

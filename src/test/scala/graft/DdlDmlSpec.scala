@@ -494,11 +494,17 @@ class DdlDmlSpec extends SparkSpec {
         g.map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", "))
     }
     val vBefore = s.catalog.getTable("zt").get.version
-    // refusals first: clustering is a rewrite, and a typo'd column must
-    // not silently compact unclustered
+    // refusals first: clustering is a rewrite, and a typo'd column,
+    // wrong arity, or non-numeric column must not silently compact
+    // unclustered
     assertThrows[IllegalArgumentException](s.sql("VACUUM zt ZORDER BY (a, b)"))
     assertThrows[IllegalArgumentException](s.sql("VACUUM FULL zt ZORDER BY (a, nope)"))
-    s.sql("VACUUM FULL zt ZORDER BY (a, b)")
+    assertThrows[IllegalArgumentException](s.sql("VACUUM FULL zt ZORDER BY (a)"))
+    assertThrows[IllegalArgumentException](s.sql("VACUUM FULL zt ZORDER BY (a, b, id)"))
+    s.sql("CREATE TABLE ztx (k BIGINT PRIMARY KEY, name TEXT)")
+    assertThrows[IllegalArgumentException](s.sql("VACUUM FULL ztx ZORDER BY (k, name)"))
+    // unquoted identifiers fold to lowercase, like everywhere else
+    s.sql("VACUUM FULL zt ZORDER BY (A, B)")
     assert(s.catalog.getTable("zt").get.version == vBefore + 1)
     // content identical (the rewrite is order-only)
     val back = s.sql("SELECT id, a, b FROM zt ORDER BY id").collect()
