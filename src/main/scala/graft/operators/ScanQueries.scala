@@ -232,6 +232,33 @@ object ScanQueries extends QueryPack {
         .orderBy(col("source"))
     },
 
+    // Avro source/sink round trip: the row-oriented exchange format a
+    // streaming ingest pipeline hands to the columnar warehouse.
+    // Embeddings is the deliberate choice of table — the array<float>
+    // column exercises complex-type encoding through the format, not
+    // just scalars. The implementation classes ship inside spark-sql in
+    // this Spark line but WITHOUT the DataSourceRegister service entry
+    // (that lives in the separate spark-avro module jar), so the format
+    // is addressed by its fully-qualified class name.
+    Q(
+      "scan_avro_roundtrip",
+      """SELECT label, CAST(COUNT(*) AS BIGINT) AS vecs,
+        |       CAST(SUM(len(embedding)) AS BIGINT) AS dims
+        |FROM embeddings WHERE vec_id % 7 <> 0
+        |GROUP BY label
+        |ORDER BY label""".stripMargin
+    ) { (s, dir) =>
+      val scratch = graft.Scratch.dir("graft_avro", dir)
+      Tables.load(s, dir, "embeddings")
+        .write.mode("overwrite").format("org.apache.spark.sql.avro.AvroFileFormat").save(scratch)
+      s.read.format("org.apache.spark.sql.avro.AvroFileFormat").load(scratch)
+        .filter(col("vec_id") % 7 =!= 0)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("vecs"),
+          sum(size(col("embedding"))).cast("long").as("dims"))
+        .orderBy(col("label"))
+    },
+
     // Z-order clustered layout: lineitem rewritten on the Morton curve
     // over (l_partkey, l_suppkey), then a 2-D box query over the
     // clustered copy. The oracle runs the same SQL on the UNCLUSTERED
