@@ -21,6 +21,18 @@ object EventStreams {
   def withLateData(df: DataFrame, delay: String = "1 hour"): DataFrame =
     df.withWatermark("ts", delay)
 
+  /** Exact dedup of at-least-once ingestion with BOUNDED state: a
+    * replayed event_id is dropped if it re-arrives within `delay` of
+    * the original, and the key's state evicts once the watermark passes
+    * — where plain `dropDuplicates` on a non-event-time key NEVER
+    * evicts (even under a watermark), so its state grows with the
+    * stream's lifetime key cardinality: the classic streaming-dedup
+    * OOM at 100-TB ingest. Replays farther apart than `delay` are
+    * ingestion bugs, not at-least-once jitter — the window is the
+    * honest contract, not a weakening. */
+  def dedupExactIngest(df: DataFrame, delay: String = "1 hour"): DataFrame =
+    df.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
   /** Tumbling-window counts+sums per event type. */
   def tumbling(df: DataFrame, width: String = "1 hour"): DataFrame =
     df.groupBy(window(col("ts"), width).as("w"), col("event_type"))

@@ -226,8 +226,11 @@ class StreamingSpec extends SparkSpec {
   test("streaming deduplication drops replayed events within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
-    val q = EventStreams.withLateData(in.toDF(), "1 hour")
-      .dropDuplicates("event_id")
+    // dedupExactIngest = dropDuplicatesWithinWatermark: bounded state
+    // (evicts with the watermark), unlike plain dropDuplicates on a
+    // non-event-time key, whose state never evicts even under a
+    // watermark
+    val q = EventStreams.dedupExactIngest(in.toDF(), "1 hour")
       .writeStream.format("memory").queryName("dedup_sink")
       .outputMode(OutputMode.Append()).start()
     try {
@@ -239,6 +242,20 @@ class StreamingSpec extends SparkSpec {
       val ids = spark.sql("SELECT event_id FROM dedup_sink ORDER BY event_id")
         .collect().map(_.getLong(0)).toSeq
       assert(ids == Seq(1L, 2L, 3L))
+      // the state-eviction contract: advance the watermark far past
+      // event 1's window, then re-send its id at a CURRENT event time
+      // (not a late row — late input is filtered before dedup) — the
+      // key's state is gone, so the re-send is (correctly, per the
+      // within-delay contract) a new emission rather than
+      // retained-forever state
+      in.addData(Ev(9, ts(600), 3, "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, ts(601), 1, "view", 1.0))
+      q.processAllAvailable()
+      val n1 = spark.sql("SELECT count(*) FROM dedup_sink WHERE event_id = 1")
+        .collect()(0).getLong(0)
+      assert(n1 == 2L,
+        s"state must EVICT after the watermark passes (got $n1 emissions)")
     } finally q.stop()
   }
 
