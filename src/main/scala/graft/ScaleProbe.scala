@@ -215,7 +215,7 @@ object ScaleProbe {
       "pipeline_export_shards", "mm_scene_cuts", "graph_triangle_count",
       // round-13 operators
       "mm_dedup_perceptual", "pipeline_bpe_train", "layout_zorder",
-      "sim_ivf_pq", "scan_avro_roundtrip")
+      "sim_ivf_pq", "scan_avro_roundtrip", "pipeline_expectations")
     probes.foreach { n =>
       time(n)(SparkEntry.queries(n)(spark, out).count())
     }

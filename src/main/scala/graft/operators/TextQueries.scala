@@ -1344,6 +1344,95 @@ object TextQueries extends QueryPack {
     // is the output artifact, exactly what a tokenizer build emits.
     Q("pipeline_bpe_train", bpeOracle(12)) { (s, dir) => bpeTrain(s, dir, 12) },
 
+    // Data-quality expectations sweep — the dbt-tests / Great
+    // Expectations shape a pipeline runs before training on a corpus:
+    // uniqueness, non-null/non-empty, derived-column consistency, value
+    // domains, timestamp sanity. Scale shape: ONE conditional-aggregate
+    // scan per table (every check is a SUM(CASE) or COUNT DISTINCT in
+    // the same agg — k checks never cost k scans), unpivoted into a
+    // (check, rows, violations, pass) report small enough to alert on.
+    Q(
+      "pipeline_expectations",
+      """WITH d AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS text_empty,
+        |         CAST(SUM(CASE WHEN n_chars <> length(text)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS nchars_bad,
+        |         CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS dup_ids,
+        |         CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS src_null
+        |  FROM documents),
+        |e AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CASE WHEN event_type NOT IN
+        |                       ('view', 'click', 'purchase', 'signup', 'error')
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS type_bad,
+        |         CAST(SUM(CASE WHEN value IS NULL OR value < 0
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS val_bad,
+        |         CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS dup_ids,
+        |         CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2020-01-01'
+        |                         OR CAST(ts AS TIMESTAMP) >= TIMESTAMP '2030-01-01'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS ts_bad
+        |  FROM events)
+        |SELECT * FROM (
+        |  SELECT 'documents.doc_id_unique' AS check_name, n AS n_rows,
+        |         dup_ids AS n_violations, dup_ids = 0 AS pass FROM d
+        |  UNION ALL SELECT 'documents.n_chars_consistent', n, nchars_bad,
+        |         nchars_bad = 0 FROM d
+        |  UNION ALL SELECT 'documents.source_nonnull', n, src_null,
+        |         src_null = 0 FROM d
+        |  UNION ALL SELECT 'documents.text_nonempty', n, text_empty,
+        |         text_empty = 0 FROM d
+        |  UNION ALL SELECT 'events.event_id_unique', n, dup_ids,
+        |         dup_ids = 0 FROM e
+        |  UNION ALL SELECT 'events.event_type_in_domain', n, type_bad,
+        |         type_bad = 0 FROM e
+        |  UNION ALL SELECT 'events.ts_in_range', n, ts_bad, ts_bad = 0 FROM e
+        |  UNION ALL SELECT 'events.value_nonnegative', n, val_bad,
+        |         val_bad = 0 FROM e
+        |) t ORDER BY check_name""".stripMargin
+    ) { (s, dir) =>
+      def viol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        sum(when(c, 1L).otherwise(0L)).cast("long")
+      val d = Tables.load(s, dir, "documents").agg(
+        count(lit(1)).as("n"),
+        viol(col("text").isNull || length(col("text")) === 0).as("text_empty"),
+        viol(col("n_chars") =!= length(col("text"))).as("nchars_bad"),
+        (count(lit(1)) - countDistinct(col("doc_id"))).as("dup_ids"),
+        viol(col("source").isNull).as("src_null"))
+      val e = Tables.load(s, dir, "events").agg(
+        count(lit(1)).as("n"),
+        viol(!col("event_type").isin("view", "click", "purchase", "signup", "error"))
+          .as("type_bad"),
+        viol(col("value").isNull || col("value") < 0).as("val_bad"),
+        (count(lit(1)) - countDistinct(col("event_id"))).as("dup_ids"),
+        viol(col("ts") < lit("2020-01-01").cast("timestamp") ||
+          col("ts") >= lit("2030-01-01").cast("timestamp")).as("ts_bad"))
+      // ONE aggregate row per table exploded into its check rows — a
+      // union of per-check selects would defeat exchange reuse (column
+      // pruning makes each branch's agg subtree differ) and re-scan the
+      // table once per check
+      def chk(name: String, c: String) =
+        struct(lit(name).as("check_name"), col("n").as("n_rows"),
+          col(c).as("n_violations"), (col(c) === 0).as("pass"))
+      def report(agg: org.apache.spark.sql.DataFrame,
+          checks: Seq[(String, String)]) =
+        agg.select(explode(array(checks.map { case (nm, c) => chk(nm, c) }: _*))
+          .as("c")).select(col("c.*"))
+      report(d, Seq(
+          "documents.doc_id_unique" -> "dup_ids",
+          "documents.n_chars_consistent" -> "nchars_bad",
+          "documents.source_nonnull" -> "src_null",
+          "documents.text_nonempty" -> "text_empty"))
+        .union(report(e, Seq(
+          "events.event_id_unique" -> "dup_ids",
+          "events.event_type_in_domain" -> "type_bad",
+          "events.ts_in_range" -> "ts_bad",
+          "events.value_nonnegative" -> "val_bad")))
+        .orderBy(col("check_name"))
+    },
+
     // Length-bucket batching profile — the batch-shape planning step for
     // training: bucket documents by token length (8 buckets of 16, last
     // open-ended), and report per bucket the doc count, token mass, the

@@ -340,6 +340,13 @@ class PlanSpec extends SparkSpec {
       s"attribution must not funnel through one partition:\n${p.take(1500)}")
   }
 
+  test("expectations sweep scans each table exactly once, k checks notwithstanding") {
+    val p = planOf("pipeline_expectations")
+    val scans = "Scan parquet|FileScan parquet".r.findAllIn(p).size
+    assert(scans == 2,
+      s"8 checks over 2 tables must cost exactly 2 scans, found $scans:\n${p.take(1500)}")
+  }
+
   test("selective fact-fact joins inject a runtime bloom filter on the probe side") {
     // At 100 TB a shuffle join whose build side is filtered selectively
     // should not shuffle the ENTIRE probe side: Spark's runtime bloom
