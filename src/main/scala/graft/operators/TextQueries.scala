@@ -1365,13 +1365,18 @@ object TextQueries extends QueryPack {
         |  FROM documents),
         |e AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-        |         CAST(SUM(CASE WHEN event_type NOT IN
+        |         -- NULL is a violation for every check (a NULL NOT IN /
+        |         -- range comparison is NULL, which a bare SUM(CASE) would
+        |         -- count as PASSING — waving through exactly the malformed
+        |         -- rows the check exists to catch)
+        |         CAST(SUM(CASE WHEN event_type IS NULL OR event_type NOT IN
         |                       ('view', 'click', 'purchase', 'signup', 'error')
         |                       THEN 1 ELSE 0 END) AS BIGINT) AS type_bad,
         |         CAST(SUM(CASE WHEN value IS NULL OR value < 0
         |                       THEN 1 ELSE 0 END) AS BIGINT) AS val_bad,
         |         CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS dup_ids,
-        |         CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2020-01-01'
+        |         CAST(SUM(CASE WHEN ts IS NULL
+        |                         OR CAST(ts AS TIMESTAMP) < TIMESTAMP '2020-01-01'
         |                         OR CAST(ts AS TIMESTAMP) >= TIMESTAMP '2030-01-01'
         |                       THEN 1 ELSE 0 END) AS BIGINT) AS ts_bad
         |  FROM events)
@@ -1403,11 +1408,13 @@ object TextQueries extends QueryPack {
         viol(col("source").isNull).as("src_null"))
       val e = Tables.load(s, dir, "events").agg(
         count(lit(1)).as("n"),
-        viol(!col("event_type").isin("view", "click", "purchase", "signup", "error"))
+        viol(col("event_type").isNull ||
+          !col("event_type").isin("view", "click", "purchase", "signup", "error"))
           .as("type_bad"),
         viol(col("value").isNull || col("value") < 0).as("val_bad"),
         (count(lit(1)) - countDistinct(col("event_id"))).as("dup_ids"),
-        viol(col("ts") < lit("2020-01-01").cast("timestamp") ||
+        viol(col("ts").isNull ||
+          col("ts") < lit("2020-01-01").cast("timestamp") ||
           col("ts") >= lit("2030-01-01").cast("timestamp")).as("ts_bad"))
       // ONE aggregate row per table exploded into its check rows — a
       // union of per-check selects would defeat exchange reuse (column

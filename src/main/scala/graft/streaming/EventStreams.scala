@@ -31,7 +31,7 @@ object EventStreams {
     * ingestion bugs, not at-least-once jitter — the window is the
     * honest contract, not a weakening. */
   def dedupExactIngest(df: DataFrame, delay: String = "1 hour"): DataFrame =
-    df.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+    withLateData(df, delay).dropDuplicatesWithinWatermark("event_id")
 
   /** Tumbling-window counts+sums per event type. */
   def tumbling(df: DataFrame, width: String = "1 hour"): DataFrame =
