@@ -215,7 +215,8 @@ object ScaleProbe {
       "pipeline_export_shards", "mm_scene_cuts", "graph_triangle_count",
       // round-13 operators
       "mm_dedup_perceptual", "pipeline_bpe_train", "layout_zorder",
-      "sim_ivf_pq", "scan_avro_roundtrip", "pipeline_expectations")
+      "sim_ivf_pq", "scan_avro_roundtrip", "pipeline_expectations",
+      "evt_attribution_unmatched")
     probes.foreach { n =>
       time(n)(SparkEntry.queries(n)(spark, out).count())
     }

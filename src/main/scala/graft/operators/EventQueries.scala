@@ -352,6 +352,44 @@ object EventQueries extends QueryPack {
         .orderBy(col("touch_type"))
     },
 
+    // Unattributed conversions — the left-outer twin of the attribution
+    // join: every purchase with NO view/click touch in its 24 h window
+    // (organic / dark-channel conversions, the number a marketing
+    // pipeline reconciles budgets against). Shares StreamingJoin
+    // .purchasesWithTouch with the streaming left-outer form, so the
+    // oracle also protects the stream's null-padding semantics; one
+    // outer row per purchase needs touch_type IS NULL — a purchase with
+    // ANY touch yields only matched rows.
+    Q(
+      "evt_attribution_unmatched",
+      s"""WITH purch AS (
+         |  SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts, value
+         |  FROM events WHERE event_type = 'purchase'),
+         |touch AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t_ts
+         |  FROM events WHERE event_type IN ('view', 'click')),
+         |unmatched AS (
+         |  SELECT p.p_id, p.user_id, p.value
+         |  FROM purch p LEFT JOIN touch t
+         |    ON p.user_id = t.user_id
+         |   AND t.t_ts <= p.p_ts
+         |   AND t.t_ts > p.p_ts - INTERVAL 24 HOURS
+         |  WHERE t.t_ts IS NULL)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS organic_purchases,
+         |       ${Exact.oSum("value")} AS organic_revenue,
+         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS organic_users
+         |FROM unmatched""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      graft.streaming.StreamingJoin.purchasesWithTouch(
+          ev.filter(col("event_type").isin("view", "click")),
+          ev.filter(col("event_type") === "purchase"))
+        .filter(col("touch_type").isNull)
+        .agg(count(lit(1)).cast("long").as("organic_purchases"),
+          Exact.dsum(col("value")).as("organic_revenue"),
+          countDistinct(col("user_id")).as("organic_users"))
+    },
+
     // Top user paths — the most common day-leading event-type sequences
     // (first 5 steps per user-day), the "how do people actually move
     // through the product" mining query. Per-(user, day) groups are
