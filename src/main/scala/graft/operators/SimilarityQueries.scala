@@ -379,6 +379,42 @@ object SimilarityQueries extends QueryPack {
       .select(col("vec_id"), col("s"), col("cid").as("code"))
   }
 
+  /** IVF+PQ top-10 for the fixed query set (5-9): coarse routing (full
+    * squared-L2 to each centroid = sum of the subspace distances, since
+    * the subspaces partition the dims — same DECIMAL accumulation as
+    * the oracle so ties break identically), 2-probe list selection, ADC
+    * scoring over the probed lists' codes. Shared by the sim_ivf_pq
+    * gate and the recall eval. */
+  private def ivfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val dists = pqDists(s, dir)
+    val codes = pqCodes(dists)
+    val fdist = dists.groupBy(col("vec_id"), col("cid"))
+      .agg(sum(col("d").cast(DecimalType(38, 12))).cast("double").as("fd"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("fd"), col("cid"))
+    val rankedAssign = fdist.withColumn("rn", row_number().over(wAssign))
+    val lists = rankedAssign.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("lcid"))
+    val probes = rankedAssign
+      .filter(col("rn") <= 2 && col("vec_id").isin(5, 6, 7, 8, 9))
+      .select(col("vec_id").as("query_id"), col("cid").as("pcid"))
+    val lut = dists.filter(col("vec_id").isin(5, 6, 7, 8, 9))
+      .select(col("vec_id").as("q_id"), col("cid"), col("s").as("ls"),
+        col("d"))
+    val adc = codes.join(lists, "vec_id")
+      .join(broadcast(probes), col("lcid") === col("pcid"))
+      .join(broadcast(lut), col("q_id") === col("query_id") &&
+        col("ls") === col("s") && col("cid") === col("code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d").cast(DecimalType(38, 12))).cast("double").as("adc"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    adc.select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc"))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= 10)
+  }
+
   /** Oracle twin of [[pqDists]]+[[pqCodes]]: CTE chain ending in
     * `dist(vec_id, cid, s, d)` and `codes(vec_id, s, code)`; splice
     * after WITH. */
@@ -979,37 +1015,102 @@ object SimilarityQueries extends QueryPack {
          |SELECT query_id, neighbor_id, adc, rnk FROM ranked WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin
     ) { (s, dir) =>
-      val dists = pqDists(s, dir)
-      val codes = pqCodes(dists)
-      // full squared-L2 to each centroid = sum of the subspace distances
-      // (the subspaces partition the dims) — same DECIMAL accumulation
-      // as the oracle so routing ties break identically
-      val fdist = dists.groupBy(col("vec_id"), col("cid"))
-        .agg(sum(col("d").cast(DecimalType(38, 12))).cast("double").as("fd"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("fd"), col("cid"))
-      val rankedAssign = fdist.withColumn("rn", row_number().over(wAssign))
-      val lists = rankedAssign.filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid").as("lcid"))
-      val probes = rankedAssign
-        .filter(col("rn") <= 2 && col("vec_id").isin(5, 6, 7, 8, 9))
-        .select(col("vec_id").as("query_id"), col("cid").as("pcid"))
-      val lut = dists.filter(col("vec_id").isin(5, 6, 7, 8, 9))
-        .select(col("vec_id").as("q_id"), col("cid"), col("s").as("ls"),
-          col("d"))
-      val adc = codes.join(lists, "vec_id")
-        .join(broadcast(probes), col("lcid") === col("pcid"))
-        .join(broadcast(lut), col("q_id") === col("query_id") &&
-          col("ls") === col("s") && col("cid") === col("code"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .groupBy(col("query_id"), col("vec_id"))
-        .agg(sum(col("d").cast(DecimalType(38, 12))).cast("double").as("adc"))
-      val wRank = Window.partitionBy(col("query_id"))
-        .orderBy(col("adc"), col("neighbor_id"))
-      adc.select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc"))
-        .withColumn("rnk", row_number().over(wRank))
+      ivfPqTopk(s, dir).orderBy(col("query_id"), col("rnk"))
+    },
+
+    // Recall@10 of the IVF+PQ index against exact squared-L2 ground
+    // truth (PQ's native metric) — the eval every ANN deployment runs
+    // before trusting an index: routing loses candidates outside the
+    // probed lists, PQ loses resolution to quantization, and this
+    // measures both at once. Ground truth is the brute-force shape
+    // (broadcast query batch × one corpus scan); the index side is the
+    // shared ivfPqTopk. Per-query overlap counts, not an average — a
+    // single bad query hides inside a mean.
+    Q(
+      "sim_ivf_pq_recall",
+      s"""WITH $oPqCtes,
+         |fdist AS (
+         |  SELECT vec_id, cid,
+         |         CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE) AS fd
+         |  FROM dist GROUP BY vec_id, cid),
+         |lists AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY fd, cid) AS rn
+         |    FROM fdist) WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT vec_id AS query_id, cid,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY fd, cid) AS rn
+         |    FROM fdist WHERE vec_id IN (5, 6, 7, 8, 9)) WHERE rn <= 2),
+         |lut AS (
+         |  SELECT vec_id AS query_id, cid, s, d FROM dist
+         |  WHERE vec_id IN (5, 6, 7, 8, 9)),
+         |adc AS (
+         |  SELECT l.query_id, v.vec_id AS neighbor_id,
+         |         CAST(SUM(CAST(l.d AS DECIMAL(38,12))) AS DOUBLE) AS adc
+         |  FROM codes v
+         |  JOIN lists li ON li.vec_id = v.vec_id
+         |  JOIN probes pr ON pr.cid = li.cid
+         |  JOIN lut l ON l.query_id = pr.query_id AND l.s = v.s AND l.cid = v.code
+         |  WHERE v.vec_id <> l.query_id
+         |  GROUP BY l.query_id, v.vec_id),
+         |pq AS (
+         |  SELECT query_id, neighbor_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY adc, neighbor_id) AS rnk
+         |  FROM adc),
+         |eself AS (
+         |  SELECT vec_id,
+         |         CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS vv
+         |  FROM u GROUP BY vec_id),
+         |edots AS (
+         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |         CAST(SUM(CAST(CAST(q.x AS DOUBLE) * CAST(v.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         |  FROM u q JOIN u v ON q.p = v.p AND q.vec_id <> v.vec_id
+         |  WHERE q.vec_id IN (5, 6, 7, 8, 9)
+         |  GROUP BY q.vec_id, v.vec_id),
+         |exact AS (
+         |  SELECT e.query_id, e.neighbor_id,
+         |         ROW_NUMBER() OVER (PARTITION BY e.query_id
+         |                            ORDER BY a.vv + b.vv - 2 * e.dot,
+         |                                     e.neighbor_id) AS rnk
+         |  FROM edots e
+         |  JOIN eself a ON e.query_id = a.vec_id
+         |  JOIN eself b ON e.neighbor_id = b.vec_id)
+         |SELECT e.query_id,
+         |       CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_overlap,
+         |       CAST(COUNT(p.neighbor_id) AS DOUBLE) / 10 AS recall_at_10
+         |FROM exact e
+         |LEFT JOIN pq p ON e.query_id = p.query_id
+         |               AND e.neighbor_id = p.neighbor_id AND p.rnk <= 10
+         |WHERE e.rnk <= 10
+         |GROUP BY e.query_id
+         |ORDER BY e.query_id""".stripMargin
+    ) { (s, dir) =>
+      val vecs = Tables.spread(Tables.load(s, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("vv", dotExact(col("embedding"), col("embedding")))
+      val queries = vecs.filter(col("vec_id").isin(5, 6, 7, 8, 9))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("vv").as("qvv"))
+      val wExact = Window.partitionBy(col("query_id"))
+        .orderBy(col("d"), col("neighbor_id"))
+      val exact = vecs.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (col("qvv") + col("vv") - lit(2) * dotExact(col("qe"), col("embedding")))
+            .as("d"))
+        .withColumn("rnk", row_number().over(wExact))
         .filter(col("rnk") <= 10)
-        .orderBy(col("query_id"), col("rnk"))
+      val pq = ivfPqTopk(s, dir)
+        .select(col("query_id").as("pq_q"), col("neighbor_id").as("pq_n"))
+      exact.join(pq,
+          col("query_id") === col("pq_q") && col("neighbor_id") === col("pq_n"),
+          "left_outer")
+        .groupBy(col("query_id"))
+        .agg(count(col("pq_n")).cast("long").as("n_overlap"),
+          (count(col("pq_n")).cast("double") / 10).as("recall_at_10"))
+        .orderBy(col("query_id"))
     },
 
     // Hard-negative mining — the contrastive-training shape (DPR /
