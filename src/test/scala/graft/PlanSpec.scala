@@ -402,6 +402,7 @@ class PlanSpec extends SparkSpec {
     // it or justify it; a STALE entry means the funnel was fixed — prune.
     val allowedSinglePartition: Map[String, String] = Map(
       "pipeline_expectations" -> "final",
+      "evt_attribution_unmatched" -> "final",
       "agg_global" -> "final", "agg_approx_quantile_bound" -> "final",
       "agg_hll_merge_bound" -> "final", "q6_forecast_revenue" -> "final",
       "q14_promo_share" -> "final", "q17_small_qty_revenue" -> "final",
