@@ -441,6 +441,39 @@ object SimilarityQueries extends QueryPack {
        |           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
        |    FROM dist) WHERE rn = 1)""".stripMargin
 
+  /** Oracle twin of [[ivfPqTopk]]'s routing + ADC scoring: CTE chain
+    * ending in `adc(query_id, neighbor_id, adc)`; splice after
+    * [[oPqCtes]]. ONE definition shared by the sim_ivf_pq gate and the
+    * recall eval — a drifted copy would let both gates stay green while
+    * the recall number scores a different index than the gate verifies. */
+  private val oIvfPqCtes: String =
+    """fdist AS (
+      |  SELECT vec_id, cid,
+      |         CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE) AS fd
+      |  FROM dist GROUP BY vec_id, cid),
+      |lists AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY fd, cid) AS rn
+      |    FROM fdist) WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, cid FROM (
+      |    SELECT vec_id AS query_id, cid,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY fd, cid) AS rn
+      |    FROM fdist WHERE vec_id IN (5, 6, 7, 8, 9)) WHERE rn <= 2),
+      |lut AS (
+      |  SELECT vec_id AS query_id, cid, s, d FROM dist
+      |  WHERE vec_id IN (5, 6, 7, 8, 9)),
+      |adc AS (
+      |  SELECT l.query_id, v.vec_id AS neighbor_id,
+      |         CAST(SUM(CAST(l.d AS DECIMAL(38,12))) AS DOUBLE) AS adc
+      |  FROM codes v
+      |  JOIN lists li ON li.vec_id = v.vec_id
+      |  JOIN probes pr ON pr.cid = li.cid
+      |  JOIN lut l ON l.query_id = pr.query_id AND l.s = v.s AND l.cid = v.code
+      |  WHERE v.vec_id <> l.query_id
+      |  GROUP BY l.query_id, v.vec_id)""".stripMargin
+
   /** DuckDB CTE block computing the same cosine pairs as [[cosinePairs]]
     * (names them `cpairs(a, b)`); splice after WITH [RECURSIVE]. */
   /** Oracle CTE chain ending in `cpairs(a, b)` = EXACTLY the pair set
@@ -981,32 +1014,7 @@ object SimilarityQueries extends QueryPack {
     Q(
       "sim_ivf_pq",
       s"""WITH $oPqCtes,
-         |fdist AS (
-         |  SELECT vec_id, cid,
-         |         CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE) AS fd
-         |  FROM dist GROUP BY vec_id, cid),
-         |lists AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY fd, cid) AS rn
-         |    FROM fdist) WHERE rn = 1),
-         |probes AS (
-         |  SELECT query_id, cid FROM (
-         |    SELECT vec_id AS query_id, cid,
-         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY fd, cid) AS rn
-         |    FROM fdist WHERE vec_id IN (5, 6, 7, 8, 9)) WHERE rn <= 2),
-         |lut AS (
-         |  SELECT vec_id AS query_id, cid, s, d FROM dist
-         |  WHERE vec_id IN (5, 6, 7, 8, 9)),
-         |adc AS (
-         |  SELECT l.query_id, v.vec_id AS neighbor_id,
-         |         CAST(SUM(CAST(l.d AS DECIMAL(38,12))) AS DOUBLE) AS adc
-         |  FROM codes v
-         |  JOIN lists li ON li.vec_id = v.vec_id
-         |  JOIN probes pr ON pr.cid = li.cid
-         |  JOIN lut l ON l.query_id = pr.query_id AND l.s = v.s AND l.cid = v.code
-         |  WHERE v.vec_id <> l.query_id
-         |  GROUP BY l.query_id, v.vec_id),
+         |$oIvfPqCtes,
          |ranked AS (
          |  SELECT query_id, neighbor_id, adc,
          |         ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1025,36 +1033,15 @@ object SimilarityQueries extends QueryPack {
     // measures both at once. Ground truth is the brute-force shape
     // (broadcast query batch × one corpus scan); the index side is the
     // shared ivfPqTopk. Per-query overlap counts, not an average — a
-    // single bad query hides inside a mean.
+    // single bad query hides inside a mean. Standard recall@k
+    // convention: exact-distance ties straddling the rank-10 boundary
+    // are cut by neighbor_id on BOTH sides (deterministic, engines
+    // agree), so an index hit on an equidistant rank-11 neighbor scores
+    // as a miss — recall@k under ties is conservative, never inflated.
     Q(
       "sim_ivf_pq_recall",
       s"""WITH $oPqCtes,
-         |fdist AS (
-         |  SELECT vec_id, cid,
-         |         CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE) AS fd
-         |  FROM dist GROUP BY vec_id, cid),
-         |lists AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY fd, cid) AS rn
-         |    FROM fdist) WHERE rn = 1),
-         |probes AS (
-         |  SELECT query_id, cid FROM (
-         |    SELECT vec_id AS query_id, cid,
-         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY fd, cid) AS rn
-         |    FROM fdist WHERE vec_id IN (5, 6, 7, 8, 9)) WHERE rn <= 2),
-         |lut AS (
-         |  SELECT vec_id AS query_id, cid, s, d FROM dist
-         |  WHERE vec_id IN (5, 6, 7, 8, 9)),
-         |adc AS (
-         |  SELECT l.query_id, v.vec_id AS neighbor_id,
-         |         CAST(SUM(CAST(l.d AS DECIMAL(38,12))) AS DOUBLE) AS adc
-         |  FROM codes v
-         |  JOIN lists li ON li.vec_id = v.vec_id
-         |  JOIN probes pr ON pr.cid = li.cid
-         |  JOIN lut l ON l.query_id = pr.query_id AND l.s = v.s AND l.cid = v.code
-         |  WHERE v.vec_id <> l.query_id
-         |  GROUP BY l.query_id, v.vec_id),
+         |$oIvfPqCtes,
          |pq AS (
          |  SELECT query_id, neighbor_id,
          |         ROW_NUMBER() OVER (PARTITION BY query_id
