@@ -216,7 +216,7 @@ object ScaleProbe {
       // round-13 operators
       "mm_dedup_perceptual", "pipeline_bpe_train", "layout_zorder",
       "sim_ivf_pq", "scan_avro_roundtrip", "pipeline_expectations",
-      "evt_attribution_unmatched", "sim_ivf_pq_recall")
+      "evt_attribution_unmatched", "sim_ivf_pq_recall", "scan_json_roundtrip")
     probes.foreach { n =>
       time(n)(SparkEntry.queries(n)(spark, out).count())
     }

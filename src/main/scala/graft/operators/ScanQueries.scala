@@ -259,6 +259,32 @@ object ScanQueries extends QueryPack {
         .orderBy(col("label"))
     },
 
+    // JSON-lines source/sink round trip — the interchange format half
+    // of web-scale ingest (crawl dumps, API exports). Completes the
+    // format matrix: parquet (native), ORC + Avro (gates above), CSV +
+    // JSON via COPY (session layer), and raw JSONL files here, read
+    // back with an EXPLICIT schema — schema inference on 100 TB of
+    // JSONL is a full extra pass over the data, so production reads
+    // always carry one.
+    Q(
+      "scan_json_roundtrip",
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE n_chars BETWEEN 100 AND 400
+        |GROUP BY source
+        |ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      val scratch = graft.Scratch.dir("graft_jsonl", dir)
+      val docs = Tables.load(s, dir, "documents")
+      docs.write.mode("overwrite").json(scratch)
+      s.read.schema(docs.schema).json(scratch)
+        .filter(col("n_chars").between(100, 400))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy(col("source"))
+    },
+
     // Z-order clustered layout: lineitem rewritten on the Morton curve
     // over (l_partkey, l_suppkey), then a 2-D box query over the
     // clustered copy. The oracle runs the same SQL on the UNCLUSTERED
