@@ -130,6 +130,21 @@ object Bench {
       java.nio.file.Files.write(out, (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // bench result already on stdout
     graft.operators.DedupQueries.evictSharedPairs(spark)
+    // The driver's capture keeps only the LAST ~2000 chars of stdout and
+    // parses a JSON line out of them: the full line above is ~8 KB, so
+    // its head is always cut mid-line and the round record's "parsed" has
+    // been null three rounds running. Print a compact self-contained
+    // summary LAST — totals, calibration, and the slowest 15 per-query
+    // timings (ms precision), sized well under the capture window — so
+    // the tail always contains one complete parseable line; the complete
+    // per-query map lives in the full line above and in
+    // target/bench_full.json.
+    val slowest = passed.sortBy(-_._2).take(15)
+      .map { case (k, v, _, _) => jstr(k) + ":" + math.round(v * 1000) / 1000.0 }
+    val sharedEntry =
+      sharedSec.map(v => jstr("shared:dedup_pairs") + ":" + math.round(v * 1000) / 1000.0)
+    val compactQs = (slowest ++ sharedEntry).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failed,"n_queries":${passed.size},"calibParSec":$calibPar,"calibSerSec":$calibSer,"queries":$compactQs,"queries_are":"slowest 15 of ${passed.size}; full map in queries_full","queries_full":"target/bench_full.json","total_s":$total}""")
     spark.stop()
   }
 }

@@ -154,7 +154,10 @@ object ScaleProbe {
     })
     def time(label: String)(body: => Long): Unit =
       if (only.forall(_.contains(label))) {
-        Thread.sleep(100)
+        // drain the async listener bus before snapshotting, so straggler
+        // task-end events from the PREVIOUS probe are counted there and
+        // not attributed to this one (a fixed sleep left ~one task of slop)
+        org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
         val (m0, d0) = (spillMem.get, spillDisk.get)
         peakExecMem.set(0)
         val t0 = System.nanoTime()
@@ -163,7 +166,7 @@ object ScaleProbe {
           catch { case e: Throwable =>
             (-1L, Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")) }
         val sec = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(100)
+        org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
         val spill = s""","spillMemMB":${(spillMem.get - m0) / 1048576}""" +
           s""","spillDiskMB":${(spillDisk.get - d0) / 1048576}""" +
           s""","peakTaskMemMB":${peakExecMem.get / 1048576}"""
@@ -230,7 +233,7 @@ object ScaleProbe {
       val zdir = graft.Scratch.dir("graft_zorder", out)
       val li = Tables.load(spark, out, "lineitem")
       // one stats pass serves both the (re)build and the query box
-      val b = graft.plans.ZOrder.bounds(li, "l_partkey", "l_suppkey")
+      val b = graft.plans.ZOrder.bounds(li, Seq("l_partkey", "l_suppkey"))
         .getOrElse(sys.error("empty lineitem fixture"))
       // rebuild when missing OR older than the fixture it clusters: a
       // regenerated corpus under the same out path would otherwise be
@@ -240,10 +243,10 @@ object ScaleProbe {
         Files.getLastModifiedTime(Paths.get(s"$out/lineitem.parquet"))
           .compareTo(Files.getLastModifiedTime(marker)) > 0
       if (stale)
-        graft.plans.ZOrder.cluster(li, "l_partkey", "l_suppkey", 16, Some(b))
+        graft.plans.ZOrder.cluster(li, Seq("l_partkey", "l_suppkey"), 16, Some(b))
           .write.mode("overwrite").parquet(zdir)
-      val (pLo, pHi) = (b._1.toLong, b._2.toLong)
-      val (sLo, sHi) = (b._3.toLong, b._4.toLong)
+      val (pLo, pHi) = (b(0)._1.toLong, b(0)._2.toLong)
+      val (sLo, sHi) = (b(1)._1.toLong, b(1)._2.toLong)
       val (t, h) = graft.plans.ZOrder.rowGroupBoxCensus(spark, zdir,
         "l_partkey", pLo, pLo + (pHi - pLo) / 4,
         "l_suppkey", sLo, sLo + (sHi - sLo) / 4)

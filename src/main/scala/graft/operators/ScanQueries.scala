@@ -315,6 +315,37 @@ object ScanQueries extends QueryPack {
         .agg(count(lit(1)).as("n"),
           graft.Exact.dsum(col("l_extendedprice")).as("revenue"))
         .orderBy(col("l_partkey"), col("l_suppkey"))
+    },
+
+    // k-D Z-order: the 3-column variant of layout_zorder — a 100-TB fact
+    // table is queried on 3-4 dimensions at once, and a 2-D curve leaves
+    // the third column's row-group stats wide open. Same contract: the
+    // oracle runs the identical SQL on the UNCLUSTERED original (layout
+    // must never change results); ZOrderSpec's k-D census pins that the
+    // 3-D layout actually skips for the 3-D box where a 1-D sort cannot.
+    Q(
+      "layout_zorder_kd",
+      s"""SELECT l_partkey, l_suppkey,
+         |       CAST(COUNT(*) AS BIGINT) AS n,
+         |       ${graft.Exact.oSum("l_extendedprice")} AS revenue
+         |FROM lineitem
+         |WHERE l_partkey BETWEEN 200 AND 400 AND l_suppkey BETWEEN 20 AND 60
+         |  AND l_orderkey BETWEEN 1000 AND 30000
+         |GROUP BY l_partkey, l_suppkey
+         |ORDER BY l_partkey, l_suppkey""".stripMargin
+    ) { (s, dir) =>
+      val scratch = graft.Scratch.dir("graft_zorder_kd", dir)
+      graft.plans.ZOrder.writeClustered(
+        Tables.load(s, dir, "lineitem"),
+        Seq("l_partkey", "l_suppkey", "l_orderkey"), scratch, 16)
+      s.read.parquet(scratch)
+        .filter(col("l_partkey").between(200, 400) &&
+          col("l_suppkey").between(20, 60) &&
+          col("l_orderkey").between(1000, 30000))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          graft.Exact.dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("l_partkey"), col("l_suppkey"))
     }
   )
 }

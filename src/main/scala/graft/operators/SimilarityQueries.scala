@@ -304,22 +304,108 @@ object SimilarityQueries extends QueryPack {
     }
   }
 
-  /** IVF-Flat top-10 for the fixed query set (5-9): 16 deterministic seed
-    * centroids as the coarse quantizer, 2-probe exact rerank — shared by
-    * the sim_ann_ivf gate query and the recall-eval operator. */
+  /** Corpus-derived IVF coarse-index width: the smallest k in [16, 4096]
+    * with k² ≥ n — i.e. ⌈√n⌉ (FAISS's √n-lists sizing rule), computed by
+    * integer find-first (the [[lshSketchWidth]] idiom) so the oracle's
+    * generate_series CTE can never disagree by a sqrt ULP. With nlist
+    * tracking √n, per-list length is ~√n and the probed fraction
+    * nprobe/nlist SHRINKS with corpus size — a fixture-fixed nlist keeps
+    * the fraction constant, which at 100 TB degenerates to the full scan.
+    * The 4096 cap keeps the centroid set broadcastable (4096 × 64 floats
+    * ≈ 1 MB); corpora past 16 M vectors would raise it with a second
+    * routing level (IVF-HNSW), which the fixtures cannot exercise. */
+  private[graft] def ivfNlist(n: Long): Int =
+    (16 to 4096).find(k => k.toLong * k >= n).getOrElse(4096)
+
+  /** nprobe = smallest p in [2, 64] with p² ≥ nlist (≈ √nlist ≈ n^(1/4)):
+    * probed work per query grows as n^(3/4) while the probed FRACTION
+    * falls as n^(-1/4) — recall degrades only logarithmically because the
+    * probe count still grows, the standard IVF recall/cost compromise. */
+  private[graft] def ivfNprobe(nlist: Int): Int =
+    (2 to 64).find(p => p * p >= nlist).getOrElse(64)
+
+  /** SemDeDup cluster count: k = ⌈n/1024⌉ clamped to [16, 4096] —
+    * constant ~1024-vector clusters so intra-cluster pair work stays
+    * corpus-LINEAR (k·1024² comparisons). Integer arithmetic only; the
+    * oracle's `sk` CTE computes the identical quantity. */
+  private[graft] def semdedupK(n: Long): Int =
+    math.min(4096L, math.max(16L, (n + 1023) / 1024)).toInt
+
+  /** Oracle twin of [[ivfNlist]]/[[ivfNprobe]]: CTEs `nl(nlist)` and
+    * `np(nprobe)` via the same integer find-first — splice after WITH.
+    * ONE definition shared by every IVF-routed oracle so the engine and
+    * oracle can never probe different index geometries. */
+  private val oIvfCfg: String =
+    """nl AS (
+      |  SELECT COALESCE(MIN(k), 4096) AS nlist
+      |  FROM (SELECT unnest(generate_series(16, 4096)) AS k)
+      |  WHERE CAST(k AS BIGINT) * k >= (SELECT COUNT(*) FROM embeddings)),
+      |np AS (
+      |  SELECT COALESCE(MIN(p), 64) AS nprobe
+      |  FROM (SELECT nlist, unnest(generate_series(2, 64)) AS p FROM nl)
+      |  WHERE p * p >= nlist)""".stripMargin
+
+  /** Oracle twin of [[ivfTopk]]'s cosine routing: CTE chain ending in
+    * `cand(query_id, neighbor_id)`; splice after `u`/`n` + [[oIvfCfg]].
+    * ONE definition shared by the sim_ann_ivf gate and its recall eval
+    * (the shared-definition discipline: a drifted copy would let the
+    * gate verify a different index than the eval scores). */
+  private val oIvfFlatCtes: String =
+    """cents AS (SELECT vec_id AS cid, x, p FROM u
+      |          WHERE vec_id < (SELECT nlist FROM nl)),
+      |adots AS (
+      |  SELECT u.vec_id, c.cid,
+      |         CAST(SUM(CAST(CAST(u.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      |  FROM u JOIN cents c ON u.p = c.p
+      |  GROUP BY u.vec_id, c.cid),
+      |acos AS (
+      |  SELECT a.vec_id, a.cid, a.dot / (nv.norm * nc.norm) AS cos
+      |  FROM adots a JOIN n nv ON a.vec_id = nv.vec_id JOIN n nc ON a.cid = nc.vec_id),
+      |ranked_assign AS (
+      |  SELECT vec_id, cid,
+      |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
+      |  FROM acos),
+      |lists AS (SELECT vec_id, cid FROM ranked_assign WHERE rnk = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cid FROM ranked_assign
+      |  WHERE rnk <= (SELECT nprobe FROM np) AND vec_id IN (5, 6, 7, 8, 9)),
+      |cand AS (
+      |  SELECT p.query_id, l.vec_id AS neighbor_id
+      |  FROM probes p JOIN lists l ON p.cid = l.cid AND l.vec_id <> p.query_id)""".stripMargin
+
+  /** IVF-Flat top-10 for the fixed query set (5-9): the nlist lowest-id
+    * corpus vectors as deterministic coarse centroids (nlist = ⌈√n⌉ via
+    * [[ivfNlist]]), nprobe-probe exact rerank — shared by the sim_ann_ivf
+    * gate query and the recall-eval operator. */
   private def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.load(s, dir, "embeddings").count().max(1L)
+    val nlist = ivfNlist(n)
+    val nprobe = ivfNprobe(nlist)
     val vecs = withNorm(Tables.load(s, dir, "embeddings"))
-    val cents = vecs.filter(col("vec_id") < 16)
+    val cents = vecs.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("norm").as("cnorm"))
-    // assignment: every vector scored against the 16 broadcast centroids
+    // assignment: every vector scored against the nlist broadcast
+    // centroids, PROJECTED NARROW before any shuffle — with nlist ~ √n
+    // a window carrying embeddings over the n×nlist assignment rows
+    // would shuffle n^1.5 wide rows; instead the rank-1 list assignment
+    // is a map-side-combinable argmin (min of struct(-cos, cid) ≡ the
+    // (cos DESC, cid) window's rank-1 row), shuffling n narrow rows
     val assigned = vecs.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("norm"), col("cid"),
+      .select(col("vec_id"), col("cid"),
         (dotExact(col("embedding"), col("ce")) / (col("norm") * col("cnorm"))).as("cos"))
-    val wA = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
-    val rankedAssign = assigned.withColumn("rnk", row_number().over(wA))
-    val lists = rankedAssign.filter(col("rnk") === 1)
+    val lists = assigned
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("cos")).as("nc"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+      .join(vecs.select(col("vec_id"), col("embedding"), col("norm")), "vec_id")
       .select(col("vec_id"), col("embedding"), col("norm"), col("cid"))
-    val probes = rankedAssign.filter(col("rnk") <= 2 && col("vec_id").isin(5, 6, 7, 8, 9))
+    // probes: the query set is 5 rows by definition — its top-nprobe
+    // window runs over 5×nlist rows, parameters not data
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
+    val probes = assigned.filter(col("vec_id").isin(5, 6, 7, 8, 9))
+      .withColumn("rnk", row_number().over(wA))
+      .filter(col("rnk") <= nprobe)
+      .join(vecs.select(col("vec_id"), col("embedding"), col("norm")), "vec_id")
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("norm").as("qnorm"), col("cid"))
     // probe join: only the 2 probed lists per query are rescanned
@@ -379,24 +465,44 @@ object SimilarityQueries extends QueryPack {
       .select(col("vec_id"), col("s"), col("cid").as("code"))
   }
 
-  /** IVF+PQ top-10 for the fixed query set (5-9): coarse routing (full
-    * squared-L2 to each centroid = sum of the subspace distances, since
-    * the subspaces partition the dims — same DECIMAL accumulation as
-    * the oracle so ties break identically), 2-probe list selection, ADC
-    * scoring over the probed lists' codes. Shared by the sim_ivf_pq
-    * gate and the recall eval. */
+  /** IVF+PQ top-10 for the fixed query set (5-9): coarse routing by full
+    * squared-L2 (vv + cc − 2·dot, each term a decimal-quantized sum cast
+    * to double — the oracle computes the identical expression so ties
+    * break identically) against the nlist = ⌈√n⌉ lowest-id centroids
+    * ([[ivfNlist]]), nprobe = ⌈√nlist⌉ list selection ([[ivfNprobe]]),
+    * ADC scoring over the probed lists' codes. The coarse index is
+    * corpus-derived — the probed fraction nprobe/nlist shrinks with n —
+    * while the PQ codebook stays 16 codewords/subspace (a quantization
+    * RESOLUTION constant, like FAISS's 256, not a routing fanout).
+    * Shared by the sim_ivf_pq gate and the recall eval. */
   private def ivfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.load(s, dir, "embeddings").count().max(1L)
+    val nlist = ivfNlist(n)
+    val nprobe = ivfNprobe(nlist)
     val dists = pqDists(s, dir)
     val codes = pqCodes(dists)
-    val fdist = dists.groupBy(col("vec_id"), col("cid"))
-      .agg(sum(col("d").cast(DecimalType(38, 12))).cast("double").as("fd"))
+    // routing distances: narrow (vec_id, cid, fd) frame via a broadcast
+    // of the ≤4096-row centroid set — never a shuffle of embeddings
+    val withVv = Tables.spread(Tables.load(s, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("vv", dotExact(col("embedding"), col("embedding")))
+    val cents = withVv.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("vv").as("cc"))
+    val fdist = withVv.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (col("vv") + col("cc") - lit(2) * dotExact(col("embedding"), col("ce")))
+          .as("fd"))
+    // rank-1 list assignment as a map-side-combinable argmin (min of
+    // struct(fd, cid) ≡ the (fd, cid) window's rank-1 row): shuffles n
+    // narrow rows, not the n×nlist assignment frame
+    val lists = fdist.groupBy(col("vec_id"))
+      .agg(min(struct(col("fd"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("lcid"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("fd"), col("cid"))
-    val rankedAssign = fdist.withColumn("rn", row_number().over(wAssign))
-    val lists = rankedAssign.filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid").as("lcid"))
-    val probes = rankedAssign
-      .filter(col("rn") <= 2 && col("vec_id").isin(5, 6, 7, 8, 9))
+    val probes = fdist.filter(col("vec_id").isin(5, 6, 7, 8, 9))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cid").as("pcid"))
     val lut = dists.filter(col("vec_id").isin(5, 6, 7, 8, 9))
       .select(col("vec_id").as("q_id"), col("cid"), col("s").as("ls"),
@@ -443,14 +549,27 @@ object SimilarityQueries extends QueryPack {
 
   /** Oracle twin of [[ivfPqTopk]]'s routing + ADC scoring: CTE chain
     * ending in `adc(query_id, neighbor_id, adc)`; splice after
-    * [[oPqCtes]]. ONE definition shared by the sim_ivf_pq gate and the
-    * recall eval — a drifted copy would let both gates stay green while
-    * the recall number scores a different index than the gate verifies. */
+    * [[oPqCtes]] + [[oIvfCfg]]. ONE definition shared by the sim_ivf_pq
+    * gate and the recall eval — a drifted copy would let both gates stay
+    * green while the recall number scores a different index than the
+    * gate verifies. Routing replays the engine exactly: full-vector
+    * squared-L2 (vv + cc − 2·dot, decimal-quantized terms) against the
+    * nlist lowest-id centroids, top-nprobe probes. */
   private val oIvfPqCtes: String =
-    """fdist AS (
-      |  SELECT vec_id, cid,
-      |         CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE) AS fd
-      |  FROM dist GROUP BY vec_id, cid),
+    """vself AS (
+      |  SELECT vec_id,
+      |         CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS vv
+      |  FROM u GROUP BY vec_id),
+      |cdot AS (
+      |  SELECT v.vec_id, c.vec_id AS cid,
+      |         CAST(SUM(CAST(CAST(v.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      |  FROM u v JOIN u c ON v.p = c.p AND c.vec_id < (SELECT nlist FROM nl)
+      |  GROUP BY v.vec_id, c.vec_id),
+      |fdist AS (
+      |  SELECT d.vec_id, d.cid, a.vv + b.vv - 2 * d.dot AS fd
+      |  FROM cdot d
+      |  JOIN vself a ON d.vec_id = a.vec_id
+      |  JOIN vself b ON d.cid = b.vec_id),
       |lists AS (
       |  SELECT vec_id, cid FROM (
       |    SELECT vec_id, cid,
@@ -460,7 +579,8 @@ object SimilarityQueries extends QueryPack {
       |  SELECT query_id, cid FROM (
       |    SELECT vec_id AS query_id, cid,
       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY fd, cid) AS rn
-      |    FROM fdist WHERE vec_id IN (5, 6, 7, 8, 9)) WHERE rn <= 2),
+      |    FROM fdist WHERE vec_id IN (5, 6, 7, 8, 9))
+      |  WHERE rn <= (SELECT nprobe FROM np)),
       |lut AS (
       |  SELECT vec_id AS query_id, cid, s, d FROM dist
       |  WHERE vec_id IN (5, 6, 7, 8, 9)),
@@ -670,36 +790,19 @@ object SimilarityQueries extends QueryPack {
     },
 
     // IVF-Flat ANN — the other canonical scale path besides LSH: a coarse
-    // quantizer (deterministic: the first 16 corpus vectors as centroids)
-    // partitions the corpus into inverted lists; each query probes its 2
-    // nearest centroids and exact-reranks ONLY those lists. At 100 TB the
-    // lists are hash-partitioned by centroid id and the probe set is a
-    // broadcast — a query touches nprobe/nlist of the corpus instead of
-    // all of it.
+    // quantizer (deterministic: the nlist = ⌈√n⌉ lowest-id corpus vectors
+    // as centroids, ivfNlist) partitions the corpus into inverted lists;
+    // each query probes its nprobe = ⌈√nlist⌉ nearest centroids and
+    // exact-reranks ONLY those lists. At 100 TB the lists are
+    // hash-partitioned by centroid id and the probe set is a broadcast —
+    // a query touches nprobe/nlist ≈ n^(-1/4) of the corpus, a fraction
+    // that SHRINKS as the corpus grows.
     Q(
       "sim_ann_ivf",
       s"""WITH u AS ($oVecs),
          |n AS ($oNorms),
-         |cents AS (SELECT vec_id AS cid, x, p FROM u WHERE vec_id < 16),
-         |adots AS (
-         |  SELECT u.vec_id, c.cid,
-         |         CAST(SUM(CAST(CAST(u.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
-         |  FROM u JOIN cents c ON u.p = c.p
-         |  GROUP BY u.vec_id, c.cid),
-         |acos AS (
-         |  SELECT a.vec_id, a.cid, a.dot / (nv.norm * nc.norm) AS cos
-         |  FROM adots a JOIN n nv ON a.vec_id = nv.vec_id JOIN n nc ON a.cid = nc.vec_id),
-         |ranked_assign AS (
-         |  SELECT vec_id, cid,
-         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
-         |  FROM acos),
-         |lists AS (SELECT vec_id, cid FROM ranked_assign WHERE rnk = 1),
-         |probes AS (
-         |  SELECT vec_id AS query_id, cid FROM ranked_assign
-         |  WHERE rnk <= 2 AND vec_id IN (5, 6, 7, 8, 9)),
-         |cand AS (
-         |  SELECT p.query_id, l.vec_id AS neighbor_id
-         |  FROM probes p JOIN lists l ON p.cid = l.cid AND l.vec_id <> p.query_id),
+         |$oIvfCfg,
+         |$oIvfFlatCtes,
          |dots AS (
          |  SELECT c.query_id, c.neighbor_id,
          |         CAST(SUM(CAST(CAST(q.x AS DOUBLE) * CAST(v.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
@@ -731,26 +834,8 @@ object SimilarityQueries extends QueryPack {
       "sim_ann_recall_eval",
       s"""WITH u AS ($oVecs),
          |n AS ($oNorms),
-         |cents AS (SELECT vec_id AS cid, x, p FROM u WHERE vec_id < 16),
-         |adots AS (
-         |  SELECT u.vec_id, c.cid,
-         |         CAST(SUM(CAST(CAST(u.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
-         |  FROM u JOIN cents c ON u.p = c.p
-         |  GROUP BY u.vec_id, c.cid),
-         |acos AS (
-         |  SELECT a.vec_id, a.cid, a.dot / (nv.norm * nc.norm) AS cos
-         |  FROM adots a JOIN n nv ON a.vec_id = nv.vec_id JOIN n nc ON a.cid = nc.vec_id),
-         |ranked_assign AS (
-         |  SELECT vec_id, cid,
-         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
-         |  FROM acos),
-         |lists AS (SELECT vec_id, cid FROM ranked_assign WHERE rnk = 1),
-         |probes AS (
-         |  SELECT vec_id AS query_id, cid FROM ranked_assign
-         |  WHERE rnk <= 2 AND vec_id IN (5, 6, 7, 8, 9)),
-         |cand AS (
-         |  SELECT p.query_id, l.vec_id AS neighbor_id
-         |  FROM probes p JOIN lists l ON p.cid = l.cid AND l.vec_id <> p.query_id),
+         |$oIvfCfg,
+         |$oIvfFlatCtes,
          |idots AS (
          |  SELECT c.query_id, c.neighbor_id,
          |         CAST(SUM(CAST(CAST(q.x AS DOUBLE) * CAST(v.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
@@ -998,22 +1083,23 @@ object SimilarityQueries extends QueryPack {
     // IVF+PQ combined — the full billion-scale ANN index architecture
     // (FAISS IVFPQ, Milvus IVF_PQ): the coarse quantizer ROUTES (every
     // vector joins its nearest centroid's inverted list; a query probes
-    // its 2 nearest lists), and PQ codes SCORE (ADC over the probed
-    // lists' codes only — 4 lookups + 3 adds per candidate). The two
-    // stages compose the machinery of sim_ann_ivf and sim_pq_adc: the
-    // coarse assignment is argmin over the SAME per-subspace distance
-    // table PQ encoding uses (full squared-L2 = Σ over subspaces, since
-    // the subspaces partition the dimensions), so one distance pass
-    // feeds routing, encoding, AND the query LUT. At 100 TB the probe
-    // join touches nprobe/nlist of the code table (codes are 4 bytes
-    // per vector) — the scan-volume product of the two reductions; this
-    // codebook encodes raw vectors (no residuals), trading some recall
-    // for an exactly-replayable oracle. Plan: probes and LUT are
+    // its nprobe nearest lists), and PQ codes SCORE (ADC over the probed
+    // lists' codes only — 4 lookups + 3 adds per candidate). The coarse
+    // index is CORPUS-DERIVED (nlist = ⌈√n⌉, nprobe = ⌈√nlist⌉ —
+    // ivfNlist/ivfNprobe), so the probed fraction nprobe/nlist falls as
+    // n^(-1/4) while per-list length grows as √n: at 100 TB the probe
+    // join touches a vanishing slice of the 4-byte-per-vector code
+    // table — the scan-volume product of the two reductions. The PQ
+    // codebook stays 16 codewords/subspace (quantization RESOLUTION,
+    // like FAISS's fixed 256 — not a routing fanout) and encodes raw
+    // vectors (no residuals), trading some recall for an
+    // exactly-replayable oracle. Plan: probes and LUT are
     // query-set-sized → broadcast; lists and codes are the only
     // corpus-sized frames and meet in one equi-join.
     Q(
       "sim_ivf_pq",
       s"""WITH $oPqCtes,
+         |$oIvfCfg,
          |$oIvfPqCtes,
          |ranked AS (
          |  SELECT query_id, neighbor_id, adc,
@@ -1041,16 +1127,13 @@ object SimilarityQueries extends QueryPack {
     Q(
       "sim_ivf_pq_recall",
       s"""WITH $oPqCtes,
+         |$oIvfCfg,
          |$oIvfPqCtes,
          |pq AS (
          |  SELECT query_id, neighbor_id,
          |         ROW_NUMBER() OVER (PARTITION BY query_id
          |                            ORDER BY adc, neighbor_id) AS rnk
          |  FROM adc),
-         |eself AS (
-         |  SELECT vec_id,
-         |         CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS vv
-         |  FROM u GROUP BY vec_id),
          |edots AS (
          |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
          |         CAST(SUM(CAST(CAST(q.x AS DOUBLE) * CAST(v.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
@@ -1063,8 +1146,8 @@ object SimilarityQueries extends QueryPack {
          |                            ORDER BY a.vv + b.vv - 2 * e.dot,
          |                                     e.neighbor_id) AS rnk
          |  FROM edots e
-         |  JOIN eself a ON e.query_id = a.vec_id
-         |  JOIN eself b ON e.neighbor_id = b.vec_id)
+         |  JOIN vself a ON e.query_id = a.vec_id
+         |  JOIN vself b ON e.neighbor_id = b.vec_id)
          |SELECT e.query_id,
          |       CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_overlap,
          |       CAST(COUNT(p.neighbor_id) AS DOUBLE) / 10 AS recall_at_10
@@ -1157,18 +1240,24 @@ object SimilarityQueries extends QueryPack {
     // clustering — assign every embedding to its nearest coarse centroid,
     // then compare pairs ONLY within a cluster; a vector is pruned when it
     // is ≥ thr cosine-similar to any lower-id vector of the same cluster.
-    // The clustering bounds the pair work: k is chosen so clusters stay
-    // ~constant-size (k grows with the corpus — the paper uses k≈100k for
-    // LAION-scale), making discovery corpus-linear instead of quadratic;
-    // cross-cluster pairs are never formed (the equi-join on cid is the
-    // whole point). Assignment reuses the IVF coarse quantizer (16
-    // deterministic seed centroids, broadcast); the same trained-centroid
-    // path as sim_kmeans_train would slot in unchanged.
+    // The clustering bounds the pair work: k is CORPUS-DERIVED so
+    // clusters stay ~constant-size (k = ⌈n/1024⌉, the paper's rule —
+    // k≈100k at LAION scale — clamped to [16, 4096]), making discovery
+    // corpus-linear instead of quadratic; cross-cluster pairs are never
+    // formed (the equi-join on cid is the whole point). Assignment uses
+    // the k lowest-id vectors as deterministic seed centroids
+    // (broadcast); the trained-centroid path of sim_kmeans_train would
+    // slot in unchanged. Past the 4096 cap (4 M+ vectors) a production
+    // index re-derives centroids hierarchically (assign to √k
+    // super-clusters first); the fixtures cannot exercise that level.
     Q(
       "dedup_semdedup",
       s"""WITH u AS ($oVecs),
          |n AS ($oNorms),
-         |cents AS (SELECT vec_id AS cid, x, p FROM u WHERE vec_id < 16),
+         |sk AS (SELECT LEAST(4096, GREATEST(16,
+         |         ((SELECT COUNT(*) FROM embeddings) + 1023) // 1024)) AS k),
+         |cents AS (SELECT vec_id AS cid, x, p FROM u
+         |          WHERE vec_id < (SELECT k FROM sk)),
          |adots AS (
          |  SELECT u.vec_id, c.cid,
          |         CAST(SUM(CAST(CAST(u.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
@@ -1199,16 +1288,23 @@ object SimilarityQueries extends QueryPack {
          |FROM lists l LEFT JOIN removed r ON l.vec_id = r.b
          |ORDER BY l.vec_id""".stripMargin
     ) { (s, dir) =>
+      val n = Tables.load(s, dir, "embeddings").count().max(1L)
+      val k = semdedupK(n)
       val vecs = withNorm(Tables.load(s, dir, "embeddings"))
-      val cents = vecs.filter(col("vec_id") < 16)
+      val cents = vecs.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("norm").as("cnorm"))
-      // coarse assignment: one narrow pass against 16 broadcast centroids
+      // coarse assignment: one narrow pass against the ≤4096 broadcast
+      // centroids; the rank-1 cluster is a map-side-combinable argmax
+      // (min of struct(-cos, cid) ≡ the (cos DESC, cid) rank-1 row) so
+      // only n narrow rows shuffle — never the n×k assignment frame
       val assigned = vecs.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("norm"), col("cid"),
+        .select(col("vec_id"), col("cid"),
           (dotExact(col("embedding"), col("ce")) / (col("norm") * col("cnorm"))).as("cos"))
-      val wA = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
-      val lists = assigned.withColumn("rnk", row_number().over(wA))
-        .filter(col("rnk") === 1)
+      val lists = assigned
+        .groupBy(col("vec_id"))
+        .agg(min(struct((-col("cos")).as("nc"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"))
+        .join(vecs.select(col("vec_id"), col("embedding"), col("norm")), "vec_id")
         .select(col("vec_id"), col("embedding"), col("norm"), col("cid"))
       // intra-cluster pairs only: equi-join on cid (hash-partitioned by
       // cluster at scale), never a corpus-wide cross product

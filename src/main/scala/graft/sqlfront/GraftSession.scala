@@ -805,26 +805,34 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   private def vacuum(stmt: String): DataFrame = {
     if (activeTxn.isDefined)
       throw new IllegalStateException("VACUUM cannot run inside a transaction block")
-    // VACUUM FULL <table> ZORDER BY (a, b) — the compaction rewrite
-    // additionally CLUSTERS the snapshot on the Morton curve over the
-    // two columns (Delta/Iceberg's OPTIMIZE ZORDER BY, on the engine's
-    // own COW tables): same crash-safe publish, same retention pass,
-    // but the rewritten files carry tight row-group stats on BOTH
-    // columns so 2-D box scans skip (plans.ZOrder; layout_zorder /
-    // ZOrderSpec pin the skipping itself).
-    val zorderRe = """(?is)\bZORDER\s+BY\s*\(\s*([\w"]+)\s*,\s*([\w"]+)\s*\)""".r
+    // VACUUM FULL <table> ZORDER BY (a, b[, c…]) — the compaction
+    // rewrite additionally CLUSTERS the snapshot on the Morton curve
+    // over the 2-6 named columns (Delta/Iceberg's OPTIMIZE ZORDER BY,
+    // on the engine's own COW tables): same crash-safe publish, same
+    // retention pass, but the rewritten files carry tight row-group
+    // stats on EVERY clustered column so k-D box scans skip
+    // (plans.ZOrder; layout_zorder / ZOrderSpec pin the skipping
+    // itself).
+    val zorderRe = """(?is)\bZORDER\s+BY\s*\(\s*([\w"]+(?:\s*,\s*[\w"]+)+)\s*\)""".r
     // fold to lowercase like every other identifier in the session
     // (catalog column names are stored lowercase)
-    val zorderCols = zorderRe.findFirstMatchIn(stmt)
-      .map(m => (m.group(1).replaceAll("\"", "").toLowerCase,
-        m.group(2).replaceAll("\"", "").toLowerCase))
+    val zorderCols: Option[Seq[String]] = zorderRe.findFirstMatchIn(stmt)
+      .map(_.group(1).split(",").toSeq
+        .map(_.trim.replaceAll("\"", "").toLowerCase))
     val stmtNoZ = zorderRe.replaceAllIn(stmt, "")
-    // a ZORDER keyword the regex did NOT consume (one column, three
-    // columns, malformed parens) must refuse — not silently compact
-    // unclustered while the user believes the table is z-ordered
-    require(!stmtNoZ.toUpperCase.matches("(?s).*\\bZORDER\\b.*"),
-      "malformed ZORDER BY clause: expected ZORDER BY (colA, colB) — " +
-        "exactly two columns")
+    // a ZORDER CLAUSE the regex did NOT consume (one column, three
+    // columns, malformed parens, missing BY before a paren) must refuse —
+    // not silently compact unclustered while the user believes the table
+    // is z-ordered. Keyed on ZORDER-adjacent-to-BY / ZORDER-before-"("
+    // rather than the bare token, so a table literally NAMED "zorder"
+    // can still be VACUUMed (`VACUUM zorder` is a table reference, not a
+    // clause fragment).
+    require(!stmtNoZ.toUpperCase.matches(
+      "(?s).*\\bZORDER\\s*(BY\\b|\\().*"),
+      "malformed ZORDER BY clause: expected ZORDER BY (colA, colB[, …]) — " +
+        "two to six comma-separated columns")
+    zorderCols.foreach(cs => require(cs.size >= 2 && cs.size <= 6,
+      s"ZORDER BY takes 2-6 columns, got ${cs.size}"))
     val words = stmtNoZ.trim.stripSuffix(";").split("\\s+").drop(1)
       .filterNot(w => Set("FULL", "FREEZE", "VERBOSE", "ANALYZE").contains(w.toUpperCase))
     val upWords = stmtNoZ.trim.toUpperCase.split("\\s+")
@@ -862,10 +870,10 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       // superseded and later pruned
       val pinnedDf = tableDf(t).localCheckpoint()
       publish(t, zorderCols match {
-        case Some((cx, cy)) =>
-          Seq(cx, cy).foreach(c => require(pinnedDf.columns.contains(c),
+        case Some(cs) =>
+          cs.foreach(c => require(pinnedDf.columns.contains(c),
             s"ZORDER BY column $c does not exist in ${t.name}"))
-          graft.plans.ZOrder.cluster(pinnedDf, cx, cy, nFiles)
+          graft.plans.ZOrder.cluster(pinnedDf, cs, nFiles)
         case None => pinnedDf.coalesce(nFiles)
       })
     }

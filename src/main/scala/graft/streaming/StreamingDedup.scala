@@ -45,7 +45,16 @@ object StreamingDedup {
     * encoder on every trigger that touches the bucket — at a sustained
     * 50 k docs/s every bucket is touched every trigger, so state serde
     * is the per-batch constant and two primitive arrays beat a
-    * `Seq[(Long, Seq[Long])]` by an order of magnitude. */
+    * `Seq[(Long, Seq[Long])]` by an order of magnitude.
+    *
+    * CHECKPOINT COMPATIBILITY: this flattened shape replaced the earlier
+    * `Seq[(Long, Seq[Long])]` state class, which changes the persisted
+    * state-row schema — restarting against a checkpoint written by the
+    * old shape fails Spark's state-schema compatibility check (a generic
+    * `StateSchemaNotCompatible`-style error, NOT a config problem). A
+    * restart across that boundary needs a fresh checkpoint dir; the
+    * stride `require` below only guards same-schema bands×rows drift,
+    * it cannot detect or migrate the shape change. */
   case class BucketDocs(ids: Array[Long], sigs: Array[Long])
 
   /** Candidate pair with its estimated Jaccard (matching MinHash

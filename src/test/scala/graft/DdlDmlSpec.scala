@@ -500,9 +500,20 @@ class DdlDmlSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](s.sql("VACUUM zt ZORDER BY (a, b)"))
     assertThrows[IllegalArgumentException](s.sql("VACUUM FULL zt ZORDER BY (a, nope)"))
     assertThrows[IllegalArgumentException](s.sql("VACUUM FULL zt ZORDER BY (a)"))
-    assertThrows[IllegalArgumentException](s.sql("VACUUM FULL zt ZORDER BY (a, b, id)"))
+    // missing BY before the paren is a malformed clause, not a table ref
+    assertThrows[IllegalArgumentException](s.sql("VACUUM FULL zt ZORDER (a, b)"))
+    // arity cap: 7 columns refuse (2-6 supported)
+    assertThrows[IllegalArgumentException](
+      s.sql("VACUUM FULL zt ZORDER BY (a, b, id, a, b, id, a)"))
     s.sql("CREATE TABLE ztx (k BIGINT PRIMARY KEY, name TEXT)")
     assertThrows[IllegalArgumentException](s.sql("VACUUM FULL ztx ZORDER BY (k, name)"))
+    // a table literally NAMED "zorder" is a table reference, not a
+    // clause fragment — plain VACUUM must still work on it
+    s.sql("CREATE TABLE zorder (id BIGINT PRIMARY KEY, x BIGINT)")
+    s.sql("INSERT INTO zorder VALUES (1, 10)")
+    s.sql("VACUUM zorder")
+    s.sql("VACUUM FULL zorder")
+    assert(s.sql("SELECT x FROM zorder").collect()(0).getLong(0) == 10L)
     // unquoted identifiers fold to lowercase, like everywhere else
     s.sql("VACUUM FULL zt ZORDER BY (A, B)")
     assert(s.catalog.getTable("zt").get.version == vBefore + 1)
@@ -526,6 +537,13 @@ class DdlDmlSpec extends SparkSpec {
     val physical = s.sql("SELECT id FROM zt").collect().map(_.getLong(0)).toSeq
     assert(physical == expected,
       s"snapshot must be Morton-ordered:\n$physical\nvs\n$expected")
+    // k-D: a third cluster column is accepted and content-preserving
+    // (the k-D skip census itself is pinned in ZOrderSpec)
+    s.sql("VACUUM FULL zt ZORDER BY (a, b, id)")
+    assert(s.catalog.getTable("zt").get.version == vBefore + 2)
+    val back3 = s.sql("SELECT id, a, b FROM zt ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(back3 == rows.map { case (i, a, b) => (i.toLong, a.toLong, b.toLong) })
   }
 
   test("COPY supports parquet export/import and the (query) TO form") {

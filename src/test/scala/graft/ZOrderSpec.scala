@@ -58,4 +58,53 @@ class ZOrderSpec extends SparkSpec {
       .agg(count(lit(1)), Exact.dsum(col("l_extendedprice"))).first()
     assert(boxAgg(spark.read.parquet(zPath)) == boxAgg(li))
   }
+
+  test("k-D z-order: a 3-column layout skips a 3-D box the 2-D layout cannot") {
+    val dir = sf()
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+
+    val z3Path = Scratch.dir("graft_zorder_3d", dir)
+    plans.ZOrder.writeClustered(li,
+      Seq("l_partkey", "l_suppkey", "l_orderkey"), z3Path, 16)
+
+    // 1-D straw man clustered on l_partkey only: a 3-D box prunes on
+    // partkey but every surviving group spans the other two dimensions
+    val sPath = Scratch.dir("graft_zorder_3d_1d", dir)
+    li.repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey"))
+      .write.mode("overwrite").parquet(sPath)
+
+    val b = plans.ZOrder.bounds(li,
+      Seq("l_partkey", "l_suppkey", "l_orderkey")).get
+    // ~1/3 of each dimension → ~1/27 of the cube
+    val boxes = Seq("l_partkey", "l_suppkey", "l_orderkey").zip(b).map {
+      case (c, (lo, hi)) =>
+        (c, lo.toLong, lo.toLong + ((hi - lo) / 3).toLong)
+    }
+    val (zTotal, zHit) = plans.ZOrder.rowGroupBoxCensus(spark, z3Path, boxes)
+    val (sTotal, sHit) = plans.ZOrder.rowGroupBoxCensus(spark, sPath, boxes)
+    assert(zTotal >= 16 && sTotal >= 16, s"expected >=16 row groups: $zTotal / $sTotal")
+    assert(zHit < sHit,
+      s"3-D z-order must skip more than a 1-D sort: z $zHit/$zTotal vs 1-D $sHit/$sTotal")
+    // a 1/27-cube box should confine to well under half the row groups
+    // (fractions, not exact counts — repartitionByRange samples split
+    // points, so boundary-straddling groups vary between runs)
+    assert(zHit.toDouble / zTotal <= 0.5,
+      s"3-D layout should confine a 1/27-cube box: $zHit/$zTotal")
+
+    // layout-only: content identical row-for-row
+    assert(spark.read.parquet(z3Path).count() == li.count())
+
+    // NULL cluster values are layout-only too: rows survive clustering
+    // with NULLs collected at the curve origin (grid cell 0)
+    val withNulls = li.withColumn("l_suppkey",
+      when(col("l_orderkey") % 7 === 0, lit(null)).otherwise(col("l_suppkey")))
+    val nPath = Scratch.dir("graft_zorder_nulls", dir)
+    plans.ZOrder.writeClustered(withNulls,
+      Seq("l_partkey", "l_suppkey"), nPath, 8)
+    assert(spark.read.parquet(nPath).count() == withNulls.count())
+    assert(spark.read.parquet(nPath).filter(col("l_suppkey").isNull).count()
+      == withNulls.filter(col("l_suppkey").isNull).count())
+  }
 }
