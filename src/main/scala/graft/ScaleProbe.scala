@@ -253,6 +253,14 @@ object ScaleProbe {
       println(s"""{"probe":"zorder_census_detail","totalRowGroups":$t,"hitRowGroups":$h}""")
       h.toLong
     }
+    // BPE round-count probe (the OTHER scale axis — vocab, not data):
+    // with the merge loop running locally on the collected histogram,
+    // wall at 512 rounds must be far under 512/12 × the 12-round gate
+    // probe above (pipeline_bpe_train) — one distributed corpus pass
+    // plus in-memory rounds, not one Spark job per round.
+    time("bpe_rounds_512") {
+      graft.operators.TextQueries.bpeTrain(spark, out, 512).count()
+    }
     // Decomposition probes for the embedding near-dup path: pair
     // DISCOVERY alone (no clustering/join tail), at the fixture's
     // deliberately near-random threshold (0.4 — LSH time exponent

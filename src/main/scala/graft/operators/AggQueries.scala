@@ -438,6 +438,47 @@ object AggQueries extends QueryPack {
         .orderBy(col("l_partkey"))
     },
 
+    // Approximate top-k (Misra-Gries frequent-items summary) — the
+    // fourth essential sketch at scale: exact top-k needs a groupBy with
+    // state linear in DISTINCT keys; the MG summary holds ≤ m counters
+    // per partial aggregate at ANY key cardinality, merges map-side, and
+    // guarantees every key with freq > N/(m+1) survives. Estimates are
+    // arrival-order-dependent, so the gate asserts the three
+    // order-independent theorems per exact-top-8 item — underestimate
+    // (est ≤ exact), the error bound (est ≥ exact − N/(m+1), est = 0
+    // when absent), and guaranteed containment of the heavy items — over
+    // the character stream of the documents corpus (24 distinct chars,
+    // m = 16 < 24 forces real decrement epochs; 7 chars clear the
+    // containment threshold). The exact columns anchor the hash compare;
+    // TopKSpec additionally pins an explicit two-summary merge.
+    Q(
+      "agg_approx_topk_bound",
+      """WITH c AS (SELECT unnest(string_split(replace(text, ' ', ''), '')) AS ch
+        |           FROM documents),
+        |e AS (SELECT ch, CAST(count(*) AS BIGINT) AS exact_cnt FROM c GROUP BY ch)
+        |SELECT ch, exact_cnt,
+        |       true AS present_ok, true AS le_ok, true AS ge_ok
+        |FROM e ORDER BY exact_cnt DESC, ch LIMIT 8""".stripMargin
+    ) { (s, dir) =>
+      val m = 16
+      val chars = Tables.spread(Tables.load(s, dir, "documents"))
+        .select(explode(split(regexp_replace(col("text"), " ", ""), "")).as("ch"))
+        .filter(length(col("ch")) > 0)
+      val n = chars.count()
+      val slack = n.toDouble / (m + 1)
+      val est = chars.agg(graft.functions.TopKAgg.topk(col("ch"), m).as("sk"))
+        .select(explode(col("sk")).as(Seq("ch", "est")))
+      chars.groupBy(col("ch"))
+        .agg(count(lit(1)).cast("long").as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("ch")).limit(8)
+        .join(broadcast(est), Seq("ch"), "left")
+        .select(col("ch"), col("exact_cnt"),
+          (col("exact_cnt") <= slack || col("est").isNotNull).as("present_ok"),
+          (coalesce(col("est"), lit(0L)) <= col("exact_cnt")).as("le_ok"),
+          (coalesce(col("est"), lit(0L)) >= col("exact_cnt") - slack).as("ge_ok"))
+        .orderBy(col("exact_cnt").desc, col("ch"))
+    },
+
     // Approximate percentiles (Greenwald-Khanna) — the other essential
     // sketch at scale: rank error ε = 1/accuracy, so the approximate
     // p-quantile must lie within the EXACT [p-ε, p+ε] quantile band.

@@ -217,16 +217,29 @@ object TextQueries extends QueryPack {
     * silently training non-BPE merges the oracle would AGREE with
     * (it runs the identical replace).
     *
-    * One row per round reaches the driver — the winning merge. Like the
-    * k-means centroid collect, this is the inherently-sequential
-    * decision variable (the merge TABLE is the trained artifact and is
-    * rounds-sized); all counting and rewriting stays distributed.
-    * Lineage: the re-written vocab frame is localCheckpoint'd every 8
-    * rounds (the dedup_components discipline) so Catalyst analysis cost
-    * stays bounded at tokenizer-scale round counts. */
+    * Pacing: the DATA pass is distributed and runs ONCE (the word
+    * histogram); the merge loop is inherently sequential in its decision
+    * variable, and the frame it iterates on is VOCAB-sized by
+    * construction — so when the vocabulary fits the driver comfortably
+    * (≤ [[BpeLocalVocabCap]] distinct words; real tokenizer corpora are
+    * far below it) the histogram is collected once and the merge rounds
+    * run locally, the way production BPE trainers do. 30 k merge rounds
+    * are then 30 k in-memory scans of a small array instead of 30 k
+    * serial Spark jobs — the round-13 verdict's driver-pacing bottleneck
+    * (one job per round on a vocab-sized frame, wall LINEAR in rounds
+    * with a per-job floor). Corpora past the cap keep the distributed
+    * per-round loop (lineage-cut every 8 rounds), trading round latency
+    * for unbounded vocab.
+    *
+    * Local-loop determinism matches the engines exactly: pair ties break
+    * on UNSIGNED UTF-8 BYTE order (what Spark's UTF8String ORDER BY and
+    * DuckDB's binary collation both do) — Java's String.compareTo is
+    * UTF-16 code-unit order, which disagrees beyond the BMP. */
+  private[graft] val BpeLocalVocabCap: Long = 4L << 20
+
   private[graft] def bpeTrain(s: SparkSession, dir: String, rounds: Int): DataFrame = {
     import s.implicits._
-    var wc = Tables.spread(Tables.load(s, dir, "documents"))
+    val wc0 = Tables.spread(Tables.load(s, dir, "documents"))
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 1 && !col("w").contains("|"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -239,27 +252,66 @@ object TextQueries extends QueryPack {
         col("cnt"))
       .localCheckpoint(true) // the one corpus pass, materialized once
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
-    var r = 1
-    var exhausted = false
-    while (r <= rounds && !exhausted) {
-      val win = wc
-        .select(filter(split(col("s"), "\\|\\|"), x => x =!= "").as("syms"), col("cnt"))
-        .filter(size(col("syms")) >= 2)
-        .select(explode(expr("transform(sequence(1, size(syms) - 1), " +
-          "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))")).as("pair"),
-          col("cnt"))
-        .groupBy(col("pair")).agg(sum(col("cnt")).as("freq"))
-        .orderBy(col("freq").desc, col("pair")).limit(1).collect()
-      if (win.isEmpty) exhausted = true
-      else {
-        val pair = win(0).getString(0)
-        merges += ((r, pair, win(0).getLong(1)))
-        val Array(x, y) = pair.split(" ", 2)
-        wc = wc.withColumn("s", call_function("replace", col("s"),
-          lit("|" + x + "||" + y + "|"), lit("|" + x + y + "|")))
-        if (r % 8 == 0) wc = wc.localCheckpoint(true)
+    if (wc0.count() <= BpeLocalVocabCap) {
+      // vocab-sized collect (the k-means-centroid pattern: parameters
+      // come back to the driver, corpus data never does)
+      var words = wc0.collect().map(r => (r.getString(0), r.getLong(1)))
+      def utf8Cmp(a: String, b: String): Int = java.util.Arrays.compareUnsigned(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        val freq = new java.util.HashMap[String, java.lang.Long]
+        words.foreach { case (sy, cnt) =>
+          val syms = sy.split("\\|\\|").filter(_.nonEmpty)
+          var i = 0
+          while (i < syms.length - 1) {
+            freq.merge(syms(i) + " " + syms(i + 1), cnt,
+              (u, v) => u.longValue() + v.longValue())
+            i += 1
+          }
+        }
+        if (freq.isEmpty) exhausted = true
+        else {
+          var bp: String = null
+          var bf = Long.MinValue
+          freq.forEach { (p, f) =>
+            if (f > bf || (f == bf && utf8Cmp(p, bp) < 0)) { bp = p; bf = f }
+          }
+          merges += ((r, bp, bf))
+          val Array(x, y) = bp.split(" ", 2)
+          val (pat, rep) = ("|" + x + "||" + y + "|", "|" + x + y + "|")
+          // Java String.replace is the same left-to-right non-overlapping
+          // scan as Spark/DuckDB replace — the double-separator encoding
+          // proof (above) holds identically here
+          words = words.map { case (sy, cnt) => (sy.replace(pat, rep), cnt) }
+        }
+        r += 1
       }
-      r += 1
+    } else {
+      var wc = wc0
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        val win = wc
+          .select(filter(split(col("s"), "\\|\\|"), x => x =!= "").as("syms"), col("cnt"))
+          .filter(size(col("syms")) >= 2)
+          .select(explode(expr("transform(sequence(1, size(syms) - 1), " +
+            "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))")).as("pair"),
+            col("cnt"))
+          .groupBy(col("pair")).agg(sum(col("cnt")).as("freq"))
+          .orderBy(col("freq").desc, col("pair")).limit(1).collect()
+        if (win.isEmpty) exhausted = true
+        else {
+          val pair = win(0).getString(0)
+          merges += ((r, pair, win(0).getLong(1)))
+          val Array(x, y) = pair.split(" ", 2)
+          wc = wc.withColumn("s", call_function("replace", col("s"),
+            lit("|" + x + "||" + y + "|"), lit("|" + x + y + "|")))
+          if (r % 8 == 0) wc = wc.localCheckpoint(true)
+        }
+        r += 1
+      }
     }
     merges.toSeq.toDF("merge_rank", "pair", "freq").orderBy(col("merge_rank"))
   }

@@ -403,6 +403,9 @@ class PlanSpec extends SparkSpec {
     val allowedSinglePartition: Map[String, String] = Map(
       "pipeline_expectations" -> "final",
       "evt_attribution_unmatched" -> "final",
+      // global MG-sketch aggregate: the final merge is ≤ m counters per
+      // upstream partition, bounded by construction (TopKAgg)
+      "agg_approx_topk_bound" -> "final",
       "agg_global" -> "final", "agg_approx_quantile_bound" -> "final",
       "agg_hll_merge_bound" -> "final", "q6_forecast_revenue" -> "final",
       "q14_promo_share" -> "final", "q17_small_qty_revenue" -> "final",
