@@ -1498,7 +1498,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     val pkRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+ADD\s+(?:CONSTRAINT\s+[\w"]+\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)\s*""".r
     // ADD CONSTRAINT forms (reference kv/KvQueryExecutor.java:2877-3153:
     // FK is recorded as metadata; enforcement here happens on every later
-    // INSERT/UPDATE through validate()/checkUnique()).
+    // INSERT/UPDATE through validateBatch()).
     // trailing ON DELETE/ON UPDATE actions accepted + ignored (reference
     // records FK actions as metadata only)
     val fkRe = """(?is)ALTER\s+TABLE\s+([\w"]+)\s+ADD\s+(?:CONSTRAINT\s+[\w"]+\s+)?FOREIGN\s+KEY\s*\(([\w"]+)\)\s*REFERENCES\s+([\w"]+)\s*\(([\w"]+)\)\s*(?:ON\s+(?:DELETE|UPDATE)\s+.*)?""".r
@@ -2121,13 +2121,46 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
 
   // ----------------------------------------------------------------- DML
 
-  /** Constraint validation for a batch of prospective rows (visible
-    * columns, already cast). All row-local constraints (NOT NULL, enum,
-    * JSON validity) evaluate in ONE distributed pass — a single projection
-    * naming the first violated constraint per row — so validation cost
-    * does not scale with the number of constraints. FK checks follow as
-    * anti-joins (they need the parent table). */
-  private def validate(t: TableDef, rows: DataFrame): Unit = {
+  /** The unique key sets a table enforces: single-column UNIQUE,
+    * composite UNIQUE, and the primary key. */
+  private def uniqueKeySets(t: TableDef): Seq[Seq[String]] =
+    (t.columns.filter(_.unique).map(c => Seq(c.name)) ++ t.uniqueKeys ++
+      (if (t.primaryKey.nonEmpty) Seq(t.primaryKey) else Nil)).distinct
+
+  /** ONE-JOB batch validation (the `pipeline_expectations` one-scan-
+    * k-checks shape): row-local constraints (NOT NULL / enum / JSON,
+    * reference kv/KvQueryExecutor.java:4276-4583 validates per row),
+    * FK orphan detection, in-frame unique-key duplicates, and key
+    * conflicts against an existing snapshot ALL evaluate in a single
+    * conditional aggregate over ONE scan of `rows`. Adding a constraint
+    * widens the aggregate; it never adds a Spark job — the sequential
+    * form this replaces ran 1 + #FK + 2·#uniqueKeys separate jobs per
+    * DML statement, each paying full job-launch latency on
+    * batch-sized data. FK parents and existing-table keys enter the
+    * same plan as DISTINCT key projections left-joined to the batch
+    * (distinct, so a duplicated parent key can never multiply rows
+    * under the counting aggregates); in-frame duplicate detection is
+    * count vs count-distinct per key set.
+    *
+    * Failure ORDER matches the sequential implementation: row-local
+    * first, then FK in declaration order, then in-frame duplicates,
+    * then existing-row conflicts. Postgres NULL semantics throughout: a
+    * key containing any NULL is always distinct (NULL-keyed rows are
+    * excluded from both unique counts, and equality joins never match
+    * NULL). `dupMsg`/`conflictMsg` let the DML verbs keep their
+    * statement-specific messages.
+    *
+    * Returns the batch row count under "__total" plus one entry per
+    * `tagCounts` condition — DML verbs that previously ran separate
+    * count() jobs (rows-updated / rows-inserted tallies) ride the same
+    * aggregate for free. */
+  private def validateBatch(t: TableDef, rows: DataFrame,
+      dupKeys: Seq[Seq[String]] = Nil,
+      dupMsg: Seq[String] => String =
+        k => s"UNIQUE violation within batch: ${k.mkString(",")}",
+      conflictsWith: Option[DataFrame] = None,
+      conflictMsg: Seq[String] => String = k => "",
+      tagCounts: Seq[(String, Column)] = Nil): Map[String, Long] = {
     val rowChecks: Seq[(String, Column)] =
       t.columns.filter(c => c.notNull && !c.serial).map(c =>
         s"NOT NULL violation: ${t.name}.${c.name}" -> col(c.name).isNull) ++
@@ -2145,46 +2178,91 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       t.columns.filter(c => c.sqlType.toUpperCase.startsWith("JSON")).map(c =>
         s"invalid JSON in ${t.name}.${c.name}" ->
           (col(c.name).isNotNull && expr(s"try_parse_json(${c.name})").isNull))
-    if (rowChecks.nonEmpty) {
-      val firstViolation = coalesce(rowChecks.map { case (msg, cond) =>
-        when(cond, lit(msg))
-      }: _*)
-      rows.select(firstViolation.as("__viol")).filter(col("__viol").isNotNull)
-        .limit(1).collect().headOption
-        .foreach(r => throw new IllegalArgumentException(r.getString(0)))
-    }
-    t.columns.filter(_.references.isDefined).foreach { c =>
+    // first violated constraint per row (coalesce order = declaration
+    // order); min() across rows picks a deterministic representative
+    val violCol =
+      if (rowChecks.isEmpty) lit(null).cast("string")
+      else coalesce(rowChecks.map { case (msg, cond) => when(cond, lit(msg)) } :+
+        lit(null).cast("string"): _*)
+    val fks = t.columns.filter(_.references.isDefined)
+    var joined = rows.withColumn("__cviol", violCol)
+    fks.zipWithIndex.foreach { case (c, i) =>
       val (rt, rc) = c.references.get
       val parent = catalog.getTable(rt).getOrElse(
         throw new IllegalArgumentException(s"FK parent missing: $rt"))
-      val orphans = rows.filter(col(c.name).isNotNull)
-        .join(tableDf(parent).select(col(rc).as("__p")), col(c.name) === col("__p"), "left_anti")
-      if (orphans.limit(1).count() > 0)
-        throw new IllegalArgumentException(s"FK violation: ${t.name}.${c.name} → $rt.$rc")
+      joined = joined.join(
+        tableDf(parent).select(col(rc).as(s"__fkp$i")).distinct(),
+        col(c.name) === col(s"__fkp$i"), "left")
     }
+    val keySets = dupKeys.distinct
+    conflictsWith.foreach { existing =>
+      keySets.zipWithIndex.foreach { case (k, j) =>
+        val allSet = k.map(col(_).isNotNull).reduce(_ && _)
+        val proj = existing.filter(allSet)
+          .select(k.zipWithIndex.map { case (c0, x) => col(c0).as(s"__ex${j}_$x") }: _*)
+          .distinct()
+        val cond = k.zipWithIndex.map { case (c0, x) =>
+          col(c0) === col(s"__ex${j}_$x") }.reduce(_ && _)
+        joined = joined.join(proj, cond, "left")
+      }
+    }
+    val aggs: Seq[Column] =
+      Seq(min(col("__cviol")).as("__viol")) ++
+      fks.zipWithIndex.map { case (c, i) =>
+        sum(when(col(c.name).isNotNull && col(s"__fkp$i").isNull, 1L)
+          .otherwise(0L)).as(s"__orph$i") } ++
+      keySets.zipWithIndex.flatMap { case (k, j) =>
+        val allSet = k.map(col(_).isNotNull).reduce(_ && _)
+        Seq(count(when(allSet, lit(1))).as(s"__cnt$j"),
+          countDistinct(when(allSet, struct(k.map(col): _*))).as(s"__dst$j"))
+      } ++
+      (if (conflictsWith.isDefined)
+        keySets.zipWithIndex.map { case (_, j) =>
+          sum(when(col(s"__ex${j}_0").isNotNull, 1L).otherwise(0L)).as(s"__conf$j") }
+      else Nil) ++
+      Seq(count(lit(1)).as("__total")) ++
+      tagCounts.map { case (name, cond) =>
+        sum(when(cond, 1L).otherwise(0L)).as(s"__tag_$name") }
+    val r = joined.agg(aggs.head, aggs.tail: _*).collect()(0)
+    Option(r.getAs[String]("__viol"))
+      .foreach(m => throw new IllegalArgumentException(m))
+    fks.zipWithIndex.foreach { case (c, i) =>
+      if (r.getAs[Long](s"__orph$i") > 0) {
+        val (rt, rc) = c.references.get
+        throw new IllegalArgumentException(
+          s"FK violation: ${t.name}.${c.name} → $rt.$rc")
+      }
+    }
+    keySets.zipWithIndex.foreach { case (k, j) =>
+      if (r.getAs[Long](s"__cnt$j") > r.getAs[Long](s"__dst$j"))
+        throw new IllegalArgumentException(dupMsg(k))
+    }
+    if (conflictsWith.isDefined) keySets.zipWithIndex.foreach { case (k, j) =>
+      if (r.getAs[Long](s"__conf$j") > 0)
+        throw new IllegalArgumentException(conflictMsg(k))
+    }
+    Map("__total" -> r.getAs[Long]("__total")) ++
+      tagCounts.map { case (name, _) => name -> r.getAs[Long](s"__tag_$name") }
   }
 
-  /** UNIQUE/PK checks: batch-internal duplicates + conflicts vs existing
-    * rows, both as distributed aggregates/joins (reference
-    * kv/KvQueryExecutor.java:4301-4386 scans per row; ours is one
-    * anti-join regardless of batch size). */
-  private def checkUnique(t: TableDef, newRows: DataFrame, existing: DataFrame): Unit = {
-    val keys: Seq[Seq[String]] =
-      t.columns.filter(_.unique).map(c => Seq(c.name)) ++ t.uniqueKeys ++
-        (if (t.primaryKey.nonEmpty) Seq(t.primaryKey) else Nil)
-    keys.distinct.foreach { k =>
-      val kc = k.map(col)
-      // Postgres NULL semantics: a key containing any NULL is always
-      // distinct — exclude such rows from both checks (the semi-join would
-      // never match NULLs, but the groupBy would wrongly count them).
-      val allSet = k.map(col(_).isNotNull).reduce(_ && _)
-      val nn = newRows.filter(allSet)
-      if (nn.groupBy(kc: _*).count().filter(col("count") > 1).limit(1).count() > 0)
-        throw new IllegalArgumentException(s"UNIQUE violation within batch: ${k.mkString(",")}")
-      if (nn.join(existing.filter(allSet).select(kc: _*), k, "left_semi").limit(1).count() > 0)
-        throw new IllegalArgumentException(s"UNIQUE violation: ${t.name}(${k.mkString(",")})")
-    }
-  }
+  /** INSERT-shape validation: row-local + FK + in-batch duplicates +
+    * conflicts vs the existing snapshot, one job (reference
+    * kv/KvQueryExecutor.java:4301-4386 scans per row). */
+  private def validateInsert(t: TableDef, newRows: DataFrame,
+      existing: DataFrame,
+      tagCounts: Seq[(String, Column)] = Nil): Map[String, Long] =
+    validateBatch(t, newRows, dupKeys = uniqueKeySets(t),
+      conflictsWith = Some(existing),
+      conflictMsg = k => s"UNIQUE violation: ${t.name}(${k.mkString(",")})",
+      tagCounts = tagCounts)
+
+  /** Post-image validation for UPDATE/MERGE/upsert: row-local + FK +
+    * whole-table uniqueness of the rewritten snapshot, one job. */
+  private def validatePostImage(t: TableDef, next: DataFrame,
+      verb: String, tagCounts: Seq[(String, Column)] = Nil): Map[String, Long] =
+    validateBatch(t, next, dupKeys = uniqueKeySets(t),
+      dupMsg = k => s"UNIQUE violation after $verb: ${k.mkString(",")}",
+      tagCounts = tagCounts)
 
   /** Top-level (outside single-quoted literals AND double-quoted
     * identifiers, paren depth 0) matches of `re`, for peeling trailing
@@ -2443,8 +2521,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     try {
       conflict match {
         case None =>
-          validate(t, aligned)
-          checkUnique(t, aligned, tableDf(t))
+          validateInsert(t, aligned, tableDf(t))
           val dir = catalog.tableDir(t)
           Files.createDirectories(dir)
           aligned.write.mode("append").parquet(dir.toString)
@@ -2492,9 +2569,8 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       surv.withColumn("__rn", row_number().over(w))
         .filter(!allSet || col("__rn") === 1).drop("__rn")
     } else resolveBatchConflicts(surv, keySets)).drop("__ord")
-    val kept = out.count()
-    validate(t, out)
-    checkUnique(t, out, tableDf(t))
+    // the kept-row tally rides the validation aggregate (one job)
+    val kept = validateInsert(t, out, tableDf(t))("__total")
     val dir = catalog.tableDir(t)
     Files.createDirectories(dir)
     out.write.mode("append").parquet(dir.toString)
@@ -2599,21 +2675,22 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     val untouched = existing.join(
       aligned.filter(allSet).select(k.map(col): _*), k, "left_anti")
     val fresh = aligned.join(existing.filter(allSet).select(k.map(col): _*), k, "left_anti")
-    val next = untouched.unionByName(skipped).unionByName(updated).unionByName(fresh)
-    validate(t, next)
-    // post-merge uniqueness over the whole table (the SET expressions or
-    // a different unique key could collide)
-    val keys = t.columns.filter(_.unique).map(c => Seq(c.name)) ++ t.uniqueKeys ++
-      (if (t.primaryKey.nonEmpty) Seq(t.primaryKey) else Nil)
-    keys.distinct.foreach { uk =>
-      val ukSet = uk.map(col(_).isNotNull).reduce(_ && _)
-      if (next.filter(ukSet).groupBy(uk.map(col): _*).count()
-          .filter(col("count") > 1).limit(1).count() > 0)
-        throw new IllegalArgumentException(
-          s"UNIQUE violation after upsert: ${uk.mkString(",")}")
-    }
-    val nUp = updated.count()
-    val nIns = fresh.count()
+    // tag row provenance so the updated/inserted tallies ride the
+    // validation aggregate instead of two extra count() jobs; the tag
+    // never reaches the published snapshot
+    val tagged = untouched.withColumn("__src", lit("keep"))
+      .unionByName(skipped.withColumn("__src", lit("keep")))
+      .unionByName(updated.withColumn("__src", lit("up")))
+      .unionByName(fresh.withColumn("__src", lit("ins")))
+    val next = tagged.drop("__src")
+    // row-local + FK + post-merge whole-table uniqueness (the SET
+    // expressions or a different unique key could collide) + the
+    // updated/inserted counts, ONE job
+    val counts = validatePostImage(t, tagged, "upsert",
+      tagCounts = Seq("up" -> (col("__src") === "up"),
+        "ins" -> (col("__src") === "ins")))
+    val nUp = counts("up")
+    val nIns = counts("ins")
     // RETURNING sees the post-image of every inserted or updated row;
     // pin it before publish supersedes the snapshot this plan reads
     val ret = returning.map(r => returningDf(t, updated.unionByName(fresh), r))
@@ -2695,16 +2772,8 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         val next = cur.select(t.columns.map(c =>
           assign.get(c.name).map(a => when(pred, a).otherwise(col(c.name)))
             .getOrElse(col(c.name)).as(c.name)): _*)
-        validate(t, next)
-        // post-update uniqueness over the whole table
-        val keys = t.columns.filter(_.unique).map(c => Seq(c.name)) ++ t.uniqueKeys ++
-          (if (t.primaryKey.nonEmpty) Seq(t.primaryKey) else Nil)
-        keys.distinct.foreach { k =>
-          val allSet = k.map(col(_).isNotNull).reduce(_ && _)
-          if (next.filter(allSet).groupBy(k.map(col): _*).count()
-              .filter(col("count") > 1).limit(1).count() > 0)
-            throw new IllegalArgumentException(s"UNIQUE violation after UPDATE: ${k.mkString(",")}")
-        }
+        // row-local + FK + post-update whole-table uniqueness, one job
+        validatePostImage(t, next, "UPDATE")
         // RETURNING: the post-image of the updated rows (PG), pinned
         // before publish supersedes the snapshot this plan reads
         val ret = returning.map(r => returningDf(t,
@@ -2768,15 +2837,8 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
             .otherwise(base)
         else base).as(c.name)
       }: _*)
-    validate(t, next)
-    val keys = t.columns.filter(_.unique).map(c => Seq(c.name)) ++ t.uniqueKeys ++
-      (if (t.primaryKey.nonEmpty) Seq(t.primaryKey) else Nil)
-    keys.distinct.foreach { k =>
-      val allSet = k.map(col(_).isNotNull).reduce(_ && _)
-      if (next.filter(allSet).groupBy(k.map(col): _*).count()
-          .filter(col("count") > 1).limit(1).count() > 0)
-        throw new IllegalArgumentException(s"UNIQUE violation after UPDATE: ${k.mkString(",")}")
-    }
+    // row-local + FK + post-update whole-table uniqueness, one job
+    validatePostImage(t, next, "UPDATE")
     val ret = returning.map { r =>
       val post = cur.join(changed, joinCond, "inner")
         .select(t.columns.map { c =>
@@ -3096,18 +3158,9 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     }
     val nIns = inserted.map(_.count()).getOrElse(0L)
     val next = inserted.map(afterMatched.unionByName(_)).getOrElse(afterMatched)
-    validate(t, next)
-    // post-merge uniqueness over the whole table (SET expressions or
-    // inserts could collide on any unique key)
-    val keys = t.columns.filter(_.unique).map(c => Seq(c.name)) ++ t.uniqueKeys ++
-      (if (t.primaryKey.nonEmpty) Seq(t.primaryKey) else Nil)
-    keys.distinct.foreach { uk =>
-      val ukSet = uk.map(col(_).isNotNull).reduce(_ && _)
-      if (next.filter(ukSet).groupBy(uk.map(col): _*).count()
-          .filter(col("count") > 1).limit(1).count() > 0)
-        throw new IllegalArgumentException(
-          s"UNIQUE violation after MERGE: ${uk.mkString(",")}")
-    }
+    // row-local + FK + post-merge whole-table uniqueness (SET
+    // expressions or inserts could collide on any unique key), one job
+    validatePostImage(t, next, "MERGE")
     val ret = returning.map { r =>
       val acted = Seq(
         changed.map(_.select(t.columns.map(c =>
