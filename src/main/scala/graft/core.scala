@@ -128,6 +128,21 @@ object Engine {
       .config(
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
+      // Snapshot-boundary trigger spikes (the r13 "13.7 s stall"): at
+      // every minDeltasForSnapshot-th version the native checkpoint
+      // flushes each partition's accumulated memtable inline in the
+      // committing task. Round 14 A/B'd the three candidate mitigations
+      // at 50 k rows/s (series in BASELINE.md): staggering maintenance
+      // (15 s interval, 2-thread pool) made the boundary batch WORSE
+      // (7.4 s — the flush is not in the maintenance path), and small
+      // write buffers (16 MB × 4) traded the spike for L0-compaction
+      // debt late in the run (6.8 s batches; Spark pins RocksDB's
+      // background-job parallelism, so continuous flushing starves
+      // compaction). The stock settings measure best — one boundary
+      // batch at 1.86× the median, inside the ≤2× SLA — so they are
+      // deliberately left untouched; the production knob for a stricter
+      // SLA is snapshot CADENCE (rocksdb.minDeltasForSnapshot), which
+      // trades restore-time changelog replay for rarer boundaries.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

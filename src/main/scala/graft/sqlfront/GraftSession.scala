@@ -161,7 +161,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     * every table's directory per statement. The marker is global: after
     * a different GraftSession registered ITS tables on the shared
     * SparkSession, this one re-registers even at unchanged counters. */
-  def registerAll(): Unit = {
+  def registerAll(): Unit = regLock.synchronized {
     val tag = (this: AnyRef, catalog.generation, dataGen)
     if (GraftSession.lastRegistrar.get() == tag) { registerPgCatalog(); return }
     // Invalidate first, claim AFTER the loop succeeds: if a view body
@@ -385,6 +385,62 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     val stmts = StatementSplitter.split(script)
     require(stmts.nonEmpty, "empty SQL")
     stmts.map(execOne).last
+  }
+
+  // -------------------------------------------------- statement gate
+
+  /** Concurrent temp-view registration guard: readers running in
+    * parallel under [[withStatementLock]]'s read side may both find the
+    * registration tag stale after a DDL and rebuild — serializing the
+    * (fast, usually no-op) rebuild keeps createOrReplaceTempView calls
+    * from interleaving mid-rebuild. */
+  private val regLock = new Object
+
+  /** Statement-stream gate: read-only statements share the READ side
+    * and execute CONCURRENTLY across wire/HTTP connections; anything
+    * that can mutate session, catalog, or data state takes the WRITE
+    * side — the old whole-session monitor, now scoped to writers.
+    * Copy-on-write snapshots already isolate readers from data files;
+    * the gate protects the MUTABLE session surfaces (catalog maps,
+    * temp-view registration, transaction state, sequence counters,
+    * cursor/prepared registries). Fair ordering so a writer is not
+    * starved by a stream of readers. */
+  private val stmtGate = new java.util.concurrent.locks.ReentrantReadWriteLock(true)
+
+  /** Conservative read-only classifier for [[withStatementLock]]: every
+    * statement in the script must be a pure query (SELECT without
+    * top-level INTO, WITH, VALUES, TABLE, EXPLAIN, SHOW) and no
+    * transaction block may be open (transaction statements read the
+    * session's txn overlay, which ROLLBACK mutates). Anything
+    * unrecognized is a writer — misclassifying a reader costs
+    * concurrency, misclassifying a writer costs correctness. */
+  def isReadOnlyScript(script: String): Boolean =
+    !inTransaction && StatementSplitter.split(script).forall { s =>
+      val t = s.trim
+      if (t.startsWith("\\")) false
+      else kw(t) match {
+        case "WITH" | "VALUES" | "TABLE" | "EXPLAIN" | "SHOW" => true
+        case "SELECT" =>
+          splitTopLevelKeyword(t.stripSuffix(";"), "INTO")._2.isEmpty
+        case _ => false
+      }
+    }
+
+  /** Run `body` under the side of the gate `script`'s classification
+    * demands. Wire/HTTP frontends funnel every eager execution through
+    * here (or [[withReadLock]] for read-only pin+plan sections). */
+  def withStatementLock[A](script: String)(body: => A): A = {
+    val l =
+      if (isReadOnlyScript(script)) stmtGate.readLock() else stmtGate.writeLock()
+    l.lock()
+    try body finally l.unlock()
+  }
+
+  /** Shared-side section for frontends that pin-and-plan a read-only
+    * statement atomically against DML publishes (suspended portals). */
+  def withReadLock[A](body: => A): A = {
+    stmtGate.readLock().lock()
+    try body finally stmtGate.readLock().unlock()
   }
 
   private def ok(kind: String, n: Long = 0L): DataFrame = {

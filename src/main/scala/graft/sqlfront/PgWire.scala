@@ -15,10 +15,12 @@ import org.apache.spark.sql.types._
   * Execute). Re-expressed from the PUBLISHED protocol specification
   * (PostgreSQL docs, "Frontend/Backend Protocol"), not the reference's
   * Netty implementation: plain blocking sockets, one daemon thread per
-  * connection, with STATEMENT execution serialized on the session
-  * monitor — GraftSession is a single-statement-stream engine by
-  * design, so concurrency lives at the connection level (an idle psql
-  * session never blocks another client), not the executor level.
+  * connection, with STATEMENT execution gated by the session's
+  * read/write statement gate — read-only statements from different
+  * connections execute concurrently (COW snapshots isolate them from
+  * data; the gate from session-state mutation), while DDL/DML/
+  * transaction statements serialize on the exclusive side, keeping
+  * GraftSession's single-WRITE-stream semantics.
   *
   * Supported: startup (incl. SSLRequest refusal and secret-verified
   * CancelRequest → Spark job-group cancellation), simple Query with
@@ -55,9 +57,9 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
   def stop(): Unit = { running = false; server.close() }
 
   /** Connections are CONCURRENT (a psql session left open must not block
-    * the next client's connect); statement EXECUTION serializes on the
-    * session monitor — GraftSession is a single-statement-stream engine,
-    * the same model [[SqlHttp]] uses with its single executor thread. */
+    * the next client's connect); statement EXECUTION routes through the
+    * session's statement gate — reads share, writes exclude — the same
+    * model [[SqlHttp]] uses. */
   private def acceptLoop(): Unit =
     while (running) {
       try {
@@ -72,9 +74,13 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
       } catch { case _: Throwable => () } // server socket closed on stop()
     }
 
-  /** All statement execution funnels through here: one statement at a
-    * time across every open connection. */
-  private def runSql(sql: String): DataFrame = gs.synchronized(gs.sql(sql))
+  /** All statement execution funnels through the session's statement
+    * gate: read-only statements run CONCURRENTLY across connections
+    * (shared lock — COW snapshots isolate them from data, the gate from
+    * session-state mutation); DDL/DML/transaction statements serialize
+    * on the exclusive side, preserving the single-statement-stream
+    * engine's write semantics. */
+  private def runSql(sql: String): DataFrame = gs.withStatementLock(sql)(gs.sql(sql))
 
   // ------------------------------------------------------------ framing
 
@@ -782,14 +788,16 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
                   // portal streams its original lazy plan; the earlier
                   // localCheckpoint form materialized the WHOLE result up
                   // front — the very cost fetchSize exists to avoid).
-                  // Pin and plan ATOMICALLY under the session monitor:
-                  // every DML publish also runs under gs.synchronized
-                  // (runSql), so no version can be published between the
-                  // pin and the plan — the portal provably streams the
-                  // exact versions the pin protects. (Pinning outside the
-                  // monitor left a window where a concurrent publish made
-                  // the portal read v+1 while the pin held only v; a
-                  // second publish plus VACUUM could then prune v+1
+                  // Pin and plan ATOMICALLY under the statement gate:
+                  // every DML publish runs under the gate's EXCLUSIVE
+                  // side (runSql), so no version can be published
+                  // between the pin and the plan — the portal provably
+                  // streams the exact versions the pin protects, while
+                  // read-only portals on other connections pin+plan
+                  // concurrently under the shared side. (Pinning outside
+                  // the gate left a window where a concurrent publish
+                  // made the portal read v+1 while the pin held only v;
+                  // a second publish plus VACUUM could then prune v+1
                   // mid-stream.) Full-drain portals (maxRows == 0 — the
                   // common executeQuery path) stream unpinned: COW
                   // isolates them from DML, and a concurrent VACUUM
@@ -803,7 +811,7 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
                   // before the portal owns it.
                   var pin: Option[Long] = None
                   try {
-                    val df = gs.synchronized {
+                    val df = gs.withStatementLock(sqlText) {
                       if (maxRows > 0) pin = Some(gs.pinCurrentVersions())
                       gs.sql(sqlText)
                     }

@@ -55,11 +55,12 @@ object SqlHttp {
               else body
             if (sql.isEmpty) respond(ex, 400, errBody(refShape, "empty SQL"))
             else {
-              // the session monitor is shared with PgWire.runSql, so an
-              // HTTP statement's EAGER phase (gs.sql — where every DDL/DML
-              // executes to completion, and where this path also collects
-              // its capped SELECT result) serializes against wire
-              // statements' eager phases. What the monitor deliberately
+              // the statement gate is shared with PgWire.runSql: an HTTP
+              // DDL/DML's EAGER phase takes the exclusive side and
+              // serializes against every other statement, while a
+              // read-only statement's eager phase (plan + capped collect)
+              // runs on the shared side, concurrently with other
+              // readers. What the gate deliberately
               // does NOT cover is a wire SELECT's lazy result STREAMING
               // (a suspended portal pulling batches via toLocalIterator):
               // that reads an immutable copy-on-write snapshot version, so
@@ -68,7 +69,7 @@ object SqlHttp {
               // mechanism there. SELECT plans never persist RDDs, so a
               // concurrent MERGE's persistent-RDD snapshot-diff cleanup
               // has nothing of theirs to unpersist.
-              val (cols, fetched) = gs.synchronized {
+              val (cols, fetched) = gs.withStatementLock(sql) {
                 val df = gs.sql(sql)
                 // limit is pushed into the plan (TakeOrderedAndProject /
                 // CollectLimit), so an unbounded SELECT ships at most
