@@ -139,17 +139,59 @@ object StreamProbe {
           ev.filter(col("event_type") =!= "purchase"),
           ev.filter(col("event_type") === "purchase"),
           horizon = "60 seconds", delay = "10 seconds")
+      case "ann" =>
+        // incremental ANN routing throughput: synthetic 64-dim vectors
+        // (splitmix-derived floats, full-period in the arrival id) routed
+        // per micro-batch against the fixture corpus's derived centroid
+        // set — the StreamingAnn between-epoch serving path. Routing is
+        // stateless (broadcast centroids, no state store); the cost is
+        // the per-row nlist×64 distance arithmetic.
+        spark.readStream.format("rate")
+          .option("rowsPerSecond", rate)
+          .option("numPartitions", spark.sparkContext.defaultParallelism)
+          .load()
+          .select(col("value"))
+          .as[Long]
+          .map { v =>
+            val e = new Array[Float](64)
+            var i = 0
+            while (i < 64) {
+              var z = v * 64 + i + 0x9E3779B97F4A7C15L
+              z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+              z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+              e(i) = (((z ^ (z >>> 31)) % 2001L) / 1000.0f)
+              i += 1
+            }
+            (v, e)
+          }
+          .toDF("vec_id", "embedding")
       case other =>
         // fail LOUDLY: a typo silently falling back to dedup would
         // record a stateful measurement under a decontam-looking label
-        sys.error(s"unknown op '$other': expected dedup | dedup_fresh | decontam | attribution")
+        sys.error(s"unknown op '$other': expected dedup | dedup_fresh | decontam | attribution | ann")
     }
 
-    var writer = cands.writeStream
-      .format("noop")
-      .outputMode("append")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("streamprobe_ckpt").toString)
+    var writer =
+      if (op == "ann") {
+        // static centroid set at the corpus-derived width, pinned once
+        val vecsB = Tables.load(spark, base, "embeddings")
+        val nlist = graft.operators.SimilarityQueries.ivfNlist(vecsB.count().max(1L))
+        val cents = graft.operators.SimilarityQueries
+          .ivfCents(graft.operators.SimilarityQueries.ivfVv(Tables.spread(vecsB)), nlist)
+          .localCheckpoint()
+        cands.toDF().writeStream
+          .outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("streamprobe_ckpt").toString)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            graft.streaming.StreamingAnn.route(b, cents).count(); ()
+          }
+      } else cands.writeStream
+        .format("noop")
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("streamprobe_ckpt").toString)
     // optional 5th arg: trigger interval in seconds. Each trigger pays a
     // fixed cost proportional to the TOUCHED-bucket count (state get/put
     // + changelog write per key), and the cycled corpus touches every

@@ -324,6 +324,46 @@ object SimilarityQueries extends QueryPack {
   private[graft] def ivfNprobe(nlist: Int): Int =
     (2 to 64).find(p => p * p >= nlist).getOrElse(64)
 
+  /** (vec_id, embedding, vv): the decimal-exact self-dot every IVF
+    * routing consumer starts from. */
+  private[graft] def ivfVv(vecsIn: DataFrame): DataFrame =
+    vecsIn.select(col("vec_id"), col("embedding"))
+      .withColumn("vv", dotExact(col("embedding"), col("embedding")))
+
+  /** The deterministic coarse centroid set: the nlist lowest-id vectors
+    * (cid, ce, cc). */
+  private[graft] def ivfCents(withVv: DataFrame, nlist: Int): DataFrame =
+    withVv.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("vv").as("cc"))
+
+  /** Narrow (vec_id, cid, fd) routing distances: full squared-L2
+    * (vv + cc − 2·dot, decimal-quantized terms) against the broadcast
+    * centroid set. */
+  private[graft] def ivfFdist(withVv: DataFrame, cents: DataFrame): DataFrame =
+    withVv.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (col("vv") + col("cc") - lit(2) * dotExact(col("embedding"), col("ce")))
+          .as("fd"))
+
+  /** Rank-1 inverted-list assignment from a routing-distance frame: the
+    * map-side-combinable argmin (min of struct(fd, cid) ≡ the (fd, cid)
+    * window's rank-1 row). ONE definition shared by the batch IVF+PQ
+    * index and the streaming incremental indexer
+    * ([[graft.streaming.StreamingAnn]]) — a drifted streaming copy would
+    * route stream-ingested vectors to different lists than the batch
+    * rebuild it must converge to. */
+  private[graft] def ivfLists(fdist: DataFrame): DataFrame =
+    fdist.groupBy(col("vec_id"))
+      .agg(min(struct(col("fd"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+
+  /** Batch index build: assign every vector of `vecsIn` to its inverted
+    * list under the corpus-derived geometry. */
+  private[graft] def ivfAssign(vecsIn: DataFrame, nlist: Int): DataFrame = {
+    val withVv = ivfVv(vecsIn)
+    ivfLists(ivfFdist(withVv, ivfCents(withVv, nlist)))
+  }
+
   /** SemDeDup cluster count: k = ⌈n/1024⌉ clamped to [16, 4096] —
     * constant ~1024-vector clusters so intra-cluster pair work stays
     * corpus-LINEAR (k·1024² comparisons). Integer arithmetic only; the
@@ -482,22 +522,12 @@ object SimilarityQueries extends QueryPack {
     val dists = pqDists(s, dir)
     val codes = pqCodes(dists)
     // routing distances: narrow (vec_id, cid, fd) frame via a broadcast
-    // of the ≤4096-row centroid set — never a shuffle of embeddings
-    val withVv = Tables.spread(Tables.load(s, dir, "embeddings"))
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("vv", dotExact(col("embedding"), col("embedding")))
-    val cents = withVv.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("vv").as("cc"))
-    val fdist = withVv.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
-        (col("vv") + col("cc") - lit(2) * dotExact(col("embedding"), col("ce")))
-          .as("fd"))
-    // rank-1 list assignment as a map-side-combinable argmin (min of
-    // struct(fd, cid) ≡ the (fd, cid) window's rank-1 row): shuffles n
-    // narrow rows, not the n×nlist assignment frame
-    val lists = fdist.groupBy(col("vec_id"))
-      .agg(min(struct(col("fd"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("lcid"))
+    // of the ≤4096-row centroid set — never a shuffle of embeddings;
+    // list assignment shuffles n narrow rows, not the n×nlist frame
+    // (ivfVv/ivfCents/ivfFdist/ivfLists — shared with StreamingAnn)
+    val withVv = ivfVv(Tables.spread(Tables.load(s, dir, "embeddings")))
+    val fdist = ivfFdist(withVv, ivfCents(withVv, nlist))
+    val lists = ivfLists(fdist).select(col("vec_id"), col("cid").as("lcid"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("fd"), col("cid"))
     val probes = fdist.filter(col("vec_id").isin(5, 6, 7, 8, 9))

@@ -10,6 +10,8 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, 
 
 case class DocText(doc_id: Long, text: String)
 
+case class VecRow(vec_id: Long, embedding: Array[Float])
+
 /** Structured Streaming behaviors (SURVEY §2.11): incremental windowed
   * aggregation, watermark-based late-data dropping, session merging, and
   * foreachBatch materialized-view maintenance — the Spark-native version
@@ -567,5 +569,62 @@ class StreamingSpec extends SparkSpec {
       assert(row(0).isNullAt(0) && row(0).getDouble(1) == 5.0,
         "unmatched purchase emits with null touch columns")
     } finally q.stop()
+  }
+
+  test("streaming IVF index: incremental routing matches the batch kernel and converges on refresh") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingAnn
+    val all = Tables.load(spark, sf(), "embeddings")
+      .select($"vec_id", $"embedding").as[VecRow].collect().sortBy(_.vec_id)
+    val n = all.length.toLong
+    val split = all.length / 2
+    val vecStore = Scratch.dir("graft_ann_store", sf())
+    val indexDir = Scratch.dir("graft_ann_index", sf())
+    // fresh dirs per run (Scratch reuses paths)
+    def wipe(d: String): Unit = {
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f): Unit)
+      }
+    }
+    wipe(vecStore); wipe(indexDir)
+    val in = MemoryStream[VecRow]
+    val q = StreamingAnn.indexStream(in.toDF(), vecStore, indexDir,
+      recentroidEvery = 1000) // epoch refresh only at batch 0; batch 1 routes incrementally
+    try {
+      // batch 0: the low-id half — contains every centroid the epoch
+      // derives (nlist(n/2) lowest ids), so batch 1's incremental routing
+      // runs against a centroid set that never changes mid-test
+      in.addData(all.take(split).toSeq: _*)
+      q.processAllAvailable()
+      val epochNlist = graft.operators.SimilarityQueries.ivfNlist(split.toLong)
+      // batch 1: the rest — routed incrementally, no rebuild
+      in.addData(all.drop(split).toSeq: _*)
+      q.processAllAvailable()
+      val idx = spark.read.parquet(indexDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(idx.size == all.length, s"index covers the corpus: ${idx.size} vs ${all.length}")
+      // incremental-routing pin: batch-1 arrivals carry EXACTLY the
+      // assignment the batch kernel computes at the epoch geometry
+      val expectedEpoch = graft.operators.SimilarityQueries
+        .ivfAssign(spark.read.parquet(vecStore), epochNlist)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      all.drop(split).foreach { v =>
+        assert(idx(v.vec_id) == expectedEpoch(v.vec_id),
+          s"vec ${v.vec_id}: incremental ${idx(v.vec_id)} != batch ${expectedEpoch(v.vec_id)}")
+      }
+    } finally q.stop()
+    // convergence pin: an epoch refresh rebuilds at the full-corpus
+    // geometry and the streamed index EQUALS the batch-built index
+    val finalNlist = StreamingAnn.refreshEpoch(spark, vecStore, indexDir)
+    assert(finalNlist == graft.operators.SimilarityQueries.ivfNlist(n))
+    val streamed = spark.read.parquet(indexDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchBuilt = graft.operators.SimilarityQueries
+      .ivfAssign(Tables.load(spark, sf(), "embeddings"), finalNlist)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batchBuilt,
+      s"streamed index must equal the batch index: ${(streamed diff batchBuilt).take(5)} / ${(batchBuilt diff streamed).take(5)}")
   }
 }
