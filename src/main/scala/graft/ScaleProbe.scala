@@ -25,7 +25,7 @@ import java.nio.file.{Files, Paths}
 object ScaleProbe {
   private[graft] val keyOffset = 1000000000L
 
-  private def scaleDocuments(spark: SparkSession, base: String, factor: Int): DataFrame = {
+  private[graft] def scaleDocuments(spark: SparkSession, base: String, factor: Int): DataFrame = {
     val d = Tables.load(spark, base, "documents")
     // 10 vowel permutations × 10 consonant rotations = 100 DISTINCT
     // character maps: with fewer than `factor` mappings the cycle repeats
@@ -51,7 +51,7 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
   }
 
-  private def scaleEmbeddings(spark: SparkSession, base: String, factor: Int): DataFrame = {
+  private[graft] def scaleEmbeddings(spark: SparkSession, base: String, factor: Int): DataFrame = {
     val e = Tables.load(spark, base, "embeddings")
     // 64 rotations × sign flip = 128 distinct isometries (norms and
     // pairwise base-set geometry preserved; replicas decorrelated) — the
@@ -110,10 +110,12 @@ object ScaleProbe {
     } else if (generated) {
       // reusing an existing GENERATED fixture (write-free base runs pass
       // out == base and are exempt): refuse a dir built by a different
-      // perturbation scheme — its replicas are a different corpus
+      // perturbation scheme OR a different factor — its replicas are a
+      // different corpus (a factor-10 dir silently reused for a
+      // "factor-100" run once measured a decade less data than labeled)
       val stamp = if (Files.exists(marker)) Files.readString(marker).trim else "<none>"
-      require(stamp.startsWith(perturbScheme),
-        s"fixture $out was built with scheme '$stamp', current is '$perturbScheme' — delete it and rerun")
+      require(stamp == s"$perturbScheme factor=$factor",
+        s"fixture $out was built as '$stamp', current is '$perturbScheme factor=$factor' — delete it and rerun")
     }
     if (!Files.exists(Paths.get(s"$out/events.parquet"))) {
       // events.ts round-trips as nanos-since-epoch LONG — the nanos-era
@@ -222,6 +224,17 @@ object ScaleProbe {
       "evt_attribution_unmatched", "sim_ivf_pq_recall", "scan_json_roundtrip")
     probes.foreach { n =>
       time(n)(SparkEntry.queries(n)(spark, out).count())
+    }
+    // IVF geometry detail for the routed-ANN probes: the corpus-derived
+    // coarse width at THIS fixture's volume, so a campaign's per-scale
+    // records show the probed fraction (nprobe/nlist ~ n^(-1/4))
+    // shrinking as the corpus grows — the evidence that routed search
+    // diverges from the full-scan ADC baseline with scale
+    if (only.forall(s => s.contains("sim_ivf_pq") || s.contains("sim_ann_ivf"))) {
+      val nVec = Tables.load(spark, out, "embeddings").count()
+      val nl = graft.operators.SimilarityQueries.ivfNlist(nVec)
+      val np = graft.operators.SimilarityQueries.ivfNprobe(nl)
+      println(f"""{"detail":"ivf_geometry","nVec":$nVec,"nlist":$nl,"nprobe":$np,"probedFraction":${np.toDouble / nl}%.4f}""")
     }
     // z-order skipping census at scale: a quarter-by-quarter box over
     // the clustered lineitem copy (written by the layout_zorder probe;

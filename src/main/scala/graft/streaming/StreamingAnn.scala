@@ -70,9 +70,30 @@ object StreamingAnn {
     * frame. Every trigger appends arrivals to `vecStore` and routes them
     * against the current epoch's centroids into `indexDir`; every
     * `recentroidEvery`-th batch (and batch 0, which seeds the index)
-    * runs [[refreshEpoch]] instead. */
+    * runs [[refreshEpoch]] instead.
+    *
+    * The epoch centroid frame is derived ONCE per refresh and pinned
+    * (localCheckpoint) for every routing trigger of the epoch — never
+    * re-read from the accumulated store per batch, which at production
+    * volume would pay a footer scan of the whole store every trigger
+    * and, worse, would silently ADMIT a just-arrived low vec_id into
+    * the centroid set mid-epoch (the documented contract is that such
+    * an arrival waits for the next refresh). After a restart the cache
+    * is rebuilt lazily from `vecStore` + the persisted nlist stamp —
+    * one store read, then pinned again. */
   def indexStream(vecs: DataFrame, vecStore: String, indexDir: String,
       recentroidEvery: Int = 4): StreamingQuery = {
+    // per-query epoch cache; foreachBatch runs these triggers serially
+    var epochCents: Option[DataFrame] = None
+    def pinEpochCents(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      val nlist = Files.readString(Paths.get(indexDir + "_nlist")).trim.toInt
+      val c = graft.operators.SimilarityQueries
+        .ivfCents(graft.operators.SimilarityQueries
+          .ivfVv(spark.read.parquet(vecStore)), nlist)
+        .localCheckpoint()
+      epochCents = Some(c)
+      c
+    }
     vecs.writeStream
       .outputMode("append")
       .option("checkpointLocation",
@@ -85,13 +106,11 @@ object StreamingAnn {
         val pinned = batch.persist()
         try {
           pinned.write.mode("append").parquet(vecStore)
-          if (id % recentroidEvery == 0) { refreshEpoch(spark, vecStore, indexDir); () }
-          else {
-            val nlist = Files.readString(Paths.get(indexDir + "_nlist")).trim.toInt
-            val withVv = graft.operators.SimilarityQueries
-              .ivfVv(spark.read.parquet(vecStore))
-            val cents = graft.operators.SimilarityQueries
-              .ivfCents(withVv, nlist)
+          if (id % recentroidEvery == 0) {
+            refreshEpoch(spark, vecStore, indexDir)
+            pinEpochCents(spark); ()
+          } else {
+            val cents = epochCents.getOrElse(pinEpochCents(spark))
             route(pinned, cents).write.mode("append").parquet(indexDir)
           }
         } finally { pinned.unpersist(); () }

@@ -10,7 +10,7 @@ over the fixture parquet, read the Spark result parquet, sort columns by
 name, and compare values exactly (row order must match — every query is
 expected to end in a total ORDER BY).
 """
-import sys, json, glob, math
+import os, sys, json, glob, math
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -30,7 +30,12 @@ def main():
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        path = f"{sf}/{t}.parquet"
+        # driver fixtures are single files; Spark-written fixtures (the
+        # sf1-class decade sweep) are part-file directories
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     # optional 3rd arg: "only=a,b" or "skip=a,b" query-name filter.
     # STRICT: an unknown mode or a name matching no oracle exits nonzero

@@ -16,7 +16,7 @@ to agree per column name under a small equivalence map (DECIMAL widths and
 VARCHAR lengths are ignored; HUGEINT never matches anything Spark writes,
 so it is always an error).
 """
-import sys, json, glob, re
+import os, sys, json, glob, re
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -55,7 +55,12 @@ def main():
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        path = f"{sf}/{t}.parquet"
+        # driver fixtures are single files; Spark-written fixtures (the
+        # sf1-class decade sweep) are part-file directories
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
     failures = []
