@@ -179,8 +179,85 @@ object GraphQueries extends QueryPack {
       e.unpersist()
       o.unpersist()
       result
-    }
+    },
+
+    // Multi-source hop-bounded BFS ("degrees of separation" from a seed
+    // set — the web-graph trust/spam-distance propagation used in
+    // crawl-quality filtering, TrustRank's first half). Seeds are the
+    // NATION_7 customers; 4 relaxation rounds label every node with its
+    // hop distance to the nearest seed. The oracle unrolls the identical
+    // rounds as min-fold CTEs (d_{k+1} = MIN over d_k ∪ relax(d_k)) —
+    // for UNWEIGHTED edges the engine's frontier recursion computes the
+    // same function: a node's first reach is its hop distance, and
+    // min-fold never lowers it afterwards. All-integer arithmetic, so
+    // the cross-engine hash is exact.
+    Q(
+      "graph_shortest_path",
+      s"""WITH $oEdges,
+         |s0 AS (
+         |  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS id, 0 AS dist
+         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_7'),
+         |${oBfsStep("s0", "d1")},
+         |${oBfsStep("d1", "d2")},
+         |${oBfsStep("d2", "d3")},
+         |${oBfsStep("d3", "d4")}
+         |SELECT id, CAST(dist AS INT) AS dist FROM d4
+         |ORDER BY dist, id""".stripMargin
+    ) { (s, dir) => shortestPath(s, dir, rounds = 4) }
   )
+
+  /** One oracle BFS round: settled ∪ one-hop relax, min per node. */
+  private def oBfsStep(prev: String, next: String): String =
+    s"""$next AS (
+       |  SELECT id, MIN(dist) AS dist FROM (
+       |    SELECT id, dist FROM $prev
+       |    UNION ALL
+       |    SELECT e.dst AS id, p.dist + 1 AS dist
+       |    FROM edges e JOIN $prev p ON p.id = e.src)
+       |  GROUP BY id)""".stripMargin
+
+  /** Frontier BFS with the iteration count exposed (gate runs 4 to match
+    * the oracle's unrolled CTEs). Scale shape: each round joins ONLY the
+    * newly-settled frontier against the edge list (hash join on src) and
+    * anti-joins the settled set to drop revisits — per-round work is
+    * frontier × degree, NOT settled × degree, which is what makes
+    * 20-round diameters affordable on a web graph. The settled set grows
+    * monotonically; each round's result is persisted and the previous
+    * round's unpersisted so lineage stays one round deep (the pagerank
+    * checkpoint discipline, but per-round because BFS frontiers feed two
+    * consumers each round). */
+  def shortestPath(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val e = edges(s, dir).persist()
+    val nat = Tables.load(s, dir, "nation")
+      .filter(col("n_name") === "NATION_7").select(col("n_nationkey"))
+    val seeds = Tables.load(s, dir, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(concat(lit("c"), col("c_custkey").cast("string")).as("id"),
+        lit(0).as("dist"))
+    var settled = seeds.persist()
+    var frontier = seeds
+    var toFree = List.empty[DataFrame]
+    for (_ <- 1 to rounds) {
+      val reached = frontier.as("f")
+        .join(e.as("e"), col("f.id") === col("e.src"))
+        .select(col("e.dst").as("id"), (col("f.dist") + 1).as("dist"))
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+      val fresh = reached.join(settled, Seq("id"), "left_anti").persist()
+      val next = settled.unionAll(fresh).persist()
+      toFree = settled :: fresh :: toFree
+      settled = next
+      frontier = fresh
+    }
+    val result = settled
+      .select(col("id"), col("dist").cast("int").as("dist"))
+      .orderBy(col("dist"), col("id"))
+      .localCheckpoint(true)
+    toFree.foreach(_.unpersist())
+    settled.unpersist()
+    e.unpersist()
+    result
+  }
 
   /** PageRank body with the iteration count exposed: the gate query runs
     * 3 (matching the oracle's unrolled CTEs); ScaleProbe drives 10 to

@@ -627,4 +627,63 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchBuilt,
       s"streamed index must equal the batch index: ${(streamed diff batchBuilt).take(5)} / ${(batchBuilt diff streamed).take(5)}")
   }
+
+  test("streaming Misra-Gries top-k: bounds hold and the left fold equals one-shot batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingTopK
+    import graft.streaming.StreamingTopK.Item
+    val m = 8
+    val shards = 4
+    // skewed synthetic stream: heavy hitters h0..h3 at 120/80/60/40
+    // arrivals, plus 300 singleton keys that should be squeezed out
+    val heavy = Seq("h0" -> 120, "h1" -> 80, "h2" -> 60, "h3" -> 40)
+    val noise = (0 until 300).map(i => s"noise_$i" -> 1)
+    val itemsRaw = (heavy ++ noise).flatMap { case (k, c) => Seq.fill(c)(k) }
+    // deterministic interleave (splitmix-style), itemIds = position
+    val items = itemsRaw.zipWithIndex
+      .sortBy { case (_, i) => (i * 0x9E3779B97F4A7C15L) ^ (i >>> 3) }
+      .zipWithIndex.map { case ((k, _), id) => Item(id.toLong, k) }
+    val in = MemoryStream[Item]
+    val q = StreamingTopK.summarize(in.toDS(), m, shards)
+      .writeStream.format("memory").queryName("topk_sink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // three micro-batches split in itemId order (the left-fold contract)
+      val (b1, rest) = items.splitAt(items.size / 3)
+      val (b2, b3) = rest.splitAt(rest.size / 3)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      in.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    // latest summary per shard = the rows carrying that shard's max n
+    val all = spark.sql("SELECT shard, item, est, shardN FROM topk_sink").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val latest = all.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val maxN = rows.map(_._4).max
+      rows.filter(_._4 == maxN).toSeq
+    }
+    val exact = items.groupBy(_.item).map { case (k, g) => k -> g.size.toLong }
+    val shardN = items.groupBy(i => StreamingTopK.shardOf(i.item, shards))
+      .map { case (s, g) => s -> g.size.toLong }
+    // MG bounds per shard: underestimate, error ≤ N_shard/(m+1), containment
+    latest.foreach { case (s, k, est, n) =>
+      assert(n == shardN(s), s"shard $s summary n=$n, arrivals=${shardN(s)}")
+      assert(est <= exact(k), s"$k: est $est must not exceed exact ${exact(k)}")
+      assert(exact(k) - est <= n / (m + 1),
+        s"$k: exact ${exact(k)} - est $est exceeds ${n / (m + 1)}")
+    }
+    heavy.foreach { case (k, c) =>
+      val s = StreamingTopK.shardOf(k, shards)
+      if (c > shardN(s) / (m + 1))
+        assert(latest.exists(r => r._2 == k),
+          s"heavy hitter $k (exact $c > ${shardN(s)}/${m + 1}) must survive")
+    }
+    // left-fold pin: one-shot batch mapGroupsWithState over the same
+    // items (same itemId order) yields bit-identical summaries
+    val batch = StreamingTopK.summarize(items.toDS(), m, shards).collect()
+      .map(r => (r.shard, r.item, r.est, r.shardN)).toSet
+    assert(latest.toSet == batch,
+      s"streamed final summaries must equal the one-shot batch fold: " +
+        s"${(latest.toSet diff batch).take(5)} / ${(batch diff latest.toSet).take(5)}")
+  }
 }
