@@ -1396,6 +1396,94 @@ object TextQueries extends QueryPack {
     // is the output artifact, exactly what a tokenizer build emits.
     Q("pipeline_bpe_train", bpeOracle(12)) { (s, dir) => bpeTrain(s, dir, 12) },
 
+    // DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    // the hashed-ngram data-selection method behind several public LLM
+    // corpora): score every raw document by how much its hashed-bigram
+    // distribution looks like a TARGET corpus (here: the English slice)
+    // versus the raw pool, then keep the top-scoring docs. Features are
+    // hashed bigrams in B=256 buckets (feature hashing is a MODEL
+    // dimension, fixed by design — collisions are part of the estimator,
+    // so unlike IVF's nlist it must NOT grow with the corpus); bucket
+    // log-ratios λ(b) = ln p̂_target(b) − ln p̂_raw(b) use Laplace
+    // smoothing and are quantized to DECIMAL(18,9) so the per-doc sum
+    // Σ count(b)·λ(b) folds order-independently and bit-matches the
+    // oracle. Scale shape: one corpus pass builds the bucket counts
+    // (shuffle state = B rows), the λ model is B rows broadcast back,
+    // and scoring is a second corpus pass + per-doc partial agg — the
+    // model never leaves executor memory, the corpus never funnels.
+    Q(
+      "pipeline_dsir",
+      """WITH toks AS (
+        |  SELECT doc_id, source, lang, string_split(text, ' ') AS t
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, lang,
+        |         unnest(list_transform(range(1, len(t)),
+        |                i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM toks WHERE len(t) >= 2),
+        |bk AS (
+        |  SELECT doc_id, lang,
+        |         CAST(('0x' || substring(md5(g), 1, 6)) AS BIGINT) % 256 AS b
+        |  FROM bi),
+        |rc AS (SELECT b, COUNT(*) AS cr FROM bk GROUP BY b),
+        |tc AS (SELECT b, COUNT(*) AS ct FROM bk WHERE lang = 'en' GROUP BY b),
+        |nt AS (SELECT COUNT(*) AS n FROM bk WHERE lang = 'en'),
+        |nr AS (SELECT COUNT(*) AS n FROM bk),
+        |lam AS (
+        |  SELECT rc.b,
+        |         CAST(ln((COALESCE(tc.ct, 0) + 1.0) / ((SELECT n FROM nt) + 256.0))
+        |            - ln((rc.cr + 1.0) / ((SELECT n FROM nr) + 256.0))
+        |           AS DECIMAL(18,9)) AS lam
+        |  FROM rc LEFT JOIN tc ON tc.b = rc.b),
+        |wt AS (
+        |  SELECT bk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |         CAST(SUM(lam.lam) AS DOUBLE) AS weight
+        |  FROM bk JOIN lam ON lam.b = bk.b
+        |  GROUP BY bk.doc_id)
+        |SELECT t.doc_id, t.source, t.lang, wt.n_bigrams, wt.weight
+        |FROM wt JOIN toks t ON t.doc_id = wt.doc_id
+        |ORDER BY wt.weight DESC, t.doc_id
+        |LIMIT 100""".stripMargin
+    ) { (s, dir) =>
+      val B = 256
+      val docs = Tables.spread(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          split(col("text"), " ").as("t"))
+      val bk = docs.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("g"))
+        .select(col("doc_id"), col("lang"), expr(
+          s"CAST(conv(substring(md5(g), 1, 6), 16, 10) AS BIGINT) % $B").as("b"))
+        .persist()
+      val rc = bk.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      val tc = bk.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val nt = bk.filter(col("lang") === "en")
+        .agg(count(lit(1)).cast("double").as("n_t"))
+      val nr = bk.agg(count(lit(1)).cast("double").as("n_r"))
+      val lam = rc.join(tc, Seq("b"), "left")
+        .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+        .select(col("b"),
+          (log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("n_t") + B))
+            - log((col("cr") + 1.0) / (col("n_r") + B)))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("lam"))
+      val wt = bk.join(broadcast(lam), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lam")).as("w"))
+        .select(col("doc_id"), col("n_bigrams"),
+          col("w").cast("double").as("weight"))
+      val result = wt.join(docs.select(col("doc_id"), col("source"), col("lang")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_bigrams"), col("weight"))
+        .orderBy(col("weight").desc, col("doc_id"))
+        .limit(100)
+        .localCheckpoint(true)
+      bk.unpersist()
+      result
+    },
+
     // Data-quality expectations sweep — the dbt-tests / Great
     // Expectations shape a pipeline runs before training on a corpus:
     // uniqueness, non-null/non-empty, derived-column consistency, value

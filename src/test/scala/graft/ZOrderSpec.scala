@@ -28,14 +28,20 @@ class ZOrderSpec extends SparkSpec {
       .sortWithinPartitions(col("l_partkey"))
       .write.mode("overwrite").parquet(sPath)
 
-    // query box ~1/4 of each dimension → ~1/16 of the plane; a perfect
-    // 2-D layout hits ~1/16 of the groups + boundary, the 1-D layout
-    // hits every group matching the partkey slice regardless of suppkey
+    // query box: HALF the partkey range × a QUARTER of suppkey → 1/8 of
+    // the plane. The wide partkey slice is what separates the layouts:
+    // the 1-D sort prunes on partkey only, so it must read ~half the
+    // groups no matter what the suppkey predicate says, while the 2-D
+    // layout reads ~area fraction + Morton boundary. (A 1/4×1/4 box
+    // does NOT separate them — 1-D partkey pruning alone already
+    // confines it to ~4/16, tying z-order's ~4/16 within the ±1
+    // row-group variance repartitionByRange's split-point sampling
+    // introduces between identical runs.)
     val mm = li.agg(min("l_partkey"), max("l_partkey"),
       min("l_suppkey"), max("l_suppkey")).first()
     val (pLo, pHi) = (mm.getLong(0), mm.getLong(1))
     val (sLo, sHi) = (mm.getLong(2), mm.getLong(3))
-    val (qpLo, qpHi) = (pLo, pLo + (pHi - pLo) / 4)
+    val (qpLo, qpHi) = (pLo, pLo + (pHi - pLo) / 2)
     val (qsLo, qsHi) = (sLo, sLo + (sHi - sLo) / 4)
 
     val (zTotal, zHit) = plans.ZOrder.rowGroupBoxCensus(spark, zPath,
@@ -43,12 +49,14 @@ class ZOrderSpec extends SparkSpec {
     val (sTotal, sHit) = plans.ZOrder.rowGroupBoxCensus(spark, sPath,
       "l_partkey", qpLo, qpHi, "l_suppkey", qsLo, qsHi)
     assert(zTotal >= 16 && sTotal >= 16, s"expected >=16 row groups: $zTotal / $sTotal")
-    // 1-D: partkey pruning works (≈1/4 survive) but every survivor's
+    // 1-D: partkey pruning keeps ≈half the groups and every survivor's
     // suppkey range spans the domain; 2-D must beat it outright
     assert(zHit < sHit,
       s"z-order must skip more than a 1-D sort: z $zHit/$zTotal vs 1-D $sHit/$sTotal")
-    assert(zHit.toDouble / zTotal <= 0.3,
-      s"z-order should confine a 1/16-plane box to <=30% of row groups: $zHit/$zTotal")
+    // 1/8-plane area + Morton-boundary overlap: ≤40% of groups (the 1-D
+    // layout is pinned above ~50% by its partkey-only pruning)
+    assert(zHit.toDouble / zTotal <= 0.4,
+      s"z-order should confine a 1/8-plane box to <=40% of row groups: $zHit/$zTotal")
 
     // and the layout changes no results: box aggregate identical on
     // the clustered copy and the original
