@@ -165,10 +165,34 @@ object StreamProbe {
             (v, e)
           }
           .toDF("vec_id", "embedding")
+      case "topk" =>
+        // continuous heavy-hitters throughput: Zipf(≈1)-skewed keys over
+        // a 10M-key space (log-uniform rank from a splitmix draw — rank 1
+        // arrives ~16× as often as rank 10⁷ per e-fold), folded into
+        // per-shard Misra-Gries summaries (m=64 counters × 32 shards:
+        // 2048 state rows TOTAL regardless of distinct-key volume). The
+        // cost is the shard shuffle + the per-row counter probe; state
+        // serde is the per-trigger constant (whole summary round-trips
+        // per touched shard, the StreamingDedup lesson).
+        val items = spark.readStream.format("rate")
+          .option("rowsPerSecond", rate)
+          .option("numPartitions", spark.sparkContext.defaultParallelism)
+          .load()
+          .select(col("value")).as[Long]
+          .map { v =>
+            var z = v + 0x9E3779B97F4A7C15L
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            z = z ^ (z >>> 31)
+            val u = (z >>> 11).toDouble / (1L << 53).toDouble
+            val rank = math.exp(u * math.log(1e7)).toLong
+            graft.streaming.StreamingTopK.Item(v, "k" + rank)
+          }
+        graft.streaming.StreamingTopK.summarize(items, m = 64, shards = 32).toDF()
       case other =>
         // fail LOUDLY: a typo silently falling back to dedup would
         // record a stateful measurement under a decontam-looking label
-        sys.error(s"unknown op '$other': expected dedup | dedup_fresh | decontam | attribution | ann")
+        sys.error(s"unknown op '$other': expected dedup | dedup_fresh | decontam | attribution | ann | topk")
     }
 
     var writer =
@@ -189,7 +213,9 @@ object StreamProbe {
           }
       } else cands.writeStream
         .format("noop")
-        .outputMode("append")
+        // topk's flatMapGroupsWithState is declared Update (summaries
+        // re-emit as counters move); everything else appends
+        .outputMode(if (op == "topk") "update" else "append")
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("streamprobe_ckpt").toString)
     // optional 5th arg: trigger interval in seconds. Each trigger pays a
