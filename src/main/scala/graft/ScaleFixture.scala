@@ -19,8 +19,8 @@ import java.nio.file.{Files, Paths}
   *     join pressure the decade sweep wants.
   *   - events: replicated with offset event_id/user_id (independent
   *     user populations per replica, so session/funnel semantics are
-  *     realistic rather than interleaved); nanos-era ts layout,
-  *     normalized back by Tables.load's schema gate.
+  *     realistic rather than interleaved); ts written as timestamp_ntz
+  *     so DuckDB reads a real TIMESTAMP (see the guard below).
   *   - documents/embeddings: ScaleProbe's perturbation replicas (100
   *     distinct character maps / 128 isometries) so dedup and ANN
   *     operators see decorrelated near-dup structure, not synthetic
@@ -50,13 +50,23 @@ object ScaleFixture {
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       ScaleProbe.scaleEmbeddings(spark, base, factor)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-      ScaleProbe.scaleKeyed(spark, base, "events", Seq("event_id", "user_id"), factor)
-        .withColumn("ts", expr("unix_micros(ts)") * 1000L)
-        .write.mode("overwrite").parquet(s"$out/events.parquet")
       ScaleProbe.scaleKeyed(spark, base, "orders", Seq("o_orderkey"), factor)
         .write.mode("overwrite").parquet(s"$out/orders.parquet")
       ScaleProbe.scaleKeyed(spark, base, "lineitem", Seq("l_orderkey"), factor)
         .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    }
+    // events get their own guard + the MICROS/NTZ layout, NOT ScaleProbe's
+    // nanos-long layout: this fixture feeds the DuckDB oracle, which reads
+    // the parquet directly — a nanos-era LONG column is just BIGINT to it
+    // and every ts-typed oracle dies on the cast (the r14 sweep's 17
+    // failures). timestamp_ntz writes parquet TIMESTAMP(MICROS,
+    // isAdjustedToUTC=false): DuckDB reads naive TIMESTAMP, Tables.load's
+    // schema gate normalizes the TIMESTAMP_NTZ read to session-local
+    // TimestampType — the driver's own micros-era fixture layout.
+    if (!Files.exists(Paths.get(s"$out/events.parquet"))) {
+      ScaleProbe.scaleKeyed(spark, base, "events", Seq("event_id", "user_id"), factor)
+        .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp_ntz"))
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
     }
     Tables.names.foreach { n =>
       println(s"[fixture] $n rows=" + Tables.load(spark, out, n).count())

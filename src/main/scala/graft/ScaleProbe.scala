@@ -332,6 +332,20 @@ object ScaleProbe {
     time("graph_pagerank_20iter_uncut_10x")(
       graft.operators.GraphQueries.pagerank(spark, out, iters = 20,
         checkpointEvery = 999).count())
+    // frontier BFS: per-round work is frontier × degree; at 8 rounds the
+    // frontier has long since saturated (graph diameter ~4), so the
+    // probe measures the settled-set anti-join's scaling, the one piece
+    // that grows with corpus size even when the frontier is empty
+    time("graph_bfs_8round_base")(
+      graft.operators.GraphQueries.shortestPath(spark, base, rounds = 8).count())
+    time("graph_bfs_8round_10x")(
+      graft.operators.GraphQueries.shortestPath(spark, out, rounds = 8).count())
+    // DSIR scoring: two corpus passes + a B-row broadcast model — wall
+    // should track corpus size linearly, never the distinct-bigram count
+    time("dsir_score_base")(
+      graft.SparkEntry.queries("pipeline_dsir")(spark, base).count())
+    time("dsir_score_10x")(
+      graft.SparkEntry.queries("pipeline_dsir")(spark, out).count())
     graft.operators.DedupQueries.evictSharedPairs(spark)
     spark.stop()
   }

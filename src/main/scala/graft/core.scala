@@ -201,15 +201,43 @@ object Scratch {
 object Exact {
   val dec: DecimalType = DecimalType(28, 6)
 
-  /** Exact, order-independent sum of a double column. */
+  /** Exact, order-independent sum of a double column.
+    *
+    * CAVEAT (the r14 sf1 sweep's q1 divergence): the FINAL decimal→double
+    * cast is only engine-identical while the decimal's UNSCALED value
+    * stays below 2^53. Above that, DuckDB's int→double-then-divide
+    * double-rounds where the JVM rounds the exact decimal correctly — a
+    * 1-ulp disagreement that strikes when the value lands near a rounding
+    * boundary (total ~2.8e10 at scale 6 = 2.8e16 unscaled did, at sf1).
+    * For corpus-scale money totals use [[dsum2]]: cents have four more
+    * decades of headroom (safe to ~9e13 magnitude, not ~9e9). */
   def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+
+  /** [[dsum]] with the output quantized to scale 2 (cents) BEFORE the
+    * double cast, keeping the unscaled value under 2^53 so both engines'
+    * decimal→double conversions are the same correctly-rounded result.
+    * round() half-away-from-zero on the EXACT decimal matches on both
+    * sides (Spark HALF_UP == DuckDB round(); note DuckDB's bare decimal
+    * DOWNSCALE CAST truncates, which is why this must be round()). */
+  def dsum2(c: Column): Column = round(sum(c.cast(dec)), 2).cast("double")
 
   /** avg as exact-sum / count so both engines divide identical doubles. */
   def davg(c: Column): Column = dsum(c) / count(c)
 
+  /** [[davg]] over the cents-quantized sum — the 2^53-safe variant for
+    * money averages whose corpus-total numerator outgrows [[dsum]]. */
+  def davg2(c: Column): Column = dsum2(c) / count(c)
+
   /** DuckDB-side spelling of dsum. */
   def oSum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(28,6))) AS DOUBLE)"
 
+  /** DuckDB-side spelling of dsum2. */
+  def oSum2(e: String): String =
+    s"CAST(round(SUM(CAST($e AS DECIMAL(28,6))), 2) AS DOUBLE)"
+
   /** DuckDB-side spelling of davg. */
   def oAvg(e: String): String = s"(${oSum(e)} / COUNT($e))"
+
+  /** DuckDB-side spelling of davg2. */
+  def oAvg2(e: String): String = s"(${oSum2(e)} / COUNT($e))"
 }

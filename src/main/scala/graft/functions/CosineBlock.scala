@@ -71,9 +71,12 @@ case class CosinePairsExpr(children: Seq[Expression])
       while (j < nB) {
         val den = na * bNorms(j)
         // cheap double pre-filter: sound per the dotDoubleF error bound
-        // (< 1e-6 of the exact cosine); the exact dot decides, and its
-        // value is what gets emitted — results are bit-identical
-        if (FastOps.dotDoubleF(ea, bVecs(j)) / den >= thr - 1e-6) {
+        // PLUS the µ-quantization shift (elements move ≤ 5e-7 each, so
+        // the quantized cosine sits within ~2e-5/den of the double one
+        // for 64-dim unit-ish vectors; 1e-4 covers it with margin while
+        // den ≥ 0.1 — the fixture's norms are ≥ 1). The exact dot
+        // decides, and its value is what gets emitted — bit-identical
+        if (FastOps.dotDoubleF(ea, bVecs(j)) / den >= thr - 1e-4) {
           val cos = FastOps.dotExactF(ea, bVecs(j)) / den
           if (cos >= thr) {
             val idb = bIds(j)
@@ -160,7 +163,8 @@ case class CosineBucketPairsExpr(children: Seq[Expression])
           // at a near-random threshold ~every candidate fails the cut, so
           // skipping the quantized loop for provably-below pairs removes
           // the dominant per-pair cost; emitted cosines stay exact
-          if (FastOps.dotDoubleF(ea, bVecs(j)) / den >= thr - 1e-6) {
+          // (same widened 1e-4 margin as above for the µ-quantized dot)
+          if (FastOps.dotDoubleF(ea, bVecs(j)) / den >= thr - 1e-4) {
             val cos = FastOps.dotExactF(ea, bVecs(j)) / den
             if (cos >= thr) {
               val idb = bIds(j)

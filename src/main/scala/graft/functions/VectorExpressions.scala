@@ -25,38 +25,40 @@ import org.apache.spark.sql.types._
   */
 object FastOps {
 
-  /** HALF_UP quantization of a double to scale 12 — semantically identical
-    * to Spark's Cast(double → decimal(_,12)) (which goes through
-    * BigDecimal(Double.toString(p)).setScale(12, HALF_UP)) but in pure
-    * double arithmetic on the fast path.
-    *
-    * Soundness: 10^12 is exactly representable, so x = fl(p·10^12) is
-    * within 0.5 ulp(x) of the true product p·10^12. The HALF_UP result can
-    * only differ from round-on-x when the true value lies within that
-    * error of a .5 boundary — so anything farther than 2 ulp from the
-    * boundary is decided exactly; the rare ambiguous case (and |x| beyond
-    * 2^53, which cannot happen for |p|<9e3) falls back to BigDecimal. */
-  private def quant12(p: Double): Long = {
-    val x = p * 1e12
-    val a = math.abs(x)
-    val fl = math.floor(a)
-    val fr = a - fl
-    if (math.abs(fr - 0.5) > math.ulp(a) * 2.0 + 1e-12) {
-      val q = if (fr > 0.5) fl + 1.0 else fl
-      if (x < 0) -q.toLong else q.toLong
-    } else
-      new JBigDecimal(java.lang.Double.toString(p))
-        .setScale(12, RoundingMode.HALF_UP).unscaledValue().longValueExact()
+  /** µ-unit (scale-6) quantization of one ELEMENT, half away from zero —
+    * the lockstep primitive behind every exact dot product since the r14
+    * sf1 sweep. The pre-r14 semantics quantized the per-element PRODUCT
+    * to scale 12, which pinned the engine to Spark's exact-expansion
+    * HALF_UP while the oracle rode DuckDB's double-multiply CAST — two
+    * algorithms that disagree whenever the product's exact ·10^12 image
+    * sits within a double-rounding window of a .5 boundary (~2e-6 per
+    * element; first struck at sf1 volume). Quantizing the ELEMENT instead
+    * is decision-free for FLOAT inputs: v·10^6 = m·5^6/2^(k-6) needs at
+    * most 24+14 = 38 significant bits, so fl(v·10^6) is EXACT, x+0.5 is
+    * exact (39 bits), and floor half-away-from-zero here computes the
+    * same integer as DuckDB's round() on the same exact double — zero
+    * ambiguity, on every float, on both engines. (For an arbitrary
+    * DOUBLE operand — the LSH hyperplane side — v·10^6 can round first,
+    * leaving a ~1e-10-per-element ambiguity window: four orders tighter
+    * than the old product quantization.) */
+  private def q6(v: Double): Long = {
+    val x = v * 1e6
+    (if (x >= 0) math.floor(x + 0.5) else -math.floor(0.5 - x)).toLong
   }
 
-  /** Exact decimal(·,12)-quantized dot product of two float vectors.
-    * |dot| < 9.2e6 is guaranteed exact (unscaled long headroom). */
+  /** Exact dot product of two µ-quantized float vectors:
+    * Σ q6(aᵢ)·q6(bᵢ) in long arithmetic (scale 12 — exact while
+    * n·(10^6·max|v|)² < 2^63, i.e. any realistic embedding), then ONE
+    * correctly-rounded conversion to double — bit-identical to the
+    * oracle's SUM(round(a·10^6)·round(b·10^6))/1e12 because the integer
+    * sum is exact on both engines (< 2^53) and IEEE division by the
+    * exactly-representable 10^12 is correctly rounded. */
   def dotExact(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0L
     var i = 0
     while (i < n) {
-      acc += quant12(a.getFloat(i).toDouble * b.getFloat(i).toDouble)
+      acc += q6(a.getFloat(i).toDouble) * q6(b.getFloat(i).toDouble)
       i += 1
     }
     new JBigDecimal(java.math.BigInteger.valueOf(acc), 12).doubleValue()
@@ -70,7 +72,7 @@ object FastOps {
     var acc = 0L
     var i = 0
     while (i < n) {
-      acc += quant12(a(i).toDouble * b(i).toDouble)
+      acc += q6(a(i).toDouble) * q6(b(i).toDouble)
       i += 1
     }
     new JBigDecimal(java.math.BigInteger.valueOf(acc), 12).doubleValue()
@@ -79,20 +81,22 @@ object FastOps {
   /** Plain double dot — the cheap PRE-FILTER for the exact kernels: ~20×
     * faster than the quantized loop (no per-element rounding decision).
     * Accumulation error is ≤ (n−1)·eps·‖a‖‖b‖ ≈ 1.4e-14·‖a‖‖b‖ at
-    * n = 64, and the quantized dot differs from the true dot by ≤
-    * n·0.5e-12 — so a candidate whose double cosine falls below
-    * thr − 1e-6 can NEVER reach thr under the exact dot. The emitted
+    * n = 64, and the µ-quantized dot differs from the true dot by ≤
+    * Σᵢ 5e-7·(|aᵢ|+|bᵢ|) ≈ 4e-6·(‖a‖₁+‖b‖₁)/8 for n = 64 — so a
+    * candidate whose double cosine falls below thr − 1e-4 can NEVER
+    * reach thr under the exact dot (norm-side quantization shifts den by
+    * a further ~1e-6 relative, absorbed by the same margin). The emitted
     * cosine always comes from [[dotExactF]]; this only skips pairs that
     * are provably below threshold.
     *
-    * MINIMUM-NORM ASSUMPTION: the 1e-6 margin is an absolute COSINE
-    * margin, but the quantized dot's absolute error (~n·0.5e-12) divides
-    * by den = ‖a‖·‖b‖ when converted to cosine. The "never lose a true
-    * pair" guarantee therefore requires ‖a‖·‖b‖ ≥ n·0.5e-12 / 1e-6
-    * (≈ 3.2e-5 at n = 64). Real embedding corpora are unit-ish-norm and
-    * clear this by orders of magnitude; a corpus with near-zero vectors
-    * must scale the margin by 1/den (or drop the pre-filter) or risk
-    * silently losing above-threshold pairs. */
+    * MINIMUM-NORM ASSUMPTION: the 1e-4 margin is an absolute COSINE
+    * margin, but the quantized dot's absolute error (~n·5e-7·max|v|·2)
+    * divides by den = ‖a‖·‖b‖ when converted to cosine. The "never lose
+    * a true pair" guarantee therefore requires den ≳ 0.1 at n = 64.
+    * Real embedding corpora are unit-ish-norm and clear this easily; a
+    * corpus with near-zero vectors must scale the margin by 1/den (or
+    * drop the pre-filter) or risk silently losing above-threshold
+    * pairs. */
   def dotDoubleF(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
     var acc = 0.0
@@ -104,14 +108,15 @@ object FastOps {
     acc
   }
 
-  /** Same quantized-exact dot where the second side is double (e.g. LSH
-    * hyperplanes). */
+  /** Same µ-quantized dot where the second side is double (e.g. LSH
+    * hyperplanes) — see [[q6]] for the (tiny) ambiguity window the
+    * arbitrary-double side retains. */
   def dotExactFD(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0L
     var i = 0
     while (i < n) {
-      acc += quant12(a.getFloat(i).toDouble * b.getDouble(i))
+      acc += q6(a.getFloat(i).toDouble) * q6(b.getDouble(i))
       i += 1
     }
     new JBigDecimal(java.math.BigInteger.valueOf(acc), 12).doubleValue()

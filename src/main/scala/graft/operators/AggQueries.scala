@@ -43,14 +43,18 @@ object AggQueries extends QueryPack {
     // TPC-H Q1 shape: the reference demo's flagship agg (demo-ecommerce.sh).
     Q(
       "q1_pricing_summary",
+      // money totals through oSum2/dsum2 (cents-quantized before the
+      // double cast): at sf1 this query's corpus-scale sums crossed the
+      // 2^53 unscaled bound and DuckDB's double-rounded decimal→double
+      // cast diverged from the JVM's by 1 ulp on sum_charge (see Exact)
       s"""SELECT l_returnflag, l_linestatus,
-         |  ${oSum("l_quantity")} AS sum_qty,
-         |  ${oSum("l_extendedprice")} AS sum_base_price,
-         |  ${oSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
-         |  ${oSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
-         |  ${oAvg("l_quantity")} AS avg_qty,
-         |  ${oAvg("l_extendedprice")} AS avg_price,
-         |  ${oAvg("l_discount")} AS avg_disc,
+         |  ${oSum2("l_quantity")} AS sum_qty,
+         |  ${oSum2("l_extendedprice")} AS sum_base_price,
+         |  ${oSum2("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${oSum2("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |  ${oAvg2("l_quantity")} AS avg_qty,
+         |  ${oAvg2("l_extendedprice")} AS avg_price,
+         |  ${oAvg2("l_discount")} AS avg_disc,
          |  COUNT(*) AS count_order
          |FROM lineitem
          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -61,13 +65,13 @@ object AggQueries extends QueryPack {
         .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
-          davg(col("l_quantity")).as("avg_qty"),
-          davg(col("l_extendedprice")).as("avg_price"),
-          davg(col("l_discount")).as("avg_disc"),
+          dsum2(col("l_quantity")).as("sum_qty"),
+          dsum2(col("l_extendedprice")).as("sum_base_price"),
+          dsum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum2(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          davg2(col("l_quantity")).as("avg_qty"),
+          davg2(col("l_extendedprice")).as("avg_price"),
+          davg2(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
@@ -76,14 +80,14 @@ object AggQueries extends QueryPack {
     Q(
       "agg_global",
       s"""SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_custkey) AS n_cust,
-         |  ${oSum("o_totalprice")} AS total, MIN(o_orderdate) AS first_order,
+         |  ${oSum2("o_totalprice")} AS total, MIN(o_orderdate) AS first_order,
          |  MAX(o_orderdate) AS last_order
          |FROM orders""".stripMargin
     ) { (s, dir) =>
       Tables.load(s, dir, "orders").agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("o_custkey")).as("n_cust"),
-        dsum(col("o_totalprice")).as("total"),
+        dsum2(col("o_totalprice")).as("total"),
         min(col("o_orderdate")).as("first_order"),
         max(col("o_orderdate")).as("last_order"))
     },

@@ -598,10 +598,19 @@ object DedupQueries extends QueryPack {
     // corpus-wide join one left join.
     Q(
       "dedup_embedding_canonical",
-      s"""WITH RECURSIVE ${SimilarityQueries.oAnnPairCtes(0.4)},
-         |edges AS (
-         |  SELECT a AS u, b AS v FROM cpairs
-         |  UNION SELECT b, a FROM cpairs),
+      s"""WITH RECURSIVE edges AS (
+         |  -- discovery chain nested in its OWN plain WITH: inside the
+         |  -- RECURSIVE with-list DuckDB materializes every CTE, and the
+         |  -- 173M-row sf1 candidate intermediate then spills past the
+         |  -- disk ceiling; nested, it streams down to the ~100k verified
+         |  -- pairs before anything persists. The two directions come
+         |  -- from one cross join (equivalent to the UNION of (a,b) and
+         |  -- (b,a): pairs are distinct with a < b, so no dedup needed).
+         |  SELECT CASE WHEN dir THEN a ELSE b END AS u,
+         |         CASE WHEN dir THEN b ELSE a END AS v
+         |  FROM (WITH ${SimilarityQueries.oAnnPairCtes(0.4)}
+         |        SELECT a, b FROM cpairs) p
+         |  CROSS JOIN (SELECT unnest([true, false]) AS dir) d),
          |r AS (
          |  SELECT u, v FROM edges
          |  UNION

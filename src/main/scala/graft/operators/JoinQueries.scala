@@ -106,7 +106,7 @@ object JoinQueries extends QueryPack {
     // Catalyst-reorderable join tree with broadcast dims.
     Q(
       "q5_local_supplier_volume",
-      s"""SELECT n_name, ${oSum("l_extendedprice * (1 - l_discount)")} AS revenue
+      s"""SELECT n_name, ${oSum2("l_extendedprice * (1 - l_discount)")} AS revenue
          |FROM customer
          |JOIN orders   ON c_custkey = o_custkey
          |JOIN lineitem ON l_orderkey = o_orderkey
@@ -131,7 +131,7 @@ object JoinQueries extends QueryPack {
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .agg(dsum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
 

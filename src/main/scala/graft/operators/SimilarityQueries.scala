@@ -8,12 +8,17 @@ import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over the `embeddings` table (north-star extension).
   *
-  * Dot products are computed arrays-first with `zip_with` + `aggregate`
-  * (higher-order functions — one row per vector pair, no positional
-  * explode, no extra shuffle), accumulating each float product through
-  * DECIMAL(38,12) so the sum is exact and order-independent: the DuckDB
-  * oracle computes the identical quantity by unnest+join and must match
-  * bit-for-bit after the final cast to double.
+  * Dot products are computed arrays-first via a native codegen'd kernel
+  * (one row per vector pair, no positional explode, no extra shuffle)
+  * over µ-QUANTIZED ELEMENTS: each float element maps to the exact
+  * integer round(v·10^6) — decision-free on both engines because a
+  * float's ·10^6 image is exactly representable in a double — and the
+  * dot is then pure integer arithmetic, so the sum is exact,
+  * order-independent, and bit-identical to the DuckDB oracle's
+  * unnest+join spelling SUM(round(a·10^6)·round(b·10^6))/1e12. (The
+  * pre-r14 contract quantized each PRODUCT to scale 12 instead, which
+  * exposed the two engines' different double→decimal rounding
+  * algorithms — first divergence at sf1 volume.)
   *
   * Brute-force top-k is the correctness baseline (queries × corpus, fine
   * when |queries| is small); the LSH variant buckets vectors by
@@ -22,15 +27,13 @@ import org.apache.spark.sql.types.DecimalType
   */
 object SimilarityQueries extends QueryPack {
 
-  // (20,12) so decimal addition widens to (21,12) with NO scale loss; the
-  // post-add cast back to (20,12) is exact because |dot| stays < 10^8.
-  // Quantization at scale 12 is identical to the oracle's DECIMAL(38,12).
+  // (20,12): the ADC distance sums still accumulate through this decimal
+  // type (their own paired oracle spelling keeps DECIMAL(38,12) there).
   private val dec = DecimalType(20, 12)
 
-  /** Exact decimal(20,12)-accumulated dot product — a native codegen'd
-    * Expression ([[graft.functions.DotExactExpr]]) semantically identical
-    * to aggregate(zip_with(a,b,*), 0::decimal(20,12), +) but one static
-    * call per row instead of interpreted per-element lambdas. */
+  /** µ-quantized exact dot product — a native codegen'd Expression
+    * ([[graft.functions.DotExactExpr]], see FastOps.q6 for the lockstep
+    * argument) — one static call per row, no interpreted lambdas. */
   private def dotExact(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.dotExact(a, b)
 
@@ -48,7 +51,7 @@ object SimilarityQueries extends QueryPack {
 
   private val oNorms =
     s"""SELECT vec_id,
-       |       sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS norm
+       |       sqrt((SUM(round(CAST(x AS DOUBLE) * 1000000) * round(CAST(x AS DOUBLE) * 1000000)) / 1e12)) AS norm
        |FROM ($oVecs) GROUP BY vec_id""".stripMargin
 
   /** Blocked exact cosine pairs ≥ thr over the embeddings corpus —
@@ -395,7 +398,7 @@ object SimilarityQueries extends QueryPack {
       |          WHERE vec_id < (SELECT nlist FROM nl)),
       |adots AS (
       |  SELECT u.vec_id, c.cid,
-      |         CAST(SUM(CAST(CAST(u.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      |         (SUM(round(CAST(u.x AS DOUBLE) * 1000000) * round(CAST(c.x AS DOUBLE) * 1000000)) / 1e12) AS dot
       |  FROM u JOIN cents c ON u.p = c.p
       |  GROUP BY u.vec_id, c.cid),
       |acos AS (
@@ -559,12 +562,12 @@ object SimilarityQueries extends QueryPack {
        |sub AS (SELECT vec_id, x, p, CAST((p - 1) // 16 AS INT) AS s FROM u),
        |pairdot AS (
        |  SELECT v.vec_id, c.vec_id AS cid, v.s,
-       |         CAST(SUM(CAST(CAST(v.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+       |         (SUM(round(CAST(v.x AS DOUBLE) * 1000000) * round(CAST(c.x AS DOUBLE) * 1000000)) / 1e12) AS dot
        |  FROM sub v JOIN sub c ON v.p = c.p AND c.vec_id < 16
        |  GROUP BY v.vec_id, c.vec_id, v.s),
        |snorm AS (
        |  SELECT vec_id, s,
-       |         CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS vv
+       |         (SUM(round(CAST(x AS DOUBLE) * 1000000) * round(CAST(x AS DOUBLE) * 1000000)) / 1e12) AS vv
        |  FROM sub GROUP BY vec_id, s),
        |dist AS (
        |  SELECT p.vec_id, p.cid, p.s, a.vv + b.vv - 2 * p.dot AS d
@@ -588,11 +591,11 @@ object SimilarityQueries extends QueryPack {
   private val oIvfPqCtes: String =
     """vself AS (
       |  SELECT vec_id,
-      |         CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS vv
+      |         (SUM(round(CAST(x AS DOUBLE) * 1000000) * round(CAST(x AS DOUBLE) * 1000000)) / 1e12) AS vv
       |  FROM u GROUP BY vec_id),
       |cdot AS (
       |  SELECT v.vec_id, c.vec_id AS cid,
-      |         CAST(SUM(CAST(CAST(v.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      |         (SUM(round(CAST(v.x AS DOUBLE) * 1000000) * round(CAST(c.x AS DOUBLE) * 1000000)) / 1e12) AS dot
       |  FROM u v JOIN u c ON v.p = c.p AND c.vec_id < (SELECT nlist FROM nl)
       |  GROUP BY v.vec_id, c.vec_id),
       |fdist AS (
@@ -643,12 +646,17 @@ object SimilarityQueries extends QueryPack {
     *   - band key: plane j of band b is bit (bits−1−j), sign = s > 0;
     *   - candidates: DISTINCT pairs sharing any (band, key);
     *   - verify: the exact-decimal cosine ≥ thr (what the kernel emits).
+    *     Spelled per-PAIR (list_transform over the two embedding lists,
+    *     one row per candidate) rather than per-element unnest+join:
+    *     same µ-quantized integer terms, same exact-in-double sum
+    *     (< 2^53), same single division — but 64× fewer oracle rows,
+    *     which keeps DuckDB's temp under the disk ceiling at sf1
+    *     (the unnest spelling spilled > 79 GB there and died).
     */
   private[operators] def oAnnPairCtes(thr: Double): String = {
     val bandsCase = (3 to 12)
       .map(b => s"WHEN $b THEN ${annBands(thr)(b)}").mkString(" ")
-    s"""u AS ($oVecs),
-       |n AS ($oNorms),
+    s"""n AS ($oNorms),
        |dim AS (SELECT len(embedding) AS d FROM embeddings LIMIT 1),
        |bcfg AS (
        |  SELECT COALESCE(MIN(b), 12) AS bits
@@ -682,10 +690,12 @@ object SimilarityQueries extends QueryPack {
        |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
        |dots AS (
        |  SELECT c.a, c.b,
-       |         CAST(SUM(CAST(CAST(ua.x AS DOUBLE) * CAST(ub.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
-       |  FROM cand c JOIN u ua ON ua.vec_id = c.a
-       |              JOIN u ub ON ub.vec_id = c.b AND ua.p = ub.p
-       |  GROUP BY c.a, c.b),
+       |         list_reduce(list_transform(generate_series(1, (SELECT d FROM dim)),
+       |           dd -> round(CAST(ea.embedding[dd] AS DOUBLE) * 1000000)
+       |               * round(CAST(eb.embedding[dd] AS DOUBLE) * 1000000)),
+       |           (x, y) -> x + y) / 1e12 AS dot
+       |  FROM cand c JOIN embeddings ea ON ea.vec_id = c.a
+       |              JOIN embeddings eb ON eb.vec_id = c.b),
        |cpairs AS (
        |  SELECT a, b FROM dots
        |  JOIN n na ON a = na.vec_id JOIN n nb ON b = nb.vec_id
@@ -702,7 +712,7 @@ object SimilarityQueries extends QueryPack {
          |q AS (SELECT * FROM u WHERE vec_id IN (0, 1, 2, 3, 4)),
          |dots AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |         CAST(SUM(CAST(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         |         (SUM(round(CAST(q.x AS DOUBLE) * 1000000) * round(CAST(c.x AS DOUBLE) * 1000000)) / 1e12) AS dot
          |  FROM q JOIN u c ON q.p = c.p AND q.vec_id <> c.vec_id
          |  GROUP BY q.vec_id, c.vec_id),
          |scored AS (
@@ -740,7 +750,7 @@ object SimilarityQueries extends QueryPack {
          |n AS ($oNorms),
          |dots AS (
          |  SELECT a.vec_id AS a, b.vec_id AS b,
-         |         CAST(SUM(CAST(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         |         (SUM(round(CAST(a.x AS DOUBLE) * 1000000) * round(CAST(b.x AS DOUBLE) * 1000000)) / 1e12) AS dot
          |  FROM u a JOIN u b ON a.p = b.p AND a.vec_id < b.vec_id
          |  GROUP BY a.vec_id, b.vec_id)
          |SELECT a, b, dot / (na.norm * nb.norm) AS cosine
@@ -791,7 +801,7 @@ object SimilarityQueries extends QueryPack {
          |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS p)),
          |proj AS (
          |  SELECT u.vec_id, pl.b,
-         |         CAST(SUM(CAST(CAST(u.x AS DOUBLE) * pl.r AS DECIMAL(38,12))) AS DOUBLE) AS s
+         |         (SUM(round(CAST(u.x AS DOUBLE) * 1000000) * round(pl.r * 1000000)) / 1e12) AS s
          |  FROM u JOIN planes pl ON u.p = pl.p
          |  GROUP BY u.vec_id, pl.b),
          |sketch AS (
@@ -803,7 +813,7 @@ object SimilarityQueries extends QueryPack {
          |  FROM sketch x JOIN sketch y ON x.sk = y.sk AND x.vec_id < y.vec_id),
          |dots AS (
          |  SELECT c.a, c.b,
-         |         CAST(SUM(CAST(CAST(ua.x AS DOUBLE) * CAST(ub.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         |         (SUM(round(CAST(ua.x AS DOUBLE) * 1000000) * round(CAST(ub.x AS DOUBLE) * 1000000)) / 1e12) AS dot
          |  FROM cand c JOIN u ua ON ua.vec_id = c.a JOIN u ub ON ub.vec_id = c.b AND ua.p = ub.p
          |  GROUP BY c.a, c.b)
          |SELECT a, b, dot / (na.norm * nb.norm) AS cosine
@@ -835,7 +845,7 @@ object SimilarityQueries extends QueryPack {
          |$oIvfFlatCtes,
          |dots AS (
          |  SELECT c.query_id, c.neighbor_id,
-         |         CAST(SUM(CAST(CAST(q.x AS DOUBLE) * CAST(v.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         |         (SUM(round(CAST(q.x AS DOUBLE) * 1000000) * round(CAST(v.x AS DOUBLE) * 1000000)) / 1e12) AS dot
          |  FROM cand c JOIN u q ON q.vec_id = c.query_id
          |              JOIN u v ON v.vec_id = c.neighbor_id AND q.p = v.p
          |  GROUP BY c.query_id, c.neighbor_id),
@@ -868,7 +878,7 @@ object SimilarityQueries extends QueryPack {
          |$oIvfFlatCtes,
          |idots AS (
          |  SELECT c.query_id, c.neighbor_id,
-         |         CAST(SUM(CAST(CAST(q.x AS DOUBLE) * CAST(v.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         |         (SUM(round(CAST(q.x AS DOUBLE) * 1000000) * round(CAST(v.x AS DOUBLE) * 1000000)) / 1e12) AS dot
          |  FROM cand c JOIN u q ON q.vec_id = c.query_id
          |              JOIN u v ON v.vec_id = c.neighbor_id AND q.p = v.p
          |  GROUP BY c.query_id, c.neighbor_id),
@@ -882,7 +892,7 @@ object SimilarityQueries extends QueryPack {
          |  FROM iscored),
          |edots AS (
          |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
-         |         CAST(SUM(CAST(CAST(q.x AS DOUBLE) * CAST(v.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         |         (SUM(round(CAST(q.x AS DOUBLE) * 1000000) * round(CAST(v.x AS DOUBLE) * 1000000)) / 1e12) AS dot
          |  FROM u q JOIN u v ON q.p = v.p AND q.vec_id <> v.vec_id
          |  WHERE q.vec_id IN (5, 6, 7, 8, 9)
          |  GROUP BY q.vec_id, v.vec_id),
@@ -932,7 +942,7 @@ object SimilarityQueries extends QueryPack {
          |e AS (SELECT vec_id FROM embeddings WHERE vec_id < 20),
          |dots AS (
          |  SELECT t.vec_id AS t_id, q.vec_id AS e_id,
-         |         CAST(SUM(CAST(CAST(t.x AS DOUBLE) * CAST(q.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         |         (SUM(round(CAST(t.x AS DOUBLE) * 1000000) * round(CAST(q.x AS DOUBLE) * 1000000)) / 1e12) AS dot
          |  FROM u t JOIN u q ON t.p = q.p
          |  WHERE q.vec_id IN (SELECT vec_id FROM e) AND t.vec_id >= 20
          |  GROUP BY t.vec_id, q.vec_id),
@@ -1166,7 +1176,7 @@ object SimilarityQueries extends QueryPack {
          |  FROM adc),
          |edots AS (
          |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
-         |         CAST(SUM(CAST(CAST(q.x AS DOUBLE) * CAST(v.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         |         (SUM(round(CAST(q.x AS DOUBLE) * 1000000) * round(CAST(v.x AS DOUBLE) * 1000000)) / 1e12) AS dot
          |  FROM u q JOIN u v ON q.p = v.p AND q.vec_id <> v.vec_id
          |  WHERE q.vec_id IN (5, 6, 7, 8, 9)
          |  GROUP BY q.vec_id, v.vec_id),
@@ -1233,7 +1243,7 @@ object SimilarityQueries extends QueryPack {
          |      WHERE e.vec_id IN (0, 1, 2, 3, 4)),
          |dots AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neg_id,
-         |         CAST(SUM(CAST(CAST(q.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         |         (SUM(round(CAST(q.x AS DOUBLE) * 1000000) * round(CAST(c.x AS DOUBLE) * 1000000)) / 1e12) AS dot
          |  FROM q
          |  JOIN (SELECT e.vec_id, e.label, u.x, u.p
          |        FROM embeddings e JOIN u ON e.vec_id = u.vec_id) c
@@ -1290,7 +1300,7 @@ object SimilarityQueries extends QueryPack {
          |          WHERE vec_id < (SELECT k FROM sk)),
          |adots AS (
          |  SELECT u.vec_id, c.cid,
-         |         CAST(SUM(CAST(CAST(u.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         |         (SUM(round(CAST(u.x AS DOUBLE) * 1000000) * round(CAST(c.x AS DOUBLE) * 1000000)) / 1e12) AS dot
          |  FROM u JOIN cents c ON u.p = c.p
          |  GROUP BY u.vec_id, c.cid),
          |acos AS (
@@ -1306,7 +1316,7 @@ object SimilarityQueries extends QueryPack {
          |  FROM lists la JOIN lists lb ON la.cid = lb.cid AND la.vec_id < lb.vec_id),
          |dots AS (
          |  SELECT c.a, c.b,
-         |         CAST(SUM(CAST(CAST(ua.x AS DOUBLE) * CAST(ub.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         |         (SUM(round(CAST(ua.x AS DOUBLE) * 1000000) * round(CAST(ub.x AS DOUBLE) * 1000000)) / 1e12) AS dot
          |  FROM cand c JOIN u ua ON ua.vec_id = c.a
          |              JOIN u ub ON ub.vec_id = c.b AND ua.p = ub.p
          |  GROUP BY c.a, c.b),

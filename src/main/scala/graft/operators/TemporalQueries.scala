@@ -113,7 +113,8 @@ object TemporalQueries extends QueryPack {
         |SELECT o_custkey, o_orderpriority,
         |       CAST(vf AS DATE) AS valid_from, CAST(vt AS DATE) AS valid_to,
         |       (vt IS NULL) AS is_current
-        |FROM v ORDER BY o_custkey, valid_from, o_orderpriority""".stripMargin
+        |FROM v ORDER BY o_custkey, valid_from, o_orderpriority,
+        |         valid_to NULLS FIRST""".stripMargin
     ) { (s, dir) =>
       val byKey = Window.partitionBy(col("o_custkey"))
       val chg = Tables.load(s, dir, "orders")
@@ -133,7 +134,13 @@ object TemporalQueries extends QueryPack {
           col("vf").cast("date").as("valid_from"),
           col("vt").cast("date").as("valid_to"),
           col("vt").isNull.as("is_current"))
-        .orderBy(col("o_custkey"), col("valid_from"), col("o_orderpriority"))
+        // valid_to completes the total order: replicated same-date
+        // priority flips (the sf1-class fixture) produce rows equal on
+        // (custkey, valid_from, priority) that differ only in valid_to,
+        // and engines order such ties arbitrarily; NULLS FIRST spelled
+        // on both sides (Spark asc default, NOT DuckDB's)
+        .orderBy(col("o_custkey"), col("valid_from"), col("o_orderpriority"),
+          col("valid_to").asc_nulls_first)
     }
   )
 }

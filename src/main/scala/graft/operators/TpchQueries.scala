@@ -24,7 +24,7 @@ object TpchQueries extends QueryPack {
     // benchmark. All predicates reach the parquet scan.
     Q(
       "q6_forecast_revenue",
-      s"""SELECT ${Exact.oSum("l_extendedprice * l_discount")} AS revenue,
+      s"""SELECT ${Exact.oSum2("l_extendedprice * l_discount")} AS revenue,
          |       COUNT(*) AS cnt
          |FROM lineitem
          |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-07-01'
@@ -34,7 +34,7 @@ object TpchQueries extends QueryPack {
         .filter(col("l_shipdate") >= lit("1996-01-01") &&
           col("l_shipdate") < lit("1996-07-01") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(Exact.dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        .agg(Exact.dsum2(col("l_extendedprice") * col("l_discount")).as("revenue"),
           count(lit(1)).as("cnt"))
     },
 
@@ -94,16 +94,16 @@ object TpchQueries extends QueryPack {
     // to total aggregate in one pass.
     Q(
       "q14_promo_share",
-      s"""SELECT ${Exact.oSum("CASE WHEN p.p_type LIKE 'PROMO%' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END")}
-         |       / ${Exact.oSum("l.l_extendedprice * (1 - l.l_discount)")} * 100.0 AS promo_share
+      s"""SELECT ${Exact.oSum2("CASE WHEN p.p_type LIKE 'PROMO%' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END")}
+         |       / ${Exact.oSum2("l.l_extendedprice * (1 - l.l_discount)")} * 100.0 AS promo_share
          |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin
     ) { (s, dir) =>
       val l = Tables.load(s, dir, "lineitem")
       val p = Tables.load(s, dir, "part")
       val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
       l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .agg((Exact.dsum(when(col("p_type").like("PROMO%"), rev).otherwise(0.0)) /
-          Exact.dsum(rev) * 100.0).as("promo_share"))
+        .agg((Exact.dsum2(when(col("p_type").like("PROMO%"), rev).otherwise(0.0)) /
+          Exact.dsum2(rev) * 100.0).as("promo_share"))
     },
 
     // Q18-shape: large-volume customers — HAVING over a big group-by used
@@ -135,7 +135,7 @@ object TpchQueries extends QueryPack {
     // OR-of-ANDs pattern that tests predicate normalization/pushdown.
     Q(
       "q19_disjunctive_filter",
-      s"""SELECT ${Exact.oSum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+      s"""SELECT ${Exact.oSum2("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
          |       COUNT(*) AS cnt
          |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
          |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
@@ -150,7 +150,7 @@ object TpchQueries extends QueryPack {
         (col("p_brand") === "Brand#34" && col("p_size").between(1, 5) && col("l_quantity").between(20, 30))
       l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .filter(pred)
-        .agg(Exact.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        .agg(Exact.dsum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("cnt"))
     },
 
@@ -175,7 +175,7 @@ object TpchQueries extends QueryPack {
       "q7_volume_shipping",
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          |       CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
-         |       ${Exact.oSum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+         |       ${Exact.oSum2("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
          |FROM supplier s
          |JOIN lineitem l ON s.s_suppkey = l.l_suppkey
          |JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -203,7 +203,7 @@ object TpchQueries extends QueryPack {
           (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
-        .agg(Exact.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .agg(Exact.dsum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     },
 
@@ -213,8 +213,8 @@ object TpchQueries extends QueryPack {
     Q(
       "q8_market_share",
       s"""SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
-         |  ${Exact.oSum("CASE WHEN n1.n_name = 'NATION_3' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END")}
-         |  / ${Exact.oSum("l.l_extendedprice * (1 - l.l_discount)")} AS mkt_share
+         |  ${Exact.oSum2("CASE WHEN n1.n_name = 'NATION_3' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END")}
+         |  / ${Exact.oSum2("l.l_extendedprice * (1 - l.l_discount)")} AS mkt_share
          |FROM part p
          |JOIN lineitem l ON p.p_partkey = l.l_partkey
          |JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -245,8 +245,8 @@ object TpchQueries extends QueryPack {
         .join(sup, col("s_suppkey") === col("l_suppkey"))
         .join(broadcast(n1), col("s_nationkey") === col("sk"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
-        .agg((Exact.dsum(when(col("supp_nation") === "NATION_3", vol).otherwise(0.0)) /
-          Exact.dsum(vol)).as("mkt_share"))
+        .agg((Exact.dsum2(when(col("supp_nation") === "NATION_3", vol).otherwise(0.0)) /
+          Exact.dsum2(vol)).as("mkt_share"))
         .orderBy(col("o_year"))
     },
 
@@ -256,7 +256,7 @@ object TpchQueries extends QueryPack {
     Q(
       "q9_product_profit",
       s"""SELECT n.n_name AS nation, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
-         |  ${Exact.oSum("l.l_extendedprice * (1 - l.l_discount) - p.p_retailprice * l.l_quantity * CAST(0.1 AS DOUBLE)")} AS profit
+         |  ${Exact.oSum2("l.l_extendedprice * (1 - l.l_discount) - p.p_retailprice * l.l_quantity * CAST(0.1 AS DOUBLE)")} AS profit
          |FROM lineitem l
          |JOIN part p ON p.p_partkey = l.l_partkey
          |JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -278,7 +278,7 @@ object TpchQueries extends QueryPack {
         .join(o, col("o_orderkey") === col("l_orderkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
-        .agg(Exact.dsum(amount).as("profit"))
+        .agg(Exact.dsum2(amount).as("profit"))
         .orderBy(col("nation"), col("o_year").desc)
     },
 

@@ -99,20 +99,25 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
-  test("fast-path quantization matches BigDecimal HALF_UP at scale 12") {
-    // the invariant DotExactExpr's soundness rests on, hammered across
-    // magnitudes
-    val doubles = Gen.oneOf(
-      Gen.choose(-100.0, 100.0),
+  test("µ-quantized dot matches exact-expansion HALF_UP at scale 6") {
+    // the invariant DotExactExpr's r14 lockstep contract rests on: the
+    // floor(x+0.5) fast path computes, for EVERY float element, the same
+    // integer as rounding the float's exact binary expansion to scale 6
+    // half-away-from-zero (== what DuckDB's round(v*1e6) computes on the
+    // same exactly-representable double) — hammered across magnitudes
+    // including the sub-µ range that quantizes to 0
+    val floats = Gen.oneOf(
+      Gen.choose(-1.0, 1.0),
       Gen.choose(-1e-6, 1e-6),
-      Gen.choose(-9000.0, 9000.0).map(v => v * v / 9000.0))
-    check(Prop.forAll(doubles) { p =>
+      Gen.choose(-100.0, 100.0)).map(_.toFloat)
+    check(Prop.forAll(floats, floats) { (f, g) =>
       val viaExpr = graft.functions.FastOps.dotExact(
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(p.toFloat)),
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(1.0f)))
-      val prod = p.toFloat.toDouble * 1.0f.toDouble
-      val expect = new JBigDecimal(java.lang.Double.toString(prod))
-        .setScale(12, RoundingMode.HALF_UP).doubleValue()
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(f)),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(g)))
+      def q(v: Float): Long = new JBigDecimal(v.toDouble) // exact expansion
+        .setScale(6, RoundingMode.HALF_UP).unscaledValue().longValueExact()
+      val expect = new JBigDecimal(
+        java.math.BigInteger.valueOf(q(f) * q(g)), 12).doubleValue()
       viaExpr == expect
     }, n = 2000)
   }

@@ -29,6 +29,20 @@ def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     con = duckdb.connect()
+    # Results are compared in each query's explicit ORDER BY order, so
+    # insertion-order preservation buys nothing — and at sf1-class volume
+    # it forces DuckDB to materialize (and spill) the 173M-row LSH
+    # candidate intermediates that a streaming plan filters down to ~100k
+    # rows (dedup_embedding_canonical died on disk with the default).
+    con.execute("SET preserve_insertion_order=false")
+    # Half the box's 32 threads: per-thread pipeline buffers drive peak
+    # spill, and at 32 threads the sf1 LSH-verify stage overshoots the
+    # 79 GB temp ceiling that 16 threads clears (~60 GB transient).
+    # Env-overridable for the heavyweight sf1 runs, where threads=8 +
+    # memory_limit=112GB trades 2x latency for the last ~40 GB of temp.
+    con.execute(f"SET threads={os.environ.get('DUCKDB_THREADS', '16')}")
+    con.execute(
+        f"SET memory_limit='{os.environ.get('DUCKDB_MEMLIMIT', '90GB')}'")
     for t in TABLES:
         path = f"{sf}/{t}.parquet"
         # driver fixtures are single files; Spark-written fixtures (the
