@@ -33,19 +33,27 @@ object Bench {
     // Warm only when a selected query actually consumes the cache, and
     // record a warming failure as a failed entry (same contract as a
     // per-query failure) instead of aborting the bench with no JSON.
-    val pairConsumers = Set("dedup_jaccard_pairs", "dedup_components",
-      "dedup_canonical", "dedup_cluster_histogram")
-    val (sharedSec, sharedErr): (Option[Double], Option[String]) =
-      if (!selected.exists(kv => pairConsumers(kv._1))) (None, None)
-      else {
-        val t0 = System.nanoTime()
-        try {
-          graft.operators.DedupQueries.warmSharedPairs(spark, sfDir)
-          (Some((System.nanoTime() - t0) / 1e9), None)
-        } catch { case e: Throwable =>
-          (None, Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"))
+    val sharedStages: Seq[(String, Set[String], () => Long)] = Seq(
+      ("shared:dedup_pairs",
+        Set("dedup_jaccard_pairs", "dedup_components",
+          "dedup_canonical", "dedup_cluster_histogram"),
+        () => graft.operators.DedupQueries.warmSharedPairs(spark, sfDir)),
+      // the customer↔supplier edge list feeds the graph trio — one
+      // o⋈l+distinct shuffle paid here instead of once per consumer
+      ("shared:graph_edges",
+        Set("graph_degree_histogram", "graph_pagerank", "graph_shortest_path"),
+        () => graft.operators.GraphQueries.warmSharedEdges(spark, sfDir)))
+    val sharedTimed: Seq[(String, Either[String, Double])] = sharedStages.flatMap {
+      case (key, consumers, warm) =>
+        if (!selected.exists(kv => consumers(kv._1))) None
+        else {
+          val t0 = System.nanoTime()
+          try { warm(); Some((key, Right((System.nanoTime() - t0) / 1e9))) }
+          catch { case e: Throwable =>
+            Some((key, Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")))
+          }
         }
-      }
+    }
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
       val t0 = System.nanoTime()
@@ -84,14 +92,15 @@ object Bench {
     def jstr(s: String): String =
       "\"" + s.replaceAll("[\"\\\\\\x00-\\x1f]", " ") + "\""
     val passed = results.filter(_._4.isEmpty)
+    val sharedOk = sharedTimed.collect { case (k, Right(v)) => (k, v) }
+    val sharedBad = sharedTimed.collect { case (k, Left(e)) => (k, e) }
     val qs = (passed.map { case (k, v, _, _) => jstr(k) + ":" + v } ++
-      sharedSec.map(s => jstr("shared:dedup_pairs") + ":" + s)).mkString("{", ",", "}")
+      sharedOk.map { case (k, v) => jstr(k) + ":" + v }).mkString("{", ",", "}")
     val errs = (results.collect { case (k, _, _, Some(e)) => jstr(k) + ":" + jstr(e) } ++
-      sharedErr.map(e => jstr("shared:dedup_pairs") + ":" + jstr(e)) ++
+      sharedBad.map { case (k, e) => jstr(k) + ":" + jstr(e) } ++
       warmErrs.map { case (k, e) => jstr(k) + ":" + jstr(e) }).mkString("{", ",", "}")
-    val total = passed.map(_._2).sum + sharedSec.getOrElse(0.0)
-    val failed = results.size - passed.size +
-      (if (sharedErr.isDefined) 1 else 0) + warmErrs.size
+    val total = passed.map(_._2).sum + sharedOk.map(_._2).sum
+    val failed = results.size - passed.size + sharedBad.size + warmErrs.size
     // Host-speed calibration, recorded with the run: fixed CPU work
     // whose cost depends on the HOST, not this repo's code. Round 13
     // measured a uniform ~1.3× per-query inflation against the round-12
@@ -121,7 +130,7 @@ object Bench {
     // so a bimodal plan is visible as max/min spread in the artifact.
     val passes = (passed.map { case (k, _, ps, _) =>
       jstr(k) + ":[" + ps.mkString(",") + "]" } ++
-      sharedSec.map(s => jstr("shared:dedup_pairs") + ":[" + s + "]"))
+      sharedOk.map { case (k, v) => jstr(k) + ":[" + v + "]" })
       .mkString("{", ",", "}")
     val fullLine = line.stripSuffix("}") + s""","passes":$passes}"""
     try {
@@ -130,6 +139,7 @@ object Bench {
       java.nio.file.Files.write(out, (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // bench result already on stdout
     graft.operators.DedupQueries.evictSharedPairs(spark)
+    graft.operators.GraphQueries.evictSharedEdges(spark)
     // The driver's capture keeps only the LAST ~2000 chars of stdout and
     // parses a JSON line out of them: the full line above is ~8 KB, so
     // its head is always cut mid-line and the round record's "parsed" has
@@ -141,9 +151,9 @@ object Bench {
     // target/bench_full.json.
     val slowest = passed.sortBy(-_._2).take(15)
       .map { case (k, v, _, _) => jstr(k) + ":" + math.round(v * 1000) / 1000.0 }
-    val sharedEntry =
-      sharedSec.map(v => jstr("shared:dedup_pairs") + ":" + math.round(v * 1000) / 1000.0)
-    val compactQs = (slowest ++ sharedEntry).mkString("{", ",", "}")
+    val sharedEntries =
+      sharedOk.map { case (k, v) => jstr(k) + ":" + math.round(v * 1000) / 1000.0 }
+    val compactQs = (slowest ++ sharedEntries).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failed,"n_queries":${passed.size},"calibParSec":$calibPar,"calibSerSec":$calibSer,"queries":$compactQs,"queries_are":"slowest 15 of ${passed.size}; full map in queries_full","queries_full":"target/bench_full.json","total_s":$total}""")
     spark.stop()
   }

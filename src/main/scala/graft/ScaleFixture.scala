@@ -63,7 +63,17 @@ object ScaleFixture {
     // isAdjustedToUTC=false): DuckDB reads naive TIMESTAMP, Tables.load's
     // schema gate normalizes the TIMESTAMP_NTZ read to session-local
     // TimestampType — the driver's own micros-era fixture layout.
-    if (!Files.exists(Paths.get(s"$out/events.parquet"))) {
+    // Existence alone is not enough: a fixture dir built before the
+    // micros-era change still holds the stale nanos-BIGINT layout, so the
+    // guard also validates the stored ts type and rewrites on mismatch.
+    val eventsStale = Files.exists(Paths.get(s"$out/events.parquet")) && {
+      import org.apache.spark.sql.types.{LongType, StructType}
+      val tsField = spark.read.parquet(s"$out/events.parquet")
+        .schema.asInstanceOf[StructType].fields.find(_.name == "ts")
+      tsField.exists(_.dataType == LongType)
+    }
+    if (eventsStale) println(s"[fixture] rewriting stale nanos-BIGINT events.parquet in $out")
+    if (eventsStale || !Files.exists(Paths.get(s"$out/events.parquet"))) {
       ScaleProbe.scaleKeyed(spark, base, "events", Seq("event_id", "user_id"), factor)
         .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp_ntz"))
         .write.mode("overwrite").parquet(s"$out/events.parquet")

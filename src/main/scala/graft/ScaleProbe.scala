@@ -53,6 +53,15 @@ object ScaleProbe {
 
   private[graft] def scaleEmbeddings(spark: SparkSession, base: String, factor: Int): DataFrame = {
     val e = Tables.load(spark, base, "embeddings")
+    // Exact-dot contract gate (VectorExpressions.dotExact): the ORACLE's
+    // double-arithmetic sum needs n·(10^6·max|v|)² < 2^53 → max|v| ≲ 11.8
+    // at n = 64. Rotation/sign-flip replicas preserve magnitudes, so
+    // checking the base set covers every replica. One-time build cost.
+    val maxAbs = e.select(max(expr(
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))")))
+      .head().getDouble(0)
+    require(maxAbs <= 11.8,
+      f"embeddings max|v| = $maxAbs%.3f exceeds the 2^53 oracle-exactness bound (11.8 at dim 64) — rescale the corpus")
     // 64 rotations × sign flip = 128 distinct isometries (norms and
     // pairwise base-set geometry preserved; replicas decorrelated) — the
     // old `i % 16` rotation table made replicas i and i+16 EXACT vector

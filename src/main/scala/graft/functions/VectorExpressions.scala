@@ -47,12 +47,19 @@ object FastOps {
   }
 
   /** Exact dot product of two µ-quantized float vectors:
-    * Σ q6(aᵢ)·q6(bᵢ) in long arithmetic (scale 12 — exact while
-    * n·(10^6·max|v|)² < 2^63, i.e. any realistic embedding), then ONE
-    * correctly-rounded conversion to double — bit-identical to the
-    * oracle's SUM(round(a·10^6)·round(b·10^6))/1e12 because the integer
-    * sum is exact on both engines (< 2^53) and IEEE division by the
-    * exactly-representable 10^12 is correctly rounded. */
+    * Σ q6(aᵢ)·q6(bᵢ) in long arithmetic, then ONE correctly-rounded
+    * conversion to double — bit-identical to the oracle's
+    * SUM(round(a·10^6)·round(b·10^6))/1e12.
+    *
+    * OPERATIVE BOUND: the ORACLE side sums the per-element products in
+    * DOUBLE arithmetic, so every partial sum must stay below 2^53 for
+    * that sum to be exact — i.e. n·(10^6·max|v|)² < 2^53, ~2.8× tighter
+    * per-element magnitude than the engine's own long-overflow limit of
+    * 2^63 (which is NOT the binding constraint). At n = 64 that caps
+    * max|v| at ≈ 11.8; unit-ish embeddings (max|v| ≤ ~1.5, asserted at
+    * fixture build — see ScaleProbe.scaleEmbeddings) sit 60× inside it.
+    * Corpora with larger-magnitude vectors must rescale or the oracle's
+    * double sum silently loses exactness before the engine does. */
   def dotExact(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0L

@@ -1405,8 +1405,12 @@ object TextQueries extends QueryPack {
     // dimension, fixed by design — collisions are part of the estimator,
     // so unlike IVF's nlist it must NOT grow with the corpus); bucket
     // log-ratios λ(b) = ln p̂_target(b) − ln p̂_raw(b) use Laplace
-    // smoothing and are quantized to DECIMAL(18,9) so the per-doc sum
-    // Σ count(b)·λ(b) folds order-independently and bit-matches the
+    // smoothing and are quantized via floor(λ·1e9) → BIGINT (the same
+    // IEEE multiply+floor on both engines — the psi_q/odds_q discipline;
+    // identical doubles always give identical integers, unlike a
+    // decimal CAST whose HALF_UP rounding differs from DuckDB's
+    // double-multiply round) so the per-doc sum Σ count(b)·λ_q(b) folds
+    // order-independently in exact long arithmetic and bit-matches the
     // oracle. Scale shape: one corpus pass builds the bucket counts
     // (shuffle state = B rows), the λ model is B rows broadcast back,
     // and scoring is a second corpus pass + per-doc partial agg — the
@@ -1431,18 +1435,18 @@ object TextQueries extends QueryPack {
         |nr AS (SELECT COUNT(*) AS n FROM bk),
         |lam AS (
         |  SELECT rc.b,
-        |         CAST(ln((COALESCE(tc.ct, 0) + 1.0) / ((SELECT n FROM nt) + 256.0))
-        |            - ln((rc.cr + 1.0) / ((SELECT n FROM nr) + 256.0))
-        |           AS DECIMAL(18,9)) AS lam
+        |         CAST(floor((ln((COALESCE(tc.ct, 0) + 1.0) / ((SELECT n FROM nt) + 256.0))
+        |                   - ln((rc.cr + 1.0) / ((SELECT n FROM nr) + 256.0)))
+        |                  * 1000000000) AS BIGINT) AS lam_q
         |  FROM rc LEFT JOIN tc ON tc.b = rc.b),
         |wt AS (
         |  SELECT bk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        |         CAST(SUM(lam.lam) AS DOUBLE) AS weight
+        |         CAST(SUM(lam.lam_q) AS BIGINT) AS weight_q
         |  FROM bk JOIN lam ON lam.b = bk.b
         |  GROUP BY bk.doc_id)
-        |SELECT t.doc_id, t.source, t.lang, wt.n_bigrams, wt.weight
+        |SELECT t.doc_id, t.source, t.lang, wt.n_bigrams, wt.weight_q
         |FROM wt JOIN toks t ON t.doc_id = wt.doc_id
-        |ORDER BY wt.weight DESC, t.doc_id
+        |ORDER BY wt.weight_q DESC, t.doc_id
         |LIMIT 100""".stripMargin
     ) { (s, dir) =>
       val B = 256
@@ -1465,19 +1469,17 @@ object TextQueries extends QueryPack {
       val lam = rc.join(tc, Seq("b"), "left")
         .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
         .select(col("b"),
-          (log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("n_t") + B))
-            - log((col("cr") + 1.0) / (col("n_r") + B)))
-            .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("lam"))
+          floor((log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("n_t") + B))
+            - log((col("cr") + 1.0) / (col("n_r") + B))) * 1000000000L)
+            .cast("long").as("lam_q"))
       val wt = bk.join(broadcast(lam), Seq("b"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("lam")).as("w"))
-        .select(col("doc_id"), col("n_bigrams"),
-          col("w").cast("double").as("weight"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lam_q")).as("weight_q"))
       val result = wt.join(docs.select(col("doc_id"), col("source"), col("lang")),
           Seq("doc_id"))
         .select(col("doc_id"), col("source"), col("lang"),
-          col("n_bigrams"), col("weight"))
-        .orderBy(col("weight").desc, col("doc_id"))
+          col("n_bigrams"), col("weight_q"))
+        .orderBy(col("weight_q").desc, col("doc_id"))
         .limit(100)
         .localCheckpoint(true)
       bk.unpersist()

@@ -665,9 +665,24 @@ class StreamingSpec extends SparkSpec {
     val exact = items.groupBy(_.item).map { case (k, g) => k -> g.size.toLong }
     val shardN = items.groupBy(i => StreamingTopK.shardOf(i.item, shards))
       .map { case (s, g) => s -> g.size.toLong }
+    // A shard untouched by the final micro-batch emits nothing that
+    // trigger, so its latest row carries n as of its LAST-TOUCHED batch —
+    // derive the expectation from exactly those batches rather than
+    // assuming every batch touches every shard.
+    val batches = {
+      val (b1x, restx) = items.splitAt(items.size / 3)
+      val (b2x, b3x) = restx.splitAt(restx.size / 3)
+      Seq(b1x, b2x, b3x)
+    }
+    val shardNAtLastTouch = (0 until shards).map { s =>
+      val perBatch = batches.map(_.count(i => StreamingTopK.shardOf(i.item, shards) == s).toLong)
+      val lastTouched = perBatch.lastIndexWhere(_ > 0)
+      s -> perBatch.take(lastTouched + 1).sum
+    }.toMap
     // MG bounds per shard: underestimate, error ≤ N_shard/(m+1), containment
     latest.foreach { case (s, k, est, n) =>
-      assert(n == shardN(s), s"shard $s summary n=$n, arrivals=${shardN(s)}")
+      assert(n == shardNAtLastTouch(s),
+        s"shard $s summary n=$n, arrivals-at-last-touch=${shardNAtLastTouch(s)}")
       assert(est <= exact(k), s"$k: est $est must not exceed exact ${exact(k)}")
       assert(exact(k) - est <= n / (m + 1),
         s"$k: exact ${exact(k)} - est $est exceeds ${n / (m + 1)}")
