@@ -37,21 +37,27 @@ case class CosinePairsExpr(children: Seq[Expression])
     * re-wraps the same UnsafeRow structs and re-reads every embedding
     * element through ArrayData's virtual getFloat per pair — an O(n²·dim)
     * stream of allocations and megamorphic calls; decoding is O(n·dim)
-    * and lets the dot loop run over flat float[]s. */
-  private def decode(blk: ArrayData): (Array[Long], Array[Array[Float]], Array[Double]) = {
+    * and lets the dot loop run over flat float[]s. The µ-quantized image
+    * (q6Vec) is ALSO built here — quantization is per-element, so it
+    * factors out of the O(n²) pair loop entirely and the exact dot per
+    * pair is a pure long multiply-add (dotExactQ). */
+  private def decode(blk: ArrayData)
+      : (Array[Long], Array[Array[Float]], Array[Double], Array[Array[Long]]) = {
     val n = blk.numElements()
     val ids = new Array[Long](n)
     val vecs = new Array[Array[Float]](n)
     val norms = new Array[Double](n)
+    val qvecs = new Array[Array[Long]](n)
     var i = 0
     while (i < n) {
       val r = blk.getStruct(i, 3)
       ids(i) = r.getLong(0)
       vecs(i) = r.getArray(1).toFloatArray()
       norms(i) = r.getDouble(2)
+      qvecs(i) = FastOps.q6Vec(vecs(i))
       i += 1
     }
-    (ids, vecs, norms)
+    (ids, vecs, norms, qvecs)
   }
 
   override def eval(input: InternalRow): Any = {
@@ -59,14 +65,14 @@ case class CosinePairsExpr(children: Seq[Expression])
     val bBlk = children(1).eval(input).asInstanceOf[ArrayData]
     val thr = children(2).eval(input).asInstanceOf[Double]
     val same = children(3).eval(input).asInstanceOf[Boolean]
-    val (aIds, aVecs, aNorms) = decode(aBlk)
-    val (bIds, bVecs, bNorms) = decode(bBlk)
+    val (aIds, aVecs, aNorms, aQ) = decode(aBlk)
+    val (bIds, bVecs, bNorms, bQ) = decode(bBlk)
     val out = scala.collection.mutable.ArrayBuffer[Any]()
     val nA = aIds.length
     val nB = bIds.length
     var i = 0
     while (i < nA) {
-      val ida = aIds(i); val ea = aVecs(i); val na = aNorms(i)
+      val ida = aIds(i); val ea = aVecs(i); val na = aNorms(i); val qa = aQ(i)
       var j = if (same) i + 1 else 0
       while (j < nB) {
         val den = na * bNorms(j)
@@ -77,7 +83,7 @@ case class CosinePairsExpr(children: Seq[Expression])
         // den ≥ 0.1 — the fixture's norms are ≥ 1). The exact dot
         // decides, and its value is what gets emitted — bit-identical
         if (FastOps.dotDoubleF(ea, bVecs(j)) / den >= thr - 1e-4) {
-          val cos = FastOps.dotExactF(ea, bVecs(j)) / den
+          val cos = FastOps.dotExactQ(qa, bQ(j)) / den
           if (cos >= thr) {
             val idb = bIds(j)
             val (lo, hi) = if (ida < idb) (ida, idb) else (idb, ida)
@@ -116,12 +122,13 @@ case class CosineBucketPairsExpr(children: Seq[Expression])
   override def dataType: DataType = ArrayType(outStruct, containsNull = false)
 
   private def decode(blk: ArrayData)
-      : (Array[Long], Array[Array[Float]], Array[Double], Array[Array[Int]]) = {
+      : (Array[Long], Array[Array[Float]], Array[Double], Array[Array[Int]], Array[Array[Long]]) = {
     val n = blk.numElements()
     val ids = new Array[Long](n)
     val vecs = new Array[Array[Float]](n)
     val norms = new Array[Double](n)
     val keys = new Array[Array[Int]](n)
+    val qvecs = new Array[Array[Long]](n)
     var i = 0
     while (i < n) {
       val r = blk.getStruct(i, 4)
@@ -129,9 +136,10 @@ case class CosineBucketPairsExpr(children: Seq[Expression])
       vecs(i) = r.getArray(1).toFloatArray()
       norms(i) = r.getDouble(2)
       keys(i) = r.getArray(3).toIntArray()
+      qvecs(i) = FastOps.q6Vec(vecs(i))
       i += 1
     }
-    (ids, vecs, norms, keys)
+    (ids, vecs, norms, keys, qvecs)
   }
 
   private def firstMatchBand(a: Array[Int], b: Array[Int]): Int = {
@@ -147,14 +155,15 @@ case class CosineBucketPairsExpr(children: Seq[Expression])
     val thr = children(2).eval(input).asInstanceOf[Double]
     val same = children(3).eval(input).asInstanceOf[Boolean]
     val band = children(4).eval(input).asInstanceOf[Int]
-    val (aIds, aVecs, aNorms, aKeys) = decode(aBlk)
-    val (bIds, bVecs, bNorms, bKeys) = decode(bBlk)
+    val (aIds, aVecs, aNorms, aKeys, aQ) = decode(aBlk)
+    val (bIds, bVecs, bNorms, bKeys, bQ) = decode(bBlk)
     val out = scala.collection.mutable.ArrayBuffer[Any]()
     val nA = aIds.length
     val nB = bIds.length
     var i = 0
     while (i < nA) {
       val ida = aIds(i); val ea = aVecs(i); val na = aNorms(i); val ka = aKeys(i)
+      val qa = aQ(i)
       var j = if (same) i + 1 else 0
       while (j < nB) {
         if (firstMatchBand(ka, bKeys(j)) == band) {
@@ -165,7 +174,7 @@ case class CosineBucketPairsExpr(children: Seq[Expression])
           // the dominant per-pair cost; emitted cosines stay exact
           // (same widened 1e-4 margin as above for the µ-quantized dot)
           if (FastOps.dotDoubleF(ea, bVecs(j)) / den >= thr - 1e-4) {
-            val cos = FastOps.dotExactF(ea, bVecs(j)) / den
+            val cos = FastOps.dotExactQ(qa, bQ(j)) / den
             if (cos >= thr) {
               val idb = bIds(j)
               val (lo, hi) = if (ida < idb) (ida, idb) else (idb, ida)

@@ -115,6 +115,30 @@ object FastOps {
     acc
   }
 
+  /** Quantize a whole float vector ONCE (q6 per element). Element-wise
+    * quantization (unlike the pre-r14 per-PRODUCT scheme) factors through
+    * the pair loop: a blocked kernel quantizes each block O(n·dim) at
+    * decode time and every pair's exact dot is then [[dotExactQ]]'s pure
+    * long multiply-add — no per-pair floor/branch work at all. */
+  def q6Vec(v: Array[Float]): Array[Long] = {
+    val out = new Array[Long](v.length)
+    var i = 0
+    while (i < v.length) { out(i) = q6(v(i).toDouble); i += 1 }
+    out
+  }
+
+  /** Exact dot over pre-quantized ([[q6Vec]]) vectors — identical result
+    * to [[dotExactF]] on the original floats (same integer sum, same one
+    * correctly-rounded scale-12 conversion), minus the per-pair
+    * quantization cost. */
+  def dotExactQ(a: Array[Long], b: Array[Long]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    new JBigDecimal(java.math.BigInteger.valueOf(acc), 12).doubleValue()
+  }
+
   /** Same µ-quantized dot where the second side is double (e.g. LSH
     * hyperplanes) — see [[q6]] for the (tiny) ambiguity window the
     * arbitrary-double side retains. */
