@@ -353,6 +353,94 @@ object TextQueries extends QueryPack {
     sb.toString
   }
 
+  /** DuckDB replay of train-then-ENCODE: the [[bpeOracle]] chain with the
+    * original word `w` carried through every rewrite round, so the final
+    * vocab w<rounds> IS the word→encoding map; per-doc token counts then
+    * come from one words⋈vocab join. Winners b_k aggregate over the same
+    * (s, cnt) pairs as the training oracle, so the learned merge table is
+    * identical — one CTE chain serves both halves of the pipeline. */
+  private def bpeEncodeOracle(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS (
+      |  SELECT w,
+      |         '||' || array_to_string(list_transform(range(1, length(w) + 1),
+      |           i -> substring(w, i, 1)), '||') || '||' AS s,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      |  WHERE length(w) >= 1 AND NOT contains(w, '|')
+      |  GROUP BY w)""".stripMargin
+    for (k <- 1 to rounds) {
+      sb ++= s""",
+        |p$k AS (
+        |  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(list_transform(range(1, len(syms)),
+        |             i -> syms[i] || ' ' || syms[i + 1])) AS pair, cnt
+        |    FROM (SELECT list_filter(string_split(s, '||'), y -> y <> '') AS syms, cnt
+        |          FROM w${k - 1}) t0) t1
+        |  GROUP BY pair),
+        |b$k AS (SELECT pair, freq FROM p$k ORDER BY freq DESC, pair LIMIT 1),
+        |w$k AS (
+        |  SELECT w, replace(s,
+        |           '|' || string_split(b.pair, ' ')[1] || '||'
+        |               || string_split(b.pair, ' ')[2] || '|',
+        |           '|' || replace(b.pair, ' ', '') || '|') AS s, cnt
+        |  FROM w${k - 1}, b$k b)""".stripMargin
+    }
+    sb ++= s"""
+      |, enc AS (
+      |  SELECT w, len(list_filter(string_split(s, '||'), y -> y <> '')) AS toks
+      |  FROM w$rounds),
+      |dw AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |SELECT dw.doc_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_words,
+      |       CAST(SUM(e.toks) AS BIGINT) AS n_tokens
+      |FROM dw JOIN enc e ON e.w = dw.w
+      |GROUP BY dw.doc_id
+      |ORDER BY dw.doc_id""".stripMargin
+    sb.toString
+  }
+
+  /** Corpus-wide BPE ENCODE with the trained merge table — the daily
+    * 100-TB tokenizer pass (train once, encode everything). The merge
+    * table is a `rounds`-row MODEL collected to the driver (the k-means
+    * centroid pattern: parameters come back, corpus data never does) and
+    * applied as `rounds` chained replaces — in rank order, each a greedy
+    * left-to-right pass, exactly how training rewrote its vocab, so
+    * encoding any training word reproduces its training-time
+    * segmentation. Scale shape: the replaces run over the DISTINCT-WORD
+    * vocabulary (vocab-sized, like the trainer), and the corpus pass is
+    * just explode + hash-join words→token-counts + per-doc sum — no
+    * per-document string rewriting at all. */
+  private[graft] def bpeEncode(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    // 12-row bounded parameter collect, rank order preserved
+    val merges = bpeTrain(s, dir, rounds).collect()
+      .map(_.getString(1)).toSeq
+    val vocab0 = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1 && !col("w").contains("|"))
+      .distinct()
+      .withColumn("s",
+        concat(lit("||"),
+          array_join(
+            expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+            "||"),
+          lit("||")))
+    val encoded = merges.foldLeft(vocab0) { (v, pair) =>
+      val Array(x, y) = pair.split(" ", 2)
+      v.withColumn("s", call_function("replace", col("s"),
+        lit("|" + x + "||" + y + "|"), lit("|" + x + y + "|")))
+    }
+    val enc = encoded.select(col("w"),
+      size(filter(split(col("s"), "\\|\\|"), y => y =!= "")).as("toks"))
+    val dw = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    dw.join(enc, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("toks")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val qs: Seq[Q] = Seq(
     // Token counting: whitespace tokens, distinct tokens, char stats.
     Q(
@@ -1395,6 +1483,12 @@ object TextQueries extends QueryPack {
     // rounds declaratively. The trained merge table (rank, pair, freq)
     // is the output artifact, exactly what a tokenizer build emits.
     Q("pipeline_bpe_train", bpeOracle(12)) { (s, dir) => bpeTrain(s, dir, 12) },
+
+    // Train-then-encode: the trained merge table applied corpus-wide —
+    // per-doc whitespace-word and BPE-token counts. See [[bpeEncode]]
+    // for the vocab-sized encode + join-back scale shape and
+    // [[bpeEncodeOracle]] for the word-carrying oracle chain.
+    Q("pipeline_bpe_encode", bpeEncodeOracle(12)) { (s, dir) => bpeEncode(s, dir, 12) },
 
     // DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
     // the hashed-ngram data-selection method behind several public LLM
