@@ -33,7 +33,14 @@ import org.apache.spark.sql.types._
   * type OIDs so clients render numerics/bools natively. ReadyForQuery
   * reports live transaction status ('I'/'T'/'E').
   */
-final class PgWire(gs: GraftSession, port: Int = 0) {
+final class PgWire(gs: GraftSession, port: Int = 0,
+    maxConnections: Int = 1000, acquireTimeoutMs: Long = 30000) {
+
+  /** Admission control (see [[ConnectionLimiter]]): slots are taken after
+    * a client's StartupMessage and released when its handler exits, so a
+    * refusal can be a proper in-protocol ErrorResponse. CancelRequest
+    * connections are out-of-band and never consume a slot. */
+  val limiter = new ConnectionLimiter(maxConnections, acquireTimeoutMs)
 
   private val server = new ServerSocket()
   server.bind(new InetSocketAddress("127.0.0.1", port))
@@ -517,6 +524,25 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
           throw new IllegalArgumentException(s"unsupported protocol code $other")
       }
     }
+    // admission control: a pool still full after the limiter's bounded
+    // fair wait refuses IN PROTOCOL — FATAL ErrorResponse, SQLSTATE 53300
+    // (too_many_connections), the server's canonical message — so drivers
+    // see a typed refusal, not a connectivity failure. Only real sessions
+    // reach here (SSL probes and CancelRequests returned above), so slot
+    // accounting can't leak on out-of-band connections.
+    if (!limiter.tryAcquire()) {
+      out.msg('E') { o =>
+        o.writeByte('S'); out.cstr(o, "FATAL")
+        o.writeByte('V'); out.cstr(o, "FATAL")
+        o.writeByte('C'); out.cstr(o, "53300")
+        o.writeByte('M'); out.cstr(o, "sorry, too many clients already")
+        o.writeByte(0)
+      }
+      out.flush()
+      return
+    }
+
+    try { // slot held — released on EVERY exit path, greeting included
     out.msg('R')(o => o.writeInt(0)) // AuthenticationOk
     Seq(
       "server_version" -> "17.0 (graft)",
@@ -857,6 +883,7 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
       // a hung-up client's suspended portals must not retain snapshots
       portalIters.keys.toSeq.foreach(dropPortal)
     }
+    } finally limiter.release() // every admitted connection frees its slot
   }
 
   private def sqlType(oid: Int): Option[String] = oid match {
@@ -932,5 +959,7 @@ final class PgWire(gs: GraftSession, port: Int = 0) {
 }
 
 object PgWire {
-  def start(gs: GraftSession, port: Int = 0): PgWire = new PgWire(gs, port)
+  def start(gs: GraftSession, port: Int = 0,
+      maxConnections: Int = 1000, acquireTimeoutMs: Long = 30000): PgWire =
+    new PgWire(gs, port, maxConnections, acquireTimeoutMs)
 }

@@ -903,4 +903,47 @@ class PgWireSpec extends SparkSpec {
       c.terminate()
     } finally srv.stop()
   }
+
+  test("connection limiter: N+1th refused with 53300, slot freed on close") {
+    val gs = new GraftSession(spark, Files.createTempDirectory("graft_pgwire"))
+    // tiny pool + short bounded wait so the refusal path is exercised fast
+    val srv = PgWire.start(gs, maxConnections = 2, acquireTimeoutMs = 300)
+    try {
+      val c1 = new WireClient(srv.boundPort)
+      val c2 = new WireClient(srv.boundPort)
+      assert(c1.startup().last._1 == 'Z')
+      assert(c2.startup().last._1 == 'Z')
+      assert(srv.limiter.activeConnections == 2)
+      // pool full: the 3rd startup waits out the fair timeout, then gets
+      // a FATAL ErrorResponse (SQLSTATE 53300) — no AuthenticationOk, no
+      // ReadyForQuery — and the server closes the connection
+      val c3 = new WireClient(srv.boundPort)
+      val refusal = {
+        // hand-rolled startup: WireClient.startup() blocks for 'Z',
+        // which a refused connection never receives
+        val body = new java.io.ByteArrayOutputStream()
+        val d = new java.io.DataOutputStream(body)
+        d.writeInt(196608)
+        def c0(s: String): Unit = { d.write(s.getBytes("UTF-8")); d.writeByte(0) }
+        c0("user"); c0("graft"); c0("database"); c0("graft"); d.writeByte(0)
+        val o = new java.io.DataOutputStream(c3.sock.getOutputStream)
+        o.writeInt(body.size + 4); body.writeTo(o); o.flush()
+        c3.readMsg()
+      }
+      assert(refusal._1 == 'E', s"expected ErrorResponse, got ${refusal._1}")
+      val fields = new String(refusal._2, "UTF-8")
+      assert(fields.contains("53300"), "SQLSTATE must be too_many_connections")
+      assert(fields.contains("too many clients"), fields)
+      assert(srv.limiter.rejectedConnections == 1)
+      assert(srv.limiter.activeConnections == 2, "a refusal must not consume a slot")
+      // close one admitted session → its slot frees → a new client admits
+      c1.terminate()
+      val c4 = new WireClient(srv.boundPort)
+      assert(c4.startup().last._1 == 'Z', "slot must be released on close")
+      assert(c4.query("SELECT 1 AS one").filter(_._1 == 'D').map(m => c4.row(m._2))
+        == Seq(Seq("1")))
+      assert(srv.limiter.totalConnections == 3) // c1, c2, c4 admitted
+      c4.terminate(); c2.terminate()
+    } finally srv.stop()
+  }
 }
