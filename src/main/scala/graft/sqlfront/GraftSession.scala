@@ -1,6 +1,7 @@
 package graft.sqlfront
 
 import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
 import scala.util.matching.Regex
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
@@ -83,7 +84,11 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       Some(had)
     }
 
-  val catalog = new Catalog(warehouse)
+  /** Live catalog — the CURRENT database's. `\c`/connectDatabase swaps it
+    * (multi-database minimum, reference kv/DatabaseRegistry.java:29-60:
+    * name→storage-namespace registry with create/drop/switch). */
+  private var _catalog: Catalog = new Catalog(warehouse)
+  def catalog: Catalog = _catalog
 
   // finish crash recovery now that the pre-txn version pointers are live:
   // un-append part-files the dead txn added to surviving snapshot dirs,
@@ -106,6 +111,115 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     Files.deleteIfExists(txnOwnerFile)
     // commit point of recovery — deleted LAST
     Files.deleteIfExists(txnCatalogJournal)
+  }
+
+  // ----------------------------------------------------------- databases
+
+  /** Multi-database registry (reference kv/DatabaseRegistry.java:29-60 —
+    * there a database maps to a Cassandra keyspace; here to a warehouse
+    * sub-root `_db_<name>/` with its own Catalog + COW snapshot tree).
+    * The default database "graft" roots at the warehouse itself, so
+    * single-database sessions are bit-compatible with every prior layout.
+    * Existence IS the directory: no separate registry file to drift. */
+  private var currentDbName = "graft"
+  def currentDatabase: String = currentDbName
+
+  // mirror the default database into Spark's catalog so the builtin
+  // current_database() answers "graft" from the first statement (temp
+  // views are database-agnostic, so table resolution is unaffected)
+  spark.sql("CREATE DATABASE IF NOT EXISTS graft")
+  spark.sql("USE graft")
+
+  private val dbCatalogs = scala.collection.mutable.Map[String, Catalog]("graft" -> _catalog)
+
+  private def dbRoot(name: String): Path =
+    if (name == "graft") warehouse else warehouse.resolve("_db_" + name)
+
+  private def dbExists(name: String): Boolean =
+    name == "graft" || Files.isDirectory(warehouse.resolve("_db_" + name))
+
+  /** All databases, default first then created ones in name order. */
+  def databases: Seq[String] = "graft" +: {
+    if (!Files.isDirectory(warehouse)) Nil
+    else {
+      val s = Files.list(warehouse)
+      try s.iterator().asScala.toSeq
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("_db_"))
+        .map(_.getFileName.toString.stripPrefix("_db_")).sorted
+      finally s.close()
+    }
+  }
+
+  private def requireDbName(name: String): Unit =
+    require(name.matches("[a-z_][a-z0-9_]*"),
+      s"invalid database name: $name (lowercase identifier required)")
+
+  def createDatabase(name0: String): Unit = {
+    val name = name0.toLowerCase // PG folds unquoted identifiers
+    requireDbName(name)
+    require(!inTransaction, "CREATE DATABASE cannot run inside a transaction block")
+    if (dbExists(name))
+      throw new IllegalArgumentException(s"""database "$name" already exists""")
+    Files.createDirectories(dbRoot(name))
+    registerPgDatabase()
+  }
+
+  def dropDatabase(name0: String, ifExists: Boolean): Unit = {
+    val name = name0.toLowerCase
+    require(!inTransaction, "DROP DATABASE cannot run inside a transaction block")
+    require(name != "graft", """cannot drop the default database "graft"""")
+    require(name != currentDbName,
+      s"""cannot drop the currently open database "$name"""")
+    if (!dbExists(name)) {
+      if (ifExists) return
+      throw new IllegalArgumentException(s"""database "$name" does not exist""")
+    }
+    dbCatalogs.remove(name)
+    // recursive delete of the database's whole storage namespace
+    val rootDir = dbRoot(name)
+    val walk = Files.walk(rootDir)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    finally walk.close()
+    spark.sql(s"DROP DATABASE IF EXISTS $name CASCADE")
+    registerPgDatabase()
+  }
+
+  /** Switch the session to `name` (psql `\c`). Temp views of the old
+    * database are dropped FIRST so its names stop resolving; the new
+    * catalog registers lazily on the next statement (registerAll's tag
+    * carries the catalog identity, so the swap always invalidates). */
+  def connectDatabase(name0: String): Unit = {
+    val name = name0.toLowerCase
+    require(!inTransaction, "cannot switch databases inside a transaction block")
+    if (!dbExists(name))
+      throw new IllegalArgumentException(s"""database "$name" does not exist""")
+    if (name != currentDbName) {
+      (catalog.tables.keys ++ catalog.views.keys)
+        .foreach(v => spark.catalog.dropTempView(v))
+      currentDbName = name
+      _catalog = dbCatalogs.getOrElseUpdate(name, new Catalog(dbRoot(name)))
+      // mirror into Spark's own catalog namespace so the builtin
+      // current_database() reports the live name
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $name")
+      spark.sql(s"USE $name")
+      registerPgDatabase()
+    }
+  }
+
+  /** Stable database oid (the relOid discipline; "graft" keeps oid 1 for
+    * continuity with the old static row). */
+  private def dbOid(name: String): Long =
+    if (name == "graft") 1L
+    else 16384L + (scala.util.hashing.MurmurHash3.stringHash("db:" + name).toLong & 0x7fffffffL)
+
+  /** pg_database is DYNAMIC now (CREATE/DROP DATABASE mutate it without
+    * touching any Catalog generation) — re-registered by the db ops and
+    * once at static-catalog setup. */
+  private def registerPgDatabase(): Unit = {
+    import spark.implicits._
+    databases.map(n => (dbOid(n), n, true))
+      .toDF("oid", "datname", "datallowconn").createOrReplaceTempView("pg_database")
   }
 
   // ---------------------------------------------------------------- read
@@ -162,7 +276,9 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     * a different GraftSession registered ITS tables on the shared
     * SparkSession, this one re-registers even at unchanged counters. */
   def registerAll(): Unit = regLock.synchronized {
-    val tag = (this: AnyRef, catalog.generation, dataGen)
+    // catalog identity is part of the tag: after a database switch the
+    // NEW catalog's generation can coincide with the old tag's number
+    val tag = (this: AnyRef, _catalog: AnyRef, catalog.generation, dataGen)
     if (GraftSession.lastRegistrar.get() == tag) { registerPgCatalog(); return }
     // Invalidate first, claim AFTER the loop succeeds: if a view body
     // throws mid-loop the tag stays unset and the next call re-registers
@@ -207,7 +323,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     * SparkSession, so after a different GraftSession registered ITS
     * catalog, this one must re-register even at an unchanged generation. */
   private def registerPgCatalog(): Unit = {
-    val tag = (this: AnyRef, catalog.generation)
+    val tag = (this: AnyRef, _catalog: AnyRef, catalog.generation)
     if (GraftSession.lastPgRegistrar.get() == tag) return
     // same invalidate→build→CAS-claim discipline as registerAll: a
     // failure mid-build leaves the tag unset (next call re-registers),
@@ -349,8 +465,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   private def registerStaticPgCatalog(): Unit = {
     if (staticPgRegistered) return
     import spark.implicits._
-    Seq((1L, "graft", true))
-      .toDF("oid", "datname", "datallowconn").createOrReplaceTempView("pg_database")
+    registerPgDatabase() // dynamic: CREATE/DROP DATABASE re-register it
     Seq((10L, "graft", true, true))
       .toDF("oid", "rolname", "rolsuper", "rolcanlogin")
       .createOrReplaceTempView("pg_roles")
@@ -1078,13 +1193,24 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         createTableAs(stmt)
       else if (up.startsWith("CREATE TABLE")) createTable(stmt)
       else if (up.matches("(?s)CREATE\\s+(OR\\s+REPLACE\\s+)?(MATERIALIZED\\s+)?VIEW.*")) createView(stmt)
+      else if (up.startsWith("CREATE DATABASE")) {
+        // `CREATE DATABASE name [WITH …]` — options (OWNER/ENCODING/…)
+        // are accepted and ignored, the reference's single-replication
+        // posture
+        createDatabase(stmt.trim.stripSuffix(";").split("\\s+")(2).replaceAll("\"", ""))
+        ok("CREATE DATABASE")
+      }
       else if (up.startsWith("CREATE SEQUENCE")) createSequence(stmt)
       else if (up.startsWith("CREATE TYPE")) createType(stmt)
       else if (up.contains("INDEX")) createIndex(stmt)
       else throw new IllegalArgumentException(s"unsupported CREATE: $stmt")
     case "DROP" =>
       val up = stmt.trim.toUpperCase
-      if (up.startsWith("DROP TABLE")) dropTables(stmt)
+      if (up.startsWith("DROP DATABASE")) {
+        dropDatabase(lastWord(stmt), ifExists = up.contains("IF EXISTS"))
+        ok("DROP DATABASE")
+      }
+      else if (up.startsWith("DROP TABLE")) dropTables(stmt)
       else if (up.startsWith("DROP VIEW") || up.startsWith("DROP MATERIALIZED")) dropView(stmt)
       else if (up.startsWith("DROP SEQUENCE")) { catalog.dropSequence(lastWord(stmt)); ok("DROP SEQUENCE") }
       else if (up.startsWith("DROP TYPE")) { catalog.dropEnum(lastWord(stmt)); ok("DROP TYPE") }
@@ -1927,7 +2053,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
           .toDF("name", "owner")
       case "\\du" => Seq(("graft", "Superuser")).toDF("role_name", "attributes")
       case "\\l" | "\\list" =>
-        Seq(("graft", "graft", "UTF8")).toDF("name", "owner", "encoding")
+        databases.map(n => (n, "graft", "UTF8")).toDF("name", "owner", "encoding")
       case "\\df" | "\\df+" =>
         // function listing from Spark's own registry — what a user can
         // actually call here (reference serves \df from pg_catalog,
@@ -1947,15 +2073,14 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         timingDisplay = arg.map(_ == "on").getOrElse(!timingDisplay)
         Seq(s"Timing is ${if (timingDisplay) "on" else "off"}.").toDF("status")
       case "\\c" | "\\connect" =>
-        // single-database engine: \c to the only database succeeds,
-        // anything else is the PG "does not exist" error
-        arg.filterNot(a => a == "graft" || a.startsWith("graft ")).foreach(a =>
-          throw new IllegalArgumentException(
-            s"""database "${a.split("\\s+").head}" does not exist"""))
-        Seq("You are now connected to database \"graft\" as user \"graft\".")
+        // multi-database switch: `\c name` swaps the live catalog (a
+        // nonexistent target is the PG "does not exist" error); bare \c
+        // re-connects to the current database
+        arg.map(_.split("\\s+").head).foreach(connectDatabase)
+        Seq(s"""You are now connected to database "$currentDbName" as user "graft".""")
           .toDF("status")
       case "\\conninfo" =>
-        Seq("You are connected to database \"graft\" as user \"graft\".")
+        Seq(s"""You are connected to database "$currentDbName" as user "graft".""")
           .toDF("status")
       case "\\copy" =>
         // psql's CLIENT-side COPY: in a single-process engine the session
@@ -3251,13 +3376,16 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
 }
 
 object GraftSession {
-  /** (session identity, catalog generation) of the last pg_catalog
-    * registration on the shared SparkSession — see registerPgCatalog. */
+  /** (session identity, catalog identity, catalog generation) of the last
+    * pg_catalog registration on the shared SparkSession — see
+    * registerPgCatalog. Catalog identity distinguishes databases: two
+    * catalogs of one session can share a generation number. */
   private[sqlfront] val lastPgRegistrar =
-    new java.util.concurrent.atomic.AtomicReference[(AnyRef, Long)](null)
+    new java.util.concurrent.atomic.AtomicReference[(AnyRef, AnyRef, Long)](null)
 
-  /** (session identity, catalog generation, data generation) of the last
-    * full table/view registration — see registerAll. */
+  /** (session identity, catalog identity, catalog generation, data
+    * generation) of the last full table/view registration — see
+    * registerAll. */
   private[sqlfront] val lastRegistrar =
-    new java.util.concurrent.atomic.AtomicReference[(AnyRef, Long, Long)](null)
+    new java.util.concurrent.atomic.AtomicReference[(AnyRef, AnyRef, Long, Long)](null)
 }

@@ -1551,4 +1551,64 @@ class DdlDmlSpec extends SparkSpec {
     val b = s.sql("SELECT id FROM ts_t TABLESAMPLE SYSTEM(50)").collect()
     assert(b.length > 100 && b.length < 300)
   }
+
+  test("multi-database: CREATE/DROP DATABASE, \\c switch, per-db resolution") {
+    val s = fresh()
+    // default database is graft; pg_database + \l agree
+    assert(s.currentDatabase == "graft")
+    assert(s.sql("SELECT datname FROM pg_database ORDER BY datname")
+      .collect().map(_.getString(0)).toSeq == Seq("graft"))
+    s.sql("CREATE TABLE home_t (id INT PRIMARY KEY)")
+    s.sql("INSERT INTO home_t VALUES (1)")
+
+    s.sql("CREATE DATABASE analytics")
+    intercept[Exception](s.sql("CREATE DATABASE analytics")) // already exists
+    assert(s.sql("\\l").collect().map(_.getString(0)).toSeq
+      == Seq("graft", "analytics"))
+    assert(s.sql("SELECT datname FROM pg_database ORDER BY datname")
+      .collect().map(_.getString(0)).toSeq == Seq("analytics", "graft"))
+
+    // switch: old database's tables stop resolving, new ones are separate
+    val msg = s.sql("\\c analytics").collect()(0).getString(0)
+    assert(msg.contains("\"analytics\""), msg)
+    assert(s.currentDatabase == "analytics")
+    intercept[Exception](s.sql("SELECT * FROM home_t"))
+    s.sql("CREATE TABLE away_t (id INT PRIMARY KEY, lbl TEXT)")
+    s.sql("INSERT INTO away_t VALUES (7, 'x')")
+    assert(s.sql("SELECT id FROM away_t").collect()(0).getInt(0) == 7)
+    // same-name table in a different database is a DIFFERENT table
+    s.sql("CREATE TABLE home_t (other TEXT)")
+    assert(s.sql("SELECT * FROM home_t").columns.toSeq == Seq("other"))
+    assert(s.sql("SELECT current_database() AS db").collect()(0)
+      .getString(0) == "analytics")
+
+    // switch back: original table + data intact, away_t gone from scope
+    s.sql("\\c graft")
+    assert(s.sql("SELECT id FROM home_t").collect()(0).getInt(0) == 1)
+    intercept[Exception](s.sql("SELECT * FROM away_t"))
+    assert(s.sql("\\conninfo").collect()(0).getString(0).contains("\"graft\""))
+
+    // a SECOND session on the same warehouse sees the created database
+    // and its catalog (persistence through the _db_ directory layout)
+    val s2 = new GraftSession(spark, s.catalog.root)
+    s2.sql("\\c analytics")
+    assert(s2.sql("SELECT id, lbl FROM away_t").collect()(0).getInt(0) == 7)
+
+    // drop rules: not the open db, not graft, IF EXISTS tolerated
+    s2.sql("\\c graft")
+    intercept[Exception](s.sql("DROP DATABASE graft"))
+    s.sql("\\c analytics")
+    intercept[Exception](s.sql("DROP DATABASE analytics")) // currently open
+    s.sql("\\c graft")
+    assert(s.sql("DROP DATABASE analytics").columns.nonEmpty)
+    assert(s.sql("\\l").collect().map(_.getString(0)).toSeq == Seq("graft"))
+    intercept[Exception](s.sql("DROP DATABASE analytics"))
+    s.sql("DROP DATABASE IF EXISTS analytics") // no-op, no error
+    intercept[Exception](s.sql("\\c analytics")) // gone
+
+    // transactional guard: database DDL refuses inside BEGIN
+    s.sql("BEGIN")
+    intercept[Exception](s.sql("CREATE DATABASE nope"))
+    s.sql("ROLLBACK")
+  }
 }
