@@ -441,6 +441,145 @@ object TextQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Distributed quality-classifier TRAINING — the fastText recipe the
+    * inference surface (text_hashed_classifier) was missing: batch
+    * logistic regression over hashed bag-of-words features (B=64 buckets
+    * + intercept), label = lang='en', fixed `iters` full-batch gradient
+    * steps at learning rate 1/32 (a power of two, so the update's
+    * multiply is IEEE-exact; 1/2 visibly diverged on the word-soup
+    * fixture — unnormalized counts make the Hessian scale with token
+    * counts squared).
+    *
+    * Scale shape: the corpus is featurized ONCE into (doc, bucket, count)
+    * and persisted; each iteration is [broadcast 65-row weight model ⋈
+    * features → per-doc margin → residual → per-bucket gradient], i.e.
+    * two corpus-linear hash aggregates with the model never leaving
+    * driver/broadcast scope (the k-means-centroid pattern — parameters
+    * come back to the driver, corpus data never does).
+    *
+    * Cross-engine exactness: weights live on a 1e-6 integer grid (the q6
+    * discipline). Per-doc margins Σ c·w_q are exact BIGINT folds; the
+    * sigmoid runs in double FROM the same grid value (BIGINT/1e6 is an
+    * exact conversion + one correctly-rounded IEEE division, identical on
+    * both engines); residuals re-quantize via floor(r·1e6) (identical
+    * doubles → identical integers); per-bucket gradients Σ r_q·c are
+    * exact BIGINT folds (|g| ≤ 1e6·Σc < 2^53 through sf1, so the oracle's
+    * double path is exact too); the update floor(g/(32N)) is one exact
+    * conversion, one correctly-rounded division (×1/32 exact — power of
+    * two), one floor. The only cross-engine ambiguity is exp()'s final
+    * ulp, the accepted psi_q/odds_q window, shrunk further by the
+    * coarse 1e-6 grid. */
+  private[graft] def classifierTrain(s: SparkSession, dir: String, iters: Int): DataFrame =
+    classifierTrainDocs(s, Tables.spread(Tables.load(s, dir, "documents")), iters)
+
+  /** Training loop over ANY (doc_id, lang, text) frame — the spec trains
+    * on a synthetic separable corpus (the fixture's languages share one
+    * vocabulary by design, so label signal there is distributional only). */
+  private[graft] def classifierTrainDocs(s: SparkSession, docs: DataFrame, iters: Int): DataFrame = {
+    import s.implicits._
+    val B = 64
+    val fx = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"),
+        expr(s"CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % $B").as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    val feats = fx.unionByName(
+        docs.select(col("doc_id"), lit(-1L).as("b"), lit(1L).as("c")))
+      .persist()
+    val lab = docs.select(col("doc_id"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    val nDocs = docs.count()
+    // 65-row model on the driver between iterations
+    var w: Map[Long, Long] =
+      feats.select(col("b")).distinct().collect().map(_.getLong(0) -> 0L).toMap
+    for (_ <- 1 to iters) {
+      val wDf = broadcast(w.toSeq.toDF("b", "wq"))
+      val dot = feats.join(wDf, Seq("b"))
+        .groupBy(col("doc_id")).agg(sum(col("c") * col("wq")).as("dotq"))
+      val resid = dot.join(lab, Seq("doc_id"))
+        .select(col("doc_id"),
+          floor((col("y") - lit(1.0) / (lit(1.0) + exp(-(col("dotq") / lit(1e6)))))
+            * lit(1e6)).cast("long").as("rq"))
+      val grad = feats.join(resid, Seq("doc_id"))
+        .groupBy(col("b")).agg(sum(col("rq") * col("c")).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // ≤65 rows
+      w = w.map { case (b, q) =>
+        b -> (q + math.floor(grad.getOrElse(b, 0L).toDouble / (32.0 * nDocs)).toLong)
+      }
+    }
+    feats.unpersist()
+    w.toSeq.toDF("b", "wq").orderBy(col("b"))
+  }
+
+  /** Score the corpus with a trained weight table — the inference half
+    * that consumes [[classifierTrain]]'s model. Same featurization, same
+    * exact BIGINT margin fold; returns per-doc (margin grid value, accept)
+    * so the agreement spec can pin train-time and inference-time margins
+    * bit-equal. */
+  private[graft] def classifierScore(s: SparkSession, dir: String,
+      weights: Map[Long, Long]): DataFrame =
+    classifierScoreDocs(s, Tables.spread(Tables.load(s, dir, "documents")), weights)
+
+  private[graft] def classifierScoreDocs(s: SparkSession, docs: DataFrame,
+      weights: Map[Long, Long]): DataFrame = {
+    import s.implicits._
+    val B = 64
+    val fx = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"),
+        expr(s"CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % $B").as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    val feats = fx.unionByName(
+      docs.select(col("doc_id"), lit(-1L).as("b"), lit(1L).as("c")))
+    feats.join(broadcast(weights.toSeq.toDF("b", "wq")), Seq("b"))
+      .groupBy(col("doc_id")).agg(sum(col("c") * col("wq")).as("dotq"))
+      .select(col("doc_id"), col("dotq"), (col("dotq") >= 0L).as("accept"))
+  }
+
+  /** DuckDB replay of [[classifierTrain]]: `iters` unrolled CTE
+    * quadruples (margin → residual → gradient → weight update), exact
+    * integer folds at every step. */
+  private def classifierOracle(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |fx AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) % 64 AS b,
+      |         CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM toks GROUP BY doc_id, b),
+      |feats AS (
+      |  SELECT * FROM fx
+      |  UNION ALL
+      |  SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM documents),
+      |lab AS (
+      |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      |  FROM documents),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      |w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS wq FROM feats)""".stripMargin
+    for (k <- 1 to iters) {
+      sb ++= s""",
+        |m$k AS (
+        |  SELECT f.doc_id, CAST(SUM(f.c * w.wq) AS BIGINT) AS dotq
+        |  FROM feats f JOIN w${k - 1} w ON w.b = f.b GROUP BY f.doc_id),
+        |r$k AS (
+        |  SELECT m.doc_id,
+        |         CAST(floor((l.y - 1.0 / (1.0 + exp(-(m.dotq / 1000000.0))))
+        |                    * 1000000) AS BIGINT) AS rq
+        |  FROM m$k m JOIN lab l ON l.doc_id = m.doc_id),
+        |g$k AS (
+        |  SELECT f.b, CAST(SUM(r.rq * f.c) AS BIGINT) AS g
+        |  FROM feats f JOIN r$k r ON r.doc_id = f.doc_id GROUP BY f.b),
+        |w$k AS (
+        |  SELECT w.b,
+        |         CAST(w.wq + CAST(floor(g.g / (32.0 * (SELECT n FROM nn))) AS BIGINT)
+        |           AS BIGINT) AS wq
+        |  FROM w${k - 1} w JOIN g$k g ON g.b = w.b)""".stripMargin
+    }
+    sb ++= s"\nSELECT b, wq FROM w$iters ORDER BY b"
+    sb.toString
+  }
+
   val qs: Seq[Q] = Seq(
     // Token counting: whitespace tokens, distinct tokens, char stats.
     Q(
@@ -1483,6 +1622,14 @@ object TextQueries extends QueryPack {
     // rounds declaratively. The trained merge table (rank, pair, freq)
     // is the output artifact, exactly what a tokenizer build emits.
     Q("pipeline_bpe_train", bpeOracle(12)) { (s, dir) => bpeTrain(s, dir, 12) },
+
+    // Quality-classifier TRAINING (the inference surface's missing twin)
+    // — 8 full-batch logistic-regression steps over hashed features; the
+    // output is the 65-row weight table an inference pass consumes. See
+    // [[classifierTrain]] for the grid-quantized exactness argument.
+    Q("text_classifier_train", classifierOracle(8)) { (s, dir) =>
+      classifierTrain(s, dir, 8)
+    },
 
     // Train-then-encode: the trained merge table applied corpus-wide —
     // per-doc whitespace-word and BPE-token counts. See [[bpeEncode]]

@@ -101,4 +101,64 @@ class TextPipelineSpec extends SparkSpec {
     // bigrams must exist somewhere in the corpus
     assert(rows.exists { case (_, dup) => dup > 0.0 })
   }
+
+  test("classifier training: inference margins agree bit-exactly; model learns") {
+    import graft.operators.TextQueries
+    val weights = TextQueries.classifierTrain(spark, sf(), iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weights.contains(-1L), "intercept bucket must be in the model")
+    assert(weights.values.exists(_ != 0L), "8 steps must move some weight")
+    // agreement: scoring the corpus with the RETURNED weight table
+    // reproduces exactly the margins a 9th training step would see —
+    // the inference path and the training loop share one definition of
+    // the model (same featurization, same exact BIGINT fold)
+    val scored = TextQueries.classifierScore(spark, sf(), weights)
+    val viaScore = scored.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaTrainStep = {
+      import spark.implicits._
+      val docs = Tables.spread(Tables.load(spark, sf(), "documents"))
+      val fx = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .select(col("doc_id"),
+          expr("CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % 64").as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+        .unionByName(docs.select(col("doc_id"), lit(-1L).as("b"), lit(1L).as("c")))
+      fx.join(broadcast(weights.toSeq.toDF("b", "wq")), Seq("b"))
+        .groupBy(col("doc_id")).agg(sum(col("c") * col("wq")).as("dotq"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(viaScore == viaTrainStep, "inference margins must equal the training fold")
+    // training must IMPROVE the objective on the fixture: mean log-loss
+    // of the trained model beats the untrained (w = 0, σ = 1/2) model's
+    // ln 2. (Accuracy can NOT beat the majority baseline here — the
+    // fixture's languages share one 31-word vocabulary by design, so the
+    // only label signal is distributional.)
+    val lab = Tables.spread(Tables.load(spark, sf(), "documents"))
+      .select(col("doc_id"), (col("lang") === "en").as("y"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val logLoss = viaScore.toSeq.map { case (d, dotq) =>
+      val p = 1.0 / (1.0 + math.exp(-(dotq / 1e6)))
+      if (lab(d)) -math.log(p) else -math.log(1.0 - p)
+    }.sum / lab.size
+    assert(logLoss < math.log(2.0) - 0.01,
+      f"trained log-loss $logLoss%.4f must improve on the w=0 model's ln2")
+
+    // on a SEPARABLE corpus the same loop must actually classify: two
+    // disjoint vocabularies, one per class
+    import spark.implicits._
+    val synth = (0 until 200).map { i =>
+      val en = i % 2 == 0
+      val vocab = if (en) Seq("alpha", "beta", "gamma", "delta")
+        else Seq("uno", "dos", "tres", "cuatro")
+      val words = (0 until 20).map(j => vocab((i * 7 + j * 3) % vocab.size))
+      (i.toLong, if (en) "en" else "es", words.mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val wSynth = TextQueries.classifierTrainDocs(spark, synth, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val synthAcc = TextQueries.classifierScoreDocs(spark, synth, wSynth)
+      .join(synth.select(col("doc_id"), (col("lang") === "en").as("y")), "doc_id")
+      .filter(col("accept") === col("y")).count().toDouble / 200
+    assert(synthAcc >= 0.95,
+      f"separable corpus must classify (accuracy $synthAcc%.3f)")
+  }
 }
