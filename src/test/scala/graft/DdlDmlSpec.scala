@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.Row
-import graft.sqlfront.{GraftSession, PgRewrite, StatementSplitter}
+import graft.sqlfront.{ConsistencySweeper, GraftSession, PgRewrite, StatementSplitter}
 
 /** DDL/DML/catalog surface (SURVEY §2.10) — the engine-layer behaviors the
   * DuckDB oracle gate can't express: constraint rejection, sequences,
@@ -1610,5 +1610,60 @@ class DdlDmlSpec extends SparkSpec {
     s.sql("BEGIN")
     intercept[Exception](s.sql("CREATE DATABASE nope"))
     s.sql("ROLLBACK")
+  }
+
+  test("consistency sweeper: clean audit passes, injected corruption is flagged") {
+    import org.apache.spark.sql.functions._
+    val s = fresh()
+    s.sql("CREATE TYPE mood AS ENUM ('ok', 'bad')")
+    s.sql("CREATE TABLE parents (pid INT PRIMARY KEY)")
+    s.sql("CREATE TABLE kids (kid INT PRIMARY KEY, pid INT REFERENCES parents(pid), " +
+      "name TEXT NOT NULL, m mood, UNIQUE (name))")
+    s.sql("INSERT INTO parents VALUES (1), (2)")
+    s.sql("INSERT INTO kids VALUES (10, 1, 'a', 'ok'), (11, 2, 'b', 'bad')")
+    // clean state: every check passes, checks cover all constraint kinds
+    val clean = ConsistencySweeper.audit(s).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3), r.getBoolean(4)))
+    assert(clean.forall(_._4), clean.filterNot(_._4).mkString(", "))
+    val kidChecks = clean.filter(_._1 == "kids").map(_._2).toSet
+    assert(kidChecks.contains("not_null:name") && kidChecks.contains("enum:m")
+      && kidChecks.contains("unique:kid") && kidChecks.contains("unique:name")
+      && kidChecks.contains("fk:pid->parents.pid"), kidChecks.toString)
+
+    // corrupt BEHIND the write path (the reference job's rationale: bugs,
+    // raw imports, failed multi-step ops): append a part-file with a dup
+    // pk, a dup unique name, an orphan fk, a NULL not-null, a bad enum
+    val t = s.catalog.getTable("kids").get
+    val dir = s.catalog.tableDir(t).toString
+    val bad = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(10, 99, null, "furious"),
+        org.apache.spark.sql.Row(12, 1, "b", "ok")),
+      new org.apache.spark.sql.types.StructType()
+        .add("kid", "int").add("pid", "int").add("name", "string").add("m", "string"))
+    bad.coalesce(1).write.mode("append").parquet(dir)
+    val audited = ConsistencySweeper.audit(s).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    def v(chk: String): Long = audited.find(r => r._1 == "kids" && r._2 == chk).get._4
+    assert(audited.filter(_._1 == "kids").forall(_._3 == 4)) // rows audited
+    assert(v("not_null:name") == 1, audited.mkString(", "))
+    assert(v("enum:m") == 1)
+    assert(v("unique:kid") == 1) // pk 10 duplicated
+    assert(v("unique:name") == 1) // 'b' duplicated
+    assert(v("fk:pid->parents.pid") == 1) // 99 has no parent
+    // parents stayed clean
+    assert(audited.find(r => r._1 == "parents" && r._2 == "unique:pid").get._4 == 0)
+
+    // background mode: runs on the interval, surfaces violations, stops
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val h = ConsistencySweeper.continuous(s, intervalMs = 50,
+      onViolation = r => seen.add(r.getString(0) + "/" + r.getString(1)))
+    val deadline = System.nanoTime() + 30e9.toLong
+    while (h.runs < 2 && System.nanoTime() < deadline) Thread.sleep(20)
+    h.stop()
+    assert(h.runs >= 2, "sweeper must complete repeated runs")
+    assert(h.lastReport.nonEmpty)
+    assert(seen.contains("kids/unique:kid") && seen.contains("kids/fk:pid->parents.pid"),
+      seen.toString)
   }
 }
