@@ -469,8 +469,24 @@ object TextQueries extends QueryPack {
     * two), one floor. The only cross-engine ambiguity is exp()'s final
     * ulp, the accepted psi_q/odds_q window, shrunk further by the
     * coarse 1e-6 grid. */
-  private[graft] def classifierTrain(s: SparkSession, dir: String, iters: Int): DataFrame =
-    classifierTrainDocs(s, Tables.spread(Tables.load(s, dir, "documents")), iters)
+  /** Trained model memoized per (session, corpus, iters) — training is
+    * deterministic, and the infer gate consumes the SAME model the train
+    * gate emits, so retraining would be pure duplicate work (in a real
+    * pipeline the weight table is a published artifact). The cached value
+    * is the 65-entry driver-side map, not a DataFrame — nothing to
+    * unpersist. */
+  private val classifierModelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), Map[Long, Long]]
+
+  private[graft] def classifierWeights(s: SparkSession, dir: String, iters: Int): Map[Long, Long] =
+    classifierModelCache.getOrElseUpdate((s, dir, iters),
+      classifierTrainDocs(s, Tables.spread(Tables.load(s, dir, "documents")), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+
+  private[graft] def classifierTrain(s: SparkSession, dir: String, iters: Int): DataFrame = {
+    import s.implicits._
+    classifierWeights(s, dir, iters).toSeq.toDF("b", "wq").orderBy(col("b"))
+  }
 
   /** Training loop over ANY (doc_id, lang, text) frame — the spec trains
     * on a synthetic separable corpus (the fixture's languages share one
@@ -578,6 +594,19 @@ object TextQueries extends QueryPack {
     }
     sb ++= s"\nSELECT b, wq FROM w$iters ORDER BY b"
     sb.toString
+  }
+
+  /** Train-then-SCORE oracle: the [[classifierOracle]] chain, then one
+    * more margin pass with the final weights — per-doc (dotq, accept). */
+  private def classifierInferOracle(iters: Int): String = {
+    val train = classifierOracle(iters)
+    val body = train.substring(0, train.lastIndexOf("\nSELECT "))
+    body + s"""
+      |, score AS (
+      |  SELECT f.doc_id, CAST(SUM(f.c * w.wq) AS BIGINT) AS dotq
+      |  FROM feats f JOIN w$iters w ON w.b = f.b GROUP BY f.doc_id)
+      |SELECT doc_id, dotq, dotq >= 0 AS accept
+      |FROM score ORDER BY doc_id""".stripMargin
   }
 
   val qs: Seq[Q] = Seq(
@@ -1629,6 +1658,14 @@ object TextQueries extends QueryPack {
     // [[classifierTrain]] for the grid-quantized exactness argument.
     Q("text_classifier_train", classifierOracle(8)) { (s, dir) =>
       classifierTrain(s, dir, 8)
+    },
+
+    // Train-then-INFER end to end: the trained model scores the corpus
+    // (the daily quality-gate pass); per-doc exact margin + accept bit.
+    // The 65-row weight collect between the halves is the k-means
+    // centroid pattern — parameters come back, corpus data never does.
+    Q("text_classifier_infer", classifierInferOracle(8)) { (s, dir) =>
+      classifierScore(s, dir, classifierWeights(s, dir, 8)).orderBy(col("doc_id"))
     },
 
     // Train-then-encode: the trained merge table applied corpus-wide —
