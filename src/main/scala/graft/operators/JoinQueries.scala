@@ -263,9 +263,20 @@ object JoinQueries extends QueryPack {
       val whDir = new java.io.File(
         if (wh.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(wh)).toString
         else wh)
+      // DATABASE-QUALIFIED throughout: the session's CURRENT database is
+      // session-global mutable state (GraftSession mirrors its live
+      // database into the Spark catalog), so unqualified names would
+      // resolve — and leave locations — wherever the last `USE` pointed.
+      // Pinning `default` keeps the catalog entry and the on-disk
+      // location (warehouse root) in lockstep with the resets below.
       def reset(t: String, prefix: String): Unit = {
-        s.sql(s"DROP TABLE IF EXISTS `$t`")
+        s.sql(s"DROP TABLE IF EXISTS default.`$t`")
         graft.Scratch.rm(new java.io.File(whDir, t))
+        // a pre-qualification run may have left the location under a
+        // GraftSession database's dir — clear those too
+        Option(whDir.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isDirectory && f.getName.endsWith(".db"))
+          .foreach(db => graft.Scratch.rm(new java.io.File(db, t)))
         graft.Scratch.pruneStale(whDir, prefix, t)
       }
       reset(oT, "graft_bkt_orders")
@@ -273,12 +284,13 @@ object JoinQueries extends QueryPack {
       Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"))
         .write.mode("overwrite").format("parquet")
-        .bucketBy(16, "o_orderkey").sortBy("o_orderkey").saveAsTable(oT)
+        .bucketBy(16, "o_orderkey").sortBy("o_orderkey").saveAsTable(s"default.$oT")
       Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_extendedprice"))
         .write.mode("overwrite").format("parquet")
-        .bucketBy(16, "l_orderkey").sortBy("l_orderkey").saveAsTable(lT)
-      s.table(oT).join(s.table(lT), col("l_orderkey") === col("o_orderkey"))
+        .bucketBy(16, "l_orderkey").sortBy("l_orderkey").saveAsTable(s"default.$lT")
+      s.table(s"default.$oT")
+        .join(s.table(s"default.$lT"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("line_count"),
           graft.Exact.dsum(col("l_extendedprice")).as("revenue"))
