@@ -42,7 +42,14 @@ object Bench {
       // o⋈l+distinct shuffle paid here instead of once per consumer
       ("shared:graph_edges",
         Set("graph_degree_histogram", "graph_pagerank", "graph_shortest_path"),
-        () => graft.operators.GraphQueries.warmSharedEdges(spark, sfDir)))
+        () => graft.operators.GraphQueries.warmSharedEdges(spark, sfDir)),
+      // the trained classifier model is memoized per (session, corpus) —
+      // without this stage the min-across-passes discipline would let
+      // the ~full training cost vanish from EVERY label (first pass's
+      // first runner pays it, the min discards it)
+      ("shared:classifier_model",
+        Set("text_classifier_train", "text_classifier_infer"),
+        () => graft.operators.TextQueries.classifierWeights(spark, sfDir, 8).size.toLong))
     val sharedTimed: Seq[(String, Either[String, Double])] = sharedStages.flatMap {
       case (key, consumers, warm) =>
         if (!selected.exists(kv => consumers(kv._1))) None

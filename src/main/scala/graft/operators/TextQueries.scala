@@ -499,11 +499,15 @@ object TextQueries extends QueryPack {
       .select(col("doc_id"),
         expr(s"CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % $B").as("b"))
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
-    val feats = fx.unionByName(
-        docs.select(col("doc_id"), lit(-1L).as("b"), lit(1L).as("c")))
-      .persist()
+    // the label rides the persisted feature frame (constant per doc, so
+    // first(y) under the margin aggregate recovers it) — folding it in
+    // here removes one shuffle join from EVERY iteration
     val lab = docs.select(col("doc_id"),
       when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    val feats = fx.unionByName(
+        docs.select(col("doc_id"), lit(-1L).as("b"), lit(1L).as("c")))
+      .join(lab, Seq("doc_id"))
+      .persist()
     val nDocs = docs.count()
     // 65-row model on the driver between iterations
     var w: Map[Long, Long] =
@@ -511,8 +515,9 @@ object TextQueries extends QueryPack {
     for (_ <- 1 to iters) {
       val wDf = broadcast(w.toSeq.toDF("b", "wq"))
       val dot = feats.join(wDf, Seq("b"))
-        .groupBy(col("doc_id")).agg(sum(col("c") * col("wq")).as("dotq"))
-      val resid = dot.join(lab, Seq("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c") * col("wq")).as("dotq"), first(col("y")).as("y"))
+      val resid = dot
         .select(col("doc_id"),
           floor((col("y") - lit(1.0) / (lit(1.0) + exp(-(col("dotq") / lit(1e6)))))
             * lit(1e6)).cast("long").as("rq"))
