@@ -1059,6 +1059,46 @@ object TextQueries extends QueryPack {
         .orderBy(col("rnk"))
     },
 
+    // Overlapping-window chunking — the RAG/embedding prep pass: every
+    // document splits into W=64-token windows at stride S=48 (25%
+    // overlap), each chunk carrying a stable (doc_id, chunk_idx) id, its
+    // true token count (tail chunks run short), and a content hash — the
+    // unit an embedding job or retrieval index consumes. Chunk count is
+    // the exact integer (n-1) div S + 1, identical arithmetic in both
+    // engines. Scale shape: pure per-row flatMap (explode of a computed
+    // range) — embarrassingly parallel, no shuffle until the final
+    // presentation sort, output ~n_tokens/S rows per doc.
+    Q(
+      "pipeline_chunk_overlap",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id,
+        |         unnest(range(0, ((n - 1) // 48) + 1)) AS chunk_idx,
+        |         t, n
+        |  FROM toks)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |       CAST(LEAST(64, n - chunk_idx * 48) AS BIGINT) AS n_tokens,
+        |       md5(array_to_string(t[(chunk_idx * 48 + 1):(chunk_idx * 48 + 64)], ' ')) AS chunk_hash
+        |FROM chunks
+        |ORDER BY doc_id, chunk_idx""".stripMargin
+    ) { (s, dir) =>
+      val W = 64
+      val S = 48
+      Tables.spread(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .withColumn("n", size(col("t")))
+        .select(col("doc_id"), col("t"), col("n"),
+          explode(expr(s"sequence(0, (n - 1) div $S)")).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          least(lit(W), col("n") - col("chunk_idx") * S).cast("long").as("n_tokens"),
+          md5(concat_ws(" ",
+            expr(s"slice(t, chunk_idx * $S + 1, $W)"))).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // Sequence packing — the pretraining prep step after curation: the
     // per-source token stream (docs in doc_id order) is split at fixed
     // 512-token block boundaries, GPT-style concatenate-then-chunk; the
