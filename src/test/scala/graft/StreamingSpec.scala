@@ -628,6 +628,34 @@ class StreamingSpec extends SparkSpec {
       s"streamed index must equal the batch index: ${(streamed diff batchBuilt).take(5)} / ${(batchBuilt diff streamed).take(5)}")
   }
 
+  test("streaming classifier scoring equals the batch inference fold") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingClassifier
+    val weights = graft.operators.TextQueries.classifierWeights(spark, sf(), 8)
+    val docRows = Tables.spread(Tables.load(spark, sf(), "documents"))
+      .select(col("doc_id"), col("text")).limit(200).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingClassifier.score(in.toDF().toDF("doc_id", "text"), weights)
+      .writeStream.format("memory").queryName("clf_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two micro-batches: scoring is stateless, so the split is arbitrary
+      val (b1, b2) = docRows.splitAt(docRows.length / 2)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT doc_id, dotq, accept FROM clf_sink").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val batch = graft.operators.TextQueries.classifierScoreDocs(spark,
+        docRows.toDF("doc_id", "text"), weights)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(streamed.size == docRows.size)
+    assert(streamed == batch,
+      s"streamed margins must be bit-identical to the batch fold: " +
+        s"${(streamed.toSet diff batch.toSet).take(3)}")
+  }
+
   test("streaming Misra-Gries top-k: bounds hold and the left fold equals one-shot batch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingTopK
