@@ -116,6 +116,15 @@ object StreamProbe {
           .evalBloomFromCorpus(Tables.load(spark, base, "documents"))
         graft.streaming.StreamingDecontam.matches(docs, bits, evalSh)
       case "dedup" | "dedup_fresh" => graft.streaming.StreamingDedup.nearDupStream(docs)
+      case "classify" =>
+        // streaming quality-gate throughput: the published weight table
+        // (trained once from the base corpus — a release artifact, paid
+        // before the stream starts) scores the cycled document stream.
+        // Fully stateless map-literal expression: the measured cost is
+        // pure per-row tokenize + hash + map-probe arithmetic, the
+        // throughput ceiling of the crawl-ingest gate.
+        graft.streaming.StreamingClassifier.score(docs,
+          graft.operators.TextQueries.classifierWeights(spark, base, 8))
       case "attribution" =>
         // stream-stream interval join throughput: ONE rate source split
         // into touch (80 %) and purchase (20 %) streams, self-joined per
@@ -192,7 +201,7 @@ object StreamProbe {
       case other =>
         // fail LOUDLY: a typo silently falling back to dedup would
         // record a stateful measurement under a decontam-looking label
-        sys.error(s"unknown op '$other': expected dedup | dedup_fresh | decontam | attribution | ann | topk")
+        sys.error(s"unknown op '$other': expected dedup | dedup_fresh | decontam | attribution | ann | topk | classify")
     }
 
     var writer =
