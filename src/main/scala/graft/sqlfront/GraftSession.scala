@@ -30,9 +30,14 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
 
   // -------------------------------------------- txn crash recovery (open)
 
-  private val txnCatalogJournal = warehouse.resolve("_txn_catalog.json")
-  private val txnFilesJournal = warehouse.resolve("_txn_files.json")
-  private val txnOwnerFile = warehouse.resolve("_txn_owner")
+  // journals live in the root of the DATABASE the transaction mutates —
+  // each database arms and recovers independently (the default at
+  // construction, secondaries when first connected). `\c` refuses inside
+  // a transaction, so the live catalog cannot change between BEGIN's
+  // arming and COMMIT/ROLLBACK's disarming.
+  private def txnCatalogJournal = catalog.root.resolve("_txn_catalog.json")
+  private def txnFilesJournal = catalog.root.resolve("_txn_files.json")
+  private def txnOwnerFile = catalog.root.resolve("_txn_owner")
 
   /** True when the journal's owner is a DIFFERENT, still-running OS
     * process: its transaction is live, not crashed, so recovery must not
@@ -41,77 +46,75 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     * cannot be distinguished from an abandoned session object, so opening
     * a second GraftSession in the SAME process on a warehouse with an open
     * transaction rolls that transaction back — documented limitation. */
-  private def txnOwnerAlive(): Boolean =
+  private def txnOwnerAlive(ownerFile: Path): Boolean =
     try {
-      if (!Files.exists(txnOwnerFile)) false
+      if (!Files.exists(ownerFile)) false
       else {
-        val pid = Files.readString(txnOwnerFile).trim.toLong
+        val pid = Files.readString(ownerFile).trim.toLong
         pid != ProcessHandle.current().pid() &&
           ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
       }
     } catch { case _: Exception => false }
 
-  /** A journal pair left behind means the previous session died inside
-    * BEGIN…COMMIT. Restore the pre-BEGIN catalog NOW — before [[catalog]]
-    * loads — so version pointers flip back to the pre-txn snapshots; the
-    * recorded file listings are applied after load (mirrors the
-    * reference's lock-cleanup recovery,
+  /** A journal pair left behind in `root` means a previous session died
+    * inside BEGIN…COMMIT on that database. Restore its pre-BEGIN catalog
+    * (version pointers flip back to the pre-txn snapshots), then un-append
+    * part-files the dead txn added to surviving snapshot dirs and
+    * invalidate matview checkpoints that may have consumed them (mirrors
+    * the reference's lock-cleanup recovery,
     * kv/KvTransactionCoordinator.java:537-664, at single-session scope).
     *
     * Recovery is IDEMPOTENT: the catalog journal is COPIED (not moved)
-    * over catalog.json here, and journals are deleted only after the file
+    * over catalog.json, and journals are deleted only after the file
     * un-append completes — catalog-journal removal is the commit point of
     * recovery, so a crash at any intermediate step just re-runs the whole
     * recovery on the next open.
     *
-    * The inner Option encodes the un-append step's state: BEGIN arms the
-    * journals files→owner→catalog, and recovery disarms them
-    * files→owner→catalog, so a catalog journal WITHOUT a files journal
-    * can only mean a previous recovery finished the un-append and died
-    * before its commit point. That re-run must NOT treat the missing
-    * files journal as "every table had zero files" — that would make the
-    * un-append loop below delete every part-file of every table. */
-  private val pendingTxnRecovery: Option[Option[Map[String, Set[String]]]] =
-    if (!Files.exists(txnCatalogJournal) || txnOwnerAlive()) None
-    else {
-      val had: Option[Map[String, Set[String]]] =
-        if (!Files.exists(txnFilesJournal)) None // un-append already done
-        else Some(graft.catalog.Json.parse(Files.readString(txnFilesJournal))
-          .asInstanceOf[Map[String, Any]]
-          .map { case (k, v) => k -> v.asInstanceOf[Seq[Any]].map(_.toString).toSet })
-      Files.copy(txnCatalogJournal, warehouse.resolve("catalog.json"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      Some(had)
+    * A catalog journal WITHOUT a files journal can only mean a previous
+    * recovery finished the un-append and died before its commit point
+    * (BEGIN arms files→owner→catalog, recovery disarms the same order).
+    * That re-run must NOT treat the missing files journal as "every table
+    * had zero files" — that would delete every part-file of every table.
+    *
+    * Checkpoint invalidation is keyed on the JOURNAL's table set (not
+    * just the dirs that had extras this run): a re-run after a
+    * mid-recovery crash finds the extras already deleted, but the
+    * checkpoints may still hold rolled-back rows — the conservative
+    * superset keeps the re-run equivalent to the first run. */
+  private def recoverTxn(root: Path): Unit = {
+    val cj = root.resolve("_txn_catalog.json")
+    val fj = root.resolve("_txn_files.json")
+    val ownerF = root.resolve("_txn_owner")
+    if (!Files.exists(cj) || txnOwnerAlive(ownerF)) return
+    val had: Option[Map[String, Set[String]]] =
+      if (!Files.exists(fj)) None // un-append already done
+      else Some(graft.catalog.Json.parse(Files.readString(fj))
+        .asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> v.asInstanceOf[Seq[Any]].map(_.toString).toSet })
+    Files.copy(cj, root.resolve("catalog.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val cat = new Catalog(root) // loads the restored pre-txn state
+    had.foreach { had =>
+      cat.tables.values.foreach { t =>
+        val dir = cat.tableDir(t)
+        (listDir(dir) -- had.getOrElse(t.name, Set.empty))
+          .foreach(f => Files.deleteIfExists(dir.resolve(f)))
+      }
+      graft.streaming.MatviewMaintenance.onBaseFilesRemoved(cat, had.keySet)
+      Files.deleteIfExists(fj)
     }
+    Files.deleteIfExists(ownerF)
+    // commit point of recovery — deleted LAST
+    Files.deleteIfExists(cj)
+  }
+
+  recoverTxn(warehouse) // the default database recovers before its catalog loads
 
   /** Live catalog — the CURRENT database's. `\c`/connectDatabase swaps it
     * (multi-database minimum, reference kv/DatabaseRegistry.java:29-60:
     * name→storage-namespace registry with create/drop/switch). */
   private var _catalog: Catalog = new Catalog(warehouse)
   def catalog: Catalog = _catalog
-
-  // finish crash recovery now that the pre-txn version pointers are live:
-  // un-append part-files the dead txn added to surviving snapshot dirs,
-  // and rebuild any matview checkpoint that may have consumed them.
-  // Checkpoint invalidation is keyed on the JOURNAL's table set (not just
-  // the dirs that had extras this run): a re-run after a mid-recovery
-  // crash finds the extras already deleted, but the checkpoints may still
-  // hold rolled-back rows — the conservative superset keeps the re-run
-  // equivalent to the first run.
-  pendingTxnRecovery.foreach { hadOpt =>
-    hadOpt.foreach { had =>
-      catalog.tables.values.foreach { t =>
-        val dir = catalog.tableDir(t)
-        (listDir(dir) -- had.getOrElse(t.name, Set.empty))
-          .foreach(f => Files.deleteIfExists(dir.resolve(f)))
-      }
-      graft.streaming.MatviewMaintenance.onBaseFilesRemoved(this, had.keySet)
-      Files.deleteIfExists(txnFilesJournal)
-    }
-    Files.deleteIfExists(txnOwnerFile)
-    // commit point of recovery — deleted LAST
-    Files.deleteIfExists(txnCatalogJournal)
-  }
 
   // ----------------------------------------------------------- databases
 
@@ -198,7 +201,11 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       (catalog.tables.keys ++ catalog.views.keys)
         .foreach(v => spark.catalog.dropTempView(v))
       currentDbName = name
-      _catalog = dbCatalogs.getOrElseUpdate(name, new Catalog(dbRoot(name)))
+      // first connect instantiates the catalog — run this database's own
+      // crash recovery first, so a txn journal a dead process left in its
+      // root restores BEFORE the catalog loads
+      _catalog = dbCatalogs.getOrElseUpdate(name,
+        { recoverTxn(dbRoot(name)); new Catalog(dbRoot(name)) })
       // mirror into Spark's own catalog namespace so the builtin
       // current_database() reports the live name
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $name")
@@ -625,7 +632,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         files.map { case (t, fs) => js(t) + ":" + fs.map(js).mkString("[", ",", "]") }
           .mkString("{", ",", "}"))
       Files.writeString(txnOwnerFile, ProcessHandle.current().pid().toString)
-      Files.copy(warehouse.resolve("catalog.json"), txnCatalogJournal,
+      Files.copy(catalog.root.resolve("catalog.json"), txnCatalogJournal,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     ok("BEGIN")

@@ -72,12 +72,17 @@ object MatviewMaintenance {
     * view streaming from an affected base are deleted; the next refresh
     * rebuilds from the surviving files. */
   def onBaseFilesRemoved(gs: GraftSession, tables: Set[String]): Unit =
-    gs.catalog.views.values.filter(_.materialized).foreach { v =>
+    onBaseFilesRemoved(gs.catalog, tables)
+
+  /** Catalog-addressed variant — crash recovery runs against a database
+    * root whose catalog may not be the session's live one (multi-db). */
+  def onBaseFilesRemoved(cat: graft.catalog.Catalog, tables: Set[String]): Unit =
+    cat.views.values.filter(_.materialized).foreach { v =>
       val base = v.sql match {
         case fromRe(t) => Some(t.replaceAll("\"", "").toLowerCase)
         case _ => None
       }
-      if (base.exists(tables)) deleteRec(gs.catalog.root.resolve("_ckpt_" + v.name))
+      if (base.exists(tables)) deleteRec(cat.root.resolve("_ckpt_" + v.name))
     }
 
   /** Called when a view is dropped or redefined (CREATE OR REPLACE):

@@ -1612,6 +1612,38 @@ class DdlDmlSpec extends SparkSpec {
     s.sql("ROLLBACK")
   }
 
+  test("crash mid-transaction in a SECONDARY database recovers independently") {
+    val wh = Files.createTempDirectory("graft_wh")
+    val s1 = new GraftSession(spark, wh)
+    s1.sql("CREATE TABLE g_t (id INT PRIMARY KEY)")
+    s1.sql("INSERT INTO g_t VALUES (1)")
+    s1.sql("CREATE DATABASE side")
+    s1.sql("\\c side")
+    s1.sql("CREATE TABLE s_t (id INT PRIMARY KEY, v DOUBLE)")
+    s1.sql("INSERT INTO s_t VALUES (1, 10.0)")
+    s1.sql("BEGIN")
+    s1.sql("INSERT INTO s_t VALUES (2, 20.0)")
+    s1.sql("UPDATE s_t SET v = 0.0 WHERE id = 1")
+    // "crash" with the txn open IN the secondary database: its journals
+    // live under _db_side/, the default database's root stays unarmed
+    assert(Files.exists(wh.resolve("_db_side").resolve("_txn_catalog.json")))
+    assert(!Files.exists(wh.resolve("_txn_catalog.json")),
+      "the default database must not be armed by a secondary-db txn")
+    val s2 = new GraftSession(spark, wh)
+    // default db is untouched and journal-free
+    assert(s2.sql("SELECT count(*) AS c FROM g_t").collect()(0).getLong(0) == 1L)
+    // first connect to the secondary database runs ITS recovery
+    s2.sql("\\c side")
+    val rows = s2.sql("SELECT id, v FROM s_t ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1, 10.0)), s"expected pre-BEGIN state, got $rows")
+    assert(!Files.exists(wh.resolve("_db_side").resolve("_txn_catalog.json")),
+      "recovery must consume the secondary database's journal")
+    // normal work resumes in the recovered database
+    s2.sql("INSERT INTO s_t VALUES (3, 30.0)")
+    assert(s2.sql("SELECT count(*) AS c FROM s_t").collect()(0).getLong(0) == 2L)
+  }
+
   test("consistency sweeper: clean audit passes, injected corruption is flagged") {
     import org.apache.spark.sql.functions._
     val s = fresh()
