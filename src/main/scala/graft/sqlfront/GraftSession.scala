@@ -178,6 +178,10 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       throw new IllegalArgumentException(s"""database "$name" does not exist""")
     }
     dbCatalogs.remove(name)
+    // stop any continuous matview maintainers watching this database's
+    // snapshot dirs — their file streams would otherwise idle against
+    // deleted paths (same hook the snapshot-supersede path uses)
+    graft.streaming.MatviewMaintenance.onSnapshotChange(dbRoot(name).toString)
     // recursive delete of the database's whole storage namespace
     val rootDir = dbRoot(name)
     val walk = Files.walk(rootDir)
@@ -301,7 +305,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       // sizes (many small part-files) overestimate it. Stale stats
       // (version moved since ANALYZE) never hint — a wrong broadcast
       // of a now-large table would be an OOM, not a slowdown.
-      val hinted = statsCache.get(t.name) match {
+      val hinted = statsCache.get(statsKey(t.name)) match {
         case Some(st) if st.version == t.version &&
           st.rowCount * (t.visibleColumns.size * 32L) < 10L * 1024 * 1024 =>
           broadcast(df)
@@ -1141,10 +1145,18 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Stats for one table, or None if never ANALYZEd. Freshness is the
-    * caller's concern (version field vs the table's current version). */
+  /** Stats keys are DATABASE-QUALIFIED ("db.table"; the default database
+    * keeps bare names for continuity with existing _stats.json files) —
+    * without the qualifier, a same-named table in another database could
+    * inherit stale stats and a wrong broadcast hint after `\\c`. */
+  private def statsKey(table: String): String =
+    (if (currentDbName == "graft") table else s"$currentDbName.$table").toLowerCase
+
+  /** Stats for one table (of the CURRENT database), or None if never
+    * ANALYZEd. Freshness is the caller's concern (version field vs the
+    * table's current version). */
   def tableStats(name: String): Option[(Long, Long)] =
-    statsCache.get(name.toLowerCase).map(st => (st.version, st.rowCount))
+    statsCache.get(statsKey(name)).map(st => (st.version, st.rowCount))
 
   private def analyzeTable(t: TableDef): Unit = {
     val df = visibleDf(t)
@@ -1156,7 +1168,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     val cols = t.visibleColumns.map(c => (c.name,
       row.getAs[Long]("__ndv_" + c.name),
       Option(row.getAs[Long]("__nulls_" + c.name)).getOrElse(0L)))
-    statsCache += t.name -> TableStats(t.version, row.getAs[Long]("__rc"), cols)
+    statsCache += statsKey(t.name) -> TableStats(t.version, row.getAs[Long]("__rc"), cols)
     saveStats()
   }
 
@@ -1181,8 +1193,14 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     * through pg_stats/pg_class.reltuples). */
   private def registerPgStats(): Unit = {
     import spark.implicits._
-    statsCache.toSeq.flatMap { case (tn, st) =>
-      st.cols.map { case (c, ndv, nulls) =>
+    statsCache.toSeq.flatMap { case (k, st) =>
+      // show only the CURRENT database's rows, bare-named (PG's pg_stats
+      // is per-database)
+      val (db, tn) =
+        if (k.contains(".")) { val p = k.split("\\.", 2); (p(0), p(1)) }
+        else ("graft", k)
+      if (db != currentDbName) Nil
+      else st.cols.map { case (c, ndv, nulls) =>
         (tn, c, st.rowCount, ndv,
           if (st.rowCount == 0) 0.0 else nulls.toDouble / st.rowCount)
       }
@@ -1520,8 +1538,8 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       val rewritten = wordRe.replaceAllIn(v.sql, newName)
       if (rewritten != v.sql) catalog.putView(v.copy(sql = rewritten))
     }
-    statsCache.get(t.name).foreach { st =>
-      statsCache = statsCache - t.name + (newName -> st); saveStats()
+    statsCache.get(statsKey(t.name)).foreach { st =>
+      statsCache = statsCache - statsKey(t.name) + (statsKey(newName) -> st); saveStats()
     }
     catalog.dropTable(t.name)
     catalog.putTable(t.copy(name = newName))

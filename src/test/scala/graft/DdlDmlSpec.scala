@@ -1612,6 +1612,29 @@ class DdlDmlSpec extends SparkSpec {
     s.sql("ROLLBACK")
   }
 
+  test("ANALYZE stats are database-scoped: no cross-db inheritance by name") {
+    val s = fresh()
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY)")
+    s.sql("INSERT INTO t VALUES (1), (2), (3)")
+    s.sql("ANALYZE t")
+    assert(s.tableStats("t").exists(_._2 == 3L))
+    s.sql("CREATE DATABASE other")
+    s.sql("\\c other")
+    s.sql("CREATE TABLE t (id INT PRIMARY KEY)") // same NAME, different table
+    // the other database's same-named table must NOT inherit graft's
+    // stats (a wrong broadcast hint at scale is an OOM, not a slowdown)
+    assert(s.tableStats("t").isEmpty, "stats leaked across databases")
+    s.sql("INSERT INTO t VALUES (1)")
+    s.sql("ANALYZE t")
+    assert(s.tableStats("t").exists(_._2 == 1L))
+    // pg_stats shows only the current database's rows
+    val names = s.sql("SELECT tablename, reltuples FROM pg_stats").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(names == Set(("t", 1L)), names.toString)
+    s.sql("\\c graft")
+    assert(s.tableStats("t").exists(_._2 == 3L), "original stats must survive")
+  }
+
   test("crash mid-transaction in a SECONDARY database recovers independently") {
     val wh = Files.createTempDirectory("graft_wh")
     val s1 = new GraftSession(spark, wh)
