@@ -204,6 +204,11 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     if (name != currentDbName) {
       (catalog.tables.keys ++ catalog.views.keys)
         .foreach(v => spark.catalog.dropTempView(v))
+      // PG parity: \c is a NEW connection — prepared statements and open
+      // cursors do not survive it (theirs would otherwise keep reading
+      // the previous database's snapshots)
+      prepared.clear()
+      cursors.clear()
       currentDbName = name
       // first connect instantiates the catalog — run this database's own
       // crash recovery first, so a txn journal a dead process left in its
