@@ -147,6 +147,7 @@ object Bench {
     } catch { case _: Throwable => () } // bench result already on stdout
     graft.operators.DedupQueries.evictSharedPairs(spark)
     graft.operators.GraphQueries.evictSharedEdges(spark)
+    graft.operators.TextQueries.evictClassifierModels(spark)
     // The driver's capture keeps only the LAST ~2000 chars of stdout and
     // parses a JSON line out of them: the full line above is ~8 KB, so
     // its head is always cut mid-line and the round record's "parsed" has

@@ -376,6 +376,8 @@ object ScaleProbe {
     time("dsir_score_10x")(
       graft.SparkEntry.queries("pipeline_dsir")(spark, out).count())
     graft.operators.DedupQueries.evictSharedPairs(spark)
+    graft.operators.GraphQueries.evictSharedEdges(spark)
+    graft.operators.TextQueries.evictClassifierModels(spark)
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, QueryPack, Tables}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Text-analysis operators for a training-data pipeline over `documents`
   * (north-star extension — the reference has no text surface; SURVEY.md
@@ -483,6 +483,12 @@ object TextQueries extends QueryPack {
       classifierTrainDocs(s, Tables.spread(Tables.load(s, dir, "documents")), iters)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
 
+  /** Drop every cached model belonging to `s` (bench/suite teardown —
+    * the keys otherwise strongly retain stopped SparkSessions for the
+    * JVM's life; the evictShared{Pairs,Edges} discipline). */
+  def evictClassifierModels(s: SparkSession): Unit =
+    classifierModelCache.filterInPlace { case ((sess, _, _), _) => !(sess eq s) }
+
   private[graft] def classifierTrain(s: SparkSession, dir: String, iters: Int): DataFrame = {
     import s.implicits._
     classifierWeights(s, dir, iters).toSeq.toDF("b", "wq").orderBy(col("b"))
@@ -491,21 +497,30 @@ object TextQueries extends QueryPack {
   /** Training loop over ANY (doc_id, lang, text) frame — the spec trains
     * on a synthetic separable corpus (the fixture's languages share one
     * vocabulary by design, so label signal there is distributional only). */
+  /** Hashed-feature model dimension + bucket function — THE single
+    * definition shared by training, batch inference, and the streaming
+    * gate ([[graft.streaming.StreamingClassifier]]), so the pinned
+    * streaming==batch and train==infer bit-equalities cannot drift when
+    * the featurization changes. */
+  private[graft] val ClassifierBuckets = 64
+  private[graft] def tokenBucket(t: Column): Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast("long") % ClassifierBuckets
+
+  /** (doc_id, b, c) hashed bag-of-words + the intercept row per doc. */
+  private def classifierFeats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), tokenBucket(col("t")).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .unionByName(docs.select(col("doc_id"), lit(-1L).as("b"), lit(1L).as("c")))
+
   private[graft] def classifierTrainDocs(s: SparkSession, docs: DataFrame, iters: Int): DataFrame = {
     import s.implicits._
-    val B = 64
-    val fx = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .select(col("doc_id"),
-        expr(s"CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % $B").as("b"))
-      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
     // the label rides the persisted feature frame (constant per doc, so
     // first(y) under the margin aggregate recovers it) — folding it in
     // here removes one shuffle join from EVERY iteration
     val lab = docs.select(col("doc_id"),
       when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
-    val feats = fx.unionByName(
-        docs.select(col("doc_id"), lit(-1L).as("b"), lit(1L).as("c")))
+    val feats = classifierFeats(docs)
       .join(lab, Seq("doc_id"))
       .persist()
     val nDocs = docs.count()
@@ -544,15 +559,8 @@ object TextQueries extends QueryPack {
   private[graft] def classifierScoreDocs(s: SparkSession, docs: DataFrame,
       weights: Map[Long, Long]): DataFrame = {
     import s.implicits._
-    val B = 64
-    val fx = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .select(col("doc_id"),
-        expr(s"CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % $B").as("b"))
-      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
-    val feats = fx.unionByName(
-      docs.select(col("doc_id"), lit(-1L).as("b"), lit(1L).as("c")))
-    feats.join(broadcast(weights.toSeq.toDF("b", "wq")), Seq("b"))
+    classifierFeats(docs)
+      .join(broadcast(weights.toSeq.toDF("b", "wq")), Seq("b"))
       .groupBy(col("doc_id")).agg(sum(col("c") * col("wq")).as("dotq"))
       .select(col("doc_id"), col("dotq"), (col("dotq") >= 0L).as("accept"))
   }

@@ -110,8 +110,18 @@ object ConsistencySweeper {
           case _: InterruptedException => // stop() path
           case _: Throwable => () // skipped run; next interval retries
         }
-        try Thread.sleep(intervalMs)
-        catch { case _: InterruptedException => () }
+        // sliced sleep re-checking the flag: stop()'s interrupt can land
+        // during audit() and be consumed there (by the catch above or by
+        // Spark internals clearing interrupt status) — a monolithic
+        // Thread.sleep(intervalMs) would then run out the FULL interval
+        // and stop()'s bounded join would time out for long intervals
+        var slept = 0L
+        while (!stopFlag.get() && slept < intervalMs) {
+          val step = math.min(200L, intervalMs - slept)
+          try Thread.sleep(step)
+          catch { case _: InterruptedException => () }
+          slept += step
+        }
       }
     }, "graft-consistency-sweeper")
     thread.setDaemon(true)

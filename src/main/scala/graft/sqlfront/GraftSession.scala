@@ -182,13 +182,26 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     // snapshot dirs — their file streams would otherwise idle against
     // deleted paths (same hook the snapshot-supersede path uses)
     graft.streaming.MatviewMaintenance.onSnapshotChange(dbRoot(name).toString)
+    // purge the dropped database's ANALYZE stats: a recreated same-named
+    // db.table whose version number coincides would otherwise inherit
+    // them through the freshness gate — the wrong-broadcast-hint hazard
+    if (statsCache.keys.exists(_.startsWith(name + "."))) {
+      statsCache = statsCache.filterNot { case (k, _) => k.startsWith(name + ".") }
+      saveStats()
+    }
+    // Spark-catalog mirror goes FIRST (it can refuse; the directory
+    // delete cannot be undone). If a sibling session left Spark's
+    // current database pointing at the victim, repoint to this session's
+    // own database so CASCADE cannot fail on "cannot drop current".
+    if (spark.catalog.currentDatabase == name)
+      spark.sql(s"USE $currentDbName")
+    spark.sql(s"DROP DATABASE IF EXISTS $name CASCADE")
     // recursive delete of the database's whole storage namespace
     val rootDir = dbRoot(name)
     val walk = Files.walk(rootDir)
     try walk.sorted(java.util.Comparator.reverseOrder())
       .forEach(p => Files.deleteIfExists(p))
     finally walk.close()
-    spark.sql(s"DROP DATABASE IF EXISTS $name CASCADE")
     registerPgDatabase()
   }
 
@@ -292,6 +305,11 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     * a different GraftSession registered ITS tables on the shared
     * SparkSession, this one re-registers even at unchanged counters. */
   def registerAll(): Unit = regLock.synchronized {
+    // Spark's current database is session-global: a sibling GraftSession
+    // (or a fresh constructor's USE graft) may have moved it — re-sync so
+    // current_database() keeps answering THIS session's database
+    if (spark.catalog.currentDatabase != currentDbName)
+      spark.sql(s"USE $currentDbName")
     // catalog identity is part of the tag: after a database switch the
     // NEW catalog's generation can coincide with the old tag's number
     val tag = (this: AnyRef, _catalog: AnyRef, catalog.generation, dataGen)
@@ -1226,8 +1244,15 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       else if (up.startsWith("CREATE DATABASE")) {
         // `CREATE DATABASE name [WITH …]` — options (OWNER/ENCODING/…)
         // are accepted and ignored, the reference's single-replication
-        // posture
-        createDatabase(stmt.trim.stripSuffix(";").split("\\s+")(2).replaceAll("\"", ""))
+        // posture. Identifiers fold to lowercase, quoted or not (the
+        // storage layout is case-insensitive by policy; documented
+        // divergence from PG's quoted-case preservation).
+        val name = stmt.trim.stripSuffix(";").split("\\s+").lift(2)
+          .map(_.replaceAll("\"", ""))
+          .filter(_.nonEmpty)
+          .getOrElse(throw new IllegalArgumentException(
+            "CREATE DATABASE: missing database name"))
+        createDatabase(name)
         ok("CREATE DATABASE")
       }
       else if (up.startsWith("CREATE SEQUENCE")) createSequence(stmt)

@@ -495,6 +495,7 @@ final class PgWire(gs: GraftSession, port: Int = 0,
 
     // startup phase: length-prefixed, untyped messages
     var startedUp = false
+    var requestedDb: Option[String] = None
     while (!startedUp) {
       val len = in.readInt()
       val body = readN(in, len - 4)
@@ -519,6 +520,16 @@ final class PgWire(gs: GraftSession, port: Int = 0,
           }
           return
         case 196608 => // protocol 3.0
+          // parse the startup parameter list (key/value cstr pairs,
+          // zero-terminated): 'database' is meaningful now that the
+          // session is multi-database
+          var off = 4
+          while (off < body.length && body(off) != 0) {
+            val (k, n1) = cstr(body, off)
+            val (v, n2) = cstr(body, n1)
+            if (k == "database") requestedDb = Some(v)
+            off = n2
+          }
           startedUp = true
         case other =>
           throw new IllegalArgumentException(s"unsupported protocol code $other")
@@ -543,6 +554,26 @@ final class PgWire(gs: GraftSession, port: Int = 0,
     }
 
     try { // slot held — released on EVERY exit path, greeting included
+    // honor the startup 'database' parameter: a nonexistent target is
+    // the PG FATAL 3D000 before AuthenticationOk; an existing one
+    // switches the SHARED engine session (one GraftSession serves every
+    // connection — the same session-global semantics as `\c`, documented
+    // engine shape), under the statement gate's write side
+    requestedDb.filter(db => db.nonEmpty && db != gs.currentDatabase).foreach { db =>
+      try gs.withStatementLock(s"\\c $db")(gs.connectDatabase(db))
+      catch { case e: Throwable =>
+        out.msg('E') { o =>
+          o.writeByte('S'); out.cstr(o, "FATAL")
+          o.writeByte('V'); out.cstr(o, "FATAL")
+          o.writeByte('C'); out.cstr(o, "3D000")
+          o.writeByte('M')
+          out.cstr(o, Option(e.getMessage).getOrElse(s"""database "$db" does not exist"""))
+          o.writeByte(0)
+        }
+        out.flush()
+        return
+      }
+    }
     out.msg('R')(o => o.writeInt(0)) // AuthenticationOk
     Seq(
       "server_version" -> "17.0 (graft)",

@@ -22,15 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object StreamingClassifier {
 
-  private val B = 64
-
-  /** Per-doc exact margin under `weights`, as one scalar expression. */
+  /** Per-doc exact margin under `weights`, as one scalar expression. The
+    * bucket function is [[graft.operators.TextQueries.tokenBucket]] —
+    * the ONE featurization definition train/infer/stream all share. */
   private def marginExpr(weights: Map[Long, Long]): Column = {
     val wm = map(weights.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
     val tokenW: (Column, Column) => Column = (acc, t) =>
       acc + coalesce(
-        element_at(wm, conv(substring(md5(t), 1, 8), 16, 10).cast("long") % B),
-        lit(0L))
+        element_at(wm, graft.operators.TextQueries.tokenBucket(t)), lit(0L))
     aggregate(split(col("text"), " "), lit(0L), tokenW) +
       coalesce(element_at(wm, lit(-1L)), lit(0L))
   }

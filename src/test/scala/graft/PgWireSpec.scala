@@ -904,6 +904,40 @@ class PgWireSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("startup database parameter: nonexistent refused 3D000, existing connects") {
+    val gs = new GraftSession(spark, Files.createTempDirectory("graft_pgwire"))
+    val srv = PgWire.start(gs)
+    def startupTo(db: String): (WireClient, (Char, Array[Byte])) = {
+      val c = new WireClient(srv.boundPort)
+      val body = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(body)
+      d.writeInt(196608)
+      def c0(s: String): Unit = { d.write(s.getBytes("UTF-8")); d.writeByte(0) }
+      c0("user"); c0("graft"); c0("database"); c0(db); d.writeByte(0)
+      val o = new java.io.DataOutputStream(c.sock.getOutputStream)
+      o.writeInt(body.size + 4); body.writeTo(o); o.flush()
+      (c, c.readMsg())
+    }
+    try {
+      // nonexistent database: FATAL 3D000 before AuthenticationOk
+      val (c1, refusal) = startupTo("no_such_db")
+      assert(refusal._1 == 'E', s"expected ErrorResponse, got ${refusal._1}")
+      val fields = new String(refusal._2, "UTF-8")
+      assert(fields.contains("3D000") && fields.contains("does not exist"), fields)
+      c1.sock.close()
+      assert(srv.limiter.activeConnections == 0, "refusal must release its slot")
+      // existing database: startup connects the session to it
+      gs.sql("CREATE DATABASE wiredb")
+      val (c2, first) = startupTo("wiredb")
+      assert(first._1 == 'R', "expected AuthenticationOk")
+      c2.readUntilReady()
+      val rows = c2.query("SELECT current_database() AS db")
+        .filter(_._1 == 'D').map(m => c2.row(m._2))
+      assert(rows == Seq(Seq("wiredb")), rows.toString)
+      c2.terminate()
+    } finally srv.stop()
+  }
+
   test("connection limiter: N+1th refused with 53300, slot freed on close") {
     val gs = new GraftSession(spark, Files.createTempDirectory("graft_pgwire"))
     // tiny pool + short bounded wait so the refusal path is exercised fast
