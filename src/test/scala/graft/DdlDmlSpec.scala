@@ -1667,6 +1667,38 @@ class DdlDmlSpec extends SparkSpec {
     assert(s2.sql("SELECT count(*) AS c FROM s_t").collect()(0).getLong(0) == 2L)
   }
 
+  test("background jobs: scheduled ANALYZE and VACUUM run, fail soft, stop promptly") {
+    import graft.sqlfront.BackgroundJobs
+    val s = fresh()
+    s.sql("CREATE TABLE bg_t (id INT PRIMARY KEY, v DOUBLE)")
+    s.sql("INSERT INTO bg_t VALUES (1, 1.0), (2, 2.0)")
+    // scheduled ANALYZE produces real stats without any client ANALYZE
+    val ha = BackgroundJobs.scheduleAnalyze(s, intervalMs = 50)
+    val deadline = System.nanoTime() + 30e9.toLong
+    while (ha.runs < 2 && System.nanoTime() < deadline) Thread.sleep(20)
+    ha.stop()
+    assert(ha.runs >= 2, s"analyze job must run repeatedly (${ha.runs})")
+    assert(s.tableStats("bg_t").exists(_._2 == 2L), "scheduled ANALYZE must collect stats")
+    // version churn + scheduled VACUUM prunes superseded snapshot dirs
+    (1 to 3).foreach(i => s.sql(s"UPDATE bg_t SET v = $i.5 WHERE id = 1"))
+    val hv = BackgroundJobs.scheduleVacuum(s, intervalMs = 50)
+    while (hv.runs < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+    hv.stop()
+    assert(hv.runs >= 1)
+    val t = s.catalog.getTable("bg_t").get
+    assert(t.version == 3L)
+    // a pruned old version must now refuse time travel (the _minver gate)
+    assertThrows[Exception](s.tableVersion("bg_t", 0L))
+    // fail-soft: a job landing inside an open transaction records a
+    // failure and the scheduler survives to retry
+    s.sql("BEGIN")
+    val hv2 = BackgroundJobs.scheduleVacuum(s, intervalMs = 50)
+    while (hv2.failures < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+    s.sql("ROLLBACK")
+    hv2.stop()
+    assert(hv2.failures >= 1, "in-txn VACUUM must fail soft, not kill the scheduler")
+  }
+
   test("consistency sweeper: clean audit passes, injected corruption is flagged") {
     import org.apache.spark.sql.functions._
     val s = fresh()
