@@ -614,4 +614,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]"),
       s"ORC predicate pushdown missing:\n${p.take(2000)}")
   }
+
+  test("chunking is a shuffle-free flatMap: explode, pruned scan, one sort exchange") {
+    val p = planOf("pipeline_chunk_overlap")
+    // per-row work only: the explode of the computed range, no
+    // aggregation, no join
+    assert(p.contains("Generate explode"), s"expected explode:\n${p.take(1500)}")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      s"chunking must not aggregate or join:\n${p.take(1500)}")
+    // no exchange ON A KEY: the only partitionings are Tables.spread's
+    // deliberate round-robin (compute-spreading, data-oblivious) and the
+    // final presentation sort's range partition — never a hash shuffle
+    assert(!p.contains("hashpartitioning"),
+      s"chunking must not hash-shuffle:\n${p.take(2000)}")
+    assert(p.contains("rangepartitioning"), s"expected the sort exchange:\n${p.take(1500)}")
+    // column pruning reaches the scan: doc_id + text, not the metadata
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("n_chars") && !read.contains("lang"), read)
+  }
+
+  test("classifier inference broadcasts the model; the corpus shuffles once per agg") {
+    val p = planOf("text_classifier_infer")
+    // the 65-row weight table enters as a broadcast, never a shuffle join
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the model broadcast-joined:\n${p.take(2000)}")
+    // margins fold partial-then-final (map-side combine before exchange)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregate:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-to-corpus shuffle join belongs in inference:\n${p.take(2000)}")
+  }
 }
