@@ -567,7 +567,13 @@ object TextQueries extends QueryPack {
 
   /** DuckDB replay of [[classifierTrain]]: `iters` unrolled CTE
     * quadruples (margin → residual → gradient → weight update), exact
-    * integer folds at every step. */
+    * integer folds at every step. Multi-referenced CTEs (feats, lab,
+    * every w_k — each feeds both the next margin AND the next update)
+    * are AS MATERIALIZED: inlined, the double reference makes the chain
+    * 2^iters copies wide, which at sf1 spilled DuckDB past the disk
+    * ceiling. The infer twin's `score` is materialized too — in DuckDB
+    * 1.0 a plain CTE atop materialized ones loses the top-level ORDER BY
+    * under preserve_insertion_order=false (the checker's setting). */
   private def classifierOracle(iters: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH toks AS (
@@ -577,15 +583,15 @@ object TextQueries extends QueryPack {
       |         CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) % 64 AS b,
       |         CAST(COUNT(*) AS BIGINT) AS c
       |  FROM toks GROUP BY doc_id, b),
-      |feats AS (
+      |feats AS MATERIALIZED (
       |  SELECT * FROM fx
       |  UNION ALL
       |  SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM documents),
-      |lab AS (
+      |lab AS MATERIALIZED (
       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
       |  FROM documents),
       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-      |w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS wq FROM feats)""".stripMargin
+      |w0 AS MATERIALIZED (SELECT DISTINCT b, CAST(0 AS BIGINT) AS wq FROM feats)""".stripMargin
     for (k <- 1 to iters) {
       sb ++= s""",
         |m$k AS (
@@ -599,7 +605,7 @@ object TextQueries extends QueryPack {
         |g$k AS (
         |  SELECT f.b, CAST(SUM(r.rq * f.c) AS BIGINT) AS g
         |  FROM feats f JOIN r$k r ON r.doc_id = f.doc_id GROUP BY f.b),
-        |w$k AS (
+        |w$k AS MATERIALIZED (
         |  SELECT w.b,
         |         CAST(w.wq + CAST(floor(g.g / (32.0 * (SELECT n FROM nn))) AS BIGINT)
         |           AS BIGINT) AS wq
@@ -615,7 +621,7 @@ object TextQueries extends QueryPack {
     val train = classifierOracle(iters)
     val body = train.substring(0, train.lastIndexOf("\nSELECT "))
     body + s"""
-      |, score AS (
+      |, score AS MATERIALIZED (
       |  SELECT f.doc_id, CAST(SUM(f.c * w.wq) AS BIGINT) AS dotq
       |  FROM feats f JOIN w$iters w ON w.b = f.b GROUP BY f.doc_id)
       |SELECT doc_id, dotq, dotq >= 0 AS accept
