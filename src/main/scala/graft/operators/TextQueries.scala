@@ -318,7 +318,10 @@ object TextQueries extends QueryPack {
 
   /** DuckDB replay of [[bpeTrain]]: `rounds` unrolled CTE triples
     * (pair counts → winner → rewritten vocab), same double-separator
-    * replace semantics. */
+    * replace semantics. Each w_k is referenced twice (next round's pair
+    * count AND next rewrite) — AS MATERIALIZED keeps the unrolled chain
+    * linear instead of 2^rounds inlined copies (the classifier-oracle
+    * lesson; here the tiny fixture vocab masked it). */
   private def bpeOracle(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH w0 AS (
@@ -338,18 +341,22 @@ object TextQueries extends QueryPack {
         |          FROM w${k - 1}) t0) t1
         |  GROUP BY pair),
         |b$k AS (SELECT pair, freq FROM p$k ORDER BY freq DESC, pair LIMIT 1),
-        |w$k AS (
+        |w$k AS MATERIALIZED (
         |  SELECT replace(s,
         |           '|' || string_split(b.pair, ' ')[1] || '||'
         |               || string_split(b.pair, ' ')[2] || '|',
         |           '|' || replace(b.pair, ' ', '') || '|') AS s, cnt
         |  FROM w${k - 1}, b$k b)""".stripMargin
     }
-    sb ++= "\nSELECT merge_rank, pair, freq FROM (\n" +
+    // the final union is MATERIALIZED for the same DuckDB-1.0 reason as
+    // the classifier oracle's score CTE: a plain select atop materialized
+    // CTEs loses its top-level ORDER BY under the checker's
+    // preserve_insertion_order=false
+    sb ++= ",\nfinal AS MATERIALIZED (\n" +
       (1 to rounds).map(k =>
         s"  SELECT CAST($k AS INT) AS merge_rank, pair, freq FROM b$k")
         .mkString(" UNION ALL\n") +
-      "\n) u\nORDER BY merge_rank"
+      "\n)\nSELECT merge_rank, pair, freq FROM final\nORDER BY merge_rank"
     sb.toString
   }
 
@@ -379,25 +386,30 @@ object TextQueries extends QueryPack {
         |          FROM w${k - 1}) t0) t1
         |  GROUP BY pair),
         |b$k AS (SELECT pair, freq FROM p$k ORDER BY freq DESC, pair LIMIT 1),
-        |w$k AS (
+        |w$k AS MATERIALIZED (
         |  SELECT w, replace(s,
         |           '|' || string_split(b.pair, ' ')[1] || '||'
         |               || string_split(b.pair, ' ')[2] || '|',
         |           '|' || replace(b.pair, ' ', '') || '|') AS s, cnt
         |  FROM w${k - 1}, b$k b)""".stripMargin
     }
+    // result is MATERIALIZED (the DuckDB-1.0 ordering quirk: a plain
+    // final stage atop materialized CTEs can lose its ORDER BY under
+    // preserve_insertion_order=false — surfaced here only at sf0.1 volume)
     sb ++= s"""
       |, enc AS (
       |  SELECT w, len(list_filter(string_split(s, '||'), y -> y <> '')) AS toks
       |  FROM w$rounds),
       |dw AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-      |SELECT dw.doc_id,
-      |       CAST(COUNT(*) AS BIGINT) AS n_words,
-      |       CAST(SUM(e.toks) AS BIGINT) AS n_tokens
-      |FROM dw JOIN enc e ON e.w = dw.w
-      |GROUP BY dw.doc_id
-      |ORDER BY dw.doc_id""".stripMargin
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |result AS MATERIALIZED (
+      |  SELECT dw.doc_id,
+      |         CAST(COUNT(*) AS BIGINT) AS n_words,
+      |         CAST(SUM(e.toks) AS BIGINT) AS n_tokens
+      |  FROM dw JOIN enc e ON e.w = dw.w
+      |  GROUP BY dw.doc_id)
+      |SELECT doc_id, n_words, n_tokens FROM result
+      |ORDER BY doc_id""".stripMargin
     sb.toString
   }
 
