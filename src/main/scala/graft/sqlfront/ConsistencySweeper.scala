@@ -27,10 +27,25 @@ object ConsistencySweeper {
 
   /** One audit pass over every table of the session's CURRENT database.
     * Returns (tbl, chk, rows, violations, pass), one row per declared
-    * constraint. */
-  def audit(gs: GraftSession): DataFrame = {
+    * constraint.
+    *
+    * Pacing + isolation per TABLE, not per sweep: each table's audit
+    * first acquires a token from the optional [[RateLimiter]] (with no
+    * locks held — a throttled sweep parks harmlessly), then runs under
+    * the statement gate's SHARED side (its aggregates read the catalog
+    * and the visible snapshot like any client SELECT), releasing between
+    * tables. A foreground writer therefore waits at most one table's
+    * audit, never a whole catalog sweep — the reference rate-limited
+    * checker's foreground-latency contract (kv/jobs/RateLimiter.java
+    * consumed by ConstraintViolationCheckerJob's scan loop). */
+  def audit(gs: GraftSession, limiter: Option[RateLimiter] = None,
+      stopped: () => Boolean = () => false): DataFrame = {
     import gs.spark.implicits._
-    val report = gs.catalog.tables.values.toSeq.flatMap(t => auditTable(gs, t))
+    val report = gs.catalog.tables.values.toSeq.flatMap { t =>
+      val admitted = limiter.forall(_.acquire(1.0, stopped))
+      if (!admitted || stopped()) Nil
+      else gs.withReadLock(auditTable(gs, t))
+    }
     report.toDF("tbl", "chk", "rows", "violations")
       .withColumn("pass", col("violations") === 0L)
       .orderBy(col("tbl"), col("chk"))
@@ -95,17 +110,21 @@ object ConsistencySweeper {
     * skipped run, never kills the scheduler — the reference job's
     * swallow-and-rerun contract. */
   def continuous(gs: GraftSession, intervalMs: Long,
-      onViolation: Row => Unit = _ => ()): Handle = {
+      onViolation: Row => Unit = _ => (),
+      limiter: Option[RateLimiter] = None): Handle = {
     val stopFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
     val report = new java.util.concurrent.atomic.AtomicReference[Seq[Row]](null)
     val runs = new java.util.concurrent.atomic.AtomicLong(0)
     val thread = new Thread(() => {
       while (!stopFlag.get()) {
         try {
-          val rows = audit(gs).collect().toSeq // check-count-sized
-          report.set(rows)
-          runs.incrementAndGet()
-          rows.filterNot(_.getBoolean(4)).foreach(onViolation)
+          val rows = // check-count-sized
+            audit(gs, limiter, () => stopFlag.get()).collect().toSeq
+          if (!stopFlag.get()) { // a stop() mid-sweep leaves a PARTIAL
+            report.set(rows)     // report — never publish it as complete
+            runs.incrementAndGet()
+            rows.filterNot(_.getBoolean(4)).foreach(onViolation)
+          }
         } catch {
           case _: InterruptedException => // stop() path
           case _: Throwable => () // skipped run; next interval retries

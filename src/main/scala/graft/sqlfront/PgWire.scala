@@ -558,8 +558,31 @@ final class PgWire(gs: GraftSession, port: Int = 0,
     // the PG FATAL 3D000 before AuthenticationOk; an existing one
     // switches the SHARED engine session (one GraftSession serves every
     // connection — the same session-global semantics as `\c`, documented
-    // engine shape), under the statement gate's write side
+    // engine shape), under the statement gate's write side.
+    // ONLY when this is the sole live connection: connectDatabase
+    // re-points the whole session and clears the session-global
+    // prepared-statement and cursor registries, so honoring it with
+    // other clients attached would silently flip THEIR database and
+    // break their open Bind/Execute and fetches mid-session. With
+    // company present, refuse FATAL 55006 (object_in_use — PG's own
+    // "database is being accessed by other users" state) and let the
+    // client either target the current database or reconnect alone.
     requestedDb.filter(db => db.nonEmpty && db != gs.currentDatabase).foreach { db =>
+      val others = limiter.activeConnections - 1 // this connection holds a slot
+      if (others > 0) {
+        out.msg('E') { o =>
+          o.writeByte('S'); out.cstr(o, "FATAL")
+          o.writeByte('V'); out.cstr(o, "FATAL")
+          o.writeByte('C'); out.cstr(o, "55006")
+          o.writeByte('M')
+          out.cstr(o, s"""cannot switch the shared session to database "$db": """ +
+            s"$others other connection(s) active — connect to " +
+            s""""${gs.currentDatabase}" or retry as the sole client""")
+          o.writeByte(0)
+        }
+        out.flush()
+        return
+      }
       try gs.withStatementLock(s"\\c $db")(gs.connectDatabase(db))
       catch { case e: Throwable =>
         out.msg('E') { o =>

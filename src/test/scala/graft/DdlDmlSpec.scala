@@ -1753,4 +1753,60 @@ class DdlDmlSpec extends SparkSpec {
     assert(seen.contains("kids/unique:kid") && seen.contains("kids/fk:pid->parents.pid"),
       seen.toString)
   }
+
+  test("rate-limited sweep spreads audits; foreground statements stay responsive") {
+    import graft.sqlfront.RateLimiter
+    val s = fresh()
+    (1 to 6).foreach { i =>
+      s.sql(s"CREATE TABLE rl_t$i (id INT PRIMARY KEY, v TEXT)")
+      s.sql(s"INSERT INTO rl_t$i VALUES (1, 'a'), (2, 'b')")
+    }
+    // one-shot audit under a tight bucket (burst 1, 4 tables/s): six
+    // tables must consume six tokens, actually WAIT on the bucket, and
+    // take at least the refill floor — the sweep is spread, not a burst
+    val lim = new RateLimiter(ratePerSec = 4.0, burst = 1.0)
+    val t0 = System.nanoTime()
+    val report = ConsistencySweeper.audit(s, Some(lim)).collect()
+    val sweepSec = (System.nanoTime() - t0) / 1e9
+    assert(report.nonEmpty && report.forall(_.getBoolean(4)),
+      report.filterNot(_.getBoolean(4)).mkString(", "))
+    assert(lim.grants >= 6, s"one token per table: ${lim.grants}")
+    assert(lim.waits >= 1, "the throttle never paced anything")
+    assert(sweepSec >= (6 - 1) / 4.0 * 0.8,
+      f"six tables at 4/s must take ≥1 s of pacing, took $sweepSec%.2f s")
+
+    // continuous mode at 2 tables/s: a full catalog pass carries ≥2.5 s
+    // of pacing, yet a foreground writer arriving mid-sweep (through the
+    // SAME statement gate wire clients use) must wait at most one
+    // table's audit — the per-table lock scope, not a sweep-wide hold
+    val h = ConsistencySweeper.continuous(s, intervalMs = 10,
+      limiter = Some(new RateLimiter(ratePerSec = 2.0, burst = 1.0)))
+    try {
+      Thread.sleep(300) // sweep mid-flight
+      val lat = (1 to 4).map { i =>
+        val a = System.nanoTime()
+        val stmt = s"INSERT INTO rl_t1 VALUES (${10 + i}, 'x')"
+        s.withStatementLock(stmt)(s.sql(stmt))
+        (System.nanoTime() - a) / 1e9
+      }
+      assert(lat.max < 2.0,
+        f"foreground INSERT stalled ${lat.max}%.2f s behind the sweep " +
+          "(a sweep-wide lock would hold ≥2.5 s of pacing)")
+    } finally h.stop()
+
+    // scheduled jobs honor the bucket too: ~2 s at 1 run/s admits ≤4
+    // runs (first token free + refills + slack) where the bare 10 ms
+    // interval would have fired ~100 times
+    import graft.sqlfront.BackgroundJobs
+    val jlim = new RateLimiter(ratePerSec = 1.0, burst = 1.0)
+    val ha = BackgroundJobs.scheduleAnalyze(s, intervalMs = 10, limiter = Some(jlim))
+    Thread.sleep(2200)
+    ha.stop()
+    assert(ha.runs >= 1, "paced scheduler still runs")
+    assert(ha.runs <= 4, s"bucket must cap the run rate, saw ${ha.runs}")
+    // a sub-second ANALYZE must have hit an empty bucket at least once;
+    // a slower-than-refill ANALYZE honors the cap without waiting
+    assert(jlim.waits >= 1 || ha.runs <= 2,
+      s"unthrottled cadence: runs=${ha.runs}, waits=${jlim.waits}")
+  }
 }

@@ -938,6 +938,52 @@ class PgWireSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("startup database switch refused 55006 while other connections are live") {
+    val gs = new GraftSession(spark, Files.createTempDirectory("graft_pgwire"))
+    val srv = PgWire.start(gs)
+    def startupTo(db: String): (WireClient, (Char, Array[Byte])) = {
+      val c = new WireClient(srv.boundPort)
+      val body = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(body)
+      d.writeInt(196608)
+      def c0(s: String): Unit = { d.write(s.getBytes("UTF-8")); d.writeByte(0) }
+      c0("user"); c0("graft"); c0("database"); c0(db); d.writeByte(0)
+      val o = new java.io.DataOutputStream(c.sock.getOutputStream)
+      o.writeInt(body.size + 4); body.writeTo(o); o.flush()
+      (c, c.readMsg())
+    }
+    try {
+      gs.sql("CREATE DATABASE otherdb")
+      // c1 is attached to the current database; a second connection
+      // requesting a DIFFERENT database must be refused — honoring it
+      // would re-point c1's session and clear its prepared statements
+      val c1 = new WireClient(srv.boundPort)
+      assert(c1.startup().last._1 == 'Z')
+      val (c2, refusal) = startupTo("otherdb")
+      assert(refusal._1 == 'E', s"expected ErrorResponse, got ${refusal._1}")
+      val fields = new String(refusal._2, "UTF-8")
+      assert(fields.contains("55006") && fields.contains("other connection"), fields)
+      c2.sock.close()
+      // c1's session is untouched: still on the original database
+      val db1 = c1.query("SELECT current_database() AS db")
+        .filter(_._1 == 'D').map(m => c1.row(m._2))
+      assert(db1 == Seq(Seq("graft")), db1.toString)
+      c1.terminate()
+      // sole client: the switch is safe and proceeds (poll: c1's slot
+      // releases asynchronously after Terminate)
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (srv.limiter.activeConnections > 0 && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      val (c3, first) = startupTo("otherdb")
+      assert(first._1 == 'R', s"sole client must connect: got ${first._1}")
+      c3.readUntilReady()
+      val db3 = c3.query("SELECT current_database() AS db")
+        .filter(_._1 == 'D').map(m => c3.row(m._2))
+      assert(db3 == Seq(Seq("otherdb")), db3.toString)
+      c3.terminate()
+    } finally srv.stop()
+  }
+
   test("connection limiter: N+1th refused with 53300, slot freed on close") {
     val gs = new GraftSession(spark, Files.createTempDirectory("graft_pgwire"))
     // tiny pool + short bounded wait so the refusal path is exercised fast
