@@ -106,12 +106,16 @@ object GraphQueries extends QueryPack {
       |                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
       |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-      |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
       |nn AS (SELECT COUNT(*) AS n FROM deg)""".stripMargin
 
-  /** One oracle PageRank step: p<k> -> p<k+1>. */
+  /** One oracle PageRank step: p<k> -> p<k+1>. MATERIALIZED for the
+    * ordering-loss hazard the CTE lint pins: the final step feeds the
+    * top-level ORDER BY, and a plain CTE above the materialized `deg`
+    * streams back unordered in DuckDB 1.0 under
+    * preserve_insertion_order=false (the round-15 infer-oracle lesson). */
   private def oStep(prev: String, next: String): String =
-    s"""$next AS (
+    s"""$next AS MATERIALIZED (
        |  SELECT e.dst AS id,
        |         0.15 / (SELECT n FROM nn) +
        |         0.85 * ${oPrSum(s"p.pr / d.outdeg")} AS pr
@@ -131,7 +135,7 @@ object GraphQueries extends QueryPack {
         |                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
         |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-        |deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src)
+        |deg AS MATERIALIZED (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src)
         |SELECT degree, COUNT(*) AS nodes
         |FROM deg GROUP BY degree
         |ORDER BY degree""".stripMargin
@@ -174,21 +178,21 @@ object GraphQueries extends QueryPack {
     // floored at 1 for the degenerate no-wedge fixture.
     Q(
       "graph_triangle_count",
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |e AS (
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS MATERIALIZED (
         |  SELECT a.l_partkey AS u, b.l_partkey AS v
         |  FROM li a JOIN li b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |deg AS (
+        |deg AS MATERIALIZED (
         |  SELECT x, COUNT(*) AS d
         |  FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e)
         |  GROUP BY x),
-        |o AS (
+        |o AS MATERIALIZED (
         |  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
         |         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
         |  FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
-        |tri AS (
+        |tri AS MATERIALIZED (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS nt
         |  FROM o e1 JOIN o e2 ON e2.s = e1.t
         |            JOIN o e3 ON e3.s = e1.s AND e3.t = e2.t)

@@ -23,6 +23,150 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+# ---------------------------------------------------------------- CTE lint
+#
+# Two DuckDB hazards bit round 15's unrolled-loop oracles, both fixed by
+# hand (commits 1312446, 84ed1ee); this mechanizes them:
+#
+# 1. EXPONENTIAL INLINING: a plain (non-MATERIALIZED) CTE referenced >=2
+#    times is inlined per reference; in an unrolled iteration chain
+#    (w_0 -> w_1 -> ... each referenced twice) the copies multiply to
+#    2^iters -- at sf1 the classifier oracle spilled ~78 GB and died on
+#    ENOSPC. We compute the exact evaluation count of every plain CTE
+#    under inlining (materialized CTEs cut the multiplication: evaluated
+#    once no matter how often referenced) and fail past a threshold.
+#    The threshold (48) sits above the BFS oracle's benign ~16-31x small
+#    edge-list reuse and far below the 256x corpus-sized blowup.
+#
+# 2. ORDERING LOSS: in DuckDB 1.0 under preserve_insertion_order=false
+#    (the checker's own setting), a top-level ORDER BY on a PLAIN CTE
+#    that sits atop MATERIALIZED ones streams back unordered. If a query
+#    mixes materialized and plain CTEs and its final SELECT (which
+#    carries the ORDER BY) reads a plain CTE whose subtree contains a
+#    materialized one, the plain wrapper must be materialized too.
+
+EVAL_COUNT_LIMIT = 48
+
+
+def _strip_literals(sql):
+    """Blank out '...' string literals so CTE-name matching can't hit
+    words inside them ('' escapes stay inside the literal)."""
+    return re.sub(r"'(?:[^']|'')*'", "''", sql)
+
+
+def _parse_ctes(sql):
+    """Top-level WITH list -> ([(name, materialized, body)], tail_select).
+    Returns (None, sql) when the query has no top-level WITH."""
+    s = _strip_literals(sql)
+    m = re.match(r"\s*WITH\b", s, re.I)
+    if not m:
+        return None, s
+    i = m.end()
+    ctes = []
+    while True:
+        head = re.compile(
+            r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(MATERIALIZED\s+)?\(", re.I)
+        hm = head.match(s, i)
+        if not hm:
+            break
+        name, mat = hm.group(1), bool(hm.group(2))
+        depth, j = 1, hm.end()
+        while j < len(s) and depth:
+            if s[j] == "(":
+                depth += 1
+            elif s[j] == ")":
+                depth -= 1
+            j += 1
+        ctes.append((name.lower(), mat, s[hm.end():j - 1]))
+        k = re.match(r"\s*,", s[j:])
+        if not k:
+            return ctes, s[j:]
+        i = j + k.end()
+    return ctes, s[i:]
+
+
+def _refs(name, text):
+    """Count TABLE-position references of `name`: directly after FROM or
+    JOIN, or as a later member of a FROM comma-list. A bare word count
+    would also hit alias qualifiers (`u.x`), same-named columns (`AS u`)
+    and GROUP BY items — wildly overcounting re-evaluations."""
+    n = re.escape(name)
+    direct = len(re.findall(r"\b(?:FROM|JOIN)\s+%s\b" % n, text, re.I))
+    commas = len(re.findall(
+        r"\bFROM\s+[A-Za-z_]\w*(?:\s+\w+)?(?:\s*,\s*[A-Za-z_]\w*(?:\s+\w+)?)*?"
+        r"\s*,\s*%s\b" % n, text, re.I))
+    return direct + commas
+
+
+def lint_ctes(sql):
+    """Return a list of problem strings for the two CTE hazard classes."""
+    ctes, tail = _parse_ctes(sql)
+    if not ctes:
+        return []
+    problems = []
+    names = [n for n, _, _ in ctes]
+    mat = {n: m for n, m, _ in ctes}
+    body = {n: b for n, _, b in ctes}
+    # evaluation count under inlining, resolved in definition order
+    # reversed (a CTE may only be referenced by LATER CTEs or the tail)
+    evals = {}
+    for n in reversed(names):
+        total = _refs(n, tail)
+        for later in names[names.index(n) + 1:]:
+            occ = _refs(n, body[later])
+            if occ:
+                total += occ * (1 if mat[later] else evals.get(later, 1))
+        evals[n] = 1 if mat[n] else max(total, 1)
+        if not mat[n] and evals[n] > EVAL_COUNT_LIMIT:
+            problems.append(
+                f"CTE '{n}' is inlined ~{evals[n]}x (multi-referenced, not "
+                "MATERIALIZED, in a reference chain) — add AS MATERIALIZED "
+                "or DuckDB re-evaluates it exponentially")
+    # ordering loss: top-level ORDER BY + final FROM on a plain CTE whose
+    # subtree contains a materialized CTE
+    if any(mat.values()) and re.search(r"\bORDER\s+BY\b", tail, re.I):
+        def subtree_has_mat(n, seen=frozenset()):
+            if n in seen:
+                return False
+            for d in names:
+                if d != n and _refs(d, body[n]):
+                    if mat[d] or subtree_has_mat(d, seen | {n}):
+                        return True
+            return False
+        for n in names:
+            if not mat[n] and _refs(n, tail) and subtree_has_mat(n):
+                problems.append(
+                    f"top-level ORDER BY reads plain CTE '{n}' above "
+                    "MATERIALIZED ones — DuckDB 1.0 drops the ordering "
+                    "under preserve_insertion_order=false; materialize "
+                    f"'{n}' too")
+    return problems
+
+
+def selftest():
+    """Seeded violations must go red; the benign shapes must stay green."""
+    deep = "WITH " + ", ".join(
+        (f"w{k} AS (SELECT x+1 AS x FROM w{k-1} UNION ALL "
+         f"SELECT x FROM w{k-1})") if k else "w0 AS (SELECT 1 AS x)"
+        for k in range(9)) + " SELECT * FROM w8"
+    assert any("MATERIALIZED" in p for p in lint_ctes(deep)), \
+        "seeded 2^8 inline chain must be flagged"
+    fixed = deep.replace(" AS (SELECT x+1", " AS MATERIALIZED (SELECT x+1")
+    assert not lint_ctes(fixed), f"materialized chain must pass: {lint_ctes(fixed)}"
+    ordered = ("WITH a AS MATERIALIZED (SELECT 1 AS x), "
+               "b AS (SELECT x FROM a) SELECT * FROM b ORDER BY x")
+    assert any("ORDER BY" in p for p in lint_ctes(ordered)), \
+        "seeded plain-over-materialized ORDER BY must be flagged"
+    ordered_ok = ("WITH a AS MATERIALIZED (SELECT 1 AS x), "
+                  "b AS MATERIALIZED (SELECT x FROM a) "
+                  "SELECT * FROM b ORDER BY x")
+    assert not lint_ctes(ordered_ok), lint_ctes(ordered_ok)
+    benign = ("WITH s0 AS (SELECT 1 AS x), d1 AS (SELECT x FROM s0 UNION ALL "
+              "SELECT x+1 FROM s0) SELECT * FROM d1 ORDER BY x")
+    assert not lint_ctes(benign), lint_ctes(benign)
+    print("selftest: all seeded CTE violations flagged, benign shapes pass")
+
+
 def canon(t):
     t = t.upper()
     t = re.sub(r"DECIMAL\(\d+,\s*\d+\)", "DECIMAL", t)
@@ -51,6 +195,9 @@ def describe_types(con, sql):
 
 
 def main():
+    if "--selftest" in sys.argv:
+        selftest()
+        sys.exit(0)
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     con = duckdb.connect()
@@ -67,6 +214,11 @@ def main():
     for name in sorted(oracle):
         sql = oracle[name]
         files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
+        cte_problems = lint_ctes(sql)
+        if cte_problems:
+            failures.append((name, "; ".join(cte_problems)))
+            n_fail += 1
+            continue
         try:
             exp = describe_types(con, f"({sql})")
         except Exception as e:
