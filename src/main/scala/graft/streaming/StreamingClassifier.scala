@@ -1,7 +1,12 @@
 package graft.streaming
 
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Continuous quality-gating of a document ingest stream with a PUBLISHED
   * classifier model — the streaming twin of `text_classifier_infer`
@@ -39,4 +44,81 @@ object StreamingClassifier {
   def score(docs: DataFrame, weights: Map[Long, Long]): DataFrame =
     docs.select(col("doc_id"), marginExpr(weights).as("dotq"))
       .withColumn("accept", col("dotq") >= 0L)
+
+  // ------------------------------------------------- model hot-swap
+  //
+  // Production shape: the model retrains OFFLINE (text_classifier_train)
+  // and re-publishes while the scoring stream keeps running. The weight
+  // table is tiny (65 entries), so an epoch publish is one atomic file
+  // move, and the swap point is a micro-batch boundary (the StreamingAnn
+  // epoch-refresh discipline): every row of a batch is scored by exactly
+  // one model version, no restart, no dropped or duplicated rows — the
+  // checkpoint's exactly-once batch accounting is untouched because the
+  // model is plan-side state, not stream state.
+
+  private val EpochFile = "^epoch_(\\d+)\\.tsv$".r
+
+  /** Publish `weights` as model epoch `epoch` under `modelDir` — write to
+    * a temp name, then one atomic move, so a concurrent reader sees the
+    * old set or the new set, never a torn file. */
+  def publishModel(weights: Map[Long, Long], modelDir: String, epoch: Long): Unit = {
+    val dir = Paths.get(modelDir)
+    Files.createDirectories(dir)
+    val body = weights.toSeq.sorted.map { case (b, q) => s"$b\t$q" }.mkString("\n")
+    val tmp = Files.createTempFile(dir, s".epoch_$epoch", ".tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, dir.resolve(s"epoch_$epoch.tsv"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Highest published epoch under `modelDir` (listing only, no read). */
+  private def latestEpoch(modelDir: String): Option[(Long, Path)] = {
+    val dir = Paths.get(modelDir)
+    if (!Files.isDirectory(dir)) return None
+    val listing = Files.list(dir)
+    try {
+      val epochs = listing.iterator().asScala
+        .flatMap(p => EpochFile.findFirstMatchIn(p.getFileName.toString)
+          .map(m => (m.group(1).toLong, p))).toSeq
+      if (epochs.isEmpty) None else Some(epochs.maxBy(_._1))
+    } finally listing.close()
+  }
+
+  private def loadWeights(path: Path): Map[Long, Long] =
+    Files.readAllLines(path).asScala.filter(_.nonEmpty).map { line =>
+      val Array(b, q) = line.split("\t", 2)
+      b.toLong -> q.toLong
+    }.toMap
+
+  /** Highest published epoch in `modelDir` and its weight table. */
+  def currentModel(modelDir: String): Option[(Long, Map[Long, Long])] =
+    latestEpoch(modelDir).map { case (e, p) => (e, loadWeights(p)) }
+
+  /** Continuous scoring against the LATEST published model: each trigger
+    * re-checks `modelDir` (one directory listing — the 65-entry reload
+    * only happens on an epoch change) and scores the whole micro-batch
+    * with that epoch's compiled margin expression, appending
+    * (doc_id, dotq, accept, model_epoch) to `outDir`. A publish between
+    * triggers takes effect at the next batch boundary; rows inside one
+    * batch never mix models. Requires at least one published epoch
+    * before the first batch — scoring with no model is a loud error,
+    * never a silent accept-all. */
+  def scoreStream(docs: DataFrame, modelDir: String, outDir: String): StreamingQuery = {
+    var cached: Option[(Long, Map[Long, Long])] = None // foreachBatch is serial
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_clf_ckpt").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (latest, path) = latestEpoch(modelDir).getOrElse(
+          throw new IllegalStateException(
+            s"no classifier model published under $modelDir"))
+        if (!cached.exists(_._1 == latest)) cached = Some((latest, loadWeights(path)))
+        val (epoch, w) = cached.get
+        score(batch, w).withColumn("model_epoch", lit(epoch))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+  }
 }

@@ -656,6 +656,52 @@ class StreamingSpec extends SparkSpec {
         s"${(streamed.toSet diff batch.toSet).take(3)}")
   }
 
+  test("streaming classifier hot-swaps a re-published model at a batch boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingClassifier
+    // two genuinely different models: 2 vs 8 training iterations
+    val modelA = graft.operators.TextQueries.classifierWeights(spark, sf(), 2)
+    val modelB = graft.operators.TextQueries.classifierWeights(spark, sf(), 8)
+    assert(modelA != modelB, "fixture must distinguish the epochs")
+    val modelDir = java.nio.file.Files.createTempDirectory("graft_clf_model").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_clf_out").toString + "/scored"
+    StreamingClassifier.publishModel(modelA, modelDir, epoch = 1)
+    assert(StreamingClassifier.currentModel(modelDir).contains((1L, modelA)),
+      "publish must round-trip the weight table exactly")
+    val docRows = Tables.spread(Tables.load(spark, sf(), "documents"))
+      .select(col("doc_id"), col("text")).limit(200).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (b1, b2) = docRows.splitAt(docRows.length / 2)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingClassifier.scoreStream(
+      in.toDF().toDF("doc_id", "text"), modelDir, outDir)
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      // retrain + re-publish while the stream runs — NO restart
+      StreamingClassifier.publishModel(modelB, modelDir, epoch = 2)
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outDir)
+      .select("doc_id", "dotq", "accept", "model_epoch").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getLong(3)))).toMap
+    // exactly-once across the swap: every doc scored once, none duplicated
+    assert(out.size == docRows.size, s"${out.size} vs ${docRows.size}")
+    def batchScores(rows: Seq[(Long, String)], w: Map[Long, Long]): Map[Long, (Long, Boolean)] =
+      graft.operators.TextQueries.classifierScoreDocs(
+          spark, rows.toDF("doc_id", "text"), w)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val expectA = batchScores(b1, modelA)
+    val expectB = batchScores(b2, modelB)
+    b1.foreach { case (id, _) =>
+      assert(out(id) == ((expectA(id)._1, expectA(id)._2, 1L)),
+        s"pre-swap doc $id must carry model A margins under epoch 1: ${out(id)}")
+    }
+    b2.foreach { case (id, _) =>
+      assert(out(id) == ((expectB(id)._1, expectB(id)._2, 2L)),
+        s"post-swap doc $id must carry model B margins under epoch 2: ${out(id)}")
+    }
+  }
+
   test("streaming Misra-Gries top-k: bounds hold and the left fold equals one-shot batch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingTopK
