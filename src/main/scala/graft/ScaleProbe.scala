@@ -250,7 +250,9 @@ object ScaleProbe {
       "evt_attribution_unmatched", "sim_ivf_pq_recall", "scan_json_roundtrip",
       // round-14/15 operators
       "graph_shortest_path", "agg_approx_topk_bound", "layout_zorder_kd",
-      "pipeline_dsir", "pipeline_bpe_encode", "text_classifier_train")
+      "pipeline_dsir", "pipeline_bpe_encode", "text_classifier_train",
+      // round-16 operators
+      "pipeline_chunk_dedup")
     probes.foreach { n =>
       time(n)(SparkEntry.queries(n)(spark, out).count())
     }

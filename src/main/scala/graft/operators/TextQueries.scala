@@ -1144,6 +1144,61 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
 
+    // Chunk-level dedup — the consumer the chunk table feeds in a real
+    // pipeline (CCNet-style sub-document dedup at retrieval granularity):
+    // boilerplate spans shared ACROSS documents surface as repeated
+    // chunk hashes, invisible to whole-document dedup (the fixture's
+    // duplicated spans live inside otherwise-distinct texts). Output is
+    // the duplicate-chunk map: every hash occurring ≥2 times, its doc
+    // spread, occurrence count, and the canonical (lowest doc_id) copy
+    // every other occurrence dedups against. Scale shape: the chunk
+    // table is the same shuffle-free flatMap as pipeline_chunk_overlap;
+    // the map is ONE hash-partitioned groupBy(chunk_hash) with map-side
+    // partial aggregation — the exact-dedup digest-groupBy discipline at
+    // chunk granularity, never all-pairs, output bounded by the
+    // duplicate mass (123 rows at sf0.1), not the corpus.
+    Q(
+      "pipeline_chunk_dedup",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id,
+        |         unnest(range(0, ((n - 1) // 48) + 1)) AS chunk_idx,
+        |         t
+        |  FROM toks),
+        |ch AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(t[(chunk_idx * 48 + 1):(chunk_idx * 48 + 64)], ' ')) AS chunk_hash
+        |  FROM chunks)
+        |SELECT chunk_hash,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |       MIN(doc_id) AS canon_doc
+        |FROM ch
+        |GROUP BY chunk_hash
+        |HAVING COUNT(*) >= 2
+        |ORDER BY chunk_hash""".stripMargin
+    ) { (s, dir) =>
+      val W = 64
+      val S = 48
+      Tables.spread(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .withColumn("n", size(col("t")))
+        .select(col("doc_id"),
+          explode(expr(s"sequence(0, (n - 1) div $S)")).as("chunk_idx"), col("t"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ",
+            expr(s"slice(t, chunk_idx * $S + 1, $W)"))).as("chunk_hash"))
+        .groupBy(col("chunk_hash"))
+        .agg(count_distinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min(col("doc_id")).as("canon_doc"))
+        .filter(col("n_occ") >= 2)
+        .orderBy(col("chunk_hash"))
+    },
+
     // Sequence packing — the pretraining prep step after curation: the
     // per-source token stream (docs in doc_id order) is split at fixed
     // 512-token block boundaries, GPT-style concatenate-then-chunk; the
