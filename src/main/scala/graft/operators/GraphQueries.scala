@@ -302,9 +302,19 @@ object GraphQueries extends QueryPack {
         .join(e.as("e"), col("f.id") === col("e.src"))
         .select(col("e.dst").as("id"), (col("f.dist") + 1).as("dist"))
         .groupBy(col("id")).agg(min(col("dist")).as("dist"))
-      val fresh = reached.join(settled, Seq("id"), "left_anti").persist()
+      // localCheckpoint, not persist: fresh_r's LOGICAL plan contains
+      // fresh_{r-1}'s twice (via the relax join and via settled's union),
+      // so without a hard lineage cut the plan tree — and Catalyst's
+      // re-analysis time per round — grows EXPONENTIALLY in the round
+      // count (the round-16 frontier probe measured empty-frontier
+      // rounds doubling 1.1→2.5→5.9 s by round 6). The eager checkpoint
+      // replaces the plan with a node-sized LogicalRDD: per-round
+      // planning stays constant, which is what 20-50-round web-graph
+      // diameters need. Persist alone caches DATA but keeps the plan.
+      val fresh = reached.join(settled, Seq("id"), "left_anti")
+        .localCheckpoint(true)
       val next = settled.unionAll(fresh).persist()
-      toFree = settled :: fresh :: toFree
+      toFree = settled :: toFree
       settled = next
       frontier = fresh
     }
@@ -315,6 +325,53 @@ object GraphQueries extends QueryPack {
     toFree.foreach(_.unpersist())
     settled.unpersist()
     result
+  }
+
+  /** Probe-only instrumented twin of [[shortestPath]]: the SAME frontier
+    * loop, but each round's fresh frontier is counted as it materializes,
+    * returning (round, frontierSize, roundSeconds) — the evidence series
+    * that per-round cost tracks frontier × degree rather than settled ×
+    * degree. The sf10-class replica fixtures never widened the seed
+    * component (replica blocks are disjoint subgraphs), so BFS probes
+    * there exercised edge-probe volume only; [[graft.FrontierProbe]]
+    * builds a BRIDGED fixture (shared suppliers across replica blocks)
+    * where the frontier truly grows with the replication factor, and
+    * this series is what it records. Kept separate from the gate path:
+    * the gate defers all materialization to the final sort, and a
+    * mid-loop count() there would change what the bench measures. */
+  def frontierSeries(s: SparkSession, dir: String, rounds: Int): Seq[(Int, Long, Double)] = {
+    val e = edges(s, dir)
+    val nat = Tables.load(s, dir, "nation")
+      .filter(col("n_name") === "NATION_7").select(col("n_nationkey"))
+    val seeds = Tables.load(s, dir, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(concat(lit("c"), col("c_custkey").cast("string")).as("id"),
+        lit(0).as("dist"))
+    var settled = seeds.persist()
+    var frontier = settled
+    val t0 = System.nanoTime()
+    val series = Seq.newBuilder[(Int, Long, Double)]
+    series += ((0, settled.count(), (System.nanoTime() - t0) / 1e9))
+    var toFree = List.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val tr = System.nanoTime()
+      val reached = frontier.as("f")
+        .join(e.as("e"), col("f.id") === col("e.src"))
+        .select(col("e.dst").as("id"), (col("f.dist") + 1).as("dist"))
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+      // same per-round lineage cut as the gate loop (see shortestPath)
+      val fresh = reached.join(settled, Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      val n = fresh.count()
+      val next = settled.unionAll(fresh).persist()
+      toFree = settled :: toFree
+      settled = next
+      frontier = fresh
+      series += ((r, n, (System.nanoTime() - tr) / 1e9))
+    }
+    toFree.foreach(_.unpersist())
+    settled.unpersist()
+    series.result()
   }
 
   /** PageRank body with the iteration count exposed: the gate query runs

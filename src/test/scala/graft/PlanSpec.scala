@@ -645,4 +645,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"no corpus-to-corpus shuffle join belongs in inference:\n${p.take(2000)}")
   }
+
+  test("chunk dedup is one hash-partitioned agg over the chunk flatMap, no join") {
+    val p = planOf("pipeline_chunk_dedup")
+    // the chunk table materializes as the same shuffle-free explode
+    assert(p.contains("Generate explode"), s"expected explode:\n${p.take(1500)}")
+    // digest-groupBy discipline: hash agg with map-side partial combine
+    // on chunk_hash, never an all-pairs join
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregate:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"chunk dedup must not join:\n${p.take(2000)}")
+    assert(p.contains("hashpartitioning(chunk_hash"),
+      s"expected ONE hash exchange on chunk_hash:\n${p.take(2000)}")
+    // column pruning reaches the scan: only doc_id + text are read
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("n_chars") && !read.contains("lang"), read)
+  }
 }
