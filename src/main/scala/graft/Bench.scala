@@ -152,8 +152,11 @@ object Bench {
     // own BENCH_r<N>.json trail in the repo root — the bench running in
     // round N+1 sees records up to N. Repeated local runs within a round
     // overwrite the same archive; the driver's end-of-round run lands
-    // last, so the committed file is the round's official map.
-    try {
+    // last, so the committed file is the round's official map. FILTERED
+    // runs (query-name args — the local dev loop) never archive: a
+    // 1-query map overwriting the round's full map would recreate the
+    // very data loss the archive exists to fix.
+    if (args.isEmpty) try {
       val prior = Option(new java.io.File(".").listFiles).getOrElse(Array.empty)
         .flatMap(f => "^BENCH_r(\\d+)\\.json$".r
           .findFirstMatchIn(f.getName).map(_.group(1).toInt))

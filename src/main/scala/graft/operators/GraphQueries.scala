@@ -97,7 +97,11 @@ object GraphQueries extends QueryPack {
     * (session, corpus) forever). */
   def evictSharedEdges(s: SparkSession): Unit =
     edgeCache.filterInPlace { case ((sess, _), df) =>
-      if (sess eq s) { df.unpersist(); false } else true
+      // unpersist can throw on a STOPPING context (the application-end
+      // hook fires mid-teardown); the map entry must go regardless, or
+      // the cache retains the stopped session for the JVM's life — the
+      // exact leak this eviction exists to prevent
+      if (sess eq s) { scala.util.Try(df.unpersist()); false } else true
     }
 
   private val oEdges =
@@ -106,16 +110,21 @@ object GraphQueries extends QueryPack {
       |                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
       |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-      |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
       |nn AS (SELECT COUNT(*) AS n FROM deg)""".stripMargin
 
-  /** One oracle PageRank step: p<k> -> p<k+1>. MATERIALIZED for the
-    * ordering-loss hazard the CTE lint pins: the final step feeds the
-    * top-level ORDER BY, and a plain CTE above the materialized `deg`
-    * streams back unordered in DuckDB 1.0 under
-    * preserve_insertion_order=false (the round-15 infer-oracle lesson). */
+  /** One oracle PageRank step: p<k> -> p<k+1>. Deliberately PLAIN (as is
+    * every CTE in the pagerank/BFS/histogram oracles): each step is
+    * referenced once, so there is no inlining blowup, and with no
+    * materialized CTE in the query DuckDB's plain-over-materialized
+    * ordering hazard cannot arise. An earlier cut materialized `deg`
+    * here by an over-broad replace and the degree histogram's top-level
+    * ORDER BY over it went NONDETERMINISTIC under the checker's
+    * preserve_insertion_order=false (caught by a 15x stability rerun —
+    * aggregation atop a materialized CTE loses the final ordering, while
+    * the r15 infer shape, a bare ordered READ of one, keeps it). */
   private def oStep(prev: String, next: String): String =
-    s"""$next AS MATERIALIZED (
+    s"""$next AS (
        |  SELECT e.dst AS id,
        |         0.15 / (SELECT n FROM nn) +
        |         0.85 * ${oPrSum(s"p.pr / d.outdeg")} AS pr
@@ -135,7 +144,7 @@ object GraphQueries extends QueryPack {
         |                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
         |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-        |deg AS MATERIALIZED (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src)
+        |deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src)
         |SELECT degree, COUNT(*) AS nodes
         |FROM deg GROUP BY degree
         |ORDER BY degree""".stripMargin
@@ -286,6 +295,18 @@ object GraphQueries extends QueryPack {
     * round's unpersisted so lineage stays one round deep (the pagerank
     * checkpoint discipline, but per-round because BFS frontiers feed two
     * consumers each round). */
+  /** Eager per-round lineage cut for the BFS frontier. RELIABLE
+    * checkpoint when the context has a checkpoint dir configured (the
+    * cluster deployment: local-checkpoint blocks are NOT fault-tolerant —
+    * losing any executor holding one fails the whole query, where a
+    * reliable checkpoint re-reads from storage); localCheckpoint
+    * otherwise (local[n] runs — no storage round trip). Block cleanup is
+    * the ContextCleaner's: frontiers are node-sized, and the checkpoint
+    * RDDs free when the per-round references drop out of scope. */
+  private def cutLineage(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   def shortestPath(s: SparkSession, dir: String, rounds: Int): DataFrame = {
     val e = edges(s, dir) // shared cache — already persisted + materialized
     val nat = Tables.load(s, dir, "nation")
@@ -302,7 +323,7 @@ object GraphQueries extends QueryPack {
         .join(e.as("e"), col("f.id") === col("e.src"))
         .select(col("e.dst").as("id"), (col("f.dist") + 1).as("dist"))
         .groupBy(col("id")).agg(min(col("dist")).as("dist"))
-      // localCheckpoint, not persist: fresh_r's LOGICAL plan contains
+      // checkpoint, not persist: fresh_r's LOGICAL plan contains
       // fresh_{r-1}'s twice (via the relax join and via settled's union),
       // so without a hard lineage cut the plan tree — and Catalyst's
       // re-analysis time per round — grows EXPONENTIALLY in the round
@@ -311,8 +332,7 @@ object GraphQueries extends QueryPack {
       // replaces the plan with a node-sized LogicalRDD: per-round
       // planning stays constant, which is what 20-50-round web-graph
       // diameters need. Persist alone caches DATA but keeps the plan.
-      val fresh = reached.join(settled, Seq("id"), "left_anti")
-        .localCheckpoint(true)
+      val fresh = cutLineage(reached.join(settled, Seq("id"), "left_anti"))
       val next = settled.unionAll(fresh).persist()
       toFree = settled :: toFree
       settled = next
@@ -360,8 +380,7 @@ object GraphQueries extends QueryPack {
         .select(col("e.dst").as("id"), (col("f.dist") + 1).as("dist"))
         .groupBy(col("id")).agg(min(col("dist")).as("dist"))
       // same per-round lineage cut as the gate loop (see shortestPath)
-      val fresh = reached.join(settled, Seq("id"), "left_anti")
-        .localCheckpoint(true)
+      val fresh = cutLineage(reached.join(settled, Seq("id"), "left_anti"))
       val n = fresh.count()
       val next = settled.unionAll(fresh).persist()
       toFree = settled :: toFree

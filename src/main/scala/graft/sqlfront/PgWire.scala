@@ -567,23 +567,26 @@ final class PgWire(gs: GraftSession, port: Int = 0,
     // company present, refuse FATAL 55006 (object_in_use — PG's own
     // "database is being accessed by other users" state) and let the
     // client either target the current database or reconnect alone.
-    requestedDb.filter(db => db.nonEmpty && db != gs.currentDatabase).foreach { db =>
-      val others = limiter.activeConnections - 1 // this connection holds a slot
-      if (others > 0) {
-        out.msg('E') { o =>
-          o.writeByte('S'); out.cstr(o, "FATAL")
-          o.writeByte('V'); out.cstr(o, "FATAL")
-          o.writeByte('C'); out.cstr(o, "55006")
-          o.writeByte('M')
-          out.cstr(o, s"""cannot switch the shared session to database "$db": """ +
-            s"$others other connection(s) active — connect to " +
-            s""""${gs.currentDatabase}" or retry as the sole client""")
-          o.writeByte(0)
-        }
-        out.flush()
-        return
+    // the comparison read takes the gate's SHARED side: it cannot observe
+    // a concurrent switch mid-flight, and a connection admitted while
+    // another's switch holds the write lock parks here until the switch
+    // lands, then evaluates its own request against the NEW database
+    val dbAtGreeting = gs.withReadLock(gs.currentDatabase)
+    requestedDb.filter(db => db.nonEmpty && db != dbAtGreeting).foreach { db =>
+      // check-and-switch is ONE write-lock section: the sole-client test
+      // re-reads the admission count inside the lock, so a client
+      // admitted before this point is always seen (its slot increments
+      // at tryAcquire, before any greeting work), and a client admitted
+      // after waits at the read barrier above and then re-judges its own
+      // database request against whatever this switch decided — the
+      // pre-lock check of the first cut could miss an admission that
+      // landed between check and switch and silently re-point it
+      var refusedOthers = -1
+      try gs.withStatementLock(s"\\c $db") {
+        val others = limiter.activeConnections - 1 // this connection holds a slot
+        if (others > 0) refusedOthers = others
+        else gs.connectDatabase(db)
       }
-      try gs.withStatementLock(s"\\c $db")(gs.connectDatabase(db))
       catch { case e: Throwable =>
         out.msg('E') { o =>
           o.writeByte('S'); out.cstr(o, "FATAL")
@@ -591,6 +594,20 @@ final class PgWire(gs: GraftSession, port: Int = 0,
           o.writeByte('C'); out.cstr(o, "3D000")
           o.writeByte('M')
           out.cstr(o, Option(e.getMessage).getOrElse(s"""database "$db" does not exist"""))
+          o.writeByte(0)
+        }
+        out.flush()
+        return
+      }
+      if (refusedOthers > 0) {
+        out.msg('E') { o =>
+          o.writeByte('S'); out.cstr(o, "FATAL")
+          o.writeByte('V'); out.cstr(o, "FATAL")
+          o.writeByte('C'); out.cstr(o, "55006")
+          o.writeByte('M')
+          out.cstr(o, s"""cannot switch the shared session to database "$db": """ +
+            s"$refusedOthers other connection(s) active — connect to " +
+            s""""${gs.currentDatabase}" or retry as the sole client""")
           o.writeByte(0)
         }
         out.flush()

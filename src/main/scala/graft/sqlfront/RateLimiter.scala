@@ -37,6 +37,9 @@ final class RateLimiter(ratePerSec: Double, burst: Double) {
   /** Take `cost` tokens if available right now; false = caller should
     * back off (the non-blocking form the reference job loop polls). */
   def tryAcquire(cost: Double = 1.0): Boolean = synchronized {
+    // a cost above the bucket ceiling can NEVER be satisfied — acquire()
+    // would spin forever on it; refuse loudly instead
+    require(cost > 0 && cost <= burst, s"cost $cost outside (0, burst=$burst]")
     refillLocked()
     if (tokens >= cost) { tokens -= cost; grantCount += 1; true }
     else false

@@ -97,26 +97,36 @@ object StreamingClassifier {
   /** Continuous scoring against the LATEST published model: each trigger
     * re-checks `modelDir` (one directory listing — the 65-entry reload
     * only happens on an epoch change) and scores the whole micro-batch
-    * with that epoch's compiled margin expression, appending
-    * (doc_id, dotq, accept, model_epoch) to `outDir`. A publish between
-    * triggers takes effect at the next batch boundary; rows inside one
-    * batch never mix models. Requires at least one published epoch
-    * before the first batch — scoring with no model is a loud error,
-    * never a silent accept-all. */
-  def scoreStream(docs: DataFrame, modelDir: String, outDir: String): StreamingQuery = {
+    * with that epoch's compiled margin expression, writing
+    * (doc_id, dotq, accept, model_epoch) under `outDir`. A publish
+    * between triggers takes effect at the next batch boundary; rows
+    * inside one batch never mix models. Requires at least one published
+    * epoch before the first batch — scoring with no model is a loud
+    * error, never a silent accept-all.
+    *
+    * Exactly-once: a foreachBatch parquet APPEND is not idempotent — a
+    * batch retried after a partial commit (executor loss between the
+    * write and the checkpoint commit) would duplicate its rows. Each
+    * batch therefore OVERWRITES its own `batch_id=<id>` subdirectory
+    * (reads over `outDir` see batch_id as a partition column): a retry
+    * replaces its own output, never doubles it. Restart durability needs
+    * a stable `checkpointDir` — the temp-dir default serves tests and
+    * ad-hoc runs, where a restart is a new stream. */
+  def scoreStream(docs: DataFrame, modelDir: String, outDir: String,
+      checkpointDir: Option[String] = None): StreamingQuery = {
     var cached: Option[(Long, Map[Long, Long])] = None // foreachBatch is serial
     docs.writeStream
       .outputMode("append")
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft_clf_ckpt").toString)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        Files.createTempDirectory("graft_clf_ckpt").toString))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         val (latest, path) = latestEpoch(modelDir).getOrElse(
           throw new IllegalStateException(
             s"no classifier model published under $modelDir"))
         if (!cached.exists(_._1 == latest)) cached = Some((latest, loadWeights(path)))
         val (epoch, w) = cached.get
         score(batch, w).withColumn("model_epoch", lit(epoch))
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
         ()
       }
       .start()

@@ -1778,20 +1778,27 @@ class DdlDmlSpec extends SparkSpec {
     // continuous mode at 2 tables/s: a full catalog pass carries ≥2.5 s
     // of pacing, yet a foreground writer arriving mid-sweep (through the
     // SAME statement gate wire clients use) must wait at most one
-    // table's audit — the per-table lock scope, not a sweep-wide hold
+    // table's audit — the per-table lock scope, not a sweep-wide hold.
+    // The bound is BASELINE-RELATIVE (same statement timed with no sweep
+    // running) so a slow/contended host inflates both sides instead of
+    // flaking a fixed wall-clock constant.
+    def gatedInsert(i: Int): Double = {
+      val a = System.nanoTime()
+      val stmt = s"INSERT INTO rl_t1 VALUES ($i, 'x')"
+      s.withStatementLock(stmt)(s.sql(stmt))
+      (System.nanoTime() - a) / 1e9
+    }
+    val baseline = (10 to 12).map(gatedInsert).min // warm, uncontended
     val h = ConsistencySweeper.continuous(s, intervalMs = 10,
       limiter = Some(new RateLimiter(ratePerSec = 2.0, burst = 1.0)))
     try {
       Thread.sleep(300) // sweep mid-flight
-      val lat = (1 to 4).map { i =>
-        val a = System.nanoTime()
-        val stmt = s"INSERT INTO rl_t1 VALUES (${10 + i}, 'x')"
-        s.withStatementLock(stmt)(s.sql(stmt))
-        (System.nanoTime() - a) / 1e9
-      }
-      assert(lat.max < 2.0,
+      val lat = (13 to 16).map(gatedInsert)
+      // one table's audit ≈ a few baseline statements; a sweep-WIDE lock
+      // would add the sweep's ≥2.5 s pacing to at least one insert
+      assert(lat.max < 6 * baseline + 1.5,
         f"foreground INSERT stalled ${lat.max}%.2f s behind the sweep " +
-          "(a sweep-wide lock would hold ≥2.5 s of pacing)")
+          f"(baseline $baseline%.2f s; a sweep-wide lock holds ≥2.5 s of pacing)")
     } finally h.stop()
 
     // scheduled jobs honor the bucket too: ~2 s at 1 run/s admits ≤4

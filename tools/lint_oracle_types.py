@@ -49,9 +49,37 @@ EVAL_COUNT_LIMIT = 48
 
 
 def _strip_literals(sql):
-    """Blank out '...' string literals so CTE-name matching can't hit
-    words inside them ('' escapes stay inside the literal)."""
-    return re.sub(r"'(?:[^']|'')*'", "''", sql)
+    """Blank out '...' string literals, '--' line comments and block
+    comments so CTE parsing can't be derailed by quotes or parens inside
+    them (a ')' inside a comment otherwise truncates a CTE body and
+    silently skips linting everything after it). One character-level
+    pass, because literals and comments shadow each other's delimiters:
+    '--' inside a literal is content, a quote inside a comment is not."""
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":  # literal: emit empty '' in its place
+            i += 1
+            while i < n:
+                if sql[i] == "'" and i + 1 < n and sql[i + 1] == "'":
+                    i += 2  # '' escape stays inside
+                elif sql[i] == "'":
+                    i += 1
+                    break
+                else:
+                    i += 1
+            out.append("''")
+        elif c == "-" and i + 1 < n and sql[i + 1] == "-":  # line comment
+            while i < n and sql[i] != "\n":
+                i += 1
+        elif c == "/" and i + 1 < n and sql[i + 1] == "*":  # block comment
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 
 
 def _parse_ctes(sql):
@@ -122,8 +150,16 @@ def lint_ctes(sql):
                 f"CTE '{n}' is inlined ~{evals[n]}x (multi-referenced, not "
                 "MATERIALIZED, in a reference chain) — add AS MATERIALIZED "
                 "or DuckDB re-evaluates it exponentially")
-    # ordering loss: top-level ORDER BY + final FROM on a plain CTE whose
-    # subtree contains a materialized CTE
+    # ordering loss: a top-level ORDER BY is only reliable above
+    # materialized CTEs when the tail is a bare ordered READ. Two shapes
+    # go nondeterministic under preserve_insertion_order=false (both
+    # measured, not theorized — each cost a flaky gate red):
+    #  (a) tail reads a PLAIN CTE whose subtree holds a materialized one
+    #      (the round-15 infer oracle);
+    #  (b) tail aggregates (GROUP BY) directly atop a materialized CTE
+    #      (the round-16 degree-histogram regression — a bare projected
+    #      read of a materialized CTE keeps its ORDER BY, an aggregation
+    #      atop one loses it).
     if any(mat.values()) and re.search(r"\bORDER\s+BY\b", tail, re.I):
         def subtree_has_mat(n, seen=frozenset()):
             if n in seen:
@@ -140,6 +176,14 @@ def lint_ctes(sql):
                     "MATERIALIZED ones — DuckDB 1.0 drops the ordering "
                     "under preserve_insertion_order=false; materialize "
                     f"'{n}' too")
+            if mat[n] and _refs(n, tail) and \
+                    re.search(r"\bGROUP\s+BY\b", tail, re.I):
+                problems.append(
+                    f"top-level ORDER BY + GROUP BY aggregate directly atop "
+                    f"MATERIALIZED CTE '{n}' — the final ordering goes "
+                    "nondeterministic under preserve_insertion_order=false; "
+                    "move the aggregation into a materialized CTE and make "
+                    "the tail a bare ordered read")
     return problems
 
 
@@ -164,6 +208,21 @@ def selftest():
     benign = ("WITH s0 AS (SELECT 1 AS x), d1 AS (SELECT x FROM s0 UNION ALL "
               "SELECT x+1 FROM s0) SELECT * FROM d1 ORDER BY x")
     assert not lint_ctes(benign), lint_ctes(benign)
+    # a ')' or quote inside a comment must not truncate CTE parsing (the
+    # ordering hazard below is only visible if the comment is stripped)
+    commented = ("WITH a AS MATERIALIZED (SELECT 1 AS x -- note) don't\n"
+                 "), b AS (SELECT x FROM a) SELECT * FROM b ORDER BY x")
+    assert any("ORDER BY" in p for p in lint_ctes(commented)), \
+        "comment containing ')' must not blind the lint"
+    # aggregation atop a materialized CTE with a top-level ORDER BY (the
+    # round-16 degree-histogram regression); the bare ordered read passes
+    aggtop = ("WITH a AS MATERIALIZED (SELECT 1 AS x) "
+              "SELECT x, COUNT(*) AS n FROM a GROUP BY x ORDER BY x")
+    assert any("GROUP BY" in p for p in lint_ctes(aggtop)), \
+        "ordered aggregation atop a materialized CTE must be flagged"
+    bare = ("WITH a AS MATERIALIZED (SELECT 1 AS x) "
+            "SELECT x FROM a ORDER BY x")
+    assert not lint_ctes(bare), lint_ctes(bare)
     print("selftest: all seeded CTE violations flagged, benign shapes pass")
 
 
