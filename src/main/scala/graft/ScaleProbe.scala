@@ -252,7 +252,7 @@ object ScaleProbe {
       "graph_shortest_path", "agg_approx_topk_bound", "layout_zorder_kd",
       "pipeline_dsir", "pipeline_bpe_encode", "text_classifier_train",
       // round-16 operators
-      "pipeline_chunk_dedup")
+      "pipeline_chunk_dedup", "pipeline_chunk_retrieval")
     probes.foreach { n =>
       time(n)(SparkEntry.queries(n)(spark, out).count())
     }

@@ -18,6 +18,107 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object TextQueries extends QueryPack {
 
+  /** Chunk retrieval eval (`pipeline_chunk_retrieval`): per-chunk 3-gram
+    * shingle sets, exact Jaccard ground truth over the dup-map query set,
+    * and the banded-MinHash production path, compared top-1 for recall.
+    * Kernels shared with the dedup family (ShinglesExpr / MinHashExpr). */
+  private def chunkRetrieval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = 64
+    val S = 48
+    // (doc_id, chunk_idx, chunk_hash, ts): one row per ≥3-token window
+    val sets = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, (n - 1) div $S)")).as("ci"), col("t"))
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+        concat_ws(" ", expr(s"slice(t, ci * $S + 1, $W)")).as("wtext"))
+      .filter(size(split(col("wtext"), " ")) >= 3)
+      .select(col("doc_id"), col("chunk_idx"), md5(col("wtext")).as("chunk_hash"),
+        graft.functions.VectorFunctions.shingles(col("wtext"), 3).as("ts"))
+    // query set: the canonical (lowest doc, then lowest idx) occurrence of
+    // every cross-document duplicated chunk — each has a true counterpart
+    val dup = sets.groupBy(col("chunk_hash"))
+      .agg(count_distinct(col("doc_id")).as("nd"), min(col("doc_id")).as("qd"))
+      .filter(col("nd") >= 2)
+      .select(col("chunk_hash"), col("qd"))
+    val qkey = sets.join(dup, "chunk_hash")
+      .filter(col("doc_id") === col("qd"))
+      .groupBy(col("chunk_hash"), col("doc_id"))
+      .agg(min(col("chunk_idx")).as("q_idx"))
+      .select(col("doc_id").as("q_doc"), col("q_idx"))
+      .distinct()
+      // EVAL-path bound: the exact ground truth costs |queries| x |chunks|,
+      // and the dup map grows with the corpus — cap the query set at the
+      // 200 lowest (doc, idx) keys (deterministic both engines) so the
+      // recall eval stays corpus-LINEAR at any scale; the production LSH
+      // path is never bounded
+      .orderBy(col("q_doc"), col("q_idx")).limit(200)
+    val qs = sets.join(broadcast(qkey),
+        sets("doc_id") === col("q_doc") && sets("chunk_idx") === col("q_idx"))
+      .select(col("q_doc"), col("q_idx"), col("ts").as("qts"))
+    def jac(a: Column, b: Column): Column = {
+      val inter = size(array_intersect(a, b))
+      inter.cast("double") / (size(a) + size(b) - inter)
+    }
+    // exact ground truth: query-bounded broadcast nested loop (eval path)
+    val rankW = Window.partitionBy(col("q_doc"), col("q_idx"))
+      .orderBy(col("j").desc, col("e_doc"), col("e_idx"))
+    val exact = broadcast(qs)
+      .join(sets.select(col("doc_id").as("e_doc"), col("chunk_idx").as("e_idx"),
+          col("ts")),
+        col("e_doc") =!= col("q_doc"))
+      .withColumn("j", jac(col("qts"), col("ts")))
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") === 1 && col("j") > 0)
+      .select(col("q_doc"), col("q_idx"), col("e_doc"), col("e_idx"), col("j"))
+    // production path: 12 minhashes → 4 bands of 3 → keyed candidate join
+    val bands = sets
+      .select(col("doc_id"), col("chunk_idx"),
+        graft.functions.VectorFunctions.minHash(col("ts"), 12).as("mh"))
+      .select(col("doc_id"), col("chunk_idx"),
+        explode(sequence(lit(0), lit(3))).as("band"), col("mh"))
+      .select(col("doc_id"), col("chunk_idx"), col("band"),
+        concat_ws(",",
+          transform(slice(col("mh"), col("band") * 3 + 1, lit(3)),
+            x => x.cast("string"))).as("sig"))
+    val qb = bands.join(broadcast(qkey),
+        bands("doc_id") === col("q_doc") && bands("chunk_idx") === col("q_idx"))
+      .select(col("q_doc"), col("q_idx"), col("band"), col("sig"))
+    val cand = qb.join(bands
+          .select(col("doc_id").as("c_doc"), col("chunk_idx").as("c_idx"),
+            col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("c_doc") =!= col("q_doc"))
+      .select(col("q_doc"), col("q_idx"), col("c_doc"), col("c_idx"))
+      .distinct()
+    val ncand = cand.groupBy(col("q_doc"), col("q_idx"))
+      .agg(count(lit(1)).as("n_cand"))
+    val atopW = Window.partitionBy(col("q_doc"), col("q_idx"))
+      .orderBy(col("j").desc, col("a_doc"), col("a_idx"))
+    val atop = cand
+      .join(qs, Seq("q_doc", "q_idx"))
+      .join(sets.select(col("doc_id").as("c_doc"), col("chunk_idx").as("c_idx"),
+          col("ts").as("cts")),
+        Seq("c_doc", "c_idx"))
+      .select(col("q_doc"), col("q_idx"), col("c_doc").as("a_doc"),
+        col("c_idx").as("a_idx"), jac(col("qts"), col("cts")).as("j"))
+      .withColumn("rn", row_number().over(atopW))
+      .filter(col("rn") === 1)
+      .select(col("q_doc"), col("q_idx"), col("a_doc"), col("a_idx"))
+    exact
+      .join(ncand, Seq("q_doc", "q_idx"), "left")
+      .join(atop, Seq("q_doc", "q_idx"), "left")
+      .select(col("q_doc"), col("q_idx"),
+        col("e_doc").as("exact_doc"), col("e_idx").as("exact_idx"),
+        floor(col("j") * 1e6).cast("long").as("jac_q6"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("a_doc") === col("e_doc") && col("a_idx") === col("e_idx"),
+          lit(false)).as("hit"))
+      .orderBy(col("q_doc"), col("q_idx"))
+  }
+
   /** Shared winnow plumbing — used by `text_winnow_fingerprint` here and
     * `dedup_winnow` (DedupQueries): per-doc winnowing fingerprint rows
     * (doc_id, f struct<pos,fp>) under a doc-id cap (oracle-cost bound)
@@ -1198,6 +1299,98 @@ object TextQueries extends QueryPack {
         .filter(col("n_occ") >= 2)
         .orderBy(col("chunk_hash"))
     },
+
+    // Chunk-level RETRIEVAL with measured recall — the eval harness the
+    // chunk surface needed (the sim_ann_recall_eval discipline at chunk
+    // grain): for every cross-document duplicated chunk's canonical
+    // occurrence ("query"), does banded MinHash-LSH retrieval find the
+    // SAME top-1 counterpart that exact 3-gram Jaccard ground truth
+    // ranks first? Output per query: the exact top-1 (doc, idx), its
+    // floor-quantized Jaccard, the LSH candidate count, and the hit bit.
+    // Scale shape: the exact all-corpus ranking is bounded by the QUERY
+    // count (a broadcast nested-loop of ~|dup map| rows against the
+    // chunk table — an eval path, exactly like the ANN recall gate's
+    // ground truth); the production path is the banded LSH: 4 keyed band
+    // rows per chunk, candidates verified locally — corpus-linear,
+    // never all-pairs. Shingle sets and minhash reuse the ONE native
+    // kernel pair (ShinglesExpr/MinHashExpr) the dedup family uses, so
+    // retrieval and dedup cannot drift.
+    Q(
+      "pipeline_chunk_retrieval",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, unnest(range(0, ((n - 1) // 48) + 1)) AS chunk_idx, t
+        |  FROM toks),
+        |w AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |             array_to_string(t[(chunk_idx * 48 + 1):(chunk_idx * 48 + 64)], ' ') AS wtext
+        |      FROM chunks),
+        |sets AS MATERIALIZED (
+        |  SELECT doc_id, chunk_idx, md5(wtext) AS chunk_hash,
+        |         list_distinct(list_transform(
+        |           generate_series(1, len(string_split(wtext, ' ')) - 2),
+        |           i -> array_to_string((string_split(wtext, ' '))[i:i+2], ' '))) AS ts
+        |  FROM w WHERE len(string_split(wtext, ' ')) >= 3),
+        |dup AS (SELECT chunk_hash, MIN(doc_id) AS qd FROM sets
+        |        GROUP BY chunk_hash HAVING COUNT(DISTINCT doc_id) >= 2),
+        |qkey AS (SELECT s.chunk_hash, s.doc_id AS q_doc, MIN(s.chunk_idx) AS q_idx
+        |         FROM sets s JOIN dup d ON d.chunk_hash = s.chunk_hash AND s.doc_id = d.qd
+        |         GROUP BY s.chunk_hash, s.doc_id),
+        |qcap AS (SELECT DISTINCT q_doc, q_idx FROM qkey
+        |         ORDER BY q_doc, q_idx LIMIT 200),
+        |qs AS MATERIALIZED (
+        |  SELECT s.doc_id AS q_doc, s.chunk_idx AS q_idx, s.ts
+        |  FROM sets s JOIN qcap k ON k.q_doc = s.doc_id AND k.q_idx = s.chunk_idx),
+        |exact AS MATERIALIZED (
+        |  SELECT q_doc, q_idx, e_doc, e_idx, j FROM (
+        |    SELECT q.q_doc, q.q_idx, c.doc_id AS e_doc, c.chunk_idx AS e_idx,
+        |           CAST(len(list_intersect(q.ts, c.ts)) AS DOUBLE)
+        |             / (len(q.ts) + len(c.ts) - len(list_intersect(q.ts, c.ts))) AS j,
+        |           ROW_NUMBER() OVER (PARTITION BY q.q_doc, q.q_idx
+        |                              ORDER BY CAST(len(list_intersect(q.ts, c.ts)) AS DOUBLE)
+        |                                / (len(q.ts) + len(c.ts) - len(list_intersect(q.ts, c.ts))) DESC,
+        |                              c.doc_id, c.chunk_idx) AS rn
+        |    FROM qs q JOIN sets c ON c.doc_id != q.q_doc)
+        |  WHERE rn = 1 AND j > 0),
+        |mh AS MATERIALIZED (
+        |  SELECT doc_id, chunk_idx, i,
+        |         MIN(CAST(('0x' || substr(md5(sh || '#' || i), 1, 15)) AS BIGINT)) AS v
+        |  FROM (SELECT doc_id, chunk_idx, unnest(ts) AS sh FROM sets)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS i)
+        |  GROUP BY doc_id, chunk_idx, i),
+        |bands AS MATERIALIZED (
+        |  SELECT doc_id, chunk_idx, i // 3 AS band,
+        |         string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS sig
+        |  FROM mh GROUP BY doc_id, chunk_idx, i // 3),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT k.q_doc, k.q_idx, c.doc_id AS c_doc, c.chunk_idx AS c_idx
+        |  FROM qs k
+        |  JOIN bands qb ON qb.doc_id = k.q_doc AND qb.chunk_idx = k.q_idx
+        |  JOIN bands c ON c.band = qb.band AND c.sig = qb.sig AND c.doc_id != k.q_doc),
+        |ncand AS (SELECT q_doc, q_idx, CAST(COUNT(*) AS BIGINT) AS n_cand
+        |          FROM cand GROUP BY q_doc, q_idx),
+        |atop AS MATERIALIZED (
+        |  SELECT q_doc, q_idx, a_doc, a_idx FROM (
+        |    SELECT cd.q_doc, cd.q_idx, cd.c_doc AS a_doc, cd.c_idx AS a_idx,
+        |           ROW_NUMBER() OVER (PARTITION BY cd.q_doc, cd.q_idx
+        |                              ORDER BY CAST(len(list_intersect(q.ts, c.ts)) AS DOUBLE)
+        |                                / (len(q.ts) + len(c.ts) - len(list_intersect(q.ts, c.ts))) DESC,
+        |                              cd.c_doc, cd.c_idx) AS rn
+        |    FROM cand cd
+        |    JOIN qs q ON q.q_doc = cd.q_doc AND q.q_idx = cd.q_idx
+        |    JOIN sets c ON c.doc_id = cd.c_doc AND c.chunk_idx = cd.c_idx)
+        |  WHERE rn = 1),
+        |outq AS MATERIALIZED (
+        |  SELECT e.q_doc, e.q_idx, e.e_doc AS exact_doc, e.e_idx AS exact_idx,
+        |         CAST(floor(e.j * 1000000) AS BIGINT) AS jac_q6,
+        |         COALESCE(n.n_cand, 0) AS n_cand,
+        |         COALESCE(a.a_doc = e.e_doc AND a.a_idx = e.e_idx, false) AS hit
+        |  FROM exact e
+        |  LEFT JOIN ncand n ON n.q_doc = e.q_doc AND n.q_idx = e.q_idx
+        |  LEFT JOIN atop a ON a.q_doc = e.q_doc AND a.q_idx = e.q_idx)
+        |SELECT * FROM outq ORDER BY q_doc, q_idx""".stripMargin
+    ) { (s, dir) => chunkRetrieval(s, dir) },
 
     // Sequence packing — the pretraining prep step after curation: the
     // per-source token stream (docs in doc_id order) is split at fixed

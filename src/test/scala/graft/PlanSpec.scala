@@ -662,4 +662,19 @@ class PlanSpec extends SparkSpec {
     assert(read.contains("doc_id") && read.contains("text") &&
       !read.contains("n_chars") && !read.contains("lang"), read)
   }
+
+  test("chunk retrieval: bounded queries broadcast; band candidates equi-join") {
+    val p = planOf("pipeline_chunk_retrieval")
+    // the exact ground-truth pass is a DELIBERATE nested loop — its
+    // probe side is the capped (≤200-row) broadcast query set, so cost
+    // is |queries| x |chunks|, corpus-linear; an un-broadcast NL join
+    // here would be the quadratic mistake
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"eval path must broadcast the bounded query set:\n${p.take(2000)}")
+    // the production LSH path joins on (band, sig) — a keyed join, and
+    // no cartesian product anywhere in the plan
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product belongs in retrieval:\n${p.take(2000)}")
+    assert(p.contains("band"), s"band key must reach a join:\n${p.take(1500)}")
+  }
 }
