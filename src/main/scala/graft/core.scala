@@ -116,6 +116,13 @@ object Engine {
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // iterative operators (BFS, pagerank, label propagation) cut their
+      // per-round lineage with checkpoints; when a CLUSTER deployment
+      // configures a checkpoint dir, the reliable-checkpoint branch
+      // writes one RDD directory per round — without this flag the
+      // ContextCleaner never deletes them (default false) and checkpoint
+      // storage grows without bound across runs
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       // streaming state lives in RocksDB, not the default
       // HDFSBackedStateStore: the default retains N committed versions of
       // the whole store as in-heap immutable maps, so a long-running

@@ -37,6 +37,13 @@ object TextQueries extends QueryPack {
       .filter(size(split(col("wtext"), " ")) >= 3)
       .select(col("doc_id"), col("chunk_idx"), md5(col("wtext")).as("chunk_hash"),
         graft.functions.VectorFunctions.shingles(col("wtext"), 3).as("ts"))
+      // six consumers read this frame (dup map, query keys, query sets,
+      // exact ranking, bands, candidate verify) and Catalyst re-executes
+      // the tokenize→chunk→md5→shingle pipeline once per physical
+      // subtree — an eager localCheckpoint computes it ONCE and replaces
+      // the plan with a cached leaf (blocks freed by the ContextCleaner
+      // when the query's references drop, the BFS-frontier discipline)
+      .localCheckpoint(true)
     // query set: the canonical (lowest doc, then lowest idx) occurrence of
     // every cross-document duplicated chunk — each has a true counterpart
     val dup = sets.groupBy(col("chunk_hash"))

@@ -567,24 +567,27 @@ final class PgWire(gs: GraftSession, port: Int = 0,
     // company present, refuse FATAL 55006 (object_in_use — PG's own
     // "database is being accessed by other users" state) and let the
     // client either target the current database or reconnect alone.
-    // the comparison read takes the gate's SHARED side: it cannot observe
-    // a concurrent switch mid-flight, and a connection admitted while
-    // another's switch holds the write lock parks here until the switch
-    // lands, then evaluates its own request against the NEW database
-    val dbAtGreeting = gs.withReadLock(gs.currentDatabase)
-    requestedDb.filter(db => db.nonEmpty && db != dbAtGreeting).foreach { db =>
+    // fast path is LOCK-FREE: a handshake that requests no database (or
+    // the current one, by this unlocked read) must never queue behind an
+    // in-flight write statement — a pool warming N connections during a
+    // long DML would otherwise stall at connect. Only a connection that
+    // actually wants a DIFFERENT database enters the gated slow path,
+    // which re-reads everything it decided on inside the write lock.
+    requestedDb.filter(db => db.nonEmpty && db != gs.currentDatabase).foreach { db =>
       // check-and-switch is ONE write-lock section: the sole-client test
       // re-reads the admission count inside the lock, so a client
       // admitted before this point is always seen (its slot increments
-      // at tryAcquire, before any greeting work), and a client admitted
-      // after waits at the read barrier above and then re-judges its own
-      // database request against whatever this switch decided — the
-      // pre-lock check of the first cut could miss an admission that
-      // landed between check and switch and silently re-point it
+      // at tryAcquire, before any greeting work); the current database
+      // is re-read too, so a switch that already happened between the
+      // unlocked pre-check and the lock degrades to a no-op success
+      // rather than a spurious error — the pre-lock check alone could
+      // miss an admission landing between check and switch and silently
+      // re-point it
       var refusedOthers = -1
       try gs.withStatementLock(s"\\c $db") {
         val others = limiter.activeConnections - 1 // this connection holds a slot
-        if (others > 0) refusedOthers = others
+        if (db == gs.currentDatabase) () // raced switch already landed here
+        else if (others > 0) refusedOthers = others
         else gs.connectDatabase(db)
       }
       catch { case e: Throwable =>

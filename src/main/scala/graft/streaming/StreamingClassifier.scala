@@ -114,6 +114,19 @@ object StreamingClassifier {
     * ad-hoc runs, where a restart is a new stream. */
   def scoreStream(docs: DataFrame, modelDir: String, outDir: String,
       checkpointDir: Option[String] = None): StreamingQuery = {
+    // per-batch overwrite is only exactly-once when batch ids are
+    // CONTINUOUS with the output already present: a fresh temp
+    // checkpoint restarts ids at 0, and batch 0's overwrite would
+    // silently DESTROY a previous run's batch_id=0 rows. Refuse loudly:
+    // resuming over existing output requires the original checkpoint.
+    val hasPriorOutput = Files.isDirectory(Paths.get(outDir)) && {
+      val listing = Files.list(Paths.get(outDir))
+      try listing.findFirst().isPresent finally listing.close()
+    }
+    if (checkpointDir.isEmpty && hasPriorOutput)
+      throw new IllegalStateException(
+        s"$outDir already holds scored batches; pass the original " +
+          "checkpointDir to resume exactly-once, or use a fresh outDir")
     var cached: Option[(Long, Map[Long, Long])] = None // foreachBatch is serial
     docs.writeStream
       .outputMode("append")

@@ -63,4 +63,5 @@ def main():
     sys.exit(1 if (unstable or errors) else 0)
 
 
-main()
+if __name__ == "__main__":
+    main()

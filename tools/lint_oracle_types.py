@@ -73,9 +73,11 @@ def _strip_literals(sql):
         elif c == "-" and i + 1 < n and sql[i + 1] == "-":  # line comment
             while i < n and sql[i] != "\n":
                 i += 1
+            out.append(" ")  # comments separate tokens: 'FROM --x\na'
         elif c == "/" and i + 1 < n and sql[i + 1] == "*":  # block comment
             j = sql.find("*/", i + 2)
             i = n if j < 0 else j + 2
+            out.append(" ")  # 'FROM/*c*/a' must not glue to 'FROMa'
         else:
             out.append(c)
             i += 1
@@ -223,6 +225,15 @@ def selftest():
     bare = ("WITH a AS MATERIALIZED (SELECT 1 AS x) "
             "SELECT x FROM a ORDER BY x")
     assert not lint_ctes(bare), lint_ctes(bare)
+    # a stripped comment must SEPARATE tokens, not glue them — gluing
+    # 'FROM/*c*/a' into 'FROMa' undercounts references and re-opens the
+    # blind spot the stripper exists to close
+    assert _refs("a", _strip_literals(
+        "SELECT x FROM/*c*/a UNION ALL SELECT x FROM a")) == 2, \
+        "block comment must not glue FROM to the table name"
+    assert _refs("a", _strip_literals(
+        "SELECT x FROM --c\na UNION ALL SELECT x FROM a")) == 2, \
+        "line comment must not glue FROM to the table name"
     print("selftest: all seeded CTE violations flagged, benign shapes pass")
 
 
@@ -319,4 +330,5 @@ def main():
     sys.exit(1 if n_fail else 0)
 
 
-main()
+if __name__ == "__main__":
+    main()
