@@ -195,7 +195,15 @@ object FastOps {
   */
 object ShingleOps {
   def shingles(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
-    val toks = text.toString.split(' ')
+    // split(" ", -1): KEEP interior and trailing empty tokens. Both
+    // Spark's split() (the compositional equivalent this kernel
+    // replaces) and DuckDB's string_split (the oracle) keep them;
+    // String.split(' ') drops trailing empties, so a text ending in a
+    // doubled/trailing space would shingle differently here than in the
+    // ≥n-token filters and oracles built on split() — an empty Spark
+    // shingle set against a non-empty oracle set, and a 0-size Jaccard
+    // denominator. Pinned by the doubled-space test in BloomSpec.
+    val toks = text.toString.split(" ", -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0

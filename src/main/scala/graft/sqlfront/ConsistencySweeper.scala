@@ -25,9 +25,18 @@ import graft.catalog.TableDef
   */
 object ConsistencySweeper {
 
+  /** Thrown when `stopped` flips (or a limiter wait is abandoned)
+    * MID-SWEEP: a truncated report where every audited row passes is
+    * indistinguishable from a complete clean pass, so audit() refuses to
+    * return one — callers that stop a sweep get a loud signal, never a
+    * partial report masquerading as a full one. */
+  final class SweepAborted extends RuntimeException(
+    "consistency sweep stopped mid-pass — partial report suppressed")
+
   /** One audit pass over every table of the session's CURRENT database.
     * Returns (tbl, chk, rows, violations, pass), one row per declared
-    * constraint.
+    * constraint. Throws [[SweepAborted]] if `stopped` fires before the
+    * last table — the report is COMPLETE or absent, never partial.
     *
     * Pacing + isolation per TABLE, not per sweep: each table's audit
     * first acquires a token from the optional [[RateLimiter]] (with no
@@ -43,8 +52,8 @@ object ConsistencySweeper {
     import gs.spark.implicits._
     val report = gs.catalog.tables.values.toSeq.flatMap { t =>
       val admitted = limiter.forall(_.acquire(1.0, stopped))
-      if (!admitted || stopped()) Nil
-      else gs.withReadLock(auditTable(gs, t))
+      if (!admitted || stopped()) throw new SweepAborted
+      gs.withReadLock(auditTable(gs, t))
     }
     report.toDF("tbl", "chk", "rows", "violations")
       .withColumn("pass", col("violations") === 0L)
@@ -126,6 +135,7 @@ object ConsistencySweeper {
             rows.filterNot(_.getBoolean(4)).foreach(onViolation)
           }
         } catch {
+          case _: SweepAborted => // stop() landed mid-sweep: nothing published
           case _: InterruptedException => // stop() path
           case _: Throwable => () // skipped run; next interval retries
         }

@@ -110,11 +110,79 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
 
   recoverTxn(warehouse) // the default database recovers before its catalog loads
 
-  /** Live catalog — the CURRENT database's. `\c`/connectDatabase swaps it
-    * (multi-database minimum, reference kv/DatabaseRegistry.java:29-60:
-    * name→storage-namespace registry with create/drop/switch). */
-  private var _catalog: Catalog = new Catalog(warehouse)
-  def catalog: Catalog = _catalog
+  // ------------------------------------------- per-connection contexts
+
+  /** The engine-global default context: Shell, SqlHttp, embedded callers
+    * and background jobs all share it — the original single-session
+    * semantics. Wire connections get their OWN context (see
+    * [[openConnectionContext]]), so two concurrent PG connections can sit
+    * in two different databases with independent prepared-statement and
+    * cursor registries, exactly as the reference resolves each
+    * connection's startup `database` independently
+    * (kv/DatabaseRegistry.java:29-60, postgres/PostgresConnectionHandler
+    * startup path). The shared ENGINE state (statement gate, COW
+    * snapshots, single-writer transaction, stats, warehouse) stays on
+    * this GraftSession. */
+  private val defaultCtx = new ConnContext("graft", new Catalog(warehouse))
+
+  /** Thread-routed context override: PgWire's one-thread-per-connection
+    * model means binding the connection's context to its handler thread
+    * scopes EVERY statement that thread executes — catalog resolution,
+    * `current_database()`, prepared statements, cursors, meta-commands —
+    * with no per-call-site plumbing. Threads without a binding (Shell,
+    * HTTP, tests, background jobs) fall through to the default context. */
+  private val ctxTL = new ThreadLocal[ConnContext]
+  private def ctx: ConnContext = {
+    val c = ctxTL.get
+    if (c == null) defaultCtx else c
+  }
+
+  /** Every live context (default + open wire connections) — consulted by
+    * DROP DATABASE so a database some connection is sitting in cannot be
+    * deleted under it (PG's 55006 "being accessed by other users"). */
+  private val liveContexts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[ConnContext]()
+  liveContexts.add(defaultCtx)
+
+  /** Open a connection-scoped context bound to `db0` (or the default
+    * context's current database when the startup carried no `database`
+    * parameter). Throws on a nonexistent database — PgWire maps that to
+    * the PG FATAL 3D000 before AuthenticationOk. Runs under the gate's
+    * read side so a concurrent DROP DATABASE (write side) can never
+    * delete the target between the existence check and registration. */
+  def openConnectionContext(db0: Option[String]): ConnContext = withReadLock {
+    val name = db0.map(_.toLowerCase).filter(_.nonEmpty).getOrElse(defaultCtx.dbName)
+    if (!dbExists(name))
+      throw new IllegalArgumentException(s"""database "$name" does not exist""")
+    val c = new ConnContext(name, catalogFor(name))
+    liveContexts.add(c)
+    c
+  }
+
+  /** Unregister a connection's context. If the connection owned the open
+    * transaction (BEGIN without COMMIT when the client hung up), roll it
+    * back — PG's disconnect semantics; leaving it open would wedge every
+    * writer behind the cross-database transaction guard forever. */
+  def closeConnectionContext(c: ConnContext): Unit = {
+    liveContexts.remove(c)
+    if (activeTxnCtx eq c) withStatementLock("ROLLBACK") {
+      if (activeTxnCtx eq c) { // re-check under the write lock
+        bindContext(c)
+        try rollbackTxn() finally unbindContext()
+      }
+    }
+  }
+
+  /** Bind `c` to the CURRENT thread (PgWire handler threads call this
+    * once after openConnectionContext). */
+  def bindContext(c: ConnContext): Unit = ctxTL.set(c)
+  def unbindContext(): Unit = ctxTL.remove()
+
+  /** Live catalog — the CURRENT CONTEXT's database. `\c`/connectDatabase
+    * swaps it (multi-database minimum, reference
+    * kv/DatabaseRegistry.java:29-60: name→storage-namespace registry with
+    * create/drop/switch). */
+  def catalog: Catalog = ctx.cat
 
   // ----------------------------------------------------------- databases
 
@@ -124,8 +192,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     * The default database "graft" roots at the warehouse itself, so
     * single-database sessions are bit-compatible with every prior layout.
     * Existence IS the directory: no separate registry file to drift. */
-  private var currentDbName = "graft"
-  def currentDatabase: String = currentDbName
+  def currentDatabase: String = ctx.dbName
 
   // mirror the default database into Spark's catalog so the builtin
   // current_database() answers "graft" from the first statement (temp
@@ -133,7 +200,17 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   spark.sql("CREATE DATABASE IF NOT EXISTS graft")
   spark.sql("USE graft")
 
-  private val dbCatalogs = scala.collection.mutable.Map[String, Catalog]("graft" -> _catalog)
+  private val dbCatalogs =
+    scala.collection.mutable.Map[String, Catalog]("graft" -> defaultCtx.cat)
+
+  /** One Catalog instance per database, shared by every context bound to
+    * it (two connections in one database must see each other's DDL
+    * instantly — the Catalog IS the shared engine state). First touch
+    * runs that database's own crash recovery before the catalog loads. */
+  private def catalogFor(name: String): Catalog = dbCatalogs.synchronized {
+    dbCatalogs.getOrElseUpdate(name,
+      { recoverTxn(dbRoot(name)); new Catalog(dbRoot(name)) })
+  }
 
   private def dbRoot(name: String): Path =
     if (name == "graft") warehouse else warehouse.resolve("_db_" + name)
@@ -171,8 +248,18 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     val name = name0.toLowerCase
     require(!inTransaction, "DROP DATABASE cannot run inside a transaction block")
     require(name != "graft", """cannot drop the default database "graft"""")
-    require(name != currentDbName,
+    require(name != ctx.dbName,
       s"""cannot drop the currently open database "$name"""")
+    // per-connection binding: another live context sitting in the victim
+    // would be left reading deleted snapshot dirs — PG's 55006 refusal
+    val users = {
+      val it = liveContexts.iterator()
+      var n = 0
+      while (it.hasNext) { val c = it.next(); if ((c ne ctx) && c.dbName == name) n += 1 }
+      n
+    }
+    require(users == 0,
+      s"""database "$name" is being accessed by other users ($users other connection(s))""")
     if (!dbExists(name)) {
       if (ifExists) return
       throw new IllegalArgumentException(s"""database "$name" does not exist""")
@@ -194,7 +281,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     // current database pointing at the victim, repoint to this session's
     // own database so CASCADE cannot fail on "cannot drop current".
     if (spark.catalog.currentDatabase == name)
-      spark.sql(s"USE $currentDbName")
+      spark.sql(s"USE ${ctx.dbName}")
     spark.sql(s"DROP DATABASE IF EXISTS $name CASCADE")
     // recursive delete of the database's whole storage namespace
     val rootDir = dbRoot(name)
@@ -205,34 +292,36 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     registerPgDatabase()
   }
 
-  /** Switch the session to `name` (psql `\c`). Temp views of the old
-    * database are dropped FIRST so its names stop resolving; the new
-    * catalog registers lazily on the next statement (registerAll's tag
-    * carries the catalog identity, so the swap always invalidates). */
+  /** Switch THIS CONTEXT to `name` (psql `\c`) — with per-connection
+    * binding a wire connection's `\c` moves only that connection; other
+    * contexts keep their databases. Stale temp views of the previous
+    * database are swept by registerAll on the next statement (its tag
+    * carries the catalog identity, so the swap always invalidates and
+    * the sweep drops names the new catalog does not define). */
   def connectDatabase(name0: String): Unit = {
     val name = name0.toLowerCase
     require(!inTransaction, "cannot switch databases inside a transaction block")
     if (!dbExists(name))
       throw new IllegalArgumentException(s"""database "$name" does not exist""")
-    if (name != currentDbName) {
-      (catalog.tables.keys ++ catalog.views.keys)
-        .foreach(v => spark.catalog.dropTempView(v))
-      // PG parity: \c is a NEW connection — prepared statements and open
-      // cursors do not survive it (theirs would otherwise keep reading
-      // the previous database's snapshots)
-      prepared.clear()
-      cursors.clear()
-      currentDbName = name
-      // first connect instantiates the catalog — run this database's own
-      // crash recovery first, so a txn journal a dead process left in its
-      // root restores BEFORE the catalog loads
-      _catalog = dbCatalogs.getOrElseUpdate(name,
-        { recoverTxn(dbRoot(name)); new Catalog(dbRoot(name)) })
+    if (name != ctx.dbName) {
+      // PG parity: \c is a NEW connection — this context's prepared
+      // statements and open cursors do not survive it (theirs would
+      // otherwise keep reading the previous database's snapshots)
+      ctx.prepared.clear()
+      ctx.cursors.clear()
+      ctx.dbName = name
+      // first connect instantiates the catalog — catalogFor runs this
+      // database's own crash recovery first, so a txn journal a dead
+      // process left in its root restores BEFORE the catalog loads
+      ctx.cat = catalogFor(name)
       // mirror into Spark's own catalog namespace so the builtin
-      // current_database() reports the live name
-      spark.sql(s"CREATE DATABASE IF NOT EXISTS $name")
-      spark.sql(s"USE $name")
-      registerPgDatabase()
+      // current_database() reports the live name (serialized with
+      // registerAll's USE re-sync)
+      regLock.synchronized {
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS $name")
+        spark.sql(s"USE $name")
+        registerPgDatabase()
+      }
     }
   }
 
@@ -305,14 +394,18 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     * a different GraftSession registered ITS tables on the shared
     * SparkSession, this one re-registers even at unchanged counters. */
   def registerAll(): Unit = regLock.synchronized {
-    // Spark's current database is session-global: a sibling GraftSession
-    // (or a fresh constructor's USE graft) may have moved it — re-sync so
-    // current_database() keeps answering THIS session's database
-    if (spark.catalog.currentDatabase != currentDbName)
-      spark.sql(s"USE $currentDbName")
+    // Spark's current database is session-global: a sibling context or
+    // GraftSession (or a fresh constructor's USE graft) may have moved
+    // it — re-sync so qualified resolution tracks THIS context's database
+    if (spark.catalog.currentDatabase != ctx.dbName) {
+      // a wire context bound at startup may target a database no `\c`
+      // ever mirrored into Spark's catalog — create the namespace first
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS ${ctx.dbName}")
+      spark.sql(s"USE ${ctx.dbName}")
+    }
     // catalog identity is part of the tag: after a database switch the
     // NEW catalog's generation can coincide with the old tag's number
-    val tag = (this: AnyRef, _catalog: AnyRef, catalog.generation, dataGen)
+    val tag = (this: AnyRef, ctx.cat: AnyRef, catalog.generation, dataGen)
     if (GraftSession.lastRegistrar.get() == tag) { registerPgCatalog(); return }
     // Invalidate first, claim AFTER the loop succeeds: if a view body
     // throws mid-loop the tag stays unset and the next call re-registers
@@ -320,6 +413,15 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     // keeps a concurrent session from matching its own stale tag while
     // this one is mid-rebuild.
     GraftSession.lastRegistrar.set(null)
+    // Per-connection binding means contexts in DIFFERENT databases take
+    // turns registering on the shared SparkSession — sweep names the
+    // previous registration defined that THIS catalog does not, or a
+    // sibling database's table would keep resolving here (cross-database
+    // leakage; the pre-context code did this sweep inside `\c`).
+    val liveNames = (catalog.tables.keySet ++ catalog.views.keySet).toSet
+    (GraftSession.lastRegisteredNames.get -- liveNames)
+      .foreach(spark.catalog.dropTempView(_))
+    GraftSession.lastRegisteredNames.set(liveNames)
     catalog.tables.values.foreach { t =>
       val df = visibleDf(t)
       // stats→plan feedback: a table whose FRESH ANALYZE stats put it
@@ -340,7 +442,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       if (v.materialized) {
         val dir = catalog.matviewDir(v)
         if (Files.exists(dir)) spark.read.parquet(dir.toString).createOrReplaceTempView(v.name)
-      } else spark.sql(PgRewrite.rewrite(v.sql)).createOrReplaceTempView(v.name)
+      } else spark.sql(rewriteForCtx(v.sql)).createOrReplaceTempView(v.name)
     }
     // compareAndSet: a session that lost a concurrent-registration race
     // must NOT claim currency (its temp views may not be the live ones);
@@ -357,7 +459,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     * SparkSession, so after a different GraftSession registered ITS
     * catalog, this one must re-register even at an unchanged generation. */
   private def registerPgCatalog(): Unit = {
-    val tag = (this: AnyRef, _catalog: AnyRef, catalog.generation)
+    val tag = (this: AnyRef, ctx.cat: AnyRef, catalog.generation)
     if (GraftSession.lastPgRegistrar.get() == tag) return
     // same invalidate→build→CAS-claim discipline as registerAll: a
     // failure mid-build leaves the tag unset (next call re-registers),
@@ -536,6 +638,28 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     stmts.map(execOne).last
   }
 
+  /** PgRewrite with context binding: `current_database()` folds to a
+    * LITERAL of this context's database name. Spark's own
+    * CurrentDatabase expression resolves at OPTIMIZATION time from the
+    * session-global catalog — under per-connection binding a sibling
+    * context's USE re-sync can land between this statement's analysis
+    * and its first action, so the builtin would answer the WRONG
+    * database. The literal pins the value at statement entry. */
+  private def rewriteForCtx(q: String): String =
+    PgRewrite.rewrite(PgRewrite.bindCurrentDatabase(q, ctx.dbName))
+
+  /** Analyze a query atomically with temp-view registration: two
+    * contexts in different databases may hold the gate's READ side
+    * concurrently, and each registerAll re-points the shared temp views
+    * at its own catalog — without the regLock span over analysis, A's
+    * spark.sql could resolve against B's registration. Execution (the
+    * DataFrame's actions) stays outside the lock and fully concurrent;
+    * only name resolution serializes. */
+  private def planQuery(q: String): DataFrame = regLock.synchronized {
+    registerAll()
+    spark.sql(rewriteForCtx(q))
+  }
+
   // -------------------------------------------------- statement gate
 
   /** Concurrent temp-view registration guard: readers running in
@@ -618,6 +742,25 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
 
   private var activeTxn: Option[TxnSnapshot] = None
 
+  /** Database + context that issued BEGIN. The engine keeps ONE
+    * single-writer transaction (the documented COW shape; 2PC is out of
+    * Sparkable scope), but with per-connection database binding a write
+    * from a context in a DIFFERENT database must not enroll: its files
+    * would append outside the armed journal's database and ROLLBACK
+    * could not un-append them. Same-database contexts keep the legacy
+    * shared-session join semantics. */
+  private var activeTxnDb: String = null
+  @volatile private var activeTxnCtx: ConnContext = null
+
+  /** Cross-database transaction guard — called by execKeyword before any
+    * statement that can mutate catalog/data/txn state. Reads are COW-
+    * isolated and pass freely. */
+  private def guardCrossDbTxn(kind: String): Unit =
+    if (activeTxn.isDefined && activeTxnDb != null && activeTxnDb != ctx.dbName)
+      throw new IllegalStateException(
+        s"""$kind: a transaction is open on database "$activeTxnDb" — """ +
+          s"""statements that write on "${ctx.dbName}" must wait for it to close""")
+
   /** True while an explicit transaction block is open — wire frontends
     * report it in ReadyForQuery ('T'/'E' vs 'I') so driver-side
     * transaction tracking stays in sync with the engine. */
@@ -641,6 +784,8 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     val snap = currentSnapshot()
     val files = snap.files
     activeTxn = Some(snap)
+    activeTxnDb = ctx.dbName
+    activeTxnCtx = ctx
     savepoints = Nil
     // crash journal: persist the pre-BEGIN state so a session killed
     // mid-transaction recovers to it on next open. catalog.json IS the
@@ -672,7 +817,8 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   }
 
   private def commitTxn(): DataFrame = {
-    activeTxn = None; savepoints = Nil; dropTxnJournal(); ok("COMMIT")
+    activeTxn = None; activeTxnDb = null; activeTxnCtx = null
+    savepoints = Nil; dropTxnJournal(); ok("COMMIT")
   }
 
   /** Revert catalog + data files to `snap` (shared by full ROLLBACK and
@@ -708,6 +854,8 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     case None => ok("ROLLBACK") // PG: warning + no-op outside a txn
     case Some(snap) =>
       activeTxn = None
+      activeTxnDb = null
+      activeTxnCtx = null
       savepoints = Nil
       restoreSnapshot(snap)
       dropTxnJournal()
@@ -772,9 +920,10 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     * script replays emit). `$N` placeholders substitute positionally,
     * string literals are opaque (a '$1' inside text is content), and a
     * declared parameter type wraps its argument in a CAST — PG's typed
-    * parameter semantics. */
-  private val prepared =
-    scala.collection.mutable.Map[String, (String, Seq[String])]()
+    * parameter semantics. CONNECTION-scoped (PG parity): each wire
+    * context carries its own registry; embedded callers share the
+    * default context's. */
+  private def prepared = ctx.prepared
 
   private def prepareStmt(stmt: String): DataFrame = {
     val head = """(?is)^PREPARE\s+([\w"]+)\s*(.*)$""".r
@@ -867,9 +1016,8 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     * plan, never a driver-side materialization of the full set. Held
     * open across COMMIT (PG's WITH HOLD behavior; the always-holdable
     * leniency is safe single-session, where no other txn's visibility is
-    * at stake). */
-  private val cursors =
-    scala.collection.mutable.Map[String, (DataFrame, Long)]()
+    * at stake). CONNECTION-scoped, like [[prepared]]. */
+  private def cursors = ctx.cursors
 
   private def declareCursor(stmt: String): DataFrame = {
     val re = ("""(?is)^DECLARE\s+([\w"]+)\s+""" +
@@ -877,8 +1025,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       """(?:WITH\s+HOLD\s+|WITHOUT\s+HOLD\s+)?FOR\s+(.+)$""").r
     stmt.trim.stripSuffix(";") match {
       case re(name, q) =>
-        registerAll()
-        val df = spark.sql(PgRewrite.rewrite(q)).localCheckpoint()
+        val df = planQuery(q).localCheckpoint()
         cursors(name.replaceAll("\"", "").toLowerCase) = (df, 0L)
         ok("DECLARE CURSOR")
       case _ => throw new IllegalArgumentException(s"cannot parse DECLARE: $stmt")
@@ -1173,7 +1320,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     * without the qualifier, a same-named table in another database could
     * inherit stale stats and a wrong broadcast hint after `\\c`. */
   private def statsKey(table: String): String =
-    (if (currentDbName == "graft") table else s"$currentDbName.$table").toLowerCase
+    (if (ctx.dbName == "graft") table else s"${ctx.dbName}.$table").toLowerCase
 
   /** Stats for one table (of the CURRENT database), or None if never
     * ANALYZEd. Freshness is the caller's concern (version field vs the
@@ -1222,7 +1369,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       val (db, tn) =
         if (k.contains(".")) { val p = k.split("\\.", 2); (p(0), p(1)) }
         else ("graft", k)
-      if (db != currentDbName) Nil
+      if (db != ctx.dbName) Nil
       else st.cols.map { case (c, ndv, nulls) =>
         (tn, c, st.rowCount, ndv,
           if (st.rowCount == 0) 0.0 else nulls.toDouble / st.rowCount)
@@ -1234,7 +1381,22 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   private def execOne(stmt: String): DataFrame =
     if (stmt.trim.startsWith("\\")) metaCommand(stmt) else execKeyword(stmt)
 
-  private def execKeyword(stmt: String): DataFrame = kw(stmt) match {
+  /** Keywords that never touch catalog/data/txn state — exempt from the
+    * cross-database transaction guard. EXECUTE re-enters execOne, so its
+    * inner statement is guarded there; PREPARE/DEALLOCATE/DECLARE/CLOSE
+    * mutate only this CONTEXT's registries. */
+  private val crossDbSafeKw = Set(
+    "SELECT", "WITH", "VALUES", "TABLE", "EXPLAIN", "SHOW", "DESCRIBE",
+    "DESC", "PREPARE", "EXECUTE", "DEALLOCATE", "DECLARE", "FETCH",
+    "CLOSE", "MOVE", "SET", "DO", "COMMENT", "GRANT", "REVOKE")
+
+  private def execKeyword(stmt: String): DataFrame = {
+    val k = kw(stmt)
+    if (!crossDbSafeKw.contains(k)) guardCrossDbTxn(k)
+    execKeyword0(stmt, k)
+  }
+
+  private def execKeyword0(stmt: String, k0: String): DataFrame = k0 match {
     case "CREATE" =>
       val up = stmt.trim.toUpperCase
       if (up.matches("""(?s)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?[\w"]+\s+AS\s+.*"""))
@@ -1311,18 +1473,18 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     case "SELECT" | "WITH" | "VALUES" | "TABLE" =>
       // `SELECT … INTO t FROM …` (PG's CTAS spelling; INTO is reserved
       // in the select list so a top-level match is the clause)
-      if (kw(stmt) == "SELECT") {
+      if (k0 == "SELECT") {
         val (pre, intoOpt) = splitTopLevelKeyword(stmt.trim.stripSuffix(";"), "INTO")
         intoOpt match {
           case Some(rest) =>
+            guardCrossDbTxn("SELECT INTO") // it writes — the CTAS spelling
             val parts = rest.trim.split("\\s+", 2)
             val tail = if (parts.length > 1) " " + parts(1) else ""
             return createTableAs(s"CREATE TABLE ${parts(0)} AS $pre$tail")
           case None =>
         }
       }
-      registerAll()
-      spark.sql(PgRewrite.rewrite(stmt))
+      planQuery(stmt)
     case other => throw new IllegalArgumentException(s"unsupported statement: $other")
   }
 
@@ -1973,8 +2135,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   private def explain(stmt: String): DataFrame = {
     import spark.implicits._
     val inner = stmt.trim.replaceFirst("(?is)^EXPLAIN\\s+(ANALYZE\\s+)?", "")
-    registerAll()
-    val df = spark.sql(PgRewrite.rewrite(inner))
+    val df = planQuery(inner) // EXPLAIN is read-classified — atomic with registration
     val analyze = stmt.trim.toUpperCase.startsWith("EXPLAIN ANALYZE")
     val plan = df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
@@ -2132,10 +2293,10 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         // nonexistent target is the PG "does not exist" error); bare \c
         // re-connects to the current database
         arg.map(_.split("\\s+").head).foreach(connectDatabase)
-        Seq(s"""You are now connected to database "$currentDbName" as user "graft".""")
+        Seq(s"""You are now connected to database "${ctx.dbName}" as user "graft".""")
           .toDF("status")
       case "\\conninfo" =>
-        Seq(s"""You are connected to database "$currentDbName" as user "graft".""")
+        Seq(s"""You are connected to database "${ctx.dbName}" as user "graft".""")
           .toDF("status")
       case "\\copy" =>
         // psql's CLIENT-side COPY: in a single-process engine the session
@@ -3443,4 +3604,29 @@ object GraftSession {
     * registerAll. */
   private[sqlfront] val lastRegistrar =
     new java.util.concurrent.atomic.AtomicReference[(AnyRef, AnyRef, Long, Long)](null)
+
+  /** Table/view names the last registerAll registered — the next
+    * registration for a DIFFERENT catalog sweeps names it does not
+    * define, so one database's tables never keep resolving in another
+    * (see registerAll's per-connection-binding sweep). Mutated only
+    * under the registering session's regLock. */
+  private[sqlfront] val lastRegisteredNames =
+    new java.util.concurrent.atomic.AtomicReference[Set[String]](Set.empty)
+}
+
+/** A connection's identity within the shared engine: its current
+  * database (catalog), prepared statements and cursors — the state
+  * PostgreSQL scopes per backend process (reference: each connection's
+  * startup `database` parameter resolves independently through
+  * kv/DatabaseRegistry.java:29-60 / PostgresConnectionHandler's startup
+  * path). Everything else — statement gate, COW snapshots, the
+  * single-writer transaction, stats, version pins — is engine state on
+  * [[GraftSession]], shared by all contexts. */
+final class ConnContext private[sqlfront] (
+    @volatile private[sqlfront] var dbName: String,
+    @volatile private[sqlfront] var cat: Catalog) {
+  private[sqlfront] val prepared =
+    scala.collection.mutable.Map[String, (String, Seq[String])]()
+  private[sqlfront] val cursors =
+    scala.collection.mutable.Map[String, (DataFrame, Long)]()
 }

@@ -554,69 +554,31 @@ final class PgWire(gs: GraftSession, port: Int = 0,
     }
 
     try { // slot held — released on EVERY exit path, greeting included
-    // honor the startup 'database' parameter: a nonexistent target is
-    // the PG FATAL 3D000 before AuthenticationOk; an existing one
-    // switches the SHARED engine session (one GraftSession serves every
-    // connection — the same session-global semantics as `\c`, documented
-    // engine shape), under the statement gate's write side.
-    // ONLY when this is the sole live connection: connectDatabase
-    // re-points the whole session and clears the session-global
-    // prepared-statement and cursor registries, so honoring it with
-    // other clients attached would silently flip THEIR database and
-    // break their open Bind/Execute and fetches mid-session. With
-    // company present, refuse FATAL 55006 (object_in_use — PG's own
-    // "database is being accessed by other users" state) and let the
-    // client either target the current database or reconnect alone.
-    // fast path is LOCK-FREE: a handshake that requests no database (or
-    // the current one, by this unlocked read) must never queue behind an
-    // in-flight write statement — a pool warming N connections during a
-    // long DML would otherwise stall at connect. Only a connection that
-    // actually wants a DIFFERENT database enters the gated slow path,
-    // which re-reads everything it decided on inside the write lock.
-    requestedDb.filter(db => db.nonEmpty && db != gs.currentDatabase).foreach { db =>
-      // check-and-switch is ONE write-lock section: the sole-client test
-      // re-reads the admission count inside the lock, so a client
-      // admitted before this point is always seen (its slot increments
-      // at tryAcquire, before any greeting work); the current database
-      // is re-read too, so a switch that already happened between the
-      // unlocked pre-check and the lock degrades to a no-op success
-      // rather than a spurious error — the pre-lock check alone could
-      // miss an admission landing between check and switch and silently
-      // re-point it
-      var refusedOthers = -1
-      try gs.withStatementLock(s"\\c $db") {
-        val others = limiter.activeConnections - 1 // this connection holds a slot
-        if (db == gs.currentDatabase) () // raced switch already landed here
-        else if (others > 0) refusedOthers = others
-        else gs.connectDatabase(db)
-      }
+    // Per-connection database binding (PG parity: every connection's
+    // startup 'database' parameter resolves independently — reference
+    // kv/DatabaseRegistry.java:29-60, PostgresConnectionHandler startup
+    // path). The context carries this connection's OWN current database,
+    // prepared statements and cursors; binding it to this handler thread
+    // scopes every statement the connection runs. A nonexistent target
+    // is the PG FATAL 3D000 before AuthenticationOk. Two concurrent
+    // connections can now sit in two different databases with zero
+    // cross-talk — the old sole-client 55006 refusal is gone.
+    val connCtx =
+      try gs.openConnectionContext(requestedDb.filter(_.nonEmpty))
       catch { case e: Throwable =>
         out.msg('E') { o =>
           o.writeByte('S'); out.cstr(o, "FATAL")
           o.writeByte('V'); out.cstr(o, "FATAL")
           o.writeByte('C'); out.cstr(o, "3D000")
           o.writeByte('M')
-          out.cstr(o, Option(e.getMessage).getOrElse(s"""database "$db" does not exist"""))
+          out.cstr(o, Option(e.getMessage).getOrElse("database does not exist"))
           o.writeByte(0)
         }
         out.flush()
         return
       }
-      if (refusedOthers > 0) {
-        out.msg('E') { o =>
-          o.writeByte('S'); out.cstr(o, "FATAL")
-          o.writeByte('V'); out.cstr(o, "FATAL")
-          o.writeByte('C'); out.cstr(o, "55006")
-          o.writeByte('M')
-          out.cstr(o, s"""cannot switch the shared session to database "$db": """ +
-            s"$refusedOthers other connection(s) active — connect to " +
-            s""""${gs.currentDatabase}" or retry as the sole client""")
-          o.writeByte(0)
-        }
-        out.flush()
-        return
-      }
-    }
+    gs.bindContext(connCtx)
+    try {
     out.msg('R')(o => o.writeInt(0)) // AuthenticationOk
     Seq(
       "server_version" -> "17.0 (graft)",
@@ -956,6 +918,13 @@ final class PgWire(gs: GraftSession, port: Int = 0,
       gs.spark.sparkContext.clearJobGroup()
       // a hung-up client's suspended portals must not retain snapshots
       portalIters.keys.toSeq.foreach(dropPortal)
+    }
+    } finally {
+      // context teardown: unbind this thread, unregister from the live
+      // set (frees DROP DATABASE), and roll back a transaction this
+      // connection left open (closeConnectionContext handles ownership)
+      gs.unbindContext()
+      gs.closeConnectionContext(connCtx)
     }
     } finally limiter.release() // every admitted connection frees its slot
   }

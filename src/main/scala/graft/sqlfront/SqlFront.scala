@@ -1048,6 +1048,44 @@ object PgRewrite {
     s = s.replaceAll("(?i)\\bCURRENT_DATABASE\\s*\\(\\)", "current_database()")
     s
   }
+
+  /** Fold `current_database()` to a string LITERAL of the calling
+    * context's database. Spark's builtin resolves at optimization time
+    * from the session-GLOBAL catalog — under per-connection database
+    * binding a sibling context's USE re-sync can land between a
+    * statement's analysis and its first action, so the builtin would
+    * answer the wrong database. String literals are opaque (a
+    * "current_database()" inside text is content, same discipline as
+    * the placeholder substitution paths). */
+  def bindCurrentDatabase(sql: String, db: String): String = {
+    if (!sql.toLowerCase.contains("current_database")) return sql
+    val pat = java.util.regex.Pattern.compile(
+      "(?i)\\bCURRENT_DATABASE\\s*\\(\\s*\\)")
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') { // copy string literal verbatim ('' escape)
+        out += c; i += 1
+        var closed = false
+        while (i < sql.length && !closed) {
+          out += sql.charAt(i)
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+              out += '\''; i += 2
+            } else { closed = true; i += 1 }
+          } else i += 1
+        }
+      } else {
+        val m = pat.matcher(sql)
+        if ((c == 'c' || c == 'C') && m.find(i) && m.start == i) {
+          out ++= "'" + db.replace("'", "''") + "'"
+          i = m.end
+        } else { out += c; i += 1 }
+      }
+    }
+    out.toString
+  }
 }
 
 /** Declared-SQL-type → Spark type (SURVEY §1.3 table; reference

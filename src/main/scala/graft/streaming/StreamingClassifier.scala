@@ -127,6 +127,24 @@ object StreamingClassifier {
       throw new IllegalStateException(
         s"$outDir already holds scored batches; pass the original " +
           "checkpointDir to resume exactly-once, or use a fresh outDir")
+    // a SUPPLIED checkpoint must actually be the original: a fresh
+    // (non-committed) checkpoint dir over existing output restarts batch
+    // ids at 0 and silently overwrites prior batch_id=N directories —
+    // the exact loss the bare-outDir refusal above exists to prevent.
+    // "Original" is testable as: the checkpoint has committed offsets.
+    checkpointDir.foreach { cd =>
+      val offsets = Paths.get(cd, "offsets")
+      val hasCommittedOffsets = Files.isDirectory(offsets) && {
+        val l = Files.list(offsets)
+        try l.findFirst().isPresent finally l.close()
+      }
+      if (hasPriorOutput && !hasCommittedOffsets)
+        throw new IllegalStateException(
+          s"$outDir already holds scored batches but checkpoint $cd has " +
+            "no committed offsets — a fresh checkpoint would restart batch " +
+            "ids at 0 and overwrite them; pass the ORIGINAL checkpointDir " +
+            "or use a fresh outDir")
+    }
     var cached: Option[(Long, Map[Long, Long])] = None // foreachBatch is serial
     docs.writeStream
       .outputMode("append")

@@ -80,4 +80,35 @@ class BloomSpec extends SparkSpec {
     assert(kept < matches + (total - matches) / 10,
       s"prefilter too weak: kept $kept of $total (true matches $matches)")
   }
+
+  test("shingle kernel keeps empty tokens exactly like split() on doubled/trailing spaces") {
+    // cross-engine pin: the native shingle kernel must tokenize exactly
+    // like Spark's split() (and DuckDB's string_split, the oracle side) —
+    // BOTH keep interior and trailing empty tokens. A kernel that drops
+    // trailing empties would pass a ≥n-token split()-based filter yet
+    // yield an EMPTY shingle set for texts ending in doubled/trailing
+    // spaces: a 0-size Jaccard denominator and a red retrieval gate on
+    // any corpus with sloppy whitespace.
+    import spark.implicits._
+    val texts = Seq(
+      "a  b c",        // doubled interior space → empty token inside
+      "a b c ",        // trailing space → trailing empty token
+      "a b  ",         // doubled trailing
+      "  a b",         // leading empties
+      " ",             // all empty tokens
+      "a b c d e")     // clean control
+    val df = texts.toDF("text")
+    val toks = split(col("text"), " ", -1)
+    val compositional = df.select(
+      when(size(toks) < 3, array().cast("array<string>"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(0), size(toks) - 3),
+          i => array_join(slice(toks, i + 1, lit(3)), " "))))
+        .as("expected"),
+      graft.functions.VectorFunctions.shingles(col("text"), 3).as("got"))
+    compositional.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"kernel diverges from split(): expected=${r.getSeq[String](0)} got=${r.getSeq[String](1)}")
+    }
+  }
 }

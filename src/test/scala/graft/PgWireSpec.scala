@@ -938,10 +938,10 @@ class PgWireSpec extends SparkSpec {
     } finally srv.stop()
   }
 
-  test("startup database switch refused 55006 while other connections are live") {
+  test("per-connection database binding: two concurrent connections, two databases, zero cross-talk") {
     val gs = new GraftSession(spark, Files.createTempDirectory("graft_pgwire"))
     val srv = PgWire.start(gs)
-    def startupTo(db: String): (WireClient, (Char, Array[Byte])) = {
+    def startupTo(db: String): WireClient = {
       val c = new WireClient(srv.boundPort)
       val body = new java.io.ByteArrayOutputStream()
       val d = new java.io.DataOutputStream(body)
@@ -950,37 +950,73 @@ class PgWireSpec extends SparkSpec {
       c0("user"); c0("graft"); c0("database"); c0(db); d.writeByte(0)
       val o = new java.io.DataOutputStream(c.sock.getOutputStream)
       o.writeInt(body.size + 4); body.writeTo(o); o.flush()
-      (c, c.readMsg())
+      c.readUntilReady()
+      c
     }
+    def rows(c: WireClient, sql: String): Seq[Seq[String]] =
+      c.query(sql).filter(_._1 == 'D').map(m => c.row(m._2))
     try {
-      gs.sql("CREATE DATABASE otherdb")
-      // c1 is attached to the current database; a second connection
-      // requesting a DIFFERENT database must be refused — honoring it
-      // would re-point c1's session and clear its prepared statements
-      val c1 = new WireClient(srv.boundPort)
-      assert(c1.startup().last._1 == 'Z')
-      val (c2, refusal) = startupTo("otherdb")
-      assert(refusal._1 == 'E', s"expected ErrorResponse, got ${refusal._1}")
-      val fields = new String(refusal._2, "UTF-8")
-      assert(fields.contains("55006") && fields.contains("other connection"), fields)
-      c2.sock.close()
-      // c1's session is untouched: still on the original database
-      val db1 = c1.query("SELECT current_database() AS db")
-        .filter(_._1 == 'D').map(m => c1.row(m._2))
-      assert(db1 == Seq(Seq("graft")), db1.toString)
-      c1.terminate()
-      // sole client: the switch is safe and proceeds (poll: c1's slot
-      // releases asynchronously after Terminate)
+      gs.sql("CREATE DATABASE dba; CREATE DATABASE dbb")
+      // both connections live CONCURRENTLY, each bound to its own
+      // database from the startup packet (PG parity; the reference
+      // resolves every connection's startup database independently)
+      val ca = startupTo("dba")
+      val cb = startupTo("dbb")
+      assert(rows(ca, "SELECT current_database() AS db") == Seq(Seq("dba")))
+      assert(rows(cb, "SELECT current_database() AS db") == Seq(Seq("dbb")))
+      // same table NAME in both databases, different content — each
+      // connection reads its own
+      assert(ca.query("CREATE TABLE t (x INT)").exists(_._1 == 'C'))
+      assert(cb.query("CREATE TABLE t (x INT)").exists(_._1 == 'C'))
+      ca.query("INSERT INTO t VALUES (1)")
+      cb.query("INSERT INTO t VALUES (2)")
+      assert(rows(ca, "SELECT x FROM t") == Seq(Seq("1")))
+      assert(rows(cb, "SELECT x FROM t") == Seq(Seq("2")))
+      // interleave: a's read AFTER b's statements still sees a's data
+      assert(rows(ca, "SELECT x FROM t") == Seq(Seq("1")))
+      // prepared statements are connection-scoped: same name, different
+      // bodies, no clobber
+      ca.query("PREPARE p AS SELECT x + 10 FROM t")
+      cb.query("PREPARE p AS SELECT x + 20 FROM t")
+      assert(rows(ca, "EXECUTE p") == Seq(Seq("11")))
+      assert(rows(cb, "EXECUTE p") == Seq(Seq("22")))
+      // catalog meta-commands answer per connection: a table only in dba
+      ca.query("CREATE TABLE only_a (y INT)")
+      val dtA = rows(ca, "\\dt").map(_(1))
+      val dtB = rows(cb, "\\dt").map(_(1))
+      assert(dtA.contains("only_a") && dtA.contains("t"), dtA.toString)
+      assert(!dtB.contains("only_a") && dtB.contains("t"), dtB.toString)
+      // pg_class (the \d introspection surface) is scoped too
+      val pcB = rows(cb, "SELECT relname FROM pg_class ORDER BY relname").flatten
+      assert(!pcB.contains("only_a") && pcB.contains("t"), pcB.toString)
+      // \c moves ONLY the issuing connection
+      ca.query("\\c dbb")
+      assert(rows(ca, "SELECT current_database() AS db") == Seq(Seq("dbb")))
+      assert(rows(ca, "SELECT x FROM t") == Seq(Seq("2")))
+      assert(rows(cb, "SELECT current_database() AS db") == Seq(Seq("dbb")))
+      // the embedded default context never moved
+      assert(gs.currentDatabase == "graft")
+      ca.terminate(); cb.terminate()
+    } finally srv.stop()
+  }
+
+  test("transaction left open by a disconnecting client rolls back") {
+    val gs = new GraftSession(spark, Files.createTempDirectory("graft_pgwire"))
+    val srv = PgWire.start(gs)
+    try {
+      gs.sql("CREATE TABLE acct (v INT)")
+      gs.sql("INSERT INTO acct VALUES (1)")
+      val c = new WireClient(srv.boundPort)
+      assert(c.startup().last._1 == 'Z')
+      c.query("BEGIN")
+      c.query("INSERT INTO acct VALUES (2)")
+      assert(gs.inTransaction)
+      c.terminate() // hang up without COMMIT — PG rolls the txn back
       val deadline = System.nanoTime() + 30e9.toLong
-      while (srv.limiter.activeConnections > 0 && System.nanoTime() < deadline)
-        Thread.sleep(20)
-      val (c3, first) = startupTo("otherdb")
-      assert(first._1 == 'R', s"sole client must connect: got ${first._1}")
-      c3.readUntilReady()
-      val db3 = c3.query("SELECT current_database() AS db")
-        .filter(_._1 == 'D').map(m => c3.row(m._2))
-      assert(db3 == Seq(Seq("otherdb")), db3.toString)
-      c3.terminate()
+      while (gs.inTransaction && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(!gs.inTransaction, "disconnect must roll back the open transaction")
+      val vs = gs.sql("SELECT v FROM acct").collect().map(_.getInt(0)).toSeq
+      assert(vs == Seq(1), s"rolled-back insert must not survive: $vs")
     } finally srv.stop()
   }
 
