@@ -49,7 +49,12 @@ object Bench {
       // first runner pays it, the min discards it)
       ("shared:classifier_model",
         Set("text_classifier_train", "text_classifier_infer"),
-        () => graft.operators.TextQueries.classifierWeights(spark, sfDir, 8).size.toLong))
+        () => graft.operators.TextQueries.classifierWeights(spark, sfDir, 8).size.toLong),
+      // the bigram-LM score frame feeds both perplexity gates — one
+      // train+score pipeline paid here instead of once per consumer
+      ("shared:bigram_model",
+        Set("text_lm_bigram", "pipeline_ppl_buckets"),
+        () => graft.operators.TextQueries.warmBigramModel(spark, sfDir)))
     val sharedTimed: Seq[(String, Either[String, Double])] = sharedStages.flatMap {
       case (key, consumers, warm) =>
         if (!selected.exists(kv => consumers(kv._1))) None
@@ -204,6 +209,7 @@ object Bench {
     graft.operators.DedupQueries.evictSharedPairs(spark)
     graft.operators.GraphQueries.evictSharedEdges(spark)
     graft.operators.TextQueries.evictClassifierModels(spark)
+    graft.operators.TextQueries.evictBigramModels(spark)
     // The driver's capture keeps only the LAST ~2000 chars of stdout and
     // parses a JSON line out of them: the full line above is ~8 KB, so
     // its head is always cut mid-line and the round record's "parsed" has

@@ -126,6 +126,131 @@ object TextQueries extends QueryPack {
       .orderBy(col("q_doc"), col("q_idx"))
   }
 
+  /** Chunk-grain SEMANTIC retrieval eval (`pipeline_chunk_ann`): chunk
+    * embeddings (deterministic 16-dim signed feature hashing — integer
+    * counts, exactly replayable in the oracle) indexed IVF-style with
+    * the corpus-derived geometry the `sim_ann_ivf` family uses
+    * (SimilarityQueries.ivfNlist/ivfNprobe: nlist = ⌈√n⌉, nprobe =
+    * ⌈√nlist⌉), recall@10 measured against exact squared-L2 ground
+    * truth. This is the RAG-retrieval twin of `pipeline_chunk_retrieval`
+    * (which evaluates LEXICAL MinHash retrieval at the same grain).
+    *
+    * Embedding derivation: e[d] = Σ_tok ±1 where d = md5-bucket(tok) %
+    * 16 and the sign is md5's 9th hex digit's parity — the feature-
+    * hashing trick (Weinberger et al.) with integer-valued dimensions,
+    * so EVERY distance in both engines is exact BIGINT arithmetic and
+    * ties break deterministically by neighbor id; no float ULP can flip
+    * a rank across engines.
+    *
+    * Scale shape: embeddings are one explode + two same-key hash aggs
+    * (map-side combinable, ≤16 rows per chunk after the first); the
+    * centroid set (chunk 0 of the nlist lowest docs — row-local
+    * predicate, no global sort) and the 5-query set broadcast;
+    * assignment shuffles n NARROW rows through the argmin agg; the
+    * probe join rescans only nprobe lists per query; exact ground truth
+    * is query-bounded (5 × n broadcast NL — the eval path, same
+    * discipline as sim_ivf_pq_recall's). Never all-pairs. */
+  private def chunkAnn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = 64
+    val S = 48
+    val D = 16
+    val docs = Tables.spread(Tables.load(s, dir, "documents"))
+    // corpus-derived index geometry (one metadata-light job; the oracle's
+    // nl/np CTEs compute the identical integer find-first)
+    val nChunks = docs
+      .select(sum(expr(s"((size(split(text, ' ')) - 1) div $S) + 1")))
+      .head().getLong(0).max(1L)
+    val nlist = SimilarityQueries.ivfNlist(nChunks)
+    val nprobe = SimilarityQueries.ivfNprobe(nlist)
+    // (cid, tok): one row per chunk-window token; cid = doc_id·10⁵ + idx
+    // packs the key into one BIGINT (doc_id and chunk_idx recover by
+    // div/mod — row-local, so centroid/query selection needs no join)
+    val ct = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, (n - 1) div $S)")).as("chunk_idx"), col("t"))
+      .select((col("doc_id") * 100000L + col("chunk_idx")).as("cid"),
+        explode(expr(s"slice(t, chunk_idx * $S + 1, $W)")).as("tok"))
+    def bucket(c: Column): Column =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long") % D
+    def sgn(c: Column): Column =
+      when(conv(substring(md5(c), 9, 1), 16, 10).cast("long") % 2 === 0, 1L)
+        .otherwise(-1L)
+    // dense 16-dim integer embeddings: two same-key hash aggs (the
+    // second's collect_list is bounded at 16 entries per chunk)
+    val emb = ct
+      .groupBy(col("cid"), bucket(col("tok")).as("d"))
+      .agg(sum(sgn(col("tok"))).as("v"))
+      .groupBy(col("cid"))
+      .agg(map_from_entries(collect_list(struct(col("d"), col("v")))).as("m"))
+      .select(col("cid"),
+        expr(s"transform(sequence(0, ${D - 1}), d -> coalesce(m[CAST(d AS BIGINT)], 0L))")
+          .as("e"))
+      // five consumers (centroids, queries, assignment, probe scoring,
+      // exact ground truth) — compute the embedding pipeline ONCE
+      .localCheckpoint(true)
+    def l2(a: String, b: String): Column =
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+        "0L, (acc, x) -> acc + x)")
+    // coarse centroids: chunk 0 of the nlist lowest docs — exactly nlist
+    // rows by doc-id density, selected by a ROW-LOCAL predicate (a
+    // global row_number over cid would funnel the corpus through one
+    // partition; this does not)
+    val cents = emb
+      .filter(col("cid") % 100000L === 0 && col("cid") < nlist * 100000L)
+      .select(col("cid").as("ccid"), col("e").as("ce"))
+    // 5 deterministic queries OUTSIDE the centroid set (routing is
+    // actually exercised): chunk 0 of docs nlist..nlist+4
+    val queries = emb
+      .filter(col("cid") % 100000L === 0 &&
+        col("cid") >= nlist * 100000L && col("cid") < (nlist + 5L) * 100000L)
+      .select(col("cid").as("query_id"), col("e").as("qe"))
+    // assignment: n × nlist NARROW rows → map-side-combinable argmin
+    // (min of struct(fd, ccid) ≡ the (fd, ccid) window's rank-1 row);
+    // embeddings re-attach AFTER the argmin so the shuffle stays narrow
+    val fdist = emb.crossJoin(broadcast(cents))
+      .select(col("cid"), col("ccid"), l2("e", "ce").as("fd"))
+    val lists = fdist
+      .groupBy(col("cid"))
+      .agg(min(struct(col("fd"), col("ccid"))).as("mn"))
+      .select(col("cid"), col("mn.ccid").as("ccid"))
+      .join(emb, "cid")
+    // probes: 5 × nlist rows — parameters, not data
+    val wP = Window.partitionBy(col("query_id")).orderBy(col("fd"), col("ccid"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qe"), col("ccid"),
+        l2("qe", "ce").as("fd"))
+      .withColumn("rnk", row_number().over(wP))
+      .filter(col("rnk") <= nprobe)
+      .select(col("query_id"), col("qe"), col("ccid"))
+    // probe join: only the nprobe probed lists per query are rescored
+    val wQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    val ivf = lists.join(broadcast(probes), "ccid")
+      .filter(col("cid") =!= col("query_id"))
+      .select(col("query_id"), col("cid").as("neighbor_id"),
+        l2("qe", "e").as("dist"))
+      .withColumn("rnk", row_number().over(wQ))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id").as("i_q"), col("neighbor_id").as("i_n"))
+    // exact ground truth: query-bounded broadcast NL (the eval path)
+    val exact = emb.crossJoin(broadcast(queries))
+      .filter(col("cid") =!= col("query_id"))
+      .select(col("query_id"), col("cid").as("neighbor_id"),
+        l2("qe", "e").as("dist"))
+      .withColumn("rnk", row_number().over(wQ))
+      .filter(col("rnk") <= 10)
+    exact
+      .join(ivf, col("query_id") === col("i_q") &&
+        col("neighbor_id") === col("i_n"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(col("i_n")).as("n_overlap"),
+        (count(col("i_n")).cast("double") / 10).as("recall_at_10"))
+      .orderBy(col("query_id"))
+  }
+
   /** Shared winnow plumbing — used by `text_winnow_fingerprint` here and
     * `dedup_winnow` (DedupQueries): per-doc winnowing fingerprint rows
     * (doc_id, f struct<pos,fp>) under a doc-id cap (oracle-cost bound)
@@ -140,12 +265,43 @@ object TextQueries extends QueryPack {
       .select(col("doc_id"),
         explode(graft.functions.WinnowFunctions.winnow(col("s"))).as("f"))
 
+  /** The bigram-LM score frame memoized + persisted per (session,
+    * corpus) — `text_lm_bigram` and `pipeline_ppl_buckets` both consume
+    * the identical (doc_id, n_bigrams, surprise_q) frame, and before
+    * round 17 each recomputed the whole train+score pipeline (~2.5 s
+    * each at sf0.1). The shared-stage discipline (pairCache /
+    * classifierModelCache): Bench warms it under `shared:bigram_model`
+    * so consumers measure their own work. The frame is one narrow row
+    * per doc — persisting it is cheap at any scale. */
+  private val bigramCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def bigramSurpriseQ(s: SparkSession, dir: String): DataFrame =
+    bigramCache.getOrElseUpdate((s, dir), {
+      val cached = bigramSurpriseQBuild(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached.count() // materialize now so both consumers read the cache
+      cached
+    })
+
+  /** Bench hook: train+score the bigram LM once per (session, corpus)
+    * OUTSIDE the per-query timers (see [[bigramCache]]). */
+  def warmBigramModel(s: SparkSession, dir: String): Long =
+    bigramSurpriseQ(s, dir).count()
+
+  /** Unpersist and drop every cached bigram frame belonging to `s`
+    * (bench/suite teardown — the evictShared{Pairs,Edges} discipline). */
+  def evictBigramModels(s: SparkSession): Unit =
+    bigramCache.filterInPlace { case ((sess, _), df) =>
+      if (sess eq s) { df.unpersist(); false } else true
+    }
+
   /** Per-doc mean bigram surprise under the corpus-trained add-1 bigram
     * LM, quantized (FLOOR(mean·1e6) through DECIMAL(38,12) so token
     * order cannot perturb bits) — the scoring core shared by
     * `text_lm_bigram` and `pipeline_ppl_buckets`. Columns:
     * (doc_id, n_bigrams, surprise_q). */
-  private def bigramSurpriseQ(s: SparkSession, dir: String): DataFrame = {
+  private def bigramSurpriseQBuild(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val docs = Tables.spread(Tables.load(s, dir, "documents"))
     val toksArr = split(col("text"), " ")
@@ -648,19 +804,39 @@ object TextQueries extends QueryPack {
     import s.implicits._
     // label + feature bag folded into ONE row per doc: the (b, c) pairs
     // live in a bounded array (≤ model dimension + intercept = 65
-    // entries), so every iteration's margin is row-local arithmetic
-    val lab = docs.select(col("doc_id"),
-      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
-    val feats = classifierFeats(docs)
+    // entries), so every iteration's margin is row-local arithmetic.
+    // Fused featurization (r16 verdict #5): ONE scan of the corpus —
+    // the bucket array (with the intercept appended) derives row-locally
+    // from the text, the label rides the same rows through both
+    // same-key aggregations, so the label JOIN and the intercept UNION
+    // (each a second/third corpus scan in the r16 shape) are gone. The
+    // (doc_id, b, c) bag is identical to classifierFeats' by
+    // construction (count per bucket + one intercept), so the pinned
+    // train==infer margin equality is untouched.
+    val feats = docs
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        explode(concat(
+          transform(split(col("text"), " "), t => tokenBucket(t)),
+          array(lit(-1L)))).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"), max(col("y")).as("y"))
       .groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("b"), col("c"))).as("f"))
-      .join(lab, Seq("doc_id"))
+      .agg(collect_list(struct(col("b"), col("c"))).as("f"),
+        max(col("y")).as("y"))
       .persist()
-    val nDocs = feats.count() // one row per doc; doubles as materialization
+    // ONE materialization job yields BOTH driver-side scalars: the
+    // bucket set (model keys) and nDocs — every doc carries exactly one
+    // intercept feature, so nDocs = count(b = -1). Replaces the r16
+    // count() + distinct() job pair.
+    val bucketCounts = feats
+      .select(explode(col("f.b")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n"))
+      .collect()
+    val nDocs = bucketCounts.find(_.getLong(0) == -1L).map(_.getLong(1))
+      .getOrElse(0L)
     // 65-row model on the driver between iterations
-    var w: Map[Long, Long] = feats
-      .select(explode(col("f.b")).as("b")).distinct()
-      .collect().map(_.getLong(0) -> 0L).toMap
+    var w: Map[Long, Long] = bucketCounts.map(_.getLong(0) -> 0L).toMap
     for (_ <- 1 to iters) {
       // model → map literal (the StreamingClassifier kernel): margin and
       // residual are ONE row-local pass — no join, no per-doc shuffle.
@@ -1398,6 +1574,113 @@ object TextQueries extends QueryPack {
         |  LEFT JOIN atop a ON a.q_doc = e.q_doc AND a.q_idx = e.q_idx)
         |SELECT * FROM outq ORDER BY q_doc, q_idx""".stripMargin
     ) { (s, dir) => chunkRetrieval(s, dir) },
+
+    // Chunk-grain SEMANTIC (embedding) retrieval with measured recall —
+    // the RAG-retrieval eval at chunk granularity (r16 verdict #4):
+    // deterministic 16-dim feature-hashed integer embeddings per chunk,
+    // IVF-routed with the sim_ann_ivf corpus-derived geometry
+    // (nlist = ⌈√n⌉, nprobe = ⌈√nlist⌉), recall@10 vs exact squared-L2
+    // ground truth. All-integer distances: both engines rank by exact
+    // BIGINT math with neighbor-id tie-breaks, so no float ULP can flip
+    // a rank. See chunkAnn's scaladoc for the scale shape.
+    Q(
+      "pipeline_chunk_ann",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, unnest(range(0, ((n - 1) // 48) + 1)) AS chunk_idx, t
+        |  FROM toks),
+        |ctok AS (
+        |  SELECT doc_id * 100000 + chunk_idx AS cid,
+        |         unnest(t[(chunk_idx * 48 + 1):(chunk_idx * 48 + 64)]) AS tok
+        |  FROM chunks),
+        |sparse AS (
+        |  SELECT cid,
+        |         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 16 AS d,
+        |         CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(tok), 9, 1)) AS BIGINT) % 2 = 0
+        |                       THEN 1 ELSE -1 END) AS BIGINT) AS v
+        |  FROM ctok
+        |  GROUP BY cid, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 16),
+        |ids AS (SELECT DISTINCT cid FROM ctok),
+        |emb AS (
+        |  SELECT i.cid, dd.d, COALESCE(s.v, CAST(0 AS BIGINT)) AS v
+        |  FROM ids i
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS d) dd
+        |  LEFT JOIN sparse s ON s.cid = i.cid AND s.d = dd.d),
+        |nl AS (
+        |  SELECT COALESCE(MIN(k), 4096) AS nlist
+        |  FROM (SELECT unnest(generate_series(16, 4096)) AS k)
+        |  WHERE CAST(k AS BIGINT) * k >= (SELECT COUNT(*) FROM ids)),
+        |np AS (
+        |  SELECT COALESCE(MIN(p), 64) AS nprobe
+        |  FROM (SELECT nlist, unnest(generate_series(2, 64)) AS p FROM nl)
+        |  WHERE p * p >= nlist),
+        |cents AS (
+        |  SELECT cid AS ccid, d, v FROM emb
+        |  WHERE cid % 100000 = 0 AND cid < (SELECT nlist FROM nl) * 100000),
+        |queries AS (
+        |  SELECT cid AS query_id FROM ids
+        |  WHERE cid % 100000 = 0
+        |    AND cid >= (SELECT nlist FROM nl) * 100000
+        |    AND cid < ((SELECT nlist FROM nl) + 5) * 100000),
+        |fd AS (
+        |  SELECT e.cid, c.ccid,
+        |         CAST(SUM((e.v - c.v) * (e.v - c.v)) AS BIGINT) AS fd
+        |  FROM emb e JOIN cents c ON e.d = c.d
+        |  GROUP BY e.cid, c.ccid),
+        |lists AS (
+        |  SELECT cid, ccid FROM (
+        |    SELECT cid, ccid,
+        |           ROW_NUMBER() OVER (PARTITION BY cid ORDER BY fd, ccid) AS rnk
+        |    FROM fd)
+        |  WHERE rnk = 1),
+        |probes AS (
+        |  SELECT query_id, ccid FROM (
+        |    SELECT q.query_id, f.ccid,
+        |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |                              ORDER BY f.fd, f.ccid) AS rnk
+        |    FROM queries q JOIN fd f ON f.cid = q.query_id)
+        |  WHERE rnk <= (SELECT nprobe FROM np)),
+        |cdist AS (
+        |  SELECT p.query_id, l.cid AS neighbor_id,
+        |         CAST(SUM((eq.v - en.v) * (eq.v - en.v)) AS BIGINT) AS dist
+        |  FROM probes p
+        |  JOIN lists l ON l.ccid = p.ccid AND l.cid <> p.query_id
+        |  JOIN emb eq ON eq.cid = p.query_id
+        |  JOIN emb en ON en.cid = l.cid AND en.d = eq.d
+        |  GROUP BY p.query_id, l.cid),
+        |ivf AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |                              ORDER BY dist, neighbor_id) AS rnk
+        |    FROM cdist)
+        |  WHERE rnk <= 10),
+        |edist AS (
+        |  SELECT q.query_id, e.cid AS neighbor_id,
+        |         CAST(SUM((eq.v - e.v) * (eq.v - e.v)) AS BIGINT) AS dist
+        |  FROM queries q
+        |  JOIN emb eq ON eq.cid = q.query_id
+        |  JOIN emb e ON e.d = eq.d AND e.cid <> q.query_id
+        |  GROUP BY q.query_id, e.cid),
+        |exact AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |                              ORDER BY dist, neighbor_id) AS rnk
+        |    FROM edist)
+        |  WHERE rnk <= 10)
+        |SELECT e.query_id,
+        |       CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_overlap,
+        |       CAST(COUNT(i.neighbor_id) AS DOUBLE) / 10 AS recall_at_10
+        |FROM exact e
+        |LEFT JOIN ivf i ON e.query_id = i.query_id
+        |                AND e.neighbor_id = i.neighbor_id
+        |GROUP BY e.query_id
+        |ORDER BY e.query_id""".stripMargin
+    ) { (s, dir) => chunkAnn(s, dir) },
 
     // Sequence packing — the pretraining prep step after curation: the
     // per-source token stream (docs in doc_id order) is split at fixed

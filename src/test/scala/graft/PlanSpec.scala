@@ -677,4 +677,27 @@ class PlanSpec extends SparkSpec {
       s"no cartesian product belongs in retrieval:\n${p.take(2000)}")
     assert(p.contains("band"), s"band key must reach a join:\n${p.take(1500)}")
   }
+
+  test("chunk ANN: centroids/queries/probes broadcast; assignment argmin partial-aggregates; no cartesian") {
+    val p = planOf("pipeline_chunk_ann")
+    // IVF routing: the nlist centroid set, the 5-query set and the
+    // nprobe probe rows are all parameter-sized — every one of them
+    // must enter its join as a BROADCAST (assignment and ground truth
+    // are deliberate broadcast NL joins over the corpus; the probe join
+    // is a broadcast hash join on ccid)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"assignment/ground-truth must broadcast the small side:\n${p.take(2000)}")
+    assert(p.contains("BroadcastExchange"),
+      s"expected broadcast exchanges for centroids/probes:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product belongs in ANN routing:\n${p.take(2000)}")
+    // the rank-1 list assignment is the map-side-combinable argmin (min
+    // of struct), partial-then-final — never a corpus-wide window
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final argmin aggregate:\n${p.take(2000)}")
+    // (no ReadSchema pin: the multi-consumer embedding frame is an eager
+    // localCheckpoint, so the final plan's leaf is the cached scan — the
+    // chunk family's scan-pruning pin lives on the overlap/dedup gates,
+    // which share the identical tokenize→chunk head)
+  }
 }
