@@ -147,15 +147,29 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   /** Open a connection-scoped context bound to `db0` (or the default
     * context's current database when the startup carried no `database`
     * parameter). Throws on a nonexistent database — PgWire maps that to
-    * the PG FATAL 3D000 before AuthenticationOk. Runs under the gate's
-    * read side so a concurrent DROP DATABASE (write side) can never
-    * delete the target between the existence check and registration. */
-  def openConnectionContext(db0: Option[String]): ConnContext = withReadLock {
+    * the PG FATAL 3D000 before AuthenticationOk.
+    *
+    * LOCK-FREE by design: a pool warming N connections during a long
+    * DML must not stall at connect (the round-16 handshake-stall fix —
+    * the fair gate queues new readers behind a WAITING writer, so even
+    * the read side would stall the handshake). The DROP DATABASE race
+    * is closed by re-checking existence AFTER registering in
+    * liveContexts: the drop's in-use scan runs under the write gate, so
+    * either it sees this context and refuses, or the deletion is
+    * visible to the re-check here and the handshake refuses. (The
+    * residual window — directory deleted between re-check and first
+    * statement — surfaces as a loud statement error, never a silent
+    * misread.) */
+  def openConnectionContext(db0: Option[String]): ConnContext = {
     val name = db0.map(_.toLowerCase).filter(_.nonEmpty).getOrElse(defaultCtx.dbName)
     if (!dbExists(name))
       throw new IllegalArgumentException(s"""database "$name" does not exist""")
     val c = new ConnContext(name, catalogFor(name))
     liveContexts.add(c)
+    if (!dbExists(name)) {
+      liveContexts.remove(c)
+      throw new IllegalArgumentException(s"""database "$name" does not exist""")
+    }
     c
   }
 
