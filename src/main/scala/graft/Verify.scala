@@ -56,7 +56,12 @@ object Verify {
     // entirely (the sf1-class decade sweeps re-run the SAME oracles the
     // sf0.01 gate already swept x3 — tripling an 85-minute heavyweight
     // replay buys no new determinism evidence)
-    val stabilityN = sys.env.get("GRAFT_STABILITY_N").map(_.toInt).getOrElse(3)
+    // malformed values SKIP with a note rather than crash the gate dump
+    // mid-artifact (a NumberFormatException here would die after the
+    // results but before _failed.json — the absent-artifact ambiguity
+    // this file exists to prevent)
+    val stabilityN = sys.env.get("GRAFT_STABILITY_N")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(3)
     val stabilityTool = Paths.get("tools/check_oracle_stability.py")
     if (Files.exists(stabilityTool) && stabilityN > 0) {
       try {
@@ -67,7 +72,9 @@ object Verify {
         val outText = new String(p.getInputStream.readAllBytes(), "UTF-8")
         val rc = p.waitFor()
         val tail = outText.linesIterator.toSeq.takeRight(5).mkString(" | ")
-        if (rc != 0) {
+        if (rc == 3) // the tool's own SKIP contract (duckdb module absent)
+          System.err.println(s"[verify-stability] sweep skipped: $tail")
+        else if (rc != 0) {
           System.err.println(s"[verify] oracle_stability failed: $tail")
           failures("oracle_stability") = s"stability sweep rc=$rc: ${tail.take(500)}"
         } else System.err.println(s"[verify-stability] $tail")

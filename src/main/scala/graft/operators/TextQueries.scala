@@ -158,11 +158,25 @@ object TextQueries extends QueryPack {
     val docs = Tables.spread(Tables.load(s, dir, "documents"))
     // corpus-derived index geometry (one metadata-light job; the oracle's
     // nl/np CTEs compute the identical integer find-first)
-    val nChunks = docs
-      .select(sum(expr(s"((size(split(text, ' ')) - 1) div $S) + 1")))
-      .head().getLong(0).max(1L)
+    val hdr = docs
+      .select(sum(expr(s"((size(split(text, ' ')) - 1) div $S) + 1")).as("nc"),
+        max(expr(s"((size(split(text, ' ')) - 1) div $S) + 1")).as("mx"),
+        count(lit(1)).as("nd"))
+      .head()
+    val nChunks = hdr.getLong(0).max(1L)
     val nlist = SimilarityQueries.ivfNlist(nChunks)
     val nprobe = SimilarityQueries.ivfNprobe(nlist)
+    // LOUD preconditions (no silent caps): the query set is chunk 0 of
+    // docs nlist..nlist+4, which exists only while doc ids extend past
+    // the centroid range — a corpus of few very long docs would
+    // otherwise make the recall eval silently vacuous (empty vs empty
+    // compares green while measuring nothing). The cid packing needs
+    // chunk_idx < 10^5 (~4.8M tokens/doc) to stay collision-free.
+    require(nlist + 5 <= hdr.getLong(2),
+      s"pipeline_chunk_ann needs >= nlist+5 = ${nlist + 5} docs for its " +
+        s"query set; corpus has ${hdr.getLong(2)}")
+    require(hdr.getLong(1) < 100000L,
+      s"pipeline_chunk_ann cid packing needs < 100000 chunks/doc; max is ${hdr.getLong(1)}")
     // (cid, tok): one row per chunk-window token; cid = doc_id·10⁵ + idx
     // packs the key into one BIGINT (doc_id and chunk_idx recover by
     // div/mod — row-local, so centroid/query selection needs no join)
@@ -813,11 +827,16 @@ object TextQueries extends QueryPack {
     // (doc_id, b, c) bag is identical to classifierFeats' by
     // construction (count per bucket + one intercept), so the pinned
     // train==infer margin equality is untouched.
+    // coalesce keeps NULL-text docs in the train set: concat(NULL, ...)
+    // is NULL and explode would drop the doc entirely, whereas the r16
+    // shape's intercept-union gave EVERY doc a row — a NULL-text corpus
+    // would otherwise silently shift nDocs and the trained weights
     val feats = docs
       .select(col("doc_id"),
         when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
         explode(concat(
-          transform(split(col("text"), " "), t => tokenBucket(t)),
+          coalesce(transform(split(col("text"), " "), t => tokenBucket(t)),
+            array().cast("array<bigint>")),
           array(lit(-1L)))).as("b"))
       .groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).as("c"), max(col("y")).as("y"))

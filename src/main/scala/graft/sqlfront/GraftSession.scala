@@ -222,6 +222,12 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     * instantly — the Catalog IS the shared engine state). First touch
     * runs that database's own crash recovery before the catalog loads. */
   private def catalogFor(name: String): Catalog = dbCatalogs.synchronized {
+    // existence re-check INSIDE the monitor: a lock-free handshake racing
+    // DROP DATABASE must not re-insert a Catalog for a database whose
+    // directory is mid-delete (dropDatabase's post-delete purge below
+    // closes the other half of this race)
+    if (!dbExists(name))
+      throw new IllegalArgumentException(s"""database "$name" does not exist""")
     dbCatalogs.getOrElseUpdate(name,
       { recoverTxn(dbRoot(name)); new Catalog(dbRoot(name)) })
   }
@@ -278,7 +284,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       if (ifExists) return
       throw new IllegalArgumentException(s"""database "$name" does not exist""")
     }
-    dbCatalogs.remove(name)
+    dbCatalogs.synchronized { dbCatalogs.remove(name) }
     // stop any continuous matview maintainers watching this database's
     // snapshot dirs — their file streams would otherwise idle against
     // deleted paths (same hook the snapshot-supersede path uses)
@@ -303,6 +309,12 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     try walk.sorted(java.util.Comparator.reverseOrder())
       .forEach(p => Files.deleteIfExists(p))
     finally walk.close()
+    // purge AGAIN after the delete, under the catalogFor monitor: a
+    // lock-free handshake that re-inserted a Catalog between the early
+    // remove and the directory delete would otherwise leave a zombie
+    // entry that a recreated same-name database inherits (review find —
+    // catalogFor's in-monitor dbExists check closes the other half)
+    dbCatalogs.synchronized { dbCatalogs.remove(name) }
     registerPgDatabase()
   }
 
@@ -432,10 +444,21 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     // previous registration defined that THIS catalog does not, or a
     // sibling database's table would keep resolving here (cross-database
     // leakage; the pre-context code did this sweep inside `\c`).
+    // getAndSet makes take-previous/install-own ATOMIC: two GraftSession
+    // INSTANCES hold different regLocks, and a plain get→set pair could
+    // lose one side's names forever (review find) — with the exchange, a
+    // racing sibling's set is taken over by exactly one of the racers,
+    // and the other re-registers on its next tag mismatch as usual.
+    // NOTE (known trade-off, not a defect): two contexts ALTERNATING
+    // databases ping-pong this tag and pay a full re-registration per
+    // statement, serialized under regLock — inherent to the shared
+    // SparkSession's single temp-view namespace. Single-database
+    // workloads (and any run of same-database statements) keep the
+    // fast path. A per-context SparkSession.newSession() would remove
+    // the ping-pong at the cost of per-session conf/extension plumbing.
     val liveNames = (catalog.tables.keySet ++ catalog.views.keySet).toSet
-    (GraftSession.lastRegisteredNames.get -- liveNames)
+    (GraftSession.lastRegisteredNames.getAndSet(liveNames) -- liveNames)
       .foreach(spark.catalog.dropTempView(_))
-    GraftSession.lastRegisteredNames.set(liveNames)
     catalog.tables.values.foreach { t =>
       val df = visibleDf(t)
       // stats→plan feedback: a table whose FRESH ANALYZE stats put it
@@ -2313,6 +2336,11 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         Seq(s"""You are connected to database "${ctx.dbName}" as user "graft".""")
           .toDF("status")
       case "\\copy" =>
+        // \copy is COPY in psql clothing — the one meta-command that can
+        // WRITE, so it takes the same cross-database transaction guard
+        // execKeyword applies to the bare spelling (review find: the
+        // backslash route bypassed guardCrossDbTxn entirely)
+        guardCrossDbTxn("\\copy")
         // psql's CLIENT-side COPY: in a single-process engine the session
         // IS the client, so \copy is COPY plus psql's unquoted-path
         // convenience. The raw statement is re-split (the shared `arg`

@@ -1077,10 +1077,15 @@ object PgRewrite {
           } else i += 1
         }
       } else {
-        val m = pat.matcher(sql)
-        if ((c == 'c' || c == 'C') && m.find(i) && m.start == i) {
-          out ++= "'" + db.replace("'", "''") + "'"
-          i = m.end
+        // cheap prefix probe BEFORE any regex work — a matcher.find per
+        // character would make this rewrite quadratic on long statements
+        if ((c == 'c' || c == 'C') &&
+            sql.regionMatches(true, i, "current_database", 0, 16)) {
+          val m = pat.matcher(sql)
+          if (m.find(i) && m.start == i) {
+            out ++= "'" + db.replace("'", "''") + "'"
+            i = m.end
+          } else { out += c; i += 1 }
         } else { out += c; i += 1 }
       }
     }

@@ -1803,10 +1803,15 @@ class DdlDmlSpec extends SparkSpec {
       // the statement's own cost, so `baseline + 2.0` discriminates at
       // ANY host speed (the stalled case is always ≥ baseline + 2.5): a
       // multiplicative bound could exceed the stall on a slow host and
-      // wave the regression through
-      assert(lat.max < baseline + 2.0,
-        f"foreground INSERT stalled ${lat.max}%.2f s behind the sweep " +
-          f"(baseline $baseline%.2f s; a sweep-wide lock adds ≥2.5 s of pacing)")
+      // wave the regression through. Assert on the MIN of the samples:
+      // the pathological lock delays EVERY insert (each queues behind a
+      // full paced sweep), while a busy-host load spike hits one sample
+      // — lat.max flaked red under a concurrent external workload (r17)
+      // with the per-table scope provably intact.
+      assert(lat.min < baseline + 2.0,
+        f"every foreground INSERT stalled >= ${lat.min}%.2f s behind the " +
+          f"sweep (baseline $baseline%.2f s; a sweep-wide lock adds ≥2.5 s " +
+          "of pacing to each)")
     } finally h.stop()
 
     // scheduled jobs honor the bucket too: ~2 s at 1 run/s admits ≤4

@@ -13,7 +13,15 @@ Usage: python3 tools/check_oracle_stability.py <sfDir> <outDir> [N=5]
   (<outDir>/oracle_sql.json from a prior `runMain graft.Verify`.)
 """
 import os, sys, json
-import duckdb
+try:
+    import duckdb
+except ImportError:
+    # rc=3 is the SKIP contract with graft.Verify's embedded sweep: a
+    # host without the duckdb module must read as "sweep unavailable",
+    # never as "oracles unstable" (rc=1) — the sweep is defense in
+    # depth, not a new hard dependency of the gate.
+    print("SKIP: python duckdb module not available")
+    sys.exit(3)
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
