@@ -1612,6 +1612,52 @@ class DdlDmlSpec extends SparkSpec {
     s.sql("ROLLBACK")
   }
 
+  test("per-connection contexts: cross-database transaction guard + in-use DROP refusal") {
+    val s = fresh()
+    s.sql("CREATE DATABASE sideb")
+    s.sql("CREATE TABLE mt (id INT PRIMARY KEY)")
+    // connection context bound to the OTHER database, on this thread
+    val ctxB = s.openConnectionContext(Some("sideb"))
+    try {
+      s.bindContext(ctxB)
+      s.sql("CREATE TABLE bt (id INT PRIMARY KEY)")
+      s.sql("INSERT INTO bt VALUES (1)")
+      assert(s.currentDatabase == "sideb")
+      s.unbindContext()
+      assert(s.currentDatabase == "graft") // default context untouched
+
+      // a DB another live context sits in cannot be dropped under it
+      val e0 = intercept[Exception](s.sql("DROP DATABASE sideb"))
+      assert(e0.getMessage.contains("being accessed"), e0.getMessage)
+
+      // open a transaction on the DEFAULT context (db graft) …
+      s.sql("BEGIN")
+      s.sql("INSERT INTO mt VALUES (1)")
+      // … then writes from the sideb-bound context refuse loudly: their
+      // files would append outside the armed journal's database
+      s.bindContext(ctxB)
+      val e1 = intercept[Exception](s.sql("INSERT INTO bt VALUES (2)"))
+      assert(e1.getMessage.contains("transaction is open on database"),
+        e1.getMessage)
+      val e2 = intercept[Exception](s.sql("COMMIT")) // txn control too
+      assert(e2.getMessage.contains("transaction is open on database"),
+        e2.getMessage)
+      // reads stay free (COW-isolated)
+      assert(s.sql("SELECT id FROM bt").collect().map(_.getInt(0)).toSeq == Seq(1))
+      s.unbindContext()
+      // the owner commits; the other context can write again
+      s.sql("COMMIT")
+      s.bindContext(ctxB)
+      s.sql("INSERT INTO bt VALUES (2)")
+      assert(s.sql("SELECT count(*) AS c FROM bt").collect()(0).getLong(0) == 2L)
+    } finally {
+      s.unbindContext()
+      s.closeConnectionContext(ctxB)
+    }
+    // context closed: the drop is now allowed
+    s.sql("DROP DATABASE sideb")
+  }
+
   test("ANALYZE stats are database-scoped: no cross-db inheritance by name") {
     val s = fresh()
     s.sql("CREATE TABLE t (id INT PRIMARY KEY)")
