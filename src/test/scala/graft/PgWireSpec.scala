@@ -989,6 +989,12 @@ class PgWireSpec extends SparkSpec {
       // pg_class (the \d introspection surface) is scoped too
       val pcB = rows(cb, "SELECT relname FROM pg_class ORDER BY relname").flatten
       assert(!pcB.contains("only_a") && pcB.contains("t"), pcB.toString)
+      // \d describes against the connection's OWN catalog: a table that
+      // exists only in dba errors on the dbb connection
+      val dA = rows(ca, "\\d only_a").map(_(0))
+      assert(dA.contains("y"), dA.toString)
+      assert(cb.query("\\d only_a").exists(_._1 == 'E'),
+        "\\d of a sibling database's table must error")
       // \c moves ONLY the issuing connection
       ca.query("\\c dbb")
       assert(rows(ca, "SELECT current_database() AS db") == Seq(Seq("dbb")))
