@@ -180,8 +180,16 @@ object Bench {
       // artifact — regenerating it per run is not an overwrite of
       // evidence; the raw runs above are the evidence.
       val runRe = f"^bench_full_r$round%02d_.*\\.json$$".r
+      // aggregate ONLY runs at THIS run's scale factor: the round can
+      // legitimately hold full runs at several fixtures (sf0.1 driver
+      // runs + an sf1 decade run), and blending them would make the
+      // summary's per-query "min" always the smallest fixture's number
+      // while the file labels itself with one sf
+      val sfTag = s""""sf":${jstr(sfDir)}"""
       val runFiles = Option(dir.toFile.listFiles).getOrElse(Array.empty)
         .filter(f => runRe.findFirstIn(f.getName).isDefined).sortBy(_.getName)
+        .filter(f => new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").contains(sfTag))
       val qRe = """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r
       val perRun: Seq[Map[String, Double]] = runFiles.toSeq.map { f =>
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")

@@ -60,8 +60,19 @@ object Verify {
     // mid-artifact (a NumberFormatException here would die after the
     // results but before _failed.json — the absent-artifact ambiguity
     // this file exists to prevent)
-    val stabilityN = sys.env.get("GRAFT_STABILITY_N")
-      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(3)
+    val stabilityN = sys.env.get("GRAFT_STABILITY_N") match {
+      case None => 3
+      case Some(v) => scala.util.Try(v.trim.toInt).getOrElse {
+        // honor the comment's contract: an unparseable override reads as
+        // "operator tried to configure the sweep and failed" — skipping
+        // (not defaulting to 3) is the safe reading, because the typo'd
+        // intent is usually 0 on a decade fixture where a silent
+        // default-3 means tripling an hours-long heavyweight replay
+        System.err.println(
+          s"[verify-stability] GRAFT_STABILITY_N='$v' unparseable — sweep skipped")
+        0
+      }
+    }
     val stabilityTool = Paths.get("tools/check_oracle_stability.py")
     if (Files.exists(stabilityTool) && stabilityN > 0) {
       try {

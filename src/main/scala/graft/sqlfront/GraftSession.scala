@@ -257,7 +257,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   def createDatabase(name0: String): Unit = {
     val name = name0.toLowerCase // PG folds unquoted identifiers
     requireDbName(name)
-    require(!inTransaction, "CREATE DATABASE cannot run inside a transaction block")
+    require(!ownsTransaction, "CREATE DATABASE cannot run inside a transaction block")
     if (dbExists(name))
       throw new IllegalArgumentException(s"""database "$name" already exists""")
     Files.createDirectories(dbRoot(name))
@@ -266,7 +266,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
 
   def dropDatabase(name0: String, ifExists: Boolean): Unit = {
     val name = name0.toLowerCase
-    require(!inTransaction, "DROP DATABASE cannot run inside a transaction block")
+    require(!ownsTransaction, "DROP DATABASE cannot run inside a transaction block")
     require(name != "graft", """cannot drop the default database "graft"""")
     require(name != ctx.dbName,
       s"""cannot drop the currently open database "$name"""")
@@ -326,7 +326,9 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     * the sweep drops names the new catalog does not define). */
   def connectDatabase(name0: String): Unit = {
     val name = name0.toLowerCase
-    require(!inTransaction, "cannot switch databases inside a transaction block")
+    // owner-scoped: another connection's open transaction must not pin
+    // THIS connection's database (its own writes are already guarded)
+    require(!ownsTransaction, "cannot switch databases inside a transaction block")
     if (!dbExists(name))
       throw new IllegalArgumentException(s"""database "$name" does not exist""")
     if (name != ctx.dbName) {
@@ -343,7 +345,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       // mirror into Spark's own catalog namespace so the builtin
       // current_database() reports the live name (serialized with
       // registerAll's USE re-sync)
-      regLock.synchronized {
+      withRegWrite {
         spark.sql(s"CREATE DATABASE IF NOT EXISTS $name")
         spark.sql(s"USE $name")
         registerPgDatabase()
@@ -419,7 +421,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     * every table's directory per statement. The marker is global: after
     * a different GraftSession registered ITS tables on the shared
     * SparkSession, this one re-registers even at unchanged counters. */
-  def registerAll(): Unit = regLock.synchronized {
+  def registerAll(): Unit = withRegWrite {
     // Spark's current database is session-global: a sibling context or
     // GraftSession (or a fresh constructor's USE graft) may have moved
     // it — re-sync so qualified resolution tracks THIS context's database
@@ -445,13 +447,13 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     // sibling database's table would keep resolving here (cross-database
     // leakage; the pre-context code did this sweep inside `\c`).
     // getAndSet makes take-previous/install-own ATOMIC: two GraftSession
-    // INSTANCES hold different regLocks, and a plain get→set pair could
+    // INSTANCES hold different reg locks, and a plain get→set pair could
     // lose one side's names forever (review find) — with the exchange, a
     // racing sibling's set is taken over by exactly one of the racers,
     // and the other re-registers on its next tag mismatch as usual.
     // NOTE (known trade-off, not a defect): two contexts ALTERNATING
     // databases ping-pong this tag and pay a full re-registration per
-    // statement, serialized under regLock — inherent to the shared
+    // statement, serialized under the reg write lock — inherent to the shared
     // SparkSession's single temp-view namespace. Single-database
     // workloads (and any run of same-database statements) keep the
     // fast path. A per-context SparkSession.newSession() would remove
@@ -685,26 +687,73 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   private def rewriteForCtx(q: String): String =
     PgRewrite.rewrite(PgRewrite.bindCurrentDatabase(q, ctx.dbName))
 
+  /** True when the shared SparkSession's temp-view registrations are
+    * already correct for THIS context — exactly the conditions under
+    * which [[registerAll]] would fast-path out without mutating
+    * anything. Read under [[regRW]]'s read side so the answer cannot go
+    * stale mid-analysis. */
+  private def registrationsCurrent: Boolean =
+    spark.catalog.currentDatabase == ctx.dbName &&
+      GraftSession.lastRegistrar.get() ==
+        ((this: AnyRef, ctx.cat: AnyRef, catalog.generation, dataGen)) &&
+      GraftSession.lastPgRegistrar.get() ==
+        ((this: AnyRef, ctx.cat: AnyRef, catalog.generation))
+
   /** Analyze a query atomically with temp-view registration: two
     * contexts in different databases may hold the gate's READ side
     * concurrently, and each registerAll re-points the shared temp views
-    * at its own catalog — without the regLock span over analysis, A's
-    * spark.sql could resolve against B's registration. Execution (the
-    * DataFrame's actions) stays outside the lock and fully concurrent;
-    * only name resolution serializes. */
-  private def planQuery(q: String): DataFrame = regLock.synchronized {
-    registerAll()
-    spark.sql(rewriteForCtx(q))
+    * at its own catalog — without a lock span over analysis, A's
+    * spark.sql could resolve against B's registration. The common case
+    * (registrations already current — every statement after the first in
+    * a single-database workload) analyzes under the READ side, so
+    * concurrent connections plan in parallel; only an actual
+    * re-registration takes the write side. Execution (the DataFrame's
+    * actions) happens outside any lock and stays fully concurrent. */
+  private def planQuery(q: String): DataFrame = {
+    var attempts = 0
+    while (attempts < 3) {
+      val r = regRW.readLock()
+      r.lock()
+      try {
+        // the read hold spans the currency check AND the analysis: a
+        // sibling's re-registration (write side) cannot re-point temp
+        // views mid-analysis
+        if (registrationsCurrent) return spark.sql(rewriteForCtx(q))
+      } finally r.unlock()
+      val w = regRW.writeLock()
+      w.lock()
+      try registerAll() finally w.unlock()
+      attempts += 1
+    }
+    // contended fallback — siblings alternating databases can invalidate
+    // the tag between our registerAll and re-check; registering AND
+    // analyzing under the write side is always correct, just serialized
+    val w = regRW.writeLock()
+    w.lock()
+    try { registerAll(); spark.sql(rewriteForCtx(q)) } finally w.unlock()
   }
 
   // -------------------------------------------------- statement gate
 
   /** Concurrent temp-view registration guard: readers running in
     * parallel under [[withStatementLock]]'s read side may both find the
-    * registration tag stale after a DDL and rebuild — serializing the
-    * (fast, usually no-op) rebuild keeps createOrReplaceTempView calls
-    * from interleaving mid-rebuild. */
-  private val regLock = new Object
+    * registration tag stale after a DDL and rebuild — the WRITE side
+    * serializes the rebuild so createOrReplaceTempView calls cannot
+    * interleave mid-rebuild, while the READ side lets already-current
+    * readers ANALYZE concurrently (see [[planQuery]] — spanning analysis
+    * with a plain monitor serialized every connection's query planning
+    * engine-wide). Unfair mode: planQuery's bounded retry loop already
+    * guarantees progress, and barging readers keep the common
+    * registrations-current case contention-free. */
+  private val regRW = new java.util.concurrent.locks.ReentrantReadWriteLock()
+
+  /** Registration write-side span (reentrant — planQuery's fallback
+    * calls registerAll while already holding it). */
+  private def withRegWrite[A](body: => A): A = {
+    val w = regRW.writeLock()
+    w.lock()
+    try body finally w.unlock()
+  }
 
   /** Statement-stream gate: read-only statements share the READ side
     * and execute CONCURRENTLY across wire/HTTP connections; anything
@@ -720,12 +769,14 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   /** Conservative read-only classifier for [[withStatementLock]]: every
     * statement in the script must be a pure query (SELECT without
     * top-level INTO, WITH, VALUES, TABLE, EXPLAIN, SHOW) and no
-    * transaction block may be open (transaction statements read the
-    * session's txn overlay, which ROLLBACK mutates). Anything
-    * unrecognized is a writer — misclassifying a reader costs
+    * transaction block may be open ON THIS CONTEXT (the owner's
+    * statements read the txn overlay, which ROLLBACK mutates; other
+    * connections' pure reads stay on the read side — the owner's
+    * mutations all take the write side, so they never interleave).
+    * Anything unrecognized is a writer — misclassifying a reader costs
     * concurrency, misclassifying a writer costs correctness. */
   def isReadOnlyScript(script: String): Boolean =
-    !inTransaction && StatementSplitter.split(script).forall { s =>
+    !ownsTransaction && StatementSplitter.split(script).forall { s =>
       val t = s.trim
       if (t.startsWith("\\")) false
       else kw(t) match {
@@ -789,19 +840,39 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   private var activeTxnDb: String = null
   @volatile private var activeTxnCtx: ConnContext = null
 
-  /** Cross-database transaction guard — called by execKeyword before any
-    * statement that can mutate catalog/data/txn state. Reads are COW-
-    * isolated and pass freely. */
+  /** Single-writer transaction guard — called by execKeyword before any
+    * statement that can mutate catalog/data/txn state. The engine keeps
+    * ONE transaction, so while it is open every OTHER context's writes
+    * and txn control refuse loudly: same-database writes would silently
+    * enroll in the foreign journal (the owner's ROLLBACK would revert
+    * another connection's "autocommitted" rows), cross-database writes
+    * would append outside the armed journal's database, and a foreign
+    * COMMIT/ROLLBACK would close a transaction its sender never opened.
+    * Reads are COW-isolated and pass freely — with the documented
+    * single-writer trade-off that they SEE the in-flight transaction's
+    * writes (read-uncommitted across connections; PG would show the
+    * pre-txn snapshot). Contexts sharing the default context (Shell,
+    * HTTP, embedded, background jobs) keep the legacy shared-session
+    * join semantics among themselves — they ARE one context. */
   private def guardCrossDbTxn(kind: String): Unit =
-    if (activeTxn.isDefined && activeTxnDb != null && activeTxnDb != ctx.dbName)
+    if (activeTxn.isDefined && (activeTxnCtx ne null) && (activeTxnCtx ne ctx))
       throw new IllegalStateException(
-        s"""$kind: a transaction is open on database "$activeTxnDb" — """ +
-          s"""statements that write on "${ctx.dbName}" must wait for it to close""")
+        s"""$kind: a transaction is open on database "$activeTxnDb" by another connection — """ +
+          s"""statements that write or control transactions on "${ctx.dbName}" must wait for it to close""")
 
-  /** True while an explicit transaction block is open — wire frontends
-    * report it in ReadyForQuery ('T'/'E' vs 'I') so driver-side
-    * transaction tracking stays in sync with the engine. */
+  /** True while an explicit transaction block is open — the engine-global
+    * single-writer truth. */
   def inTransaction: Boolean = activeTxn.isDefined
+
+  /** True when the open transaction belongs to the CURRENT thread's
+    * context. This is the per-connection view wire frontends report in
+    * ReadyForQuery ('T'/'E' vs 'I') — `inTransaction` is engine-global,
+    * and reporting it to every connection made one connection's BEGIN
+    * show as 'T' on all of them (worse: a sibling's statement error then
+    * reported 'E', and PG drivers respond to 'E' by sending ROLLBACK,
+    * aborting the owner's transaction from a connection that never
+    * opened one). Also scopes the database-DDL txn refusals. */
+  def ownsTransaction: Boolean = activeTxn.isDefined && (activeTxnCtx eq ctx)
 
   private def listDir(p: Path): Set[String] =
     if (!Files.exists(p)) Set.empty
@@ -1429,7 +1500,15 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
 
   private def execKeyword(stmt: String): DataFrame = {
     val k = kw(stmt)
-    if (!crossDbSafeKw.contains(k)) guardCrossDbTxn(k)
+    // CREATE/DROP DATABASE never touch the armed journal's database, so
+    // another connection's open transaction must not block them (PG lets
+    // any backend create/drop databases regardless of other backends'
+    // transactions). They carry their own guards: the owner-scoped txn
+    // refusal inside createDatabase/dropDatabase plus the liveContexts
+    // in-use scan against dropping a database a connection sits in.
+    val dbDdl = (k == "CREATE" || k == "DROP") &&
+      stmt.trim.toUpperCase.matches("""(?s)(CREATE|DROP)\s+DATABASE\b.*""")
+    if (!crossDbSafeKw.contains(k) && !dbDdl) guardCrossDbTxn(k)
     execKeyword0(stmt, k)
   }
 
@@ -3651,7 +3730,7 @@ object GraftSession {
     * registration for a DIFFERENT catalog sweeps names it does not
     * define, so one database's tables never keep resolving in another
     * (see registerAll's per-connection-binding sweep). Mutated only
-    * under the registering session's regLock. */
+    * under the registering session's reg write lock. */
   private[sqlfront] val lastRegisteredNames =
     new java.util.concurrent.atomic.AtomicReference[Set[String]](Set.empty)
 }

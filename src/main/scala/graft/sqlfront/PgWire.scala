@@ -606,11 +606,19 @@ final class PgWire(gs: GraftSession, port: Int = 0,
     // refuse — but the reported status lets drivers see the failure)
     var txnError = false
     def ready(): Unit = {
-      if (!gs.inTransaction) txnError = false
+      // ownsTransaction, not inTransaction: the engine keeps ONE
+      // single-writer transaction, but only the connection that OPENED
+      // it may report 'T'/'E' — reporting the global state made every
+      // sibling connection show 'T' during a foreign BEGIN, and a
+      // sibling's statement error then reported 'E', which PG drivers
+      // answer with ROLLBACK, aborting the owner's transaction from a
+      // connection that never opened one. (This thread is the handler
+      // thread, so the bound context makes ownsTransaction per-connection.)
+      if (!gs.ownsTransaction) txnError = false
       readyForQuery(out,
-        if (gs.inTransaction) { if (txnError) 'E' else 'T' } else 'I')
+        if (gs.ownsTransaction) { if (txnError) 'E' else 'T' } else 'I')
     }
-    def noteError(): Unit = if (gs.inTransaction) txnError = true
+    def noteError(): Unit = if (gs.ownsTransaction) txnError = true
 
     ready()
     out.flush()

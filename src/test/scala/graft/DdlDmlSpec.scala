@@ -1636,20 +1636,47 @@ class DdlDmlSpec extends SparkSpec {
       // … then writes from the sideb-bound context refuse loudly: their
       // files would append outside the armed journal's database
       s.bindContext(ctxB)
+      assert(!s.ownsTransaction, "non-owner context must not report the txn")
       val e1 = intercept[Exception](s.sql("INSERT INTO bt VALUES (2)"))
       assert(e1.getMessage.contains("transaction is open on database"),
         e1.getMessage)
       val e2 = intercept[Exception](s.sql("COMMIT")) // txn control too
       assert(e2.getMessage.contains("transaction is open on database"),
         e2.getMessage)
+      // database-level DDL is EXEMPT from the single-writer guard (its
+      // directories live outside the armed journal's database): another
+      // connection's open transaction must not block CREATE/DROP DATABASE
+      s.sql("CREATE DATABASE guardfree")
+      s.sql("DROP DATABASE guardfree")
       // reads stay free (COW-isolated)
       assert(s.sql("SELECT id FROM bt").collect().map(_.getInt(0)).toSeq == Seq(1))
       s.unbindContext()
+      assert(s.ownsTransaction, "owner context reports its own txn")
       // the owner commits; the other context can write again
       s.sql("COMMIT")
       s.bindContext(ctxB)
       s.sql("INSERT INTO bt VALUES (2)")
       assert(s.sql("SELECT count(*) AS c FROM bt").collect()(0).getLong(0) == 2L)
+
+      // SAME-database non-owner: a second context in the txn's OWN
+      // database must not enroll writes in the foreign journal (the
+      // owner's ROLLBACK would revert its "autocommitted" rows) nor
+      // close a transaction it never opened
+      val ctxB2 = s.openConnectionContext(Some("graft"))
+      s.unbindContext()
+      s.sql("BEGIN")
+      s.sql("INSERT INTO mt VALUES (2)")
+      s.bindContext(ctxB2)
+      val e3 = intercept[Exception](s.sql("INSERT INTO mt VALUES (99)"))
+      assert(e3.getMessage.contains("by another connection"), e3.getMessage)
+      val e4 = intercept[Exception](s.sql("ROLLBACK"))
+      assert(e4.getMessage.contains("by another connection"), e4.getMessage)
+      val e5 = intercept[Exception](s.sql("BEGIN")) // can't start a second
+      assert(e5.getMessage.contains("by another connection"), e5.getMessage)
+      s.unbindContext()
+      s.sql("ROLLBACK") // the owner rolls back ONLY its own write
+      s.closeConnectionContext(ctxB2)
+      assert(s.sql("SELECT count(*) AS c FROM mt").collect()(0).getLong(0) == 1L)
     } finally {
       s.unbindContext()
       s.closeConnectionContext(ctxB)

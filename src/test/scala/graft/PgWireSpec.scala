@@ -1068,4 +1068,51 @@ class PgWireSpec extends SparkSpec {
       c4.terminate(); c2.terminate()
     } finally srv.stop()
   }
+
+  test("transaction status and control are per connection") {
+    val gs = new GraftSession(spark, Files.createTempDirectory("graft_pgwire"))
+    val srv = PgWire.start(gs)
+    def status(msgs: Seq[(Char, Array[Byte])]): Char = {
+      val z = msgs.last
+      assert(z._1 == 'Z'); z._2(0).toChar
+    }
+    try {
+      gs.sql("CREATE TABLE acct (v INT)")
+      val ca = new WireClient(srv.boundPort)
+      val cb = new WireClient(srv.boundPort)
+      assert(status(ca.startup()) == 'I')
+      assert(status(cb.startup()) == 'I')
+      // A opens a transaction: only A's ReadyForQuery reports 'T'
+      assert(status(ca.query("BEGIN")) == 'T')
+      assert(status(cb.query("SELECT 1 AS one")) == 'I',
+        "a foreign BEGIN must not show as 'T' on this connection")
+      assert(status(ca.query("INSERT INTO acct VALUES (1)")) == 'T')
+      // B errors OUTSIDE any transaction of its own: its status must be
+      // 'I', not 'E' — drivers answer 'E' with ROLLBACK, which would
+      // target A's transaction
+      val bErr = cb.query("SELECT nope FROM missing_table")
+      assert(bErr.exists(_._1 == 'E'))
+      assert(status(bErr) == 'I',
+        "a non-owner's statement error must not report txn-failed state")
+      // and if a driver DOES send ROLLBACK from B, it refuses loudly
+      // instead of silently aborting A's transaction
+      val bRb = cb.query("ROLLBACK")
+      assert(bRb.exists(_._1 == 'E'), "foreign ROLLBACK must refuse")
+      assert(new String(bRb.find(_._1 == 'E').get._2, "UTF-8")
+        .contains("another connection"))
+      assert(status(bRb) == 'I')
+      // B's writes refuse while A's txn is open (single-writer engine)
+      assert(cb.query("INSERT INTO acct VALUES (99)").exists(_._1 == 'E'))
+      // A's transaction survived all of B's attempts
+      assert(status(ca.query("COMMIT")) == 'I')
+      val vs = ca.query("SELECT v FROM acct ORDER BY v")
+        .filter(_._1 == 'D').map(m => ca.row(m._2))
+      assert(vs == Seq(Seq("1")), s"A's commit must land exactly its own write: $vs")
+      // A's OWN error inside its OWN txn still reports 'E' until closed
+      ca.query("BEGIN")
+      assert(status(ca.query("SELECT nope FROM missing_table")) == 'E')
+      assert(status(ca.query("ROLLBACK")) == 'I')
+      ca.terminate(); cb.terminate()
+    } finally srv.stop()
+  }
 }
