@@ -804,6 +804,13 @@ object TextQueries extends QueryPack {
     * streaming==batch and train==infer bit-equalities cannot drift when
     * the featurization changes. */
   private[graft] val ClassifierBuckets = 64
+  /** Corpus-size gate for driver-side training iteration: at or below
+    * this many docs the collected bag frame is bounded (≤100k rows ×
+    * ≤65 (b, c) pairs ≈ low hundreds of MB worst-case, a few MB on real
+    * text), small enough for any driver; above it the loop runs as
+    * distributed jobs. The sf1-class decade fixture (500k docs) takes
+    * the distributed path, so scale probes exercise it. */
+  private[graft] val DriverTrainGate = 100000L
   private[graft] def tokenBucket(t: Column): Column =
     conv(substring(md5(t), 1, 8), 16, 10).cast("long") % ClassifierBuckets
 
@@ -816,65 +823,160 @@ object TextQueries extends QueryPack {
 
   private[graft] def classifierTrainDocs(s: SparkSession, docs: DataFrame, iters: Int): DataFrame = {
     import s.implicits._
+    val dbg = sys.env.contains("GRAFT_CLF_DEBUG")
+    var t0 = System.nanoTime()
+    def mark(label: String): Unit = if (dbg) {
+      val t1 = System.nanoTime()
+      System.err.println(f"[clf-probe] $label ${(t1 - t0) / 1e9}%.3f s")
+      t0 = t1
+    }
     // label + feature bag folded into ONE row per doc: the (b, c) pairs
     // live in a bounded array (≤ model dimension + intercept = 65
     // entries), so every iteration's margin is row-local arithmetic.
     // Fused featurization (r16 verdict #5): ONE scan of the corpus —
-    // the bucket array (with the intercept appended) derives row-locally
-    // from the text, the label rides the same rows through both
-    // same-key aggregations, so the label JOIN and the intercept UNION
-    // (each a second/third corpus scan in the r16 shape) are gone. The
-    // (doc_id, b, c) bag is identical to classifierFeats' by
-    // construction (count per bucket + one intercept), so the pinned
-    // train==infer margin equality is untouched.
-    // coalesce keeps NULL-text docs in the train set: concat(NULL, ...)
-    // is NULL and explode would drop the doc entirely, whereas the r16
-    // shape's intercept-union gave EVERY doc a row — a NULL-text corpus
-    // would otherwise silently shift nDocs and the trained weights
+    // the bucket array (with the intercept appended) and the label both
+    // derive row-locally from the doc, so the r16 shape's label JOIN
+    // and intercept UNION (each an extra corpus scan) stay gone.
+    // coalesce keeps NULL-text docs in the train set: transform(NULL, ...)
+    // is NULL and a bag built from it would be NULL, whereas every doc
+    // must carry its intercept row — a NULL-text corpus would otherwise
+    // silently shift nDocs and the trained weights.
+    // The bag is built ROW-LOCALLY (sort the bucket array, run-length
+    // encode the runs): the r17-fused explode → groupBy(doc_id, b) →
+    // groupBy(doc_id) shape still paid two corpus-wide exchanges to
+    // build what is a per-row histogram — a doc's bag depends on no
+    // other row, so the one-time featurization job is now a single
+    // narrow stage (scan → project → persist). The multiset of (b, c)
+    // per doc is IDENTICAL to classifierFeats' by construction (count
+    // per bucket + exactly one intercept: tokenBucket lands in [0, 63],
+    // so -1 only ever comes from the appended intercept, and array_sort
+    // puts it first), keeping the pinned train==infer margin equality —
+    // margins are exact integer folds, insensitive to bag order.
+    val sortedBuckets = array_sort(concat(
+      array(lit(-1L)),
+      coalesce(transform(split(col("text"), " "), t => tokenBucket(t)),
+        array().cast("array<bigint>"))))
+    // 1-based positions that OPEN a run of equal values; the when()
+    // guard keeps element_at(s, 0) from ever evaluating (CaseWhen is
+    // lazy in both interpreted and codegen paths)
+    def runStarts(arr: Column): Column =
+      filter(sequence(lit(1), size(arr)), i =>
+        when(i === lit(1), lit(true))
+          .otherwise(element_at(arr, i) =!= element_at(arr, i - lit(1))))
     val feats = docs
       .select(col("doc_id"),
         when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
-        explode(concat(
-          coalesce(transform(split(col("text"), " "), t => tokenBucket(t)),
-            array().cast("array<bigint>")),
-          array(lit(-1L)))).as("b"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(count(lit(1)).as("c"), max(col("y")).as("y"))
-      .groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("b"), col("c"))).as("f"),
-        max(col("y")).as("y"))
+        sortedBuckets.as("s"))
+      .select(col("doc_id"), col("y"), col("s"), runStarts(col("s")).as("st"))
+      .select(col("doc_id"), col("y"),
+        // run j (0-based lambda index) spans [st(j), next start): count =
+        // next start − this start, with the virtual end sentinel n+1 for
+        // the last run (try_element_at: past-the-end is NULL, not the
+        // ANSI-mode error plain element_at raises)
+        transform(col("st"), (p, j) =>
+          struct(
+            element_at(col("s"), p).as("b"),
+            (coalesce(try_element_at(col("st"), j + lit(2)), size(col("s")) + lit(1))
+              - p).cast("long").as("c"))).as("f"))
       .persist()
-    // ONE materialization job yields BOTH driver-side scalars: the
-    // bucket set (model keys) and nDocs — every doc carries exactly one
-    // intercept feature, so nDocs = count(b = -1). Replaces the r16
-    // count() + distinct() job pair.
-    val bucketCounts = feats
-      .select(explode(col("f.b")).as("b"))
-      .groupBy(col("b")).agg(count(lit(1)).as("n"))
-      .collect()
-    val nDocs = bucketCounts.find(_.getLong(0) == -1L).map(_.getLong(1))
-      .getOrElse(0L)
-    // 65-row model on the driver between iterations
-    var w: Map[Long, Long] = bucketCounts.map(_.getLong(0) -> 0L).toMap
-    for (_ <- 1 to iters) {
-      // model → map literal (the StreamingClassifier kernel): margin and
-      // residual are ONE row-local pass — no join, no per-doc shuffle.
-      // Every feature bucket is a key of w (initialized from the corpus'
-      // own bucket set above), so the lookup never misses.
-      val wm = map(w.toSeq.flatMap { case (b, q) => Seq(lit(b), lit(q)) }: _*)
-      val dotq = aggregate(
-        transform(col("f"), x => x.getField("c") * element_at(wm, x.getField("b"))),
-        lit(0L), (acc, v) => acc + v)
-      val withR = feats.select(col("f"),
-        floor((col("y") - lit(1.0) / (lit(1.0) + exp(-(dotq / lit(1e6)))))
-          * lit(1e6)).cast("long").as("rq"))
-      // gradient: explode the bounded arrays, partial-agg to ≤65 groups
-      // (map-side combine shrinks the only exchange to 65 rows/partition)
-      val grad = withR.select(col("rq"), explode(col("f")).as("x"))
-        .groupBy(col("x.b")).agg(sum(col("rq") * col("x.c")).as("g"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // ≤65 rows
-      w = w.map { case (b, q) =>
-        b -> (q + math.floor(grad.getOrElse(b, 0L).toDouble / (32.0 * nDocs)).toLong)
+    mark("plan")
+    // ONE probe job decides the execution path AND (inside the gate)
+    // delivers the training data: collect at most gate+1 bag rows. A
+    // corpus that fits yields bucket set and nDocs locally — the
+    // separate bucket-count job never runs. Past the gate the collected
+    // prefix is discarded (bounded: ≤100k narrow rows) and the
+    // distributed loop pays the usual materialize+count jobs.
+    val probe = feats.select(col("f.b"), col("f.c"), col("y"))
+      .limit(DriverTrainGate.toInt + 1).collect()
+    mark("probe-collect")
+    var w: Map[Long, Long] = Map.empty
+    if (probe.length <= DriverTrainGate) {
+      // Size-gated driver iteration (the dedup_components union-find
+      // discipline: a bounded driver materialization behind an explicit
+      // gate, with the distributed loop as the at-scale path). At ≤100k
+      // docs the bag frame is a few MB, and the `iters` steps are pure
+      // arithmetic: each distributed step otherwise pays a full Spark
+      // job (plan + codegen + 2 stages + 65-row exchange) to fold what
+      // fits in an L2 cache. Bit-identical to the expression path below
+      // by construction: margins and gradients are exact Long folds
+      // (order-insensitive), and the per-element double ops (÷1e6 →
+      // Math.exp → σ → ×1e6 → floor) are the same IEEE operations in
+      // the same order as the column expressions.
+      val local: Array[(Array[Long], Array[Long], Double)] = probe.map { r =>
+        (r.getSeq[Long](0).toArray, r.getSeq[Long](1).toArray, r.getDouble(2))
+      }
+      // every doc carries exactly one intercept feature, so nDocs = row
+      // count; the model's key set is the corpus' own bucket set (same
+      // derivation as the distributed path's bucket-count job)
+      val nDocs = local.length.toLong
+      w = local.iterator.flatMap(_._1.iterator).map(_ -> 0L).toMap
+      mark("winit")
+      for (_ <- 1 to iters) {
+        val grad = scala.collection.mutable.LongMap.empty[Long]
+        local.foreach { case (bs, cs, y) =>
+          var dotq = 0L
+          var i = 0
+          while (i < bs.length) { dotq += cs(i) * w(bs(i)); i += 1 }
+          val rq = math.floor(
+            (y - 1.0 / (1.0 + math.exp(-(dotq.toDouble / 1e6)))) * 1e6).toLong
+          i = 0
+          while (i < bs.length) {
+            grad(bs(i)) = grad.getOrElse(bs(i), 0L) + rq * cs(i); i += 1
+          }
+        }
+        w = w.map { case (b, q) =>
+          b -> (q + math.floor(grad.getOrElse(b, 0L).toDouble / (32.0 * nDocs)).toLong)
+        }
+        mark("iter")
+      }
+    } else {
+      // Distributed path: the corpus is past the driver gate. ONE
+      // materialization job yields the driver-side scalars — the bucket
+      // set (model keys) and nDocs (every doc carries exactly one
+      // intercept feature, so nDocs = count(b = -1)).
+      val bucketCounts = feats
+        .select(explode(col("f.b")).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("n"))
+        .collect()
+      val nDocs = bucketCounts.find(_.getLong(0) == -1L).map(_.getLong(1))
+        .getOrElse(0L)
+      // The iteration jobs re-read the persisted bag `iters` times —
+      // read the cache through a narrow size-derived coalesce (≤100k bag
+      // rows per task keeps executor memory flat; coalesce never EXCEEDS
+      // the cached partition count, so a large corpus keeps its full
+      // parallelism and the 100 TB shape is unchanged).
+      val featsIter = {
+        val cachedParts = feats.rdd.getNumPartitions
+        val parts = math.min(cachedParts.toLong, nDocs / 100000L + 1L).max(1L).toInt
+        if (parts < cachedParts) feats.coalesce(parts) else feats
+      }
+      w = bucketCounts.map(_.getLong(0) -> 0L).toMap
+      mark("winit")
+      for (_ <- 1 to iters) {
+        // model → ONE map-typed literal (the StreamingClassifier kernel):
+        // margin and residual are a row-local pass — no join, no per-doc
+        // shuffle. typedlit (not map(lit, …)): a complex-type literal is a
+        // reference object in generated code, so every iteration compiles
+        // to the SAME source and Janino's cache is hit 7 of 8 times, where
+        // 130 scalar literals inlined fresh values — and a fresh compile —
+        // per step. Every feature bucket is a key of w (initialized from
+        // the corpus' own bucket set above), so the lookup never misses.
+        val wm = typedlit(w)
+        val dotq = aggregate(
+          transform(col("f"), x => x.getField("c") * element_at(wm, x.getField("b"))),
+          lit(0L), (acc, v) => acc + v)
+        val withR = featsIter.select(col("f"),
+          floor((col("y") - lit(1.0) / (lit(1.0) + exp(-(dotq / lit(1e6)))))
+            * lit(1e6)).cast("long").as("rq"))
+        // gradient: explode the bounded arrays, partial-agg to ≤65 groups
+        // (map-side combine shrinks the only exchange to 65 rows/partition)
+        val grad = withR.select(col("rq"), explode(col("f")).as("x"))
+          .groupBy(col("x.b")).agg(sum(col("rq") * col("x.c")).as("g"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // ≤65 rows
+        w = w.map { case (b, q) =>
+          b -> (q + math.floor(grad.getOrElse(b, 0L).toDouble / (32.0 * nDocs)).toLong)
+        }
+        mark("iter")
       }
     }
     feats.unpersist()
