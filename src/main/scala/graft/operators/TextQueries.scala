@@ -821,7 +821,13 @@ object TextQueries extends QueryPack {
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
       .unionByName(docs.select(col("doc_id"), lit(-1L).as("b"), lit(1L).as("c")))
 
-  private[graft] def classifierTrainDocs(s: SparkSession, docs: DataFrame, iters: Int): DataFrame = {
+  /** `driverGate` is the driver-iteration corpus ceiling — overridden
+    * only by the path-equivalence spec, which pins the driver and
+    * distributed loops bit-identical on one corpus (the gate fixtures
+    * are all inside [[DriverTrainGate]], so without the override the
+    * distributed branch would be spec-covered but gate-unexercised). */
+  private[graft] def classifierTrainDocs(s: SparkSession, docs: DataFrame, iters: Int,
+      driverGate: Long = DriverTrainGate): DataFrame = {
     import s.implicits._
     val dbg = sys.env.contains("GRAFT_CLF_DEBUG")
     var t0 = System.nanoTime()
@@ -887,10 +893,10 @@ object TextQueries extends QueryPack {
     // prefix is discarded (bounded: ≤100k narrow rows) and the
     // distributed loop pays the usual materialize+count jobs.
     val probe = feats.select(col("f.b"), col("f.c"), col("y"))
-      .limit(DriverTrainGate.toInt + 1).collect()
+      .limit(driverGate.toInt + 1).collect()
     mark("probe-collect")
     var w: Map[Long, Long] = Map.empty
-    if (probe.length <= DriverTrainGate) {
+    if (probe.length <= driverGate) {
       // Size-gated driver iteration (the dedup_components union-find
       // discipline: a bounded driver materialization behind an explicit
       // gate, with the distributed loop as the at-scale path). At ≤100k

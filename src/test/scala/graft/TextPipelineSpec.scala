@@ -161,4 +161,22 @@ class TextPipelineSpec extends SparkSpec {
     assert(synthAcc >= 0.95,
       f"separable corpus must classify (accuracy $synthAcc%.3f)")
   }
+
+  test("classifier training: driver-gated and distributed loops are bit-identical") {
+    // the fixtures all sit inside DriverTrainGate, so the distributed
+    // branch (the 100 TB path) would otherwise run in no gate or spec —
+    // force it with driverGate = 0 and pin the weights bit-equal: the
+    // two loops share every arithmetic step (exact Long folds + the
+    // same IEEE double ops in the same order), so ANY divergence is a
+    // defect, not tolerance
+    import graft.operators.TextQueries
+    val docs = Tables.spread(Tables.load(spark, sf(), "documents"))
+    val viaDriver = TextQueries.classifierTrainDocs(spark, docs, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaDistributed =
+      TextQueries.classifierTrainDocs(spark, docs, iters = 4, driverGate = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaDriver.nonEmpty && viaDriver == viaDistributed,
+      "driver-gated and distributed training must produce identical models")
+  }
 }
