@@ -821,6 +821,16 @@ object TextQueries extends QueryPack {
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
       .unionByName(docs.select(col("doc_id"), lit(-1L).as("b"), lit(1L).as("c")))
 
+  /** One gradient step on the 1e-6 integer grid — THE single update
+    * rule shared by the driver-gated and distributed training loops, so
+    * the pinned path bit-equality holds by construction rather than by
+    * keeping two copies of the arithmetic in sync. */
+  private def stepWeights(w: Map[Long, Long], grad: Long => Long,
+      nDocs: Long): Map[Long, Long] =
+    w.map { case (b, q) =>
+      b -> (q + math.floor(grad(b).toDouble / (32.0 * nDocs)).toLong)
+    }
+
   /** `driverGate` is the driver-iteration corpus ceiling — overridden
     * only by the path-equivalence spec, which pins the driver and
     * distributed loops bit-identical on one corpus (the gate fixtures
@@ -886,17 +896,26 @@ object TextQueries extends QueryPack {
               - p).cast("long").as("c"))).as("f"))
       .persist()
     mark("plan")
-    // ONE probe job decides the execution path AND (inside the gate)
-    // delivers the training data: collect at most gate+1 bag rows. A
-    // corpus that fits yields bucket set and nDocs locally — the
-    // separate bucket-count job never runs. Past the gate the collected
-    // prefix is discarded (bounded: ≤100k narrow rows) and the
-    // distributed loop pays the usual materialize+count jobs.
-    val probe = feats.select(col("f.b"), col("f.c"), col("y"))
-      .limit(driverGate.toInt + 1).collect()
-    mark("probe-collect")
+    // ONE narrow probe job decides the execution path: collect at most
+    // gate+1 doc_ids (8 bytes each — a bounded ~800 KB even when the
+    // corpus is past the gate, where the prefix is discarded; the limit
+    // also stops the scan early there, which a count() would not). A
+    // corpus inside the gate has, as a side effect, fully iterated —
+    // and therefore fully cached — every partition, so the bag collect
+    // below is a pure cache read.
+    val probeIds = feats.select(col("doc_id"))
+      .limit(driverGate.toInt + 1).collect().map(_.getLong(0))
+    mark("probe")
     var w: Map[Long, Long] = Map.empty
-    if (probe.length <= driverGate) {
+    if (probeIds.length <= driverGate) {
+      // The probe saw the WHOLE corpus — enforce the merge invariant the
+      // per-row bag build narrowed (oracle and inference featurization
+      // GROUP BY doc_id, so a duplicated doc_id must merge, not emit two
+      // bags; documents.doc_id is the table PK, so this is free
+      // insurance, not an expected path)
+      require(probeIds.distinct.length == probeIds.length,
+        "classifier training requires unique doc_ids (duplicate rows " +
+          "would train on per-row bags where the oracle merges per doc)")
       // Size-gated driver iteration (the dedup_components union-find
       // discipline: a bounded driver materialization behind an explicit
       // gate, with the distributed loop as the at-scale path). At ≤100k
@@ -908,9 +927,11 @@ object TextQueries extends QueryPack {
       // (order-insensitive), and the per-element double ops (÷1e6 →
       // Math.exp → σ → ×1e6 → floor) are the same IEEE operations in
       // the same order as the column expressions.
-      val local: Array[(Array[Long], Array[Long], Double)] = probe.map { r =>
-        (r.getSeq[Long](0).toArray, r.getSeq[Long](1).toArray, r.getDouble(2))
-      }
+      val local: Array[(Array[Long], Array[Long], Double)] = feats
+        .select(col("f.b"), col("f.c"), col("y")).collect().map { r =>
+          (r.getSeq[Long](0).toArray, r.getSeq[Long](1).toArray, r.getDouble(2))
+        }
+      mark("bag-collect")
       // every doc carries exactly one intercept feature, so nDocs = row
       // count; the model's key set is the corpus' own bucket set (same
       // derivation as the distributed path's bucket-count job)
@@ -930,9 +951,7 @@ object TextQueries extends QueryPack {
             grad(bs(i)) = grad.getOrElse(bs(i), 0L) + rq * cs(i); i += 1
           }
         }
-        w = w.map { case (b, q) =>
-          b -> (q + math.floor(grad.getOrElse(b, 0L).toDouble / (32.0 * nDocs)).toLong)
-        }
+        w = stepWeights(w, b => grad.getOrElse(b, 0L), nDocs)
         mark("iter")
       }
     } else {
@@ -979,9 +998,7 @@ object TextQueries extends QueryPack {
         val grad = withR.select(col("rq"), explode(col("f")).as("x"))
           .groupBy(col("x.b")).agg(sum(col("rq") * col("x.c")).as("g"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // ≤65 rows
-        w = w.map { case (b, q) =>
-          b -> (q + math.floor(grad.getOrElse(b, 0L).toDouble / (32.0 * nDocs)).toLong)
-        }
+        w = stepWeights(w, b => grad.getOrElse(b, 0L), nDocs)
         mark("iter")
       }
     }

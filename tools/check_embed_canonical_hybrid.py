@@ -8,7 +8,7 @@ graph collapses into one giant component (the sf1-class decade fixture:
 19,998 of 20,000 vectors in a single cluster), that recursion holds
 O(k^2) reachability rows (~400M) with per-iteration join intermediates
 in the billions — unspillable recursion state that OOMs DuckDB at any
-thread/memory setting this box can offer (four documented attempts, see
+thread/memory setting this box can offer (five documented attempts, see
 BASELINE.md round-17 close addendum). The quadratic state is inherent
 to the ORACLE's single-node formulation, not to the engine: the Spark
 side computes the same closure with distributed hash-min label
@@ -60,7 +60,10 @@ def extract_pair_sql(oracle_sql: str) -> str:
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1_full"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_sf1"
-    oracle = json.load(open(f"{out}/oracle_sql.json"))[NAME]
+    sql_path = f"{out}/oracle_sql.json"
+    if not os.path.exists(sql_path):
+        sys.exit(f"FAIL {NAME}: no {sql_path} — run graft.Verify first")
+    oracle = json.load(open(sql_path))[NAME]
     pair_sql = extract_pair_sql(oracle)
 
     con = duckdb.connect()
@@ -102,6 +105,10 @@ def main():
 
     print("phase C: exact compare vs the Spark dump ...", flush=True)
     files = sorted(glob.glob(f"{out}/{NAME}/*.parquet"))
+    if not files:
+        print(f"FAIL {NAME}: no Spark dump at {out}/{NAME}/*.parquet — "
+              f"run graft.Verify with this query first")
+        return 1
     table = pq.read_table(files[0]) if len(files) == 1 else \
         pq.concat_tables([pq.read_table(f) for f in files])
     got = sorted(zip(table.column("vec_id").to_pylist(),
@@ -117,6 +124,14 @@ def main():
           f"first diffs at {diffs[:5]}")
     for i in diffs[:5]:
         print(f"  got {got[i]}  expected {expect[i]}")
+    # zip() truncates: when only the row COUNTS differ the overlapping
+    # prefix can match and diffs be empty — show the set difference too
+    only_got = set(got) - set(expect)
+    only_exp = set(expect) - set(got)
+    if only_got:
+        print(f"  rows only in Spark dump: {sorted(only_got)[:5]}")
+    if only_exp:
+        print(f"  rows only in expected:   {sorted(only_exp)[:5]}")
     return 1
 
 
