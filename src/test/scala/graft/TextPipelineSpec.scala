@@ -179,4 +179,18 @@ class TextPipelineSpec extends SparkSpec {
     assert(viaDriver.nonEmpty && viaDriver == viaDistributed,
       "driver-gated and distributed training must produce identical models")
   }
+
+  test("classifier training refuses duplicate doc_ids") {
+    // the row-local bag build trains one bag per ROW; the oracle and the
+    // inference featurization merge per DOC — a duplicated doc_id must
+    // refuse loudly, not silently diverge
+    import graft.operators.TextQueries
+    import spark.implicits._
+    val dup = Seq((1L, "en", "a b c"), (1L, "en", "c d e"), (2L, "es", "x y"))
+      .toDF("doc_id", "lang", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextQueries.classifierTrainDocs(spark, dup, iters = 1).collect()
+    }
+    assert(e.getMessage.contains("unique doc_ids"))
+  }
 }
