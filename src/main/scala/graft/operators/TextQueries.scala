@@ -290,13 +290,27 @@ object TextQueries extends QueryPack {
   private val bigramCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Scored-doc count per cached bigram frame — the materializing count
+    * already computes it, and the bucketing consumer needs it every
+    * call; caching the NUMBER deletes a per-call count job over a frame
+    * whose size the build already knows. */
+  private val bigramCountCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
   private def bigramSurpriseQ(s: SparkSession, dir: String): DataFrame =
     bigramCache.getOrElseUpdate((s, dir), {
       val cached = bigramSurpriseQBuild(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cached.count() // materialize now so both consumers read the cache
+      val n = cached.count() // materialize now so both consumers read the cache
+      bigramCountCache.putIfAbsent((s, dir), n): Unit
       cached
     })
+
+  /** Row count of [[bigramSurpriseQ]]'s frame (map lookup after build). */
+  private def bigramCount(s: SparkSession, dir: String): Long = {
+    bigramSurpriseQ(s, dir): Unit
+    bigramCountCache((s, dir))
+  }
 
   /** Bench hook: train+score the bigram LM once per (session, corpus)
     * OUTSIDE the per-query timers (see [[bigramCache]]). */
@@ -305,10 +319,12 @@ object TextQueries extends QueryPack {
 
   /** Unpersist and drop every cached bigram frame belonging to `s`
     * (bench/suite teardown — the evictShared{Pairs,Edges} discipline). */
-  def evictBigramModels(s: SparkSession): Unit =
+  def evictBigramModels(s: SparkSession): Unit = {
     bigramCache.filterInPlace { case ((sess, _), df) =>
       if (sess eq s) { df.unpersist(); false } else true
     }
+    bigramCountCache.filterInPlace { case ((sess, _), _) => !(sess eq s) }
+  }
 
   /** Per-doc mean bigram surprise under the corpus-trained add-1 bigram
     * LM, quantized (FLOOR(mean·1e6) through DECIMAL(38,12) so token
@@ -419,6 +435,27 @@ object TextQueries extends QueryPack {
       }
       vals(vi).getLong(0)
     }
+
+  /** Both tertile boundaries (k1-th and k2-th smallest surprise_q,
+    * k1 ≤ k2) from ONE TakeOrdered collect when k2 fits the top-k gate —
+    * the collected column is k2 longs, the same driver bound as
+    * [[kthSmallestSurprise]]'s top-k branch, and the i-th element of the
+    * (surprise_q, doc_id)-ordered prefix IS the i-th smallest value, so
+    * this returns exactly what two kthSmallestSurprise calls would (the
+    * equivalence is pinned in TextPipelineSpec). Past the gate each
+    * boundary takes the histogram-refinement path — at that scale two
+    * bounded probes beat one unbounded collect. */
+  private[graft] def tertileBoundaries(sq: DataFrame, k1: Long, k2: Long,
+      topkMax: Long = 1000000L): (Long, Long) = {
+    require(1L <= k1 && k1 <= k2, s"need 1 <= k1 <= k2, got ($k1, $k2)")
+    if (k2 <= topkMax) {
+      val vals = sq.orderBy(col("surprise_q"), col("doc_id"))
+        .select(col("surprise_q")).limit(k2.toInt)
+        .collect().map(_.getLong(0))
+      (vals(k1.toInt - 1), vals(k2.toInt - 1))
+    } else
+      (kthSmallestSurprise(sq, k1, topkMax), kthSmallestSurprise(sq, k2, topkMax))
+  }
 
   /** The matching oracle CTE chain ending in `sq(doc_id, n_bigrams,
     * surprise_q)`; callers append their own selection. ONE definition on
@@ -2234,10 +2271,14 @@ object TextQueries extends QueryPack {
         |FROM sq
         |ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
+      // sq is the SHARED per-(session, corpus) cache — do not persist or
+      // unpersist it here: a consumer-side unpersist evicts the shared
+      // frame and every later consumer silently rebuilds the whole
+      // train+score pipeline (r17 caught this as text_lm_bigram pass-2
+      // timings ~10× its cache-read cost). Lifecycle belongs to
+      // evictBigramModels alone.
       val sq = bigramSurpriseQ(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = sq.count()
-      def boundary(k: Long): Long = kthSmallestSurprise(sq, k)
+      val n = bigramCount(s, dir)
       val result =
         // empty scored corpus (no doc has ≥2 tokens): zero rows out,
         // matching the oracle's empty result — never an NPE on max(∅)
@@ -2245,18 +2286,13 @@ object TextQueries extends QueryPack {
           sq.select(col("doc_id"), col("surprise_q"), lit(1L).as("ppl_bucket"))
             .filter(lit(false))
         else {
-          val t1 = boundary((n + 2) / 3)
-          val t2 = boundary((2 * n + 2) / 3)
+          val (t1, t2) = tertileBoundaries(sq, (n + 2) / 3, (2 * n + 2) / 3)
           sq.select(col("doc_id"), col("surprise_q"),
               when(col("surprise_q") <= t1, 1L)
                 .when(col("surprise_q") <= t2, 2L)
                 .otherwise(3L).as("ppl_bucket"))
             .orderBy(col("doc_id"))
-            // materialize + cut lineage so the scored scaffold can be
-            // released now (the dedup_winnow persist discipline)
-            .localCheckpoint(true)
         }
-      sq.unpersist()
       result
     },
 

@@ -39,6 +39,28 @@ class TextPipelineSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("tertile boundaries: one-collect path equals two kth-smallest probes") {
+    import spark.implicits._
+    // same fixtures as the kth test: duplicates force tie handling; the
+    // single TakeOrdered collect must return exactly what two
+    // kthSmallestSurprise calls would, on both its branches
+    val sq = Seq(5L, 3L, 9L, 3L, 7L, 1L, 9L, 9L, 2L, 7L)
+      .zipWithIndex.map { case (v, i) => (i.toLong, 1L, v) }
+      .toDF("doc_id", "n_bigrams", "surprise_q")
+    for (k1 <- 1 to 10; k2 <- k1 to 10) {
+      val (t1, t2) = graft.operators.TextQueries.tertileBoundaries(sq, k1.toLong, k2.toLong)
+      assert(t1 == graft.operators.TextQueries.kthSmallestSurprise(sq, k1.toLong),
+        s"t1 diverges at ($k1, $k2)")
+      assert(t2 == graft.operators.TextQueries.kthSmallestSurprise(sq, k2.toLong),
+        s"t2 diverges at ($k1, $k2)")
+    }
+    // past the top-k gate the helper must fall back to the histogram
+    // probes and still agree
+    val (h1, h2) = graft.operators.TextQueries.tertileBoundaries(sq, 3L, 7L, topkMax = 0L)
+    assert(h1 == graft.operators.TextQueries.kthSmallestSurprise(sq, 3L) &&
+      h2 == graft.operators.TextQueries.kthSmallestSurprise(sq, 7L))
+  }
+
   test("weighted mix keeps at most n_in per source and keeps the corpus nonempty") {
     val rows = SparkEntry.queries("pipeline_mix_weighted")(spark, sf()).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
