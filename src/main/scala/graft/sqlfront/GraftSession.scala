@@ -1888,7 +1888,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       primaryKey = t.primaryKey.map(k => if (k == oldC) newC else k),
       uniqueKeys = t.uniqueKeys.map(_.map(k => if (k == oldC) newC else k)),
       version = t.version + 1)
-    renamed.write.mode("overwrite").parquet(catalog.tableDir(nt).toString)
+    writeSnapshot(renamed, "overwrite", catalog.tableDir(nt).toString)
     if (cd.serial) {
       val oldSeq = s"${t.name}_${oldC}_seq"
       catalog.sequences.get(oldSeq).foreach { sq =>
@@ -1945,7 +1945,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     if (lost > 0) throw new IllegalArgumentException(
       s"ALTER COLUMN TYPE: $lost value(s) of ${t.name}.$cn do not convert to $newSql" +
         usingOpt.fold(" (add a USING expression)")(_ => ""))
-    wrap(next.write.mode("overwrite").parquet(catalog.tableDir(nt).toString))
+    wrap(writeSnapshot(next, "overwrite", catalog.tableDir(nt).toString))
     catalog.putTable(nt)
     graft.streaming.MatviewMaintenance.onSnapshotChange(catalog.root.toString)
     ok("ALTER TABLE")
@@ -2204,8 +2204,8 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
   private[graft] def materialize(v: ViewDef): Unit = {
     registerAll()
     val nv = v.copy(version = v.version + 1)
-    spark.sql(PgRewrite.rewrite(v.sql)).write.mode("overwrite")
-      .parquet(catalog.matviewDir(nv).toString)
+    writeSnapshot(spark.sql(PgRewrite.rewrite(v.sql)), "overwrite",
+      catalog.matviewDir(nv).toString)
     catalog.putView(nv)
   }
 
@@ -3042,7 +3042,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
           validateInsert(t, aligned, tableDf(t))
           val dir = catalog.tableDir(t)
           Files.createDirectories(dir)
-          aligned.write.mode("append").parquet(dir.toString)
+          writeSnapshot(aligned, "append", dir.toString)
           dataGen += 1 // append is invisible to the catalog generation
           returning.map(r => returningDf(t, aligned, r)).getOrElse(ok("INSERT", n))
         case Some(OnConflictClause(target, byCon, None)) =>
@@ -3091,7 +3091,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     val kept = validateInsert(t, out, tableDf(t))("__total")
     val dir = catalog.tableDir(t)
     Files.createDirectories(dir)
-    out.write.mode("append").parquet(dir.toString)
+    writeSnapshot(out, "append", dir.toString)
     dataGen += 1
     returning.map(r => returningDf(t, out, r)).getOrElse(ok("INSERT", kept))
   }
@@ -3706,9 +3706,26 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     * next start) rather than left idling against dead files. */
   private def publish(t: TableDef, df: DataFrame): Unit = {
     val nt = t.copy(version = t.version + 1)
-    df.write.mode("overwrite").parquet(catalog.tableDir(nt).toString)
+    writeSnapshot(df, "overwrite", catalog.tableDir(nt).toString)
     catalog.putTable(nt)
     graft.streaming.MatviewMaintenance.onSnapshotChange(catalog.root.toString)
+  }
+
+  /** Parquet write of a table/matview snapshot with SIZE-ADAPTIVE file
+    * fan-out. A VALUES insert arrives as a LocalRelation whose rows
+    * spread one-per-partition, so a 3-row statement wrote 3 part files
+    * and scheduled 3 tasks — and every later read of the snapshot paid
+    * the listing and per-file open cost, compounding across a script's
+    * COW versions. When the optimizer's size estimate says the output is
+    * tiny, coalesce to ONE file; the threshold is deliberately small so
+    * a misestimated-but-large output keeps the parallel write (coalesce
+    * collapses only the stage below the nearest exchange, so an
+    * aggregate/join snapshot keeps its parallel upstream either way). */
+  private def writeSnapshot(df: DataFrame, mode: String, dir: String): Unit = {
+    val small =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(8L << 20)
+      catch { case _: Throwable => false }
+    (if (small) df.coalesce(1) else df).write.mode(mode).parquet(dir)
   }
 }
 
