@@ -116,6 +116,16 @@ object Engine {
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // whole-stage-codegen class cache (STATIC conf, default 100
+      // entries): a long-lived multi-statement session — the PgWire
+      // frontend, a bench/verify sweep, any BI workload — runs hundreds
+      // of distinct plans, and at the default size every re-execution
+      // recompiles ~100-300 ms of Janino output that was already built
+      // (measured r17: repeat runs of one query in a busy session sat
+      // 1-2 s above their quiet-session steady state). Compiled classes
+      // are tens of KB; 1000 entries is ~50 MB of driver heap, bounded
+      // and scale-independent.
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       // iterative operators (BFS, pagerank, label propagation) cut their
       // per-round lineage with checkpoints; when a CLUSTER deployment
       // configures a checkpoint dir, the reliable-checkpoint branch
