@@ -122,10 +122,11 @@ object Engine {
       // of distinct plans, and at the default size every re-execution
       // recompiles ~100-300 ms of Janino output that was already built
       // (measured r17: repeat runs of one query in a busy session sat
-      // 1-2 s above their quiet-session steady state). Compiled classes
-      // are tens of KB; 1000 entries is ~50 MB of driver heap, bounded
-      // and scale-independent.
-      .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // 1-2 s above their quiet-session steady state; a 246-query sweep
+      // holds ~1500-2000 distinct codegen units, so 1000 entries still
+      // thrashed). Compiled classes are tens of KB; 4096 entries is
+      // ~100-200 MB of driver heap, bounded and scale-independent.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       // iterative operators (BFS, pagerank, label propagation) cut their
       // per-round lineage with checkpoints; when a CLUSTER deployment
       // configures a checkpoint dir, the reliable-checkpoint branch

@@ -260,6 +260,13 @@ object GraphQueries extends QueryPack {
         .select(when(lower, col("u")).otherwise(col("v")).as("s"),
           when(lower, col("v")).otherwise(col("u")).as("t"))
         .persist()
+      // materialize the oriented edges NOW (filling e's cache on the
+      // way): deferred to the final action, the one big plan reads both
+      // persisted scaffolds from several concurrent subtrees before
+      // either cache is populated, and racing partition reads recompute
+      // the expensive li⋈li build redundantly (the edges()/pagerank
+      // materialize-now discipline)
+      o.count(): Unit
       val nT = o.as("e1")
         .join(o.as("e2"), col("e2.s") === col("e1.t"))
         .join(o.as("e3"),
