@@ -98,7 +98,10 @@ object GraphQueries extends QueryPack {
           .select(col("e.src").as("src"), col("e.dst").as("dst"))
           .withColumn("outdeg", count(lit(1)).over(Window.partitionBy(col("src"))))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        e.count() // materialize now — consumers measure their own work
+        // ONE materializing job: the node-count distinct scans every
+        // cache partition, so it populates the persisted edge list as a
+        // side effect — a separate e.count() first would pay a second
+        // full pass for a number this query already produces
         nodeCountCache.putIfAbsent((s, dir),
           e.select(col("src")).distinct().count()): Unit
         hookEvictionOnEnd(s)
