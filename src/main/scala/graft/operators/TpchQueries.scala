@@ -563,14 +563,8 @@ object TpchQueries extends QueryPack {
         |ORDER BY support DESC, part_a, part_b
         |LIMIT 25""".stripMargin
     ) { (s, dir) =>
-      // the basket relation feeds FIVE consumers (both pair-join sides,
-      // both item-count joins, the order-count scalar) — without a
-      // materialization each re-ran the scan+distinct subtree, five full
-      // corpus passes per execution (r17 plan audit). Persist once,
-      // release after the top-25 is materialized.
       val baskets = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nOrders = baskets.agg(
         countDistinct(col("l_orderkey")).cast("long").as("n_orders"))
       val items = baskets.groupBy(col("l_partkey"))
@@ -581,7 +575,7 @@ object TpchQueries extends QueryPack {
           a("l_orderkey") === b("ok_b") && col("part_a") < col("part_b"))
         .groupBy(col("part_a"), col("part_b"))
         .agg(count(lit(1)).cast("long").as("support"))
-      val result = pairs
+      pairs
         .join(items.select(col("l_partkey").as("part_a"), col("n_item").as("na")), "part_a")
         .join(items.select(col("l_partkey").as("part_b"), col("n_item").as("nb")), "part_b")
         .crossJoin(broadcast(nOrders))
@@ -590,9 +584,6 @@ object TpchQueries extends QueryPack {
             .as("lift"))
         .orderBy(col("support").desc, col("part_a"), col("part_b"))
         .limit(25)
-        .localCheckpoint(true)
-      baskets.unpersist()
-      result
     }
   )
 }

@@ -425,6 +425,11 @@ class PlanSpec extends SparkSpec {
       "rfm_segments" -> "scalar", "text_bm25" -> "scalar",
       "text_tfidf_top_terms" -> "scalar", "text_lm_surprise" -> "scalar",
       "text_lm_bigram" -> "scalar", "text_dist_drift" -> "scalar",
+      // the vocab countDistinct scalar inside the SHARED cached
+      // bigram-model build, visible through the InMemoryRelation
+      // printout now that the consumer no longer hides its plan behind
+      // a checkpoint stub (r17: the stub also hid a cache-eviction bug)
+      "pipeline_ppl_buckets" -> "scalar",
       "text_distinctive_terms" -> "scalar",
       "text_vocab_coverage" -> "bounded", "win_ntile_dist" -> "byDef",
       // score-bucket cum-mass window: bucket count is bounded by the 1e3

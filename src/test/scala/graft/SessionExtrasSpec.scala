@@ -140,25 +140,39 @@ class SessionExtrasSpec extends SparkSpec {
 
   test("bulk INSERT..SELECT: one sequence reservation, distributed id assignment") {
     val s = fresh()
-    s.sql("CREATE TABLE big (id SERIAL, v BIGINT)")
-    spark.range(0, 100000).toDF("src_v").createOrReplaceTempView("bulk_src")
-    s.sql("INSERT INTO big (v) SELECT src_v FROM bulk_src")
+    // rows padded past the size-adaptive single-file threshold (r17
+    // writeSnapshot: estimated <= 8 MB coalesces to ONE file — correct
+    // layout for small snapshots): a genuinely large insert must keep
+    // the parallel write, which is what this test pins
+    s.sql("CREATE TABLE big (id SERIAL, v BIGINT, pad TEXT)")
+    // 400k rows: the write gate reads OPTIMIZER stats, and CBO costs a
+    // string column at a fixed ~20 bytes regardless of content — the
+    // row count, not the pad width, is what must push the estimate past
+    // the 8 MB single-file threshold
+    spark.range(0, 400000)
+      .selectExpr("id AS src_v", "md5(cast(id AS string)) AS src_pad")
+      .createOrReplaceTempView("bulk_src")
+    s.sql("INSERT INTO big (v, pad) SELECT src_v, src_pad FROM bulk_src")
     val r = s.sql(
       "SELECT min(id) AS a, max(id) AS b, count(DISTINCT id) AS d, count(*) AS n FROM big")
       .collect()(0)
-    assert(r.getInt(0) == 1 && r.getInt(1) == 100000)
-    assert(r.getLong(2) == 100000L && r.getLong(3) == 100000L)
+    assert(r.getInt(0) == 1 && r.getInt(1) == 400000)
+    assert(r.getLong(2) == 400000L && r.getLong(3) == 400000L)
     // the whole block was reserved in ONE catalog write
-    assert(s.catalog.sequences("big_id_seq").current.contains(100000L))
+    assert(s.catalog.sequences("big_id_seq").current.contains(400000L))
     // and the id assignment stayed distributed: multiple part-files, not a
     // single-partition funnel
-    val t = s.catalog.getTable("big").get
-    val parts = {
-      val st = Files.list(s.catalog.tableDir(t))
+    def parts(tbl: String): Long = {
+      val st = Files.list(s.catalog.tableDir(s.catalog.getTable(tbl).get))
       try st.filter(p => p.toString.endsWith(".parquet")).count()
       finally st.close()
     }
-    assert(parts > 1, s"expected multiple part-files, got $parts")
+    assert(parts("big") > 1, s"expected multiple part-files, got ${parts("big")}")
+    // and the complementary contract: a TINY insert lands as ONE file,
+    // not one-file-per-row (the r17 small-files fix)
+    s.sql("CREATE TABLE tiny (id INT PRIMARY KEY)")
+    s.sql("INSERT INTO tiny VALUES (1), (2), (3)")
+    assert(parts("tiny") == 1, s"expected one part-file, got ${parts("tiny")}")
   }
 
   test("SERIAL honors a pre-existing sequence's START and INCREMENT") {
