@@ -81,10 +81,15 @@ object GraphQueries extends QueryPack {
         import org.apache.spark.sql.expressions.Window
         val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
         val l = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        // distinct on the RAW key ints, node-id strings built after: the
+        // dedup exchange then moves two longs per pair instead of two
+        // ~8-char strings (guide §2.3 narrower types), and the int→id
+        // mapping is injective so the distinct set is identical
         val e0 = o.join(l, col("l_orderkey") === col("o_orderkey"))
-          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
           .distinct()
+          .select(concat(lit("c"), col("ck").cast("string")).as("src"),
+            concat(lit("s"), col("sk").cast("string")).as("dst"))
         // out-degree is annotated HERE, not per consumer: it is a pure
         // function of the edge list, PageRank needs it every call, and
         // the COUNT window's own hash-partition + sort on src leaves the
