@@ -98,8 +98,7 @@ object BigramAb {
       tB += (System.nanoTime() - t1) / 1e9
     }
     def fmt(xs: Array[Double]) =
-      s"min=${xs.min}%.2f".replace("%.2f", f"${xs.min}%.2f") +
-        " all=" + xs.map(x => f"$x%.2f").mkString(",")
+      f"min=${xs.min}%.2f all=" + xs.map(x => f"$x%.2f").mkString(",")
     println(s"[ab] A (instance): ${fmt(tA.result())}")
     println(s"[ab] B (bag):      ${fmt(tB.result())}")
     spark.stop()

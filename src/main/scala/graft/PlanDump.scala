@@ -40,7 +40,10 @@ object PlanDump {
       else SparkEntry.queries.filter(kv => wanted(kv._1)).toSeq
     sel.foreach { case (name, fn) =>
       try {
-        executed.setLength(0)
+        // reset under the same lock the async listener appends with — a
+        // late-draining event from the previous query must not interleave
+        // with the reset and leak a stale plan into this query's dump
+        executed.synchronized(executed.setLength(0))
         capture.set(true)
         val df = fn(spark, sfDir)
         capture.set(false)

@@ -71,7 +71,8 @@ object DedupQueries extends QueryPack {
     * and the per-doc set size `n` comes from the ARRAY (size(shingles))
     * instead of a second window, removing one corpus-wide exchange per
     * subtree instance. */
-  private[graft] def jaccardPairsBuild(ss: DataFrame, thr: Double): (DataFrame, DataFrame) = {
+  private[graft] def jaccardPairsBuild(ss: DataFrame, thr: Double,
+      hashedPrefix: Boolean = true): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(thr > 0.0 && thr <= 1.0, s"jaccard threshold must be in (0, 1]: $thr")
     // Prefix bound n - floor(thr·n) + 1 for ANY threshold — a superset
@@ -81,28 +82,56 @@ object DedupQueries extends QueryPack {
     // hair above an integer boundary would silently TIGHTEN the prefix
     // and drop pairs (thr = 0.7, n = 10 → 7.000000000000001).
     val thrNum = math.round(thr * 1e6)
-    val sh = ss.select(col("doc_id"), size(col("shingles")).as("n"),
+    // r18, guide §2.3 (narrow types in the exchange): every prefix-index
+    // stage — the df window, the per-doc rank window, the candidate
+    // self-join — keys on xxhash64(shingle) LONGS instead of the trigram
+    // strings, so the three heaviest exchanges move 8-byte keys and the
+    // two window sorts compare longs. The final pair set is PROVABLY
+    // unchanged, collisions included, because verification computes
+    // exact Jaccard over the exact string arrays and only pairs with
+    // true J >= thr survive — hashing can only ADD candidates, never
+    // lose one:
+    //   - string equality implies hash equality, so every truly-shared
+    //     shingle still collides in the self-join;
+    //   - df over hash classes >= true df, so the df>=2 filter retains
+    //     every shingle the string form retained (a shared shingle has
+    //     true df >= 2);
+    //   - prefix membership uses rank() over the (df, h) PREORDER: when
+    //     distinct shingles tie (hash collision), rank gives them all
+    //     the tied position, so each doc's kept set is a SUPERSET of its
+    //     first-bound elements under ANY fixed total order refining the
+    //     preorder — and the prefix-filter theorem holds for every such
+    //     total order (row_number would instead refine ties arbitrarily
+    //     PER DOC, which is exactly the inconsistency the theorem
+    //     forbids).
+    val keyed =
+      if (hashedPrefix) "h" else "sh"
+    val sh0 = ss.select(col("doc_id"), size(col("shingles")).as("n"),
       explode(col("shingles")).as("sh"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val sh =
+      if (hashedPrefix)
+        sh0.select(col("doc_id"), col("n"), xxhash64(col("sh")).as("h"))
+      else sh0
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col(keyed))
     // `n` (full per-doc set size → prefix bound) counts the whole set,
-    // BEFORE the df>=2 filter; the sorted row_number window then runs
+    // BEFORE the df>=2 filter; the sorted rank window then runs
     // only over non-singleton shingles. A df=1 shingle can never produce
     // a candidate (the self-join needs two docs on the same shingle),
     // and dropping them keeps the prefix a superset of the canonical
     // one: shared shingles all have df>=2 and can only move to EARLIER
     // positions. Document frequency is a WINDOW over the shingle
     // partitioning, not a groupBy + self-join: the groupBy form shuffles
-    // the full shingle relation by `sh` twice; the window computes df on
-    // the single exchange the plan needs anyway.
+    // the full shingle relation by the key twice; the window computes df
+    // on the single exchange the plan needs anyway.
     val prefix = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col(keyed))))
       .filter(col("df") >= 2)
-      .withColumn("pos", row_number().over(w))
+      .withColumn("pos", rank().over(w))
       .filter(col("pos") <= col("n") - expr(s"($thrNum * n) div 1000000") + 1)
-      .select(col("doc_id"), col("sh"))
+      .select(col("doc_id"), col(keyed))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = prefix.as("x").join(prefix.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        col(s"x.$keyed") === col(s"y.$keyed") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     val inter = size(array_intersect(col("sa"), col("sb")))

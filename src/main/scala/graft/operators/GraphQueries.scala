@@ -115,10 +115,14 @@ object GraphQueries extends QueryPack {
     })
 
   /** Distinct node count of the cached edge list (one small job over the
-    * cache at build time, a map lookup afterwards). */
+    * cache at build time, a map lookup afterwards). getOrElse fallback:
+    * evictSharedEdges (bench teardown / app-end hook) can clear the
+    * count map between the build call and this read; recompute from the
+    * edge frame rather than throw on the race. */
   private def nodeCount(s: SparkSession, dir: String): Long = {
-    edges(s, dir): Unit // ensure the build (and the cached count) ran
-    nodeCountCache((s, dir))
+    val e = edges(s, dir) // ensure the build (and the cached count) ran
+    nodeCountCache.getOrElse((s, dir),
+      e.select(col("src")).distinct().count())
   }
 
   /** Bench hook: pay the edge build once, outside the per-query timers

@@ -306,10 +306,13 @@ object TextQueries extends QueryPack {
       cached
     })
 
-  /** Row count of [[bigramSurpriseQ]]'s frame (map lookup after build). */
+  /** Row count of [[bigramSurpriseQ]]'s frame (map lookup after build).
+    * getOrElse fallback: evictBigramModels (bench teardown / app-end
+    * hook) can clear the count map between the build call and this read;
+    * recompute from the frame rather than throw on the race. */
   private def bigramCount(s: SparkSession, dir: String): Long = {
-    bigramSurpriseQ(s, dir): Unit
-    bigramCountCache((s, dir))
+    val df = bigramSurpriseQ(s, dir)
+    bigramCountCache.getOrElse((s, dir), df.count())
   }
 
   /** Bench hook: train+score the bigram LM once per (session, corpus)
@@ -452,7 +455,12 @@ object TextQueries extends QueryPack {
       val vals = sq.orderBy(col("surprise_q"), col("doc_id"))
         .select(col("surprise_q")).limit(k2.toInt)
         .collect().map(_.getLong(0))
-      (vals(k1.toInt - 1), vals(k2.toInt - 1))
+      require(vals.nonEmpty, s"tertileBoundaries: empty frame (k1=$k1, k2=$k2)")
+      // clamp like kthSmallestSurprise's top-k branch (max of the
+      // available prefix) so the documented equivalence holds even for a
+      // caller whose k2 exceeds the frame's row count
+      (vals(math.min(k1, vals.length).toInt - 1),
+        vals(math.min(k2, vals.length).toInt - 1))
     } else
       (kthSmallestSurprise(sq, k1, topkMax), kthSmallestSurprise(sq, k2, topkMax))
   }

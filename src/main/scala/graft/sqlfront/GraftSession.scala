@@ -2679,6 +2679,33 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       conflictsWith: Option[DataFrame] = None,
       conflictMsg: Seq[String] => String = k => "",
       tagCounts: Seq[(String, Column)] = Nil): Map[String, Long] = {
+    val (joined, aggs, check) = validationParts(t, rows, dupKeys, dupMsg,
+      conflictsWith, conflictMsg, tagCounts, distinctViaCollectSet = false)
+    val r = joined.agg(aggs.head, aggs.tail: _*).collect()(0)
+    check(name => r.getAs[Any](name))
+  }
+
+  /** The three pieces of [[validateBatch]] — the joined validation frame,
+    * the aggregate columns, and the checker that replays the contract's
+    * failure ORDER over the collected aggregate row — factored out so the
+    * classic collect-job path and the observe-fused write path (see
+    * [[publishFused]]/[[appendFused]]) share ONE definition of the
+    * semantics. `distinctViaCollectSet` spells the in-frame duplicate
+    * detector as size(collect_set(...)) instead of countDistinct:
+    * CollectMetrics (Dataset.observe) rejects DISTINCT aggregates, and
+    * the two agree exactly — both ignore NULL inputs, and the
+    * when(allSet, struct(...)) argument is NULL precisely when the key
+    * has a NULL part (PG semantics: NULL-keyed rows never conflict).
+    * The checker reads every aggregate through a name→value getter so a
+    * Spark Row and an Observation's Map drive the identical code. */
+  private def validationParts(t: TableDef, rows: DataFrame,
+      dupKeys: Seq[Seq[String]],
+      dupMsg: Seq[String] => String,
+      conflictsWith: Option[DataFrame],
+      conflictMsg: Seq[String] => String,
+      tagCounts: Seq[(String, Column)],
+      distinctViaCollectSet: Boolean)
+      : (DataFrame, Seq[Column], (String => Any) => Map[String, Long]) = {
     val rowChecks: Seq[(String, Column)] =
       t.columns.filter(c => c.notNull && !c.serial).map(c =>
         s"NOT NULL violation: ${t.name}.${c.name}" -> col(c.name).isNull) ++
@@ -2731,8 +2758,11 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
           .otherwise(0L)).as(s"__orph$i") } ++
       keySets.zipWithIndex.flatMap { case (k, j) =>
         val allSet = k.map(col(_).isNotNull).reduce(_ && _)
-        Seq(count(when(allSet, lit(1))).as(s"__cnt$j"),
-          countDistinct(when(allSet, struct(k.map(col): _*))).as(s"__dst$j"))
+        val dst =
+          if (distinctViaCollectSet)
+            size(collect_set(when(allSet, struct(k.map(col): _*))))
+          else countDistinct(when(allSet, struct(k.map(col): _*)))
+        Seq(count(when(allSet, lit(1))).as(s"__cnt$j"), dst.as(s"__dst$j"))
       } ++
       (if (conflictsWith.isDefined)
         keySets.zipWithIndex.map { case (_, j) =>
@@ -2741,26 +2771,33 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       Seq(count(lit(1)).as("__total")) ++
       tagCounts.map { case (name, cond) =>
         sum(when(cond, 1L).otherwise(0L)).as(s"__tag_$name") }
-    val r = joined.agg(aggs.head, aggs.tail: _*).collect()(0)
-    Option(r.getAs[String]("__viol"))
-      .foreach(m => throw new IllegalArgumentException(m))
-    fks.zipWithIndex.foreach { case (c, i) =>
-      if (r.getAs[Long](s"__orph$i") > 0) {
-        val (rt, rc) = c.references.get
-        throw new IllegalArgumentException(
-          s"FK violation: ${t.name}.${c.name} → $rt.$rc")
+    val check: (String => Any) => Map[String, Long] = get => {
+      // size() yields Int where countDistinct yields Long, and sum()
+      // over ZERO rows yields NULL (which Row.getAs[Long] silently
+      // unboxed to 0 in the classic path) — normalize both
+      def lng(n: String): Long =
+        Option(get(n)).map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+      Option(get("__viol").asInstanceOf[String])
+        .foreach(m => throw new IllegalArgumentException(m))
+      fks.zipWithIndex.foreach { case (c, i) =>
+        if (lng(s"__orph$i") > 0) {
+          val (rt, rc) = c.references.get
+          throw new IllegalArgumentException(
+            s"FK violation: ${t.name}.${c.name} → $rt.$rc")
+        }
       }
+      keySets.zipWithIndex.foreach { case (k, j) =>
+        if (lng(s"__cnt$j") > lng(s"__dst$j"))
+          throw new IllegalArgumentException(dupMsg(k))
+      }
+      if (conflictsWith.isDefined) keySets.zipWithIndex.foreach { case (k, j) =>
+        if (lng(s"__conf$j") > 0)
+          throw new IllegalArgumentException(conflictMsg(k))
+      }
+      Map("__total" -> lng("__total")) ++
+        tagCounts.map { case (name, _) => name -> lng(s"__tag_$name") }
     }
-    keySets.zipWithIndex.foreach { case (k, j) =>
-      if (r.getAs[Long](s"__cnt$j") > r.getAs[Long](s"__dst$j"))
-        throw new IllegalArgumentException(dupMsg(k))
-    }
-    if (conflictsWith.isDefined) keySets.zipWithIndex.foreach { case (k, j) =>
-      if (r.getAs[Long](s"__conf$j") > 0)
-        throw new IllegalArgumentException(conflictMsg(k))
-    }
-    Map("__total" -> r.getAs[Long]("__total")) ++
-      tagCounts.map { case (name, _) => name -> r.getAs[Long](s"__tag_$name") }
+    (joined, aggs, check)
   }
 
   /** INSERT-shape validation: row-local + FK + in-batch duplicates +
@@ -2781,6 +2818,40 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     validateBatch(t, next, dupKeys = uniqueKeySets(t),
       dupMsg = k => s"UNIQUE violation after $verb: ${k.mkString(",")}",
       tagCounts = tagCounts)
+
+  /** [[validateInsert]] fused with the append itself: the same joins and
+    * aggregates ride the staged write's job (see [[appendFused]]) — ONE
+    * Spark job per INSERT instead of validate-collect + write. */
+  private def insertFusedAppend(t: TableDef, newRows: DataFrame,
+      tagCounts: Seq[(String, Column)] = Nil): Map[String, Long] = {
+    val (joined, aggs, check) = validationParts(t, newRows,
+      dupKeys = uniqueKeySets(t),
+      dupMsg = k => s"UNIQUE violation within batch: ${k.mkString(",")}",
+      conflictsWith = Some(tableDf(t)),
+      conflictMsg = k => s"UNIQUE violation: ${t.name}(${k.mkString(",")})",
+      tagCounts = tagCounts, distinctViaCollectSet = true)
+    appendFused(t, joined, aggs, check)
+  }
+
+  /** [[validatePostImage]] fused with the snapshot publish (see
+    * [[publishFused]]): ONE Spark job per UPDATE/MERGE/upsert statement,
+    * with `extraCheck` (verb-specific preconditions whose contract places
+    * them BEFORE the validation throws — upsert's batch-duplicate rule,
+    * MERGE's affect-twice rule) evaluated first and `beforePublish`
+    * (RETURNING pins) after every check passed. */
+  private def validatePostImagePublish(t: TableDef, tagged: DataFrame,
+      verb: String, tagCounts: Seq[(String, Column)] = Nil,
+      keepFilter: Option[Column] = None,
+      extraCheck: () => Unit = () => (),
+      beforePublish: () => Unit = () => ()): Map[String, Long] = {
+    val (joined, aggs, check) = validationParts(t, tagged,
+      dupKeys = uniqueKeySets(t),
+      dupMsg = k => s"UNIQUE violation after $verb: ${k.mkString(",")}",
+      conflictsWith = None, conflictMsg = k => "",
+      tagCounts = tagCounts, distinctViaCollectSet = true)
+    publishFused(t, joined, aggs, keepFilter,
+      get => { extraCheck(); check(get) }, beforePublish)
+  }
 
   /** Top-level (outside single-quoted literals AND double-quoted
     * identifiers, paren depth 0) matches of `re`, for peeling trailing
@@ -3039,10 +3110,16 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     try {
       conflict match {
         case None =>
-          validateInsert(t, aligned, tableDf(t))
-          val dir = catalog.tableDir(t)
-          Files.createDirectories(dir)
-          writeSnapshot(aligned, "append", dir.toString)
+          if (smallForFusion(aligned)) {
+            // validation rides the append's write job (observe-fused,
+            // ONE Spark job); a violation discards the staged files
+            insertFusedAppend(t, aligned)
+          } else {
+            validateInsert(t, aligned, tableDf(t))
+            val dir = catalog.tableDir(t)
+            Files.createDirectories(dir)
+            writeSnapshot(aligned, "append", dir.toString)
+          }
           dataGen += 1 // append is invisible to the catalog generation
           returning.map(r => returningDf(t, aligned, r)).getOrElse(ok("INSERT", n))
         case Some(OnConflictClause(target, byCon, None)) =>
@@ -3087,11 +3164,17 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       surv.withColumn("__rn", row_number().over(w))
         .filter(!allSet || col("__rn") === 1).drop("__rn")
     } else resolveBatchConflicts(surv, keySets)).drop("__ord")
-    // the kept-row tally rides the validation aggregate (one job)
-    val kept = validateInsert(t, out, tableDf(t))("__total")
-    val dir = catalog.tableDir(t)
-    Files.createDirectories(dir)
-    writeSnapshot(out, "append", dir.toString)
+    // the kept-row tally rides the validation aggregate (one job),
+    // and when the batch is small the whole aggregate rides the write
+    val kept =
+      if (smallForFusion(aligned)) insertFusedAppend(t, out)("__total")
+      else {
+        val k = validateInsert(t, out, tableDf(t))("__total")
+        val dir = catalog.tableDir(t)
+        Files.createDirectories(dir)
+        writeSnapshot(out, "append", dir.toString)
+        k
+      }
     dataGen += 1
     returning.map(r => returningDf(t, out, r)).getOrElse(ok("INSERT", kept))
   }
@@ -3200,20 +3283,32 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       .unionByName(skipped.withColumn("__src", lit("keep")))
       .unionByName(updated.withColumn("__src", lit("up")))
       .unionByName(fresh.withColumn("__src", lit("ins")))
-    val next = tagged.drop("__src")
-    // row-local + FK + post-merge whole-table uniqueness (the SET
-    // expressions or a different unique key could collide) + the
-    // updated/inserted counts, ONE job
-    val counts = validatePostImage(t, tagged, "upsert",
-      tagCounts = Seq("up" -> (col("__src") === "up"),
-        "ins" -> (col("__src") === "ins")))
-    val nUp = counts("up")
-    val nIns = counts("ins")
-    // RETURNING sees the post-image of every inserted or updated row;
-    // pin it before publish supersedes the snapshot this plan reads
-    val ret = returning.map(r => returningDf(t, updated.unionByName(fresh), r))
-    publish(t, next)
-    ret.getOrElse(ok("INSERT", nUp + nIns))
+    val upsertTags = Seq("up" -> (col("__src") === "up"),
+      "ins" -> (col("__src") === "ins"))
+    if (smallForFusion(existing) && smallForFusion(aligned)) {
+      // fused: row-local + FK + post-merge uniqueness + the up/ins
+      // tallies ALL ride the publish write's job (observe) — the
+      // statement's merge-validate-count-write collapses to ONE job
+      var ret: Option[DataFrame] = None
+      val counts = validatePostImagePublish(t, tagged, "upsert",
+        tagCounts = upsertTags,
+        beforePublish = () =>
+          ret = returning.map(r => returningDf(t, updated.unionByName(fresh), r)))
+      ret.getOrElse(ok("INSERT", counts("up") + counts("ins")))
+    } else {
+      val next = tagged.drop("__src")
+      // row-local + FK + post-merge whole-table uniqueness (the SET
+      // expressions or a different unique key could collide) + the
+      // updated/inserted counts, ONE job
+      val counts = validatePostImage(t, tagged, "upsert", tagCounts = upsertTags)
+      val nUp = counts("up")
+      val nIns = counts("ins")
+      // RETURNING sees the post-image of every inserted or updated row;
+      // pin it before publish supersedes the snapshot this plan reads
+      val ret = returning.map(r => returningDf(t, updated.unionByName(fresh), r))
+      publish(t, next)
+      ret.getOrElse(ok("INSERT", nUp + nIns))
+    }
   }
 
   /** Split `body` at the first top-level occurrence of keyword `kw` —
@@ -3273,7 +3368,6 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         val (setS, whereOpt) = splitTopLevelWhere(body)
         val pred = whereOpt.map(w => expr(PgRewrite.rewrite(w))).getOrElse(lit(true))
         val cur = tableDf(t)
-        val nChanged = cur.filter(pred).count()
         // SQL semantics: every SET expression AND the WHERE predicate
         // evaluate against the PRE-update row (so `SET a = b, b = a` swaps).
         // One select against `cur` builds all new columns simultaneously —
@@ -3287,18 +3381,33 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         }.toMap
         require(assign.size == topSplit(setS).size,
           s"multiple assignments to the same column in UPDATE: $setS")
-        val next = cur.select(t.columns.map(c =>
-          assign.get(c.name).map(a => when(pred, a).otherwise(col(c.name)))
-            .getOrElse(col(c.name)).as(c.name)): _*)
-        // row-local + FK + post-update whole-table uniqueness, one job
-        validatePostImage(t, next, "UPDATE")
-        // RETURNING: the post-image of the updated rows (PG), pinned
-        // before publish supersedes the snapshot this plan reads
-        val ret = returning.map(r => returningDf(t,
+        def retDf(r: String): DataFrame = returningDf(t,
           cur.filter(pred).select(t.columns.map(c =>
-            assign.getOrElse(c.name, col(c.name)).as(c.name)): _*), r))
-        publish(t, next)
-        ret.getOrElse(ok("UPDATE", nChanged))
+            assign.getOrElse(c.name, col(c.name)).as(c.name)): _*), r)
+        if (smallForFusion(cur)) {
+          // fused: the changed-row tally AND the post-image validation
+          // ride the publish write's job — 3 Spark jobs become 1
+          val tagged = cur.select((t.columns.map(c =>
+            assign.get(c.name).map(a => when(pred, a).otherwise(col(c.name)))
+              .getOrElse(col(c.name)).as(c.name)) :+ pred.as("__chg")): _*)
+          var ret: Option[DataFrame] = None
+          val counts = validatePostImagePublish(t, tagged, "UPDATE",
+            tagCounts = Seq("chg" -> col("__chg")),
+            beforePublish = () => ret = returning.map(retDf))
+          ret.getOrElse(ok("UPDATE", counts("chg")))
+        } else {
+          val nChanged = cur.filter(pred).count()
+          val next = cur.select(t.columns.map(c =>
+            assign.get(c.name).map(a => when(pred, a).otherwise(col(c.name)))
+              .getOrElse(col(c.name)).as(c.name)): _*)
+          // row-local + FK + post-update whole-table uniqueness, one job
+          validatePostImage(t, next, "UPDATE")
+          // RETURNING: the post-image of the updated rows (PG), pinned
+          // before publish supersedes the snapshot this plan reads
+          val ret = returning.map(retDf)
+          publish(t, next)
+          ret.getOrElse(ok("UPDATE", nChanged))
+        }
       case _ => throw new IllegalArgumentException(s"cannot parse UPDATE: $stmt")
     }
   }
@@ -3334,15 +3443,22 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     val keySel = key.map(k => s"$tAlias.$k AS __key_$k").mkString(", ")
     val setSel = assignExprs.map { case (cn, e) => s"($e) AS __new_$cn" }.mkString(", ")
     val whereSql = whereOpt.map(w => s" WHERE $w").getOrElse("")
+    // lazy checkpoint: the multi-match aggregate right below is the
+    // first action and materializes the blocks inside its own job
     val changed = spark.sql(PgRewrite.rewrite(
       s"SELECT $keySel, $setSel FROM $tv AS $tAlias, $fromS$whereSql"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val keyCols = key.map(k => col("__key_" + k))
-    if (changed.groupBy(keyCols: _*).count()
-        .filter(col("count") > 1).limit(1).count() > 0)
+    // multi-match probe + changed tally in ONE aggregate job (was: a
+    // groupBy-limit-count probe plus a count); count > countDistinct
+    // matches groupBy(count > 1) exactly (struct() never NULL, NULL key
+    // fields null-safe in both)
+    val chAgg = changed.agg(count(lit(1)).as("c"),
+      countDistinct(struct(keyCols: _*)).as("d")).collect()(0)
+    if (chAgg.getAs[Long]("c") > chAgg.getAs[Long]("d"))
       throw new IllegalArgumentException(
         "UPDATE … FROM: a target row matches more than one source row")
-    val nChanged = changed.count()
+    val nChanged = chAgg.getAs[Long]("c")
     val cur = tableDf(t)
     val joinCond = key.map(k => col(k) === col("__key_" + k)).reduce(_ && _)
     val matched = col("__key_" + key.head).isNotNull
@@ -3355,9 +3471,7 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
             .otherwise(base)
         else base).as(c.name)
       }: _*)
-    // row-local + FK + post-update whole-table uniqueness, one job
-    validatePostImage(t, next, "UPDATE")
-    val ret = returning.map { r =>
+    def retDf(r: String): DataFrame = {
       val post = cur.join(changed, joinCond, "inner")
         .select(t.columns.map { c =>
           (if (assign.contains(c.name))
@@ -3366,9 +3480,21 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         }: _*)
       returningDf(t, post, r)
     }
-    publish(t, next)
+    val out = if (smallForFusion(cur)) {
+      // fused: post-image validation rides the publish write's job
+      var ret: Option[DataFrame] = None
+      validatePostImagePublish(t, next, "UPDATE",
+        beforePublish = () => ret = returning.map(retDf))
+      ret.getOrElse(ok("UPDATE", nChanged))
+    } else {
+      // row-local + FK + post-update whole-table uniqueness, one job
+      validatePostImage(t, next, "UPDATE")
+      val ret = returning.map(retDf)
+      publish(t, next)
+      ret.getOrElse(ok("UPDATE", nChanged))
+    }
     spark.catalog.dropTempView(tv)
-    ret.getOrElse(ok("UPDATE", nChanged))
+    out
   }
 
   private def delete(stmt: String): DataFrame = {
@@ -3390,12 +3516,26 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         }
         val cur = tableDf(t)
         val pred = Option(whereS).map(w => expr(PgRewrite.rewrite(w))).getOrElse(lit(true))
-        val keep = cur.filter(!pred || pred.isNull) // SQL: delete rows where pred is TRUE
-        val nDel = cur.count() - keep.count()
-        // RETURNING: the deleted rows' old values (PG), pinned pre-publish
-        val ret = returning.map(r => returningDf(t, cur.filter(pred), r))
-        publish(t, keep)
-        ret.getOrElse(ok("DELETE", nDel))
+        if (smallForFusion(cur)) {
+          // fused: the deleted-row tally observes the PRE-filter rows of
+          // the publish write's own job — 3 Spark jobs become 1 (DELETE
+          // validates nothing: surviving rows were all valid at insert)
+          var ret: Option[DataFrame] = None
+          val nDel = publishFused(t, cur.withColumn("__del", pred),
+            Seq(sum(when(col("__del"), 1L).otherwise(0L)).as("__tag_del")),
+            keepFilter = Some(!col("__del") || col("__del").isNull),
+            check = get => get("__tag_del").asInstanceOf[Number].longValue,
+            beforePublish =
+              () => ret = returning.map(r => returningDf(t, cur.filter(pred), r)))
+          ret.getOrElse(ok("DELETE", nDel))
+        } else {
+          val keep = cur.filter(!pred || pred.isNull) // SQL: delete rows where pred is TRUE
+          val nDel = cur.count() - keep.count()
+          // RETURNING: the deleted rows' old values (PG), pinned pre-publish
+          val ret = returning.map(r => returningDf(t, cur.filter(pred), r))
+          publish(t, keep)
+          ret.getOrElse(ok("DELETE", nDel))
+        }
       case _ => throw new IllegalArgumentException(s"cannot parse DELETE: $stmt")
     }
   }
@@ -3416,10 +3556,12 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     val tAlias = alias.getOrElse(t.name)
     val keySel = key.map(k => s"$tAlias.$k AS __key_$k").mkString(", ")
     val cond = whereOpt.getOrElse("TRUE")
+    // lazy checkpoint: the count below is the first action and
+    // materializes the blocks inside its own job (one job, not two)
     val victims = spark.sql(PgRewrite.rewrite(
       s"SELECT $keySel FROM $tv AS $tAlias " +
         s"WHERE EXISTS (SELECT 1 FROM $usingS WHERE $cond)"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val nDel = victims.count()
     val cur = tableDf(t)
     val joinCond = key.map(k => col(k) === col("__key_" + k)).reduce(_ && _)
@@ -3597,16 +3739,31 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
       changedParts += spark.sql(PgRewrite.rewrite(
         s"SELECT $keySel, ${actionCase(bySrcWs)}, ${newCols(bySrcWs)} " +
           s"FROM $tv AS $tAlias WHERE NOT EXISTS (SELECT 1 FROM $srcText WHERE $cond)"))
+    // LAZY checkpoint: the affect-twice aggregate right below is the
+    // first action and materializes the blocks inside its own job — an
+    // eager cut here would pay a separate materialization job first
     val changed = changedParts.result().reduceOption(_ unionByName _)
-      .map(_.filter(col("__action") =!= "keep").localCheckpoint())
+      .map(_.filter(col("__action") =!= "keep").localCheckpoint(false))
+    // affect-twice probe + the update/delete tallies in ONE aggregate
+    // job (was: a groupBy-limit-count probe plus two filtered counts).
+    // count > countDistinct(struct(keys)) matches groupBy(count > 1)
+    // exactly: struct() is never NULL, and NULL key fields compare
+    // null-safe under both distinct and groupBy semantics.
+    var nUpd = 0L; var nDel = 0L
     changed.foreach { ch =>
-      if (ch.groupBy(key.map(k => col("__key_" + k)): _*).count()
-          .filter(col("count") > 1).limit(1).count() > 0)
+      val r = ch.agg(count(lit(1)).as("c"),
+        countDistinct(struct(key.map(k => col("__key_" + k)): _*)).as("d"),
+        sum(when(col("__action") === "update", 1L).otherwise(0L)).as("u"),
+        sum(when(col("__action") === "delete", 1L).otherwise(0L)).as("dd"))
+        .collect()(0)
+      if (r.getAs[Long]("c") > r.getAs[Long]("d"))
         throw new IllegalArgumentException(
           "MERGE command cannot affect row a second time: a target row " +
             "matches more than one source row")
+      nUpd = r.getAs[Long]("u"); nDel = r.getAs[Long]("dd")
     }
 
+    var insSmall = true // batch-sized insert arm, measured pre-checkpoint
     val inserted: Option[DataFrame] = if (insWs.isEmpty) None else {
       val maps = insWs.map {
         case MergeWhen(_, _, MergeInsert(m)) => m
@@ -3654,16 +3811,17 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
         }
         ins = ins.drop("__rn")
       }
-      Some(ins.select(t.columns.map(c =>
-        col(c.name).cast(TypeMap.toSpark(c.sqlType)).as(c.name)): _*).localCheckpoint())
+      val plan = ins.select(t.columns.map(c =>
+        col(c.name).cast(TypeMap.toSpark(c.sqlType)).as(c.name)): _*)
+      insSmall = smallForFusion(plan)
+      // lazy: the first consumer's job (the count, or the fused publish
+      // write) materializes the blocks — no separate checkpoint job
+      Some(plan.localCheckpoint(false))
     }
 
     val cur = tableDf(t)
-    var nUpd = 0L; var nDel = 0L
     val afterMatched = changed match {
       case Some(ch) =>
-        nUpd = ch.filter(col("__action") === "update").count()
-        nDel = ch.filter(col("__action") === "delete").count()
         val joinCond = key.map(k => col(k) === col("__key_" + k)).reduce(_ && _)
         cur.join(ch, joinCond, "left")
           .filter(col("__action").isNull || col("__action") =!= "delete")
@@ -3674,20 +3832,36 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
           }: _*)
       case None => cur
     }
-    val nIns = inserted.map(_.count()).getOrElse(0L)
-    val next = inserted.map(afterMatched.unionByName(_)).getOrElse(afterMatched)
-    // row-local + FK + post-merge whole-table uniqueness (SET
-    // expressions or inserts could collide on any unique key), one job
-    validatePostImage(t, next, "MERGE")
-    val ret = returning.map { r =>
+    def mergeRet(r: String): DataFrame = {
       val acted = Seq(
         changed.map(_.select(t.columns.map(c =>
           col("__new_" + c.name).cast(TypeMap.toSpark(c.sqlType)).as(c.name)): _*)),
         inserted).flatten
       returningDf(t, acted.reduceOption(_ unionByName _).getOrElse(cur.limit(0)), r)
     }
-    publish(t, next)
-    val result = ret.getOrElse(ok("MERGE", nUpd + nDel + nIns))
+    val result = if (smallForFusion(cur) && insSmall) {
+      // fused: the inserted tally AND the post-merge validation ride the
+      // publish write's job — validate-count-write collapses to ONE job
+      val taggedNext = inserted match {
+        case Some(i) => afterMatched.withColumn("__src", lit("keep"))
+          .unionByName(i.withColumn("__src", lit("ins")))
+        case None => afterMatched.withColumn("__src", lit("keep"))
+      }
+      var ret: Option[DataFrame] = None
+      val counts = validatePostImagePublish(t, taggedNext, "MERGE",
+        tagCounts = Seq("ins" -> (col("__src") === "ins")),
+        beforePublish = () => ret = returning.map(mergeRet))
+      ret.getOrElse(ok("MERGE", nUpd + nDel + counts("ins")))
+    } else {
+      val nIns = inserted.map(_.count()).getOrElse(0L)
+      val next = inserted.map(afterMatched.unionByName(_)).getOrElse(afterMatched)
+      // row-local + FK + post-merge whole-table uniqueness (SET
+      // expressions or inserts could collide on any unique key), one job
+      validatePostImage(t, next, "MERGE")
+      val ret = returning.map(mergeRet)
+      publish(t, next)
+      ret.getOrElse(ok("MERGE", nUpd + nDel + nIns))
+    }
     completed = true
     result
     } finally {
@@ -3722,10 +3896,123 @@ final class GraftSession(val spark: SparkSession, warehouse: Path) {
     * collapses only the stage below the nearest exchange, so an
     * aggregate/join snapshot keeps its parallel upstream either way). */
   private def writeSnapshot(df: DataFrame, mode: String, dir: String): Unit = {
+    // The byte estimate costs strings at a fixed ~20 B, so a snapshot of
+    // many rows × wide TEXT cells can land under the byte gate while the
+    // real output is hundreds of MB — a serial-write straggler. When the
+    // optimizer KNOWS the row count (VALUES inserts, CBO-analyzed
+    // sources), cap the single-file branch at 100k rows; unknown row
+    // counts keep the byte gate alone (parquet-scan-backed snapshots,
+    // whose file-byte estimate is not string-blind).
     val small =
-      try df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(8L << 20)
-      catch { case _: Throwable => false }
+      try {
+        val st = df.queryExecution.optimizedPlan.stats
+        st.sizeInBytes <= BigInt(8L << 20) && st.rowCount.forall(_ <= 100000L)
+      } catch { case _: Throwable => false }
     (if (small) df.coalesce(1) else df).write.mode(mode).parquet(dir)
+  }
+
+  // ------------------------------------------- observe-fused DML writes
+  //
+  // A tiny DML statement's floor was 2-3 Spark jobs: the one-job
+  // validation aggregate (validateBatch), the affected-row count(s), and
+  // the snapshot write — each a full job launch (plus AQE stage jobs) on
+  // batch-sized data. Dataset.observe (CollectMetrics) computes the SAME
+  // validation aggregates as a side effect of the write job's scan, so a
+  // small statement runs ONE job: write the rows, then check the observed
+  // metrics in validateBatch's exact failure order. Because the check now
+  // runs AFTER the bytes land, the write targets are arranged so a
+  // validation failure never mutates visible state: publishes go to the
+  // not-yet-published next version dir (deleted on failure, putTable only
+  // on success), appends go to a staging dir whose part files move into
+  // the live snapshot only after the checks pass. The statement holds the
+  // session's write gate throughout, so the window is unobservable.
+  //
+  // Scale guard: the collect_set spelling of the duplicate detector
+  // merges per-partition key sets on the DRIVER (guide §5 — the driver
+  // does no data work), so fusion is gated by [[smallForFusion]]; past
+  // the gate every verb keeps the classic distributed validate-then-write
+  // path unchanged.
+
+  private val obsId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Fusion gate: the optimizer-estimated size of `df` is batch-like —
+    * under the snapshot single-file threshold AND (when the row count is
+    * known) bounded in rows, so driver-merged metrics stay trivially
+    * small. Estimation failures disable fusion, never enable it.
+    * [[GraftSession.fusionEnabled]] is the test seam that forces every
+    * statement down the classic path, so the equivalence spec can pin
+    * fused == classic on identical scripts. */
+  private def smallForFusion(df: DataFrame): Boolean =
+    GraftSession.fusionEnabled && (
+      try {
+        val st = df.queryExecution.optimizedPlan.stats
+        st.sizeInBytes <= BigInt(8L << 20) && st.rowCount.forall(_ <= 100000L)
+      } catch { case _: Throwable => false })
+
+  /** Write `frame` (projected to the table's columns, optionally after
+    * `keepFilter`) to `dir` while computing `aggs` over the PRE-filter
+    * rows via Dataset.observe. Returns the observed metrics getter once
+    * the write completed. ONE Spark job: the metrics ride the write
+    * scan's accumulators (verified: CollectMetrics is not a filter-
+    * pushdown target, so `keepFilter` cannot leak below the metrics). */
+  private def observedWrite(t: TableDef, frame: DataFrame, aggs: Seq[Column],
+      keepFilter: Option[Column], dir: String): String => Any = {
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_val_${obsId.incrementAndGet()}")
+    val observed = frame.observe(obs, aggs.head, aggs.tail: _*)
+    val out = keepFilter.map(observed.filter).getOrElse(observed)
+      .select(t.columns.map(c => col(c.name)): _*)
+    // fusion is size-gated, so the single-file write branch always holds
+    out.coalesce(1).write.mode("overwrite").parquet(dir)
+    val m = obs.get
+    m.apply
+  }
+
+  /** Observe-fused publish: write the next snapshot version, run `check`
+    * over the observed metrics (throwing in the contract's order on a
+    * violation — the unpublished version dir is deleted, the version
+    * pointer untouched), then run `beforePublish` (RETURNING pins) and
+    * publish the version. */
+  private def publishFused[A](t: TableDef, frame: DataFrame,
+      aggs: Seq[Column], keepFilter: Option[Column],
+      check: (String => Any) => A,
+      beforePublish: () => Unit = () => ()): A = {
+    val nt = t.copy(version = t.version + 1)
+    val dir = catalog.tableDir(nt)
+    val get = observedWrite(t, frame, aggs, keepFilter, dir.toString)
+    val res =
+      try check(get)
+      catch { case e: Throwable => deleteRecursively(dir); throw e }
+    beforePublish()
+    catalog.putTable(nt)
+    graft.streaming.MatviewMaintenance.onSnapshotChange(catalog.root.toString)
+    res
+  }
+
+  /** Observe-fused INSERT append: write the batch to a staging sibling of
+    * the version dirs (VACUUM's v\d+ matcher ignores it), check the
+    * observed metrics, and only then move the part files into the live
+    * snapshot dir — a validation failure discards the stage and the
+    * snapshot is never touched, exactly like the classic
+    * validate-then-append ordering. */
+  private def appendFused[A](t: TableDef, frame: DataFrame,
+      aggs: Seq[Column], check: (String => Any) => A): A = {
+    val dir = catalog.tableDir(t)
+    val stage = dir.getParent.resolve(
+      s".stage-${System.nanoTime()}-${obsId.incrementAndGet()}")
+    try {
+      val get = observedWrite(t, frame, aggs, None, stage.toString)
+      val res = check(get) // throws on violation; stage dies in finally
+      Files.createDirectories(dir)
+      val s = Files.list(stage)
+      try s.forEach { f =>
+        val n = f.getFileName.toString
+        // data files only: _SUCCESS markers and .crc siblings stay behind
+        if (!n.startsWith("_") && !n.startsWith("."))
+          { Files.move(f, dir.resolve(n)); () }
+      } finally s.close()
+      res
+    } finally deleteRecursively(stage)
   }
 }
 
@@ -3742,6 +4029,13 @@ object GraftSession {
     * registerAll. */
   private[sqlfront] val lastRegistrar =
     new java.util.concurrent.atomic.AtomicReference[(AnyRef, AnyRef, Long, Long)](null)
+
+  /** Test seam: force every DML statement down the classic
+    * validate-then-write path (two jobs) instead of the observe-fused
+    * single-job path, so specs can pin the two strategies' equivalence.
+    * Production value is always true — the fusion gate itself
+    * ([[GraftSession#smallForFusion]]) is what bounds it by size. */
+  @volatile private[graft] var fusionEnabled = true
 
   /** Table/view names the last registerAll registered — the next
     * registration for a DIFFERENT catalog sweeps names it does not
