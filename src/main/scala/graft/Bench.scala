@@ -3,6 +3,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // recorded with every run and JSON line: the driver benches the SAME
+    // round at 32 AND 8 cores (scaling measurement), and an archive that
+    // doesn't say which is which poisons the cross-run medians — the r17
+    // scaling block was uninterpretable partly because core count had to
+    // be guessed from calibration speed (VERDICT r17 §scaling)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Engine.session("graft-bench")
     // warm up JVM/codegen/file-index paths so per-query timings measure the
     // queries, not first-touch JIT + parquet footer reads. A table that
@@ -133,7 +139,7 @@ object Bench {
     // keeps the TAIL when the line exceeds its buffer, and the large
     // queries map has truncated the front-loaded totals three rounds
     // running. "value" stays first for anything parsing the full line.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","failed":$failed,"calibParSec":$calibPar,"calibSerSec":$calibSer,"total_s":$total}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","failed":$failed,"cpus":${jstr(cpus)},"calibParSec":$calibPar,"calibSerSec":$calibSer,"total_s":$total}"""
     println(line)
     // the driver's stdout capture keeps only the line's TAIL past its
     // buffer (r10 kept 59/210 per-query timings); a file copy makes the
@@ -186,10 +192,19 @@ object Bench {
       // summary's per-query "min" always the smallest fixture's number
       // while the file labels itself with one sf
       val sfTag = s""""sf":${jstr(sfDir)}"""
+      // ... and at THIS run's core count: the driver's scaling pass runs
+      // the same round at 8 cores, and blending those archives into the
+      // 32-core medians shifted every per-query number. Legacy archives
+      // (no "cpus" key — written before r18) are excluded the same way:
+      // their core count is unknowable, which is exactly the defect.
+      val cpuTag = s""""cpus":${jstr(cpus)}"""
       val runFiles = Option(dir.toFile.listFiles).getOrElse(Array.empty)
         .filter(f => runRe.findFirstIn(f.getName).isDefined).sortBy(_.getName)
-        .filter(f => new String(
-          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").contains(sfTag))
+        .filter { f =>
+          val txt = new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          txt.contains(sfTag) && txt.contains(cpuTag)
+        }
       val qRe = """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r
       val perRun: Seq[Map[String, Double]] = runFiles.toSeq.map { f =>
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
@@ -209,10 +224,15 @@ object Bench {
         val xs = perRun.flatMap(_.get(k))
         jstr(k) + s""":{"min":${xs.min},"median":${med(xs)},"n":${xs.size}}"""
       }.mkString("{", ",", "}")
+      // non-default core counts get their own summary file — otherwise the
+      // driver's trailing 8-core scaling run would overwrite the 32-core
+      // round summary as the last writer
+      val sumName = if (cpus == "32") f"bench_round_r$round%02d_summary.json"
+        else f"bench_round_r$round%02d_summary_cpus$cpus.json"
       java.nio.file.Files.write(
-        dir.resolve(f"bench_round_r$round%02d_summary.json"),
+        dir.resolve(sumName),
         (s"""{"round":$round,"runs":${runFiles.length},"sf":${jstr(sfDir)},""" +
-          s""""queries":$summary}""" + "\n").getBytes("UTF-8"))
+          s""""cpus":${jstr(cpus)},"queries":$summary}""" + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     graft.operators.DedupQueries.evictSharedPairs(spark)
     graft.operators.GraphQueries.evictSharedEdges(spark)
@@ -232,7 +252,7 @@ object Bench {
     val sharedEntries =
       sharedOk.map { case (k, v) => jstr(k) + ":" + math.round(v * 1000) / 1000.0 }
     val compactQs = (slowest ++ sharedEntries).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failed,"n_queries":${passed.size},"calibParSec":$calibPar,"calibSerSec":$calibSer,"queries":$compactQs,"queries_are":"slowest 15 of ${passed.size}; full map in queries_full","queries_full":"target/bench_full.json","total_s":$total}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failed,"n_queries":${passed.size},"cpus":${jstr(cpus)},"calibParSec":$calibPar,"calibSerSec":$calibSer,"queries":$compactQs,"queries_are":"slowest 15 of ${passed.size}; full map in queries_full","queries_full":"target/bench_full.json","total_s":$total}""")
     spark.stop()
   }
 }

@@ -56,7 +56,7 @@ object EdgeAb {
       e.join(broadcast(deg), "src")
     }
 
-    def sweep(tag: String, build: () => DataFrame): (Double, Double, Double, Long) = {
+    def sweep(tag: String, build: () => DataFrame): (Double, Double, Double, String) = {
       val t0 = System.nanoTime()
       val e = build().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = e.select(col("src")).distinct().count()
@@ -75,14 +75,15 @@ object EdgeAb {
         .groupBy(col("dst")).agg(sum(col("c")).as("mass"))
         .write.format("noop").mode("overwrite").save()
       val tIter = (System.nanoTime() - t2) / 1e9
-      val chk = e.agg(sum(xxhash64(col("src"), col("dst"), col("outdeg"))))
-        .collect()(0).getLong(0)
+      val chk = e.agg(sum(xxhash64(col("src"), col("dst"), col("outdeg"))
+          .cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0).toString
       e.unpersist()
       println(f"[edgeab] $tag build=$tBuild%.3f hist=$tHist%.3f iter=$tIter%.3f chk=$chk")
       (tBuild, tHist, tIter, chk)
     }
 
-    var chkA = 0L; var chkB = 0L
+    var chkA = ""; var chkB = ""
     val (ba, ha, ia2) = (Seq.newBuilder[Double], Seq.newBuilder[Double], Seq.newBuilder[Double])
     val (bb, hb, ib) = (Seq.newBuilder[Double], Seq.newBuilder[Double], Seq.newBuilder[Double])
     (1 to reps).foreach { i =>
